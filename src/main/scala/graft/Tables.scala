@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver corpus (TESTDATA.md): a TPC-H-ish star schema plus
+  * `events` (stream-shaped), `documents` and `embeddings` (LLM-pipeline
+  * fixtures). One parquet file per table under the scale-factor directory.
+  *
+  * All engine queries read through here so that file layout decisions
+  * (predicate pushdown, `ReadSchema` pruning) are centralized: callers
+  * `select`/`filter` immediately after `apply` and Catalyst pushes both into
+  * the parquet scan.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
+      // reader rejects; read it as raw nanos and re-expose micros below.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
+}
