@@ -11,7 +11,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  private def catalog: Seq[Q] = operators.Relational.all
+  private def catalog: Seq[Q] =
+    operators.Relational.all ++ operators.Temporal.all ++
+    operators.Scalars.all ++ operators.RulesQ.all ++ operators.LakeQ.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,105 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Medallion-lake table operations re-expressed Spark-first (SURVEY §2.1,
+  * §2.2, §2.5): dedup-by-rank, schema evolution, MERGE-shaped upsert,
+  * idempotent delete+append, ingestion lineage columns.
+  *
+  * The reference implements these against Iceberg SQL
+  * (datatrack_spark_utils.py); no table-format jar ships in this
+  * environment, so the same semantics are realized as pure DataFrame
+  * rewrites. All of them are partition-friendly: joins are key-equi
+  * (shuffle once on the key), window dedup shuffles once on the dedup key,
+  * and nothing ever collects to the driver.
+  */
+object Lake {
+
+  /** W1 — `remover_duplicados` (datatrack_spark_utils.py:51-95): keep the
+    * first row per key ranked by `orderCol` DESC; with no order column,
+    * degrade to `dropDuplicates` exactly like the reference degrades to
+    * DISTINCT-by-key. */
+  def dedupByKeys(df: DataFrame, keys: Seq[String],
+      orderCol: Option[String] = None,
+      tiebreak: Seq[String] = Nil): DataFrame = orderCol match {
+    case None => df.dropDuplicates(keys)
+    case Some(oc) =>
+      val ordering = (col(oc).desc +: tiebreak.map(col(_).desc))
+      val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
+      df.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn")
+  }
+
+  /** Schema evolution — `evoluir_schema` (datatrack_spark_utils.py:221-302):
+    * backfill columns missing from the source with typed NULLs and project
+    * to the destination column order. (The reference's other half — ALTER
+    * TABLE ADD COLUMN on the destination — is a catalog DDL concern that
+    * maps to `spark.sql` when a catalog table is the target.) */
+  def conformToSchema(src: DataFrame, dest: StructType): DataFrame = {
+    val have = src.columns.toSet
+    val withMissing = dest.fields.foldLeft(src) { (df, f) =>
+      if (have.contains(f.name)) df
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    withMissing.select(dest.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** S10/J2 — MERGE INTO semantics without a table format
+    * (datatrack_spark_utils.py:306-362): full-outer join on the key list;
+    * source row wins when it is newer (strictly greater `versionCol`),
+    * unmatched source rows are inserted, unmatched target rows survive.
+    * One shuffle on the key columns; with a pre-bucketed target this is
+    * co-located at scale. */
+  def mergeUpsert(target: DataFrame, source: DataFrame, keys: Seq[String],
+      versionCol: String): DataFrame = {
+    require(target.columns.sameElements(source.columns),
+      "mergeUpsert expects schema-aligned inputs; run conformToSchema first")
+    val srcPfx = "__src_"
+    val renamedSrc = source.columns.foldLeft(source)(
+      (df, c) => df.withColumnRenamed(c, srcPfx + c))
+    val joinCond = keys.map(k => col(k) === col(srcPfx + k)).reduce(_ && _)
+    val joined = target.join(renamedSrc, joinCond, "full_outer")
+    val srcMatched = col(srcPfx + keys.head).isNotNull
+    val tgtMatched = col(keys.head).isNotNull
+    val srcWins = srcMatched &&
+      (!tgtMatched || col(srcPfx + versionCol) > col(versionCol))
+    val outCols = target.columns.map { c =>
+      when(srcWins, col(srcPfx + c)).otherwise(col(c)).as(c)
+    }
+    joined.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** I2 — idempotent per-source-file reload (forms_main.py:401-423):
+    * DELETE FROM t WHERE lineage = key, then append the fresh parse. */
+  def deleteByKeyAppend(table: DataFrame, fresh: DataFrame,
+      lineageCol: String, lineageValue: String): DataFrame =
+    table.filter(col(lineageCol) =!= lineageValue || col(lineageCol).isNull)
+      .unionByName(fresh, allowMissingColumns = true)
+
+  /** P9 — ingestion lineage/partition columns (etls_raw/main.py:300-315):
+    * a fixed ingestion timestamp fans out to date/year/month/day partition
+    * columns. `ts` is passed in (never `current_timestamp`) so reruns are
+    * deterministic and testable. */
+  def withIngestionColumns(df: DataFrame, ts: java.sql.Timestamp): DataFrame = {
+    val t = lit(ts)
+    df.withColumn("ingestao_timestamp", t)
+      .withColumn("ingestao_date", to_date(t))
+      .withColumn("ingestao_year", year(t))
+      .withColumn("ingestao_month", month(t))
+      .withColumn("ingestao_day", dayofmonth(t))
+  }
+
+  /** I1 — high-watermark incremental filter (datatrack_spark_utils.py:
+    * 118-188): rows strictly newer than the last watermark; partition- and
+    * pushdown-prunable because it is a plain range predicate. */
+  def incrementalAfter(df: DataFrame, tsCol: String, watermark: Column): DataFrame =
+    df.filter(col(tsCol) > watermark)
+
+  /** New watermark after a load (datatrack_spark_utils.py:185-186). */
+  def maxWatermark(df: DataFrame, tsCol: String): DataFrame =
+    df.agg(max(col(tsCol)).as("last_dt_ingestao"))
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.{dates, money}
+
+/** Scalar-function operators (SURVEY §2.8) demonstrated end-to-end on the
+  * corpus: pt-BR money parse/format round-trip, multi-format date
+  * normalization, descriptive statistics, distinct aggregates. All pure
+  * codegen'd Column expressions — no UDFs anywhere.
+  */
+object Scalars {
+
+  /** F8 — multi-format date parse: the corpus dates are re-rendered in the
+    * reference's three source formats (dd/MM/yyyy, yyyy-MM-dd, dd-MM-yyyy;
+    * helpers.py:39-82) then normalized back by the engine's
+    * `toDateMulti` coalesce chain. */
+  val q16MultiformatDates: Q = Q(
+    "q16_multiformat_dates",
+    Some("""
+      WITH raw AS (
+        SELECT o_orderkey,
+               CASE CAST(o_orderkey % 3 AS INTEGER)
+                 WHEN 0 THEN strftime(o_orderdate, '%d/%m/%Y')
+                 WHEN 1 THEN strftime(o_orderdate, '%Y-%m-%d')
+                 ELSE strftime(o_orderdate, '%d-%m-%Y') END AS raw_date
+        FROM orders)
+      SELECT o_orderkey, raw_date,
+             CAST(coalesce(
+               try_strptime(raw_date, '%d/%m/%Y'),
+               try_strptime(raw_date, '%Y-%m-%d'),
+               try_strptime(raw_date, '%d-%m-%Y'),
+               try_strptime(raw_date, '%Y%m%d')) AS DATE) AS parsed
+      FROM raw
+    """),
+    (s, dir) => {
+      val rendered = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0, date_format(col("o_orderdate"), "dd/MM/yyyy"))
+            .when(col("o_orderkey") % 3 === 1, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+            .otherwise(date_format(col("o_orderdate"), "dd-MM-yyyy")).as("raw_date"))
+      rendered.withColumn("parsed", dates.toDateMulti(col("raw_date")))
+    })
+
+  /** F1/F13 — BRL money round-trip: format each price as "R$ 1.234,56"
+    * (compare_budget.py:108-111) and parse it back with `brlToDouble`
+    * (bb_bill.py:28-40). The string is constructed from integer cents in
+    * BOTH engines so grouping/rounding is bit-identical. */
+  val q17BrlRoundtrip: Q = Q(
+    "q17_brl_roundtrip",
+    Some("""
+      WITH cents AS (
+        SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders)
+      SELECT o_orderkey,
+             'R$ ' || replace(format('{:,}', c // 100), ',', '.')
+                   || ',' || lpad(CAST(c % 100 AS VARCHAR), 2, '0') AS brl,
+             CAST(replace(replace(replace(
+               'R$ ' || replace(format('{:,}', c // 100), ',', '.')
+                     || ',' || lpad(CAST(c % 100 AS VARCHAR), 2, '0'),
+               'R$ ', ''), '.', ''), ',', '.') AS DOUBLE) AS parsed
+      FROM cents
+    """),
+    (s, dir) => {
+      val cents = Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val brl = concat(
+        lit("R$ "),
+        regexp_replace(format_number(expr("c DIV 100"), 0), ",", "."),
+        lit(","),
+        lpad((col("c") % 100).cast("string"), 2, "0"))
+      cents.select(col("o_orderkey"), brl.as("brl"))
+        .withColumn("parsed", money.brlToDouble(col("brl")))
+    })
+
+  /** A8 — descriptive statistics (`describe()`/`summary()`,
+    * inspect_bradesco_output.py:189-190) computed as explicit aggregates
+    * so both engines agree on types. */
+  val q21SummaryStats: Q = Q(
+    "q21_summary_stats",
+    Some("""
+      SELECT l_returnflag,
+             count(l_quantity) AS n,
+             round(avg(l_quantity), 6) AS mean_qty,
+             round(stddev_samp(l_quantity), 6) AS std_qty,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             round(avg(l_extendedprice), 4) AS mean_price
+      FROM lineitem
+      GROUP BY l_returnflag
+    """),
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(col("l_quantity")).as("n"),
+          round(avg(col("l_quantity")), 6).as("mean_qty"),
+          round(stddev_samp(col("l_quantity")), 6).as("std_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          round(avg(col("l_extendedprice")), 4).as("mean_price")))
+
+  /** Distinct aggregates (SURVEY §2.4 "free in Spark" note): exact
+    * distinct counts per group — expand + two-phase agg under AQE. */
+  val q22DistinctCounts: Q = Q(
+    "q22_distinct_counts",
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY l_returnflag
+    """),
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows")))
+
+  val all: Seq[Q] = Seq(
+    q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts)
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.Lake
+
+/** Lake-op semantics: MERGE upsert (update-if-newer / insert / keep),
+  * dedup-by-rank with degradation, schema conform, idempotent reload,
+  * incremental watermark (SURVEY §2.1/§2.5/§2.10). */
+class LakeSpec extends SparkSpec {
+
+  private val kv = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("ver", LongType)))
+
+  private def df(rows: (Long, String, Long)*) =
+    LocalTable.of(spark, kv, rows.map { case (k, v, t) => Row(k, v, t) })
+
+  test("mergeUpsert: newer wins, older loses, unmatched insert + survive") {
+    val target = df((1L, "t1", 5L), (2L, "t2", 5L), (3L, "t3", 5L))
+    val source = df((2L, "s2-new", 9L), (3L, "s3-old", 1L), (4L, "s4-ins", 9L))
+    val got = Lake.mergeUpsert(target, source, Seq("k"), "ver")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "t1"), (2L, "s2-new"), (3L, "t3"), (4L, "s4-ins")))
+  }
+
+  test("dedupByKeys keeps max orderCol; degrades to dropDuplicates without") {
+    val d = df((1L, "old", 1L), (1L, "new", 2L), (2L, "only", 1L))
+    val got = Lake.dedupByKeys(d, Seq("k"), Some("ver"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got === Seq((1L, "new"), (2L, "only")))
+    assert(Lake.dedupByKeys(d.select("k"), Seq("k")).count() === 2)
+  }
+
+  test("conformToSchema backfills typed NULLs and reorders") {
+    val src = df((1L, "x", 1L)).select("v", "k") // missing 'extra', wrong order
+    val dest = StructType(Seq(
+      StructField("k", LongType), StructField("extra", DoubleType),
+      StructField("v", StringType)))
+    val out = Lake.conformToSchema(src, dest)
+    assert(out.columns.toSeq === Seq("k", "extra", "v"))
+    assert(out.schema("extra").dataType === DoubleType)
+    val r = out.collect()(0)
+    assert(r.getLong(0) === 1L && r.isNullAt(1) && r.getString(2) === "x")
+  }
+
+  test("deleteByKeyAppend is idempotent per lineage key") {
+    val table = df((1L, "src1", 1L), (2L, "src1", 1L), (3L, "src2", 1L))
+    val fresh = df((1L, "src1", 2L), (2L, "src1", 2L))
+    val once  = Lake.deleteByKeyAppend(table, fresh, "v", "src1")
+    val twice = Lake.deleteByKeyAppend(once, fresh, "v", "src1")
+    assert(once.count() === 3 && twice.count() === 3)
+    assert(twice.filter(col("v") === "src1").agg(sum("ver")).collect()(0).getLong(0) === 4L)
+  }
+
+  test("incrementalAfter is strictly-greater; maxWatermark returns new max") {
+    val d = df((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+    assert(Lake.incrementalAfter(d, "ver", lit(20L)).count() === 1)
+    assert(Lake.maxWatermark(d, "ver").collect()(0).getLong(0) === 30L)
+  }
+
+  test("withIngestionColumns derives partition columns deterministically") {
+    val out = Lake.withIngestionColumns(df((1L, "a", 1L)),
+      java.sql.Timestamp.valueOf("2026-08-12 10:30:00"))
+    val r = out.select("ingestao_date", "ingestao_year", "ingestao_month", "ingestao_day")
+      .collect()(0)
+    assert(r.get(0).toString === "2026-08-12" && r.getInt(1) === 2026 &&
+      r.getInt(2) === 8 && r.getInt(3) === 12)
+  }
+}
