@@ -1,0 +1,176 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Near-duplicate detection for a training-data pipeline: n-gram shingling,
+  * exact Jaccard with deterministic blocking, MinHash+LSH banding, and
+  * SimHash hamming buckets.
+  *
+  * Scale design (the whole point of these operators):
+  *   - NEVER a full cross join. Candidate generation is always an
+  *     equi-join on a blocking key (prefix hash, LSH band bucket, simhash
+  *     band), which Spark executes as a shuffle hash join on the key —
+  *     linear in data + candidates, not quadratic.
+  *   - Shingle/signature computation is a stateless projection (higher-
+  *     order array functions, no UDFs), so it pipelines inside the scan.
+  *   - Verification (exact Jaccard / hamming) runs only on candidates.
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of `c` (empty-safe). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = TextStats.tokens(c)
+    array_distinct(
+      when(size(toks) < n, array().cast("array<string>"))
+        .otherwise(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+  }
+
+  /** Exact Jaccard similarity of two string-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union > 0, inter / union).otherwise(lit(0.0))
+  }
+
+  /** k MinHash values of a shingle set: min over shingles of a seeded
+    * 64-bit hash — one array expression, no UDF (xxhash64 is codegen'd). */
+  def minhashSignature(sh: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => when(size(sh) === 0, lit(Long.MaxValue))
+        .otherwise(array_min(transform(sh, s => xxhash64(s, seed)))))
+
+  /** LSH banding: split the k-signature into `bands` bands of `rowsPerBand`
+    * and hash each band → (band_id, band_hash) bucket keys. */
+  def lshBandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band_id"),
+        xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
+          .as("band_hash")))
+
+  /** 64-bit SimHash from token hashes: bit b is the sign of the sum of
+    * (±1) contributions of every token's hash bit b. */
+  def simhash64(c: Column): Column = {
+    val toks = TextStats.tokens(c)
+    val bitSums = transform(sequence(lit(0), lit(63)),
+      b => aggregate(toks, lit(0L),
+        (acc, t) => acc + call_function("shiftright", xxhash64(t), b).bitwiseAND(1) * 2 - 1))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => acc +
+        when(element_at(bitSums, b + 1) > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  // ---- catalog queries -----------------------------------------------
+
+  /** Exact n-gram Jaccard near-dup pairs with DETERMINISTIC prefix
+    * blocking (oracle-checkable): block on md5(prefix 40), verify 3-gram
+    * Jaccard ≥ 0.35. At 100 TB the blocking key bounds the join fan-out;
+    * the quadratic step only happens inside a block. */
+  val d06NgramJaccardPairs: Q = Q(
+    "d06_ngram_jaccard_pairs",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(a.sh || b.sh))
+                     ELSE 0.0 END, 4) AS jaccard
+        FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextStats.prefixFingerprint(col("text"), 40).as("blk"),
+          shingles(col("text"), 3).as("sh"))
+      val a = docs.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
+      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.35)
+    })
+
+  /** MinHash+LSH near-dup pairs — the probabilistic scale path: 16 bands ×
+    * 1 row (high recall at J≥0.5), bucket equi-join for candidates, exact
+    * Jaccard verification. Not ANSI-SQL-expressible (seeded xxhash64) →
+    * rows-only driver check; recall/precision proven in DedupSpec against
+    * d06's exact answer. */
+  val d07MinhashLsh: Q = Q(
+    "d07_minhash_lsh_neardup",
+    None,
+    (s, dir) => minhashNearDupPairs(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      nGram = 3, k = 16, bands = 16, rowsPerBand = 1, threshold = 0.5))
+
+  /** Reusable MinHash+LSH pipeline over (doc_id, text). */
+  def minhashNearDupPairs(docs: DataFrame, nGram: Int, k: Int, bands: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    val withSig = docs
+      .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("band", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"), col("sh"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    val a = withSig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
+      col("band_id"), col("band_hash"))
+    val b = withSig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
+      col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
+    a.join(b,
+        col("band_id") === col("band_id_b") &&
+        col("band_hash") === col("band_hash_b") &&
+        col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash near-dup pairs: 64-bit signatures, candidates from any shared
+    * 16-bit band (4 bands ⇒ recall 1.0 for hamming ≤ 3 by pigeonhole),
+    * verified by exact hamming ≤ 3. Rows-only driver check. */
+  val d08SimhashPairs: Q = Q(
+    "d08_simhash_neardup",
+    None,
+    (s, dir) => {
+      val sigs = Tables(s, dir, "documents")
+        .select(col("doc_id"), simhash64(col("text")).as("sig"))
+      val banded = sigs.withColumn("band_id", explode(sequence(lit(0), lit(3))))
+        .withColumn("band_val",
+          call_function("shiftright", col("sig"), col("band_id") * 16)
+            .bitwiseAND(0xFFFFL))
+      val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
+        col("band_id"), col("band_val"))
+      val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
+        col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
+      a.join(b,
+          col("band_id") === col("band_id_b") &&
+          col("band_val") === col("band_val_b") &&
+          col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"),
+          hamming64(col("sig_a"), col("sig_b")).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+    })
+
+  val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs)
+}

@@ -1,0 +1,189 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Text-analysis operators for an LLM training-data pipeline (BASELINE
+  * north star): token counting, quality scoring, n-gram-heuristic language
+  * ID, and document fingerprinting — all pure codegen'd Column expressions
+  * over the `documents` table, verified against the DuckDB oracle.
+  *
+  * Scale posture: every operator is a stateless per-row projection — no
+  * shuffle at all until the final aggregate, so a 100 TB corpus maps to a
+  * pure scan→project pipeline with full pushdown.
+  */
+object TextStats {
+
+  /** Whitespace tokens with an empty-string guard (split("") yields [""],
+    * not []). */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** Per-language stopword regexes for the n-gram language heuristic.
+    * Deliberately tiny — the heuristic is argmax of hit counts with a
+    * deterministic preference order on ties. */
+  val stopwords: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|a|of|and|to|in|is)\\b",
+    "es" -> "\\b(el|la|los|de|que|y|un)\\b",
+    "de" -> "\\b(der|die|das|und|ist|ein)\\b",
+    "fr" -> "\\b(le|les|des|et|est|une)\\b",
+    "zh" -> "(的|了|是|在|和)")
+
+  def langScores(c: Column): Seq[(String, Column)] =
+    stopwords.map { case (lang, re) => lang -> regexp_count(lower(c), lit(re)) }
+
+  /** Argmax over language scores, ties resolved by list order (en first). */
+  def langId(c: Column): Column = {
+    val scores = langScores(c)
+    val maxScore = greatest(scores.map(_._2): _*)
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === maxScore && maxScore > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Heuristic quality score in [0,1]: length, token count and stopword
+    * density (the reference-style length/punct/stopword family). */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val nCh  = length(c).cast("double")
+    val stop = regexp_count(lower(c), lit(stopwords.head._2)).cast("double")
+    val stopRatio = when(nTok > 0, stop / nTok).otherwise(lit(0.0))
+    round(
+      least(nTok / 100.0, lit(1.0)) * 0.5 +
+      least(nCh / 500.0, lit(1.0)) * 0.3 +
+      least(stopRatio * 5.0, lit(1.0)) * 0.2, 6)
+  }
+
+  /** Normalized-content fingerprint (rolling-hash family): md5 of the
+    * whitespace-collapsed lowercase text. */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(trim(c), "\\s+", " ")))
+
+  /** Prefix fingerprint used as a dedup blocking key. */
+  def prefixFingerprint(c: Column, n: Int): Column =
+    md5(substring(c, 1, n))
+
+  // ---- catalog queries -----------------------------------------------
+
+  val d01TokenStats: Q = Q(
+    "d01_token_stats",
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_tokens,
+             CAST(length(text) AS INTEGER) AS n_chars_m,
+             round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                   ELSE CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                        / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS avg_token_len
+      FROM documents
+    """),
+    (s, dir) => {
+      val t = Tables(s, dir, "documents")
+      val nTok = tokenCount(col("text"))
+      val squashed = length(regexp_replace(trim(col("text")), "\\s+", ""))
+      t.select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        round(when(nTok > 0, squashed.cast("double") / nTok.cast("double"))
+          .otherwise(lit(0.0)), 4).as("avg_token_len"))
+    })
+
+  val d02LangId: Q = Q(
+    "d02_lang_id",
+    Some("""
+      WITH scored AS (
+        SELECT lang,
+               CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS INTEGER) AS s_en,
+               CAST(len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|y|un)\b')) AS INTEGER) AS s_es,
+               CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|ein)\b')) AS INTEGER) AS s_de,
+               CAST(len(regexp_extract_all(lower(text), '\b(le|les|des|et|est|une)\b')) AS INTEGER) AS s_fr,
+               CAST(len(regexp_extract_all(lower(text), '(的|了|是|在|和)')) AS INTEGER) AS s_zh
+        FROM documents),
+      pred AS (
+        SELECT lang,
+               CASE
+                 WHEN s_en = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_en > 0 THEN 'en'
+                 WHEN s_es = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_es > 0 THEN 'es'
+                 WHEN s_de = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_de > 0 THEN 'de'
+                 WHEN s_fr = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_fr > 0 THEN 'fr'
+                 WHEN s_zh = greatest(s_en, s_es, s_de, s_fr, s_zh) AND s_zh > 0 THEN 'zh'
+                 ELSE 'und' END AS lang_pred
+        FROM scored)
+      SELECT lang, lang_pred, count(*) AS n
+      FROM pred GROUP BY 1, 2
+    """),
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), langId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(count(lit(1)).as("n")))
+
+  val d03QualityScore: Q = Q(
+    "d03_quality_score",
+    Some("""
+      WITH f AS (
+        SELECT source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(text) AS n_ch,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop
+        FROM documents),
+      q AS (
+        SELECT source,
+               round(least(n_tok / 100.0, 1.0) * 0.5 +
+                     least(n_ch / 500.0, 1.0) * 0.3 +
+                     least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                           1.0) * 0.2, 6) AS quality
+        FROM f)
+      SELECT source, round(avg(quality), 6) AS avg_quality, count(*) AS n_docs
+      FROM q GROUP BY source
+    """),
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), qualityScore(col("text")).as("quality"))
+        .groupBy("source")
+        .agg(round(avg(col("quality")), 6).as("avg_quality"), count(lit(1)).as("n_docs")))
+
+  /** Exact-dedup accounting per source: full-text fingerprint distinct
+    * counts (hash-groupBy exact dedup — the canonical first pass of a
+    * training-data dedup pipeline). */
+  val d04ExactDedup: Q = Q(
+    "d04_exact_dedup",
+    Some("""
+      SELECT source,
+             count(*) AS n_docs,
+             count(DISTINCT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS n_unique
+      FROM documents GROUP BY source
+    """),
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), fingerprint(col("text")).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique")))
+
+  /** Prefix-fingerprint dedup groups: documents sharing an 80-char prefix
+    * collapse to a canonical (min doc_id) — surfaces the injected
+    * near-duplicates. */
+  val d05PrefixDedupGroups: Q = Q(
+    "d05_prefix_dedup_groups",
+    Some("""
+      SELECT md5(substr(text, 1, 80)) AS fp,
+             count(*) AS n_docs,
+             min(doc_id) AS canonical_doc_id
+      FROM documents
+      GROUP BY 1 HAVING count(*) > 1
+    """),
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(prefixFingerprint(col("text"), 80).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
+        .filter(col("n_docs") > 1))
+
+  val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore, d04ExactDedup, d05PrefixDedupGroups)
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ext.Similarity
+
+/** Vector-similarity semantics: cosine math, brute-force vs ANN-LSH
+  * agreement on the real corpus. */
+class SimilaritySpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("cosine on known vectors") {
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(FloatType)), StructField("b", ArrayType(FloatType))))
+    val df = LocalTable.of(spark, schema, Seq(
+      Row(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f)),   // orthogonal → 0
+      Row(Seq(1.0f, 2.0f), Seq(2.0f, 4.0f)),   // parallel → 1
+      Row(Seq(1.0f, 0.0f), Seq(-1.0f, 0.0f)),  // opposite → -1
+      Row(Seq(0.0f, 0.0f), Seq(1.0f, 1.0f))))  // zero vector → 0 guard
+    val got = df.select(round(Similarity.cosine(col("a"), col("b")), 9)).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got === Seq(0.0, 1.0, -1.0, 0.0))
+  }
+
+  test("lshSignature is deterministic and in range") {
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+    val sigs = e.select(Similarity.lshSignature(col("embedding"), 12).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs.forall(s => s >= 0 && s < (1L << 12)))
+    val again = e.select(Similarity.lshSignature(col("embedding"), 12).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs.toSeq === again.toSeq)
+  }
+
+  test("ANN-LSH on corpus: bounded, deterministic, never beats exact best") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val ann = Similarity.annTopK(e, 0, 10, 12, 3)
+      .select("vec_id", "cos_sim").collect()
+    assert(ann.length <= 10 && ann.nonEmpty)
+    val exactBest = Similarity.s01CosineTopk.run(spark, sfDir)
+      .agg(max("cos_sim")).collect()(0).getDouble(0)
+    assert(ann.map(_.getDouble(1)).max <= exactBest + 1e-9)
+  }
+
+  test("ANN-LSH recall is high on clustered data (planted near-neighbors)") {
+    // 4 planted clusters of 25 points each: center ± small noise. True NNs
+    // of vec 0 are its cluster (cos ≈ 0.99) — LSH must recover them.
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 100).map { i =>
+      val c = centers(i % 4)
+      Row(i.toLong, c.map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq, i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val planted = LocalTable.of(spark, schema, rows)
+    val ann = Similarity.annTopK(planted, 0, 10, 12, 3).collect()
+    // all 10 hits should come from vec 0's own cluster (label 0)
+    val clusterHits = ann.count(_.getInt(1) === 0)
+    assert(ann.length === 10)
+    assert(clusterHits >= 9, s"expected >=9 same-cluster hits, got $clusterHits")
+  }
+}
