@@ -14,7 +14,8 @@ object SparkEntry {
   private def catalog: Seq[Q] =
     operators.Relational.all ++ operators.Temporal.all ++
     operators.Scalars.all ++ operators.RulesQ.all ++ operators.LakeQ.all ++
-    ext.TextStats.all ++ ext.Dedup.all ++ ext.Similarity.all
+    ext.TextStats.all ++ ext.Dedup.all ++ ext.Similarity.all ++
+    parse.ParsePipeline.all ++ ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

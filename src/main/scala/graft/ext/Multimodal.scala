@@ -1,0 +1,125 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Multimodal-column plumbing for a training-data pipeline: media as
+  * opaque `binary` columns with a typed metadata struct, plus a
+  * batch-shaped executor-side decode/feature-extract stage.
+  *
+  * The decode itself is STUBBED (no image/audio codecs ship in this
+  * environment — see [[MediaDecoder.RealCodec]]); everything Spark-side is
+  * real and tested: the schema, the binary column construction, the
+  * `mapPartitions` batch shape (decoder init once per partition, stream of
+  * records per batch — the Scala-native equivalent of a pandas-batched
+  * UDF), and the partitioning posture (stateless per-row features: scan →
+  * project, no shuffle).
+  */
+object Multimodal {
+
+  /** Decoded per-media features. */
+  final case class MediaFeatures(
+      doc_id: Long, kind: String, n_bytes: Long,
+      width: Int, height: Int, mean_intensity: Double)
+
+  /** Decoder interface — one instance per partition (expensive init
+    * amortized over the batch, exactly like a model handle in a batched
+    * UDF). */
+  trait MediaDecoder extends Serializable {
+    def decode(docId: Long, kind: String, bytes: Array[Byte]): MediaFeatures
+  }
+
+  object MediaDecoder {
+    /** Real codec integration point. Intentionally unimplemented: no
+      * image/audio libraries exist in this environment. Swap this in for
+      * [[DeterministicStub]] when a codec (e.g. javax.imageio / ffmpeg
+      * bindings) is on the classpath. */
+    object RealCodec extends MediaDecoder {
+      def decode(docId: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
+        ??? // STUB: requires a codec library; see DeterministicStub
+    }
+
+    /** Deterministic fake decode used for tests and the pipeline drive:
+      * derives "image dimensions" from the doc id and a fake intensity
+      * from the raw bytes — stable, content-dependent, codec-free. */
+    object DeterministicStub extends MediaDecoder {
+      def decode(docId: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+        val w = (docId % 64 + 1).toInt
+        val h = (docId % 48 + 1).toInt
+        val mean =
+          if (bytes.isEmpty) 0.0
+          else bytes.map(b => (b & 0xFF).toDouble).sum / bytes.length
+        MediaFeatures(docId, kind, bytes.length.toLong, w, h, mean)
+      }
+    }
+  }
+
+  /** Synthesize a media table from `documents`: text bytes stand in for
+    * media payloads; kind/metadata derived deterministically. Schema:
+    * (doc_id, kind, media binary, meta struct). */
+  def mediaTable(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        col("source").as("origin"),
+        col("n_chars").cast("long").as("payload_hint")).as("meta"))
+
+  /** Executor-side batched decode: one decoder per partition, iterator in /
+    * iterator out — never materializes a partition in memory. */
+  def decodeFeatures(media: DataFrame, mk: () => MediaDecoder): DataFrame = {
+    val ds = media.select(col("doc_id"), col("kind"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING, Encoders.BINARY))
+    ds.mapPartitions { it =>
+      val decoder = mk() // per-partition init
+      it.map { case (id, kind, bytes) => decoder.decode(id, kind, bytes) }
+    }(Encoders.product[MediaFeatures]).toDF()
+  }
+
+  // ---- catalog queries -----------------------------------------------
+
+  /** Native-column media features (oracle-checkable path): byte length,
+    * header bytes, content checksum over the binary payload. */
+  val m01MediaFeatures: Q = Q(
+    "m01_media_features",
+    Some("""
+      SELECT doc_id,
+             CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                  WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             hex(encode(substr(text, 1, 8))) AS header_hex,
+             md5(text) AS checksum
+      FROM documents
+    """),
+    (s, dir) => {
+      val m = Tables(s, dir, "documents")
+      m.select(
+        col("doc_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        hex(encode(substring(col("text"), 1, 8), "UTF-8")).as("header_hex"),
+        md5(col("text")).as("checksum"))
+    })
+
+  /** The full binary pipeline through the stub decoder (mapPartitions
+    * batch shape) — aggregated per kind. Rows-only driver check; exact
+    * per-record features are spec-tested. */
+  val m02DecodePipeline: Q = Q(
+    "m02_decode_pipeline",
+    None,
+    (s, dir) => {
+      val media = mediaTable(Tables(s, dir, "documents"))
+      decodeFeatures(media, () => MediaDecoder.DeterministicStub)
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_media"),
+          sum(col("n_bytes")).as("total_bytes"),
+          round(avg(col("mean_intensity")), 4).as("avg_intensity"))
+    })
+
+  val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline)
+}
