@@ -14,6 +14,7 @@ object SparkEntry {
   private def catalog: Seq[Q] =
     operators.Relational.all ++ operators.Temporal.all ++
     operators.Scalars.all ++ operators.RulesQ.all ++ operators.LakeQ.all ++
+    operators.FinTrackQ.all ++
     ext.TextStats.all ++ ext.Dedup.all ++ ext.Similarity.all ++
     parse.ParsePipeline.all ++ ext.Multimodal.all
 

@@ -20,15 +20,12 @@ import graft.{Q, Tables}
   */
 object Dedup {
 
-  /** Distinct word n-gram shingles of `c` (empty-safe). */
-  def shingles(c: Column, n: Int): Column = {
-    val toks = TextStats.tokens(c)
-    array_distinct(
-      when(size(toks) < n, array().cast("array<string>"))
-        .otherwise(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-  }
+  /** Distinct word n-gram shingles of `c` (empty-safe) — native one-pass
+    * kernel (graft.plans.ShinglesExpr); the composable
+    * array_distinct/transform/slice chain re-tokenizes per lambda
+    * iteration. */
+  def shingles(c: Column, n: Int): Column =
+    graft.plans.ShinglesExpr.shingles(c, n)
 
   /** Exact Jaccard similarity of two string-array columns. */
   def jaccard(a: Column, b: Column): Column = {
@@ -37,12 +34,11 @@ object Dedup {
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
 
-  /** k MinHash values of a shingle set: min over shingles of a seeded
-    * 64-bit hash — one array expression, no UDF (xxhash64 is codegen'd). */
+  /** k MinHash values of a shingle set — native one-pass Catalyst kernel
+    * (graft.plans.MinHashSignatureExpr); the HOF equivalent re-traverses
+    * the array once per seed with interpreted lambdas. */
   def minhashSignature(sh: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => when(size(sh) === 0, lit(Long.MaxValue))
-        .otherwise(array_min(transform(sh, s => xxhash64(s, seed)))))
+    graft.plans.MinHashSignatureExpr.minhashSig(sh, k)
 
   /** LSH banding: split the k-signature into `bands` bands of `rowsPerBand`
     * and hash each band → (band_id, band_hash) bucket keys. */
@@ -52,18 +48,31 @@ object Dedup {
         xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
           .as("band_hash")))
 
-  /** 64-bit SimHash from token hashes: bit b is the sign of the sum of
-    * (±1) contributions of every token's hash bit b. */
-  def simhash64(c: Column): Column = {
-    val toks = TextStats.tokens(c)
-    val bitSums = transform(sequence(lit(0), lit(63)),
-      b => aggregate(toks, lit(0L),
-        (acc, t) => acc + call_function("shiftright", xxhash64(t), b).bitwiseAND(1) * 2 - 1))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => acc +
-        when(element_at(bitSums, b + 1) > 0, call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+  /** 64-bit SimHash signatures: bit b is the sign of the sum of (±1)
+    * contributions of every token's hash bit b.
+    *
+    * Deliberately a DataFrame-level pipeline (explode → hash once per
+    * token → 64 conditional sums in one hash aggregate → recombine bits)
+    * rather than a single nested higher-order Column: nested
+    * `transform(aggregate(...))` expressions re-inline the inner
+    * aggregate per outer element (64× recompute of the full token scan,
+    * interpreted) — the explode/agg shape hashes each token exactly once
+    * and stays inside whole-stage codegen. Returns (idCol, "sig"). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val perTok = docs
+      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"b$b")
+    }
+    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    val sigs = perTok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), sig.as("sig"))
+    // empty-token docs produce no exploded rows: back-fill signature 0
+    docs.select(col(idCol)).join(sigs, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
   /** Hamming distance between two 64-bit signatures. */
@@ -121,27 +130,34 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       nGram = 3, k = 16, bands = 16, rowsPerBand = 1, threshold = 0.5))
 
-  /** Reusable MinHash+LSH pipeline over (doc_id, text). */
+  /** Reusable MinHash+LSH pipeline over (doc_id, text).
+    *
+    * Shape: candidates-then-verify. The band bucket join carries ONLY
+    * (doc_id, band keys) — the heavy shingle arrays are joined back just
+    * twice for the exact-Jaccard verify of the distinct candidate pairs.
+    * Carrying arrays through the 16-way band explode would multiply the
+    * shuffle payload by `bands`, which is what kills this at 100 TB. */
   def minhashNearDupPairs(docs: DataFrame, nGram: Int, k: Int, bands: Int,
       rowsPerBand: Int, threshold: Double): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
-    val withSig = docs
+    val shingled = docs
       .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = shingled
+      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
       .withColumn("band", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
-      .select(col("doc_id"), col("sh"),
+      .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    val a = withSig.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"),
-      col("band_id"), col("band_hash"))
-    val b = withSig.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"),
-      col("band_id").as("band_id_b"), col("band_hash").as("band_hash_b"))
-    a.join(b,
-        col("band_id") === col("band_id_b") &&
-        col("band_hash") === col("band_hash_b") &&
-        col("doc_a") < col("doc_b"))
+    val candidates = banded.as("a").join(banded.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    candidates
+      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"),
         round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-      .distinct()
       .filter(col("jaccard") >= threshold)
   }
 
@@ -152,8 +168,7 @@ object Dedup {
     "d08_simhash_neardup",
     None,
     (s, dir) => {
-      val sigs = Tables(s, dir, "documents")
-        .select(col("doc_id"), simhash64(col("text")).as("sig"))
+      val sigs = simhashSignatures(Tables(s, dir, "documents"), "doc_id", "text")
       val banded = sigs.withColumn("band_id", explode(sequence(lit(0), lit(3))))
         .withColumn("band_val",
           call_function("shiftright", col("sig"), col("band_id") * 16)

@@ -19,16 +19,12 @@ import graft.{Q, Tables}
   */
 object Similarity {
 
-  /** Cosine similarity of two float-array columns, accumulated in double. */
-  def cosine(a: Column, b: Column): Column = {
-    def dots(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    val dab = dots(a, b)
-    val na  = sqrt(dots(a, a))
-    val nb  = sqrt(dots(b, b))
-    when(na > 0 && nb > 0, dab / (na * nb)).otherwise(lit(0.0))
-  }
+  /** Cosine similarity of two float-array columns, accumulated in double —
+    * a native codegen'd Catalyst expression (graft.plans.CosineSimilarityExpr);
+    * the equivalent zip_with+aggregate HOF chain is interpreted and breaks
+    * whole-stage codegen on the hot pair-join path. */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarityExpr.cosineSim(a, b)
 
   /** Random-hyperplane sign bit: hyperplane `p`'s component for dimension
     * `d` is ±1 derived from a seeded hash — deterministic, no stored
@@ -119,7 +115,9 @@ object Similarity {
     """),
     (s, dir) => {
       val e = emb(s, dir)
+      val par = s.sparkContext.defaultParallelism
       val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .repartition(par)
       val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
       a.join(b, col("vec_a") < col("vec_b"))
         .select(col("vec_a"), col("vec_b"),

@@ -1,0 +1,177 @@
+package graft.plans
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expression for float-vector cosine similarity.
+  *
+  * Why a custom Expression (SURVEY §4 / builder preference (b)): the
+  * composable alternative — `zip_with` + `aggregate` higher-order
+  * functions — is semantically correct but each HOF evaluates an
+  * interpreted per-element lambda AND is itself CodegenFallback, which
+  * breaks whole-stage codegen around the similarity join. On an N×M
+  * candidate pair set that's three array traversals with closure overhead
+  * per element. This expression is one tight primitive-array loop, emits
+  * inline Java through `doGenCode`, and keeps the surrounding stage in
+  * whole-stage codegen.
+  *
+  * Numeric contract (oracle parity): elements cast float→double, then a
+  * single left-to-right accumulation of dot/norms, final value
+  * dot/(√na·√nb), 0.0 for zero vectors — bit-identical to the HOF
+  * formulation it replaces.
+  */
+case class CosineSimilarityExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    CosineSimilarityExpr.cosine(
+      a.asInstanceOf[ArrayData].toFloatArray(),
+      b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.CosineSimilarityExpr.cosine($a.toFloatArray(), $b.toFloatArray())")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Native MinHash signature: k seeded xxhash64 minima over a string-array
+  * column in ONE pass over the array — the HOF formulation
+  * (`transform(seq(0,k-1), seed -> array_min(transform(sh, xxhash64(_,
+  * seed))))`) re-traverses the shingle array per seed with interpreted
+  * lambdas; this kernel hashes each shingle k times in a tight loop.
+  * Hash family: xxhash64 of the shingle bytes with seed = 42 + i (same
+  * family Spark's `xxhash64` builds on). */
+case class MinHashSignatureExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSignatureExpr.signature(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.MinHashSignatureExpr.signature($a, $k)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignatureExpr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** One pass: for each shingle, k seeded hashes; per-seed running min.
+    * Empty set → Long.MaxValue sentinels (no shared buckets). */
+  def signature(sh: ArrayData, k: Int): ArrayData = {
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = sh.numElements()
+    while (i < n) {
+      val s = sh.getUTF8String(i)
+      var seed = 0
+      while (seed < k) {
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L + seed)
+        if (h < mins(seed)) mins(seed) = h
+        seed += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  def minhashSig(c: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(MinHashSignatureExpr(GraftSqlBridge.expression(c), k))
+  }
+}
+
+/** Native word n-gram shingling: whitespace-tokenize + distinct n-grams in
+  * one pass. The HOF formulation (`transform(sequence(...), i =>
+  * concat_ws(" ", slice(tokens, i, n)))`) re-evaluates the tokenize
+  * expression on every lambda iteration (the token array is inlined into
+  * the lambda body), i.e. O(tokens) regex splits per row. Semantics match
+  * `array_distinct(transform(...))`: trim, split on \s+, distinct
+  * first-occurrence n-grams, empty for rows with < n tokens. */
+case class ShinglesExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShinglesExpr.shingle(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.ShinglesExpr.shingle($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShinglesExpr {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def shingle(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  def shingles(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ShinglesExpr(GraftSqlBridge.expression(c), n))
+  }
+}
+
+object CosineSimilarityExpr {
+
+  /** Tight-loop kernel, shared by interpreted eval and generated code. */
+  def cosine(x: Array[Float], y: Array[Float]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i).toDouble
+      val yi = y(i).toDouble
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    if (na > 0 && nb > 0) dot / (math.sqrt(na) * math.sqrt(nb)) else 0.0
+  }
+
+  /** Column-level entry point (Spark 4 classic bridge between the public
+    * Column API and Catalyst expressions). */
+  def cosineSim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      CosineSimilarityExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+  }
+}

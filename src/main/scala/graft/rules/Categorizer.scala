@@ -87,6 +87,42 @@ object Categorizer {
       parc.as("parcelado_suspeito"))
   }
 
+  /** ANSI-SQL rendering of the same compiled chain, for DuckDB oracles:
+    * generates the ordered CASE for one output field over a normalized
+    * description expression. Guarantees the oracle and the Column chain
+    * share one source of truth for rule order and fallbacks. */
+  def categorizeSqlField(descExpr: String, rules: Seq[CategoryRule],
+      field: String, hints: Seq[String] = recorrenteHints): String = {
+    def m(re: String) = s"regexp_matches($descExpr, '$re')"
+    val ruleCases = rules.map { r =>
+      val out = field match {
+        case "categoria"    => s"'${r.categoria}'"
+        case "subcategoria" => s"'${r.subcategoria}'"
+        case "force"        => if (r.forceRecorrente) "TRUE" else "FALSE"
+      }
+      s"WHEN ${m(ruleRegex(r))} THEN $out"
+    }.mkString(" ")
+    val fallback = field match {
+      case "categoria" =>
+        s"WHEN ${m(parcPattern)} THEN 'Compras' " +
+        s"WHEN ${m(pagamentoPattern)} THEN 'Financeiro' ELSE 'Outros'"
+      case "subcategoria" =>
+        s"WHEN ${m(parcPattern)} THEN 'Parcelado' " +
+        s"WHEN ${m(pagamentoPattern)} THEN 'Pagamentos' ELSE 'Geral'"
+      case "force" => "ELSE FALSE"
+    }
+    s"CASE $ruleCases $fallback END"
+  }
+
+  /** SQL for the two boolean flags. */
+  def parceladoSql(descExpr: String): String =
+    s"regexp_matches($descExpr, '$parcPattern')"
+
+  def recorrenteSql(descExpr: String, rules: Seq[CategoryRule],
+      hints: Seq[String] = recorrenteHints): String =
+    s"(regexp_matches($descExpr, '${hints.mkString("|")}') OR " +
+      categorizeSqlField(descExpr, rules, "force", hints) + ")"
+
   /** Representative transaction ruleset in the spirit of the reference's
     * BB rules table (rules/categories_bb.py:16-214) — same mechanics,
     * engine-owned data. Order matters: first match wins. */

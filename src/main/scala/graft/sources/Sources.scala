@@ -1,0 +1,117 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{dates, money, textnorm}
+
+/** Sources and sinks from the reference's lake machinery (SURVEY §2.1),
+  * re-expressed as distributed reads/writes instead of driver-side SDK
+  * loops.
+  */
+object Sources {
+
+  /** S1 — landing-zone listing as a DISTRIBUTED scan: `binaryFile` over the
+    * convention tree `.../01_clientes/<client>/01_bancos/<bank>/<doc_type>/
+    * <yyyy>/<mm>/<file>` with path-derived columns (the reference lists
+    * objects one by one on the driver with the MinIO SDK,
+    * etls_raw/main.py:153-248). Column pruning matters: selecting only
+    * `path`-derived columns never reads file contents. */
+  def landingFiles(spark: SparkSession, root: String): DataFrame = {
+    val path = col("path")
+    def seg(re: String) = regexp_extract(path, re, 1)
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.{pdf,csv,txt}")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(path, col("length"), col("modificationTime"), col("content"),
+        seg("/01_clientes/([^/]+)/").as("client_slug"),
+        seg("/01_bancos/([^/]+)/").as("bank_code"),
+        seg("/01_bancos/[^/]+/([^/]+)/\\d{4}/").as("doc_type"),
+        seg("/(\\d{4})/\\d{2}/[^/]+$").cast("int").as("year"),
+        seg("/\\d{4}/(\\d{2})/[^/]+$").cast("int").as("month"),
+        seg("/([^/]+)$").as("file_name"),
+        // F15 — kind classification from path segments (etls_raw/main.py:142-150)
+        when(path.contains("/fatura/") && path.contains("/bb/"), "fatura_bb")
+          .when(path.contains("/extrato/") && path.contains("/bb/"), "extrato_bb")
+          .when(path.contains("/fatura/") && path.contains("/bradesco/"), "fatura_bradesco")
+          .when(path.contains("/extrato/") && path.contains("/bradesco/"), "extrato_bradesco")
+          .otherwise("desconhecido").as("kind"))
+  }
+
+  /** The forms CSV's quirky source headers (FIXTURES §1; two contain
+    * embedded newlines) → normalized names (forms_main.py:228-276). */
+  val formsRenameMap: Seq[(String, String)] = Seq(
+    "Carimbo de data/hora" -> "carimbo",
+    "LANÇAMENTO FEITO POR:" -> "lancado_por",
+    "DATA DO PAGAMENTO" -> "data_pagamento",
+    "VENCIMENTO\nColocar sempre o mês da prestação de conta" -> "vencimento",
+    "DESCRIÇÃO" -> "descricao",
+    "Valor:\nExemplo: R$40,00" -> "valor",
+    "TIPO DE CUSTO" -> "tipo_de_custo",
+    "CATEGORIA" -> "categoria")
+
+  /** S3 — Google-Forms shared-expenses CSV → normalized RAW table
+    * (forms_main.py:207-297): multiLine header-aware read, rename map
+    * applied only to existing columns, BRL money parse (NULL-preserving),
+    * multi-format date normalization, blank→NULL, lineage + client slug. */
+  def readFormsCsv(spark: SparkSession, path: String, clientSlug: String): DataFrame = {
+    val raw = spark.read
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("encoding", "UTF-8")
+      .csv(path)
+    val renamed = formsRenameMap.foldLeft(raw) { case (df, (from, to)) =>
+      if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
+    }
+    // required columns backfilled with NULLs (forms_main.py required-col fill)
+    val required = formsRenameMap.map(_._2)
+    val complete = required.foldLeft(renamed) { (df, c) =>
+      if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+    }
+    complete.select(
+      dates.toTimestampMulti(col("carimbo")).as("carimbo"),
+      textnorm.blankToNull(col("lancado_por")).as("lancado_por"),
+      dates.toDateMulti(col("data_pagamento")).as("data_pagamento"),
+      dates.toDateMulti(col("vencimento")).as("vencimento"),
+      textnorm.blankToNull(col("descricao")).as("descricao"),
+      money.brlToDouble(col("valor")).as("valor"),
+      textnorm.blankToNull(col("tipo_de_custo")).as("tipo_de_custo"),
+      textnorm.blankToNull(col("categoria")).as("categoria"),
+      lit(clientSlug).as("client_slug"),
+      input_file_name().as("landing_object_key"))
+  }
+
+  /** Optimizer-statistics size estimate in MB (A9 — the reference reaches
+    * through py4j for this, datatrack_spark_utils.py:582-596; Scala reads
+    * it directly). */
+  def estimatedSizeMb(df: DataFrame): Double =
+    df.queryExecution.optimizedPlan.stats.sizeInBytes.toDouble / (1024 * 1024)
+
+  /** Size-based repartition: ceil(MB / targetMB), capped — the reference's
+    * shard policy (datatrack_spark_utils.py:564-596, cap 4000). */
+  def sizeBasedRepartition(df: DataFrame, targetMb: Int = 256,
+      cap: Int = 4000): DataFrame = {
+    val n = math.min(cap, math.max(1, math.ceil(estimatedSizeMb(df) / targetMb).toInt))
+    df.repartition(n)
+  }
+
+  /** S14 — JSONL landing sink with size-targeted shard count (~targetMb of
+    * pre-compression JSON per shard, json_writer.py:105-208): rows →
+    * `to_json(struct(*))` lines → gzip text shards. */
+  def writeJsonlGz(df: DataFrame, dir: String, targetMb: Int = 256): Unit = {
+    val jsonLines = df.select(to_json(struct(df.columns.map(col).toIndexedSeq: _*)).as("value"))
+    sizeBasedRepartition(jsonLines, targetMb)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", "gzip")
+      .text(dir)
+  }
+
+  /** S9/S12 — partitioned parquet lake sink (y/m/d partition columns from
+    * Lake.withIngestionColumns; append mode like the reference's
+    * create/append path). */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("ingestao_year", "ingestao_month", "ingestao_day")): Unit =
+    df.write.mode(SaveMode.Append).partitionBy(partitionCols: _*).parquet(path)
+}

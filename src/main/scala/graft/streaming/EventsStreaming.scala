@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming re-expression of the reference's batch-level
+  * incrementality (SURVEY §2.10): the control-table high watermark (I1)
+  * becomes an event-time watermark + checkpoint; the per-file idempotent
+  * reload (I2) becomes exactly-once sink semantics; `Trigger.AvailableNow`
+  * replaces the modifiedTime skip (I3).
+  *
+  * These transforms are source-agnostic: the same DataFrame program runs
+  * over `readStream` (file source / Kafka) or a batch `read` — which is how
+  * the batch twins (Temporal.q14 tumbling windows) stay oracle-checkable
+  * while this module adds watermarking + state.
+  */
+object EventsStreaming {
+
+  /** Input shape for typed stateful ops (event-time in epoch micros). */
+  final case class Event(user_id: Long, ts_us: Long, event_type: String, value: Double)
+
+  /** One closed or in-flight user session. */
+  final case class Session(
+      user_id: Long, session_start_us: Long, session_end_us: Long,
+      n_events: Long, sum_value: Double, closed: Boolean)
+
+  /** Tumbling 10-minute windowed aggregate with a 10-minute watermark —
+    * the streaming twin of Temporal.q14TumblingWindow. Append mode: a
+    * window emits once its end passes the watermark (late data beyond 10
+    * minutes is dropped, bounded state). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Session gap in micros (30 minutes). */
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  /** Sessionization via flatMapGroupsWithState (Update mode): events for a
+    * user extend the current session while gaps stay under 30 minutes; a
+    * larger gap closes the session and opens a new one. State per user is
+    * O(1) — exactly the bounded-state design a 100 TB/day stream needs. */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    val fn: (Long, Iterator[Event], GroupState[Session]) => Iterator[Session] =
+      (userId, it, state) => {
+        val sorted = it.toSeq.sortBy(e => (e.ts_us, e.event_type))
+        var cur = state.getOption.orNull
+        val out = Seq.newBuilder[Session]
+        sorted.foreach { e =>
+          if (cur == null) {
+            cur = Session(userId, e.ts_us, e.ts_us, 1L, e.value, closed = false)
+          } else if (e.ts_us - cur.session_end_us > SessionGapUs) {
+            out += cur.copy(closed = true)
+            cur = Session(userId, e.ts_us, e.ts_us, 1L, e.value, closed = false)
+          } else {
+            cur = cur.copy(session_end_us = math.max(cur.session_end_us, e.ts_us),
+              n_events = cur.n_events + 1, sum_value = cur.sum_value + e.value)
+          }
+        }
+        if (cur != null) { state.update(cur); out += cur }
+        out.result().iterator
+      }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[Session], Encoders.product[Session])
+  }
+}

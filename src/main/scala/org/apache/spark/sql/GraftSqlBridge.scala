@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark 4's sql-private Column ⇄ Catalyst-Expression
+  * conversion (org.apache.spark.sql.classic.ExpressionUtils is
+  * private[sql]). The standard pattern for extension libraries that define
+  * custom Catalyst expressions and expose them as public `Column`
+  * functions.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

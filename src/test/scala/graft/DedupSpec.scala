@@ -59,7 +59,7 @@ class DedupSpec extends SparkSpec {
       (2L, "the quick brown fox jumps over the lazy dog again and again"),
       (3L, "the quick brown fox jumps over the lazy cat again and again"),
       (4L, "completely different words about spark query engines at scale"))
-    val sig = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+    val sig = Dedup.simhashSignatures(df, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
     assert(ham(sig(1L), sig(2L)) === 0)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventsStreaming
+import graft.streaming.EventsStreaming.{Event, Session}
+
+/** Streaming semantics driven through real micro-batches (MemoryStream →
+  * memory sink): watermarked window emission and stateful sessionization. */
+class StreamingSpec extends SparkSpec {
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+
+  test("windowed agg emits closed windows once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(java.sql.Timestamp, String, Double)]
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = EventsStreaming.windowedCounts(events)
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(3600L * 1000 + min * 60000L)
+    in.addData((t(1), "click", 1.0), (t(5), "click", 2.0), (t(12), "view", 3.0))
+    q.processAllAvailable()
+    // nothing emitted yet: watermark hasn't passed any window end
+    assert(spark.table("win_out").count() === 0)
+    // an event far in the future pushes the watermark past both windows
+    in.addData((t(120), "click", 9.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .select("event_type", "n_events", "sum_value").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    q.stop()
+    assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+
+  test("sessionize: gap splits sessions, state persists across batches") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("update").start()
+    in.addData(Event(7L, us(0), "click", 1.0), Event(7L, us(10), "view", 2.0))
+    q.processAllAvailable()
+    // second batch: within-gap extension + a 40-minute gap → new session
+    in.addData(Event(7L, us(20), "click", 4.0), Event(7L, us(70), "click", 8.0))
+    q.processAllAvailable()
+    val latest = spark.table("sess_out").collect().map { r =>
+      Session(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))
+    }
+    q.stop()
+    // the first session was extended to 3 events then closed; the new one opened
+    val closed = latest.filter(_.closed)
+    val open   = latest.filter(s => !s.closed && s.session_start_us == us(70))
+    assert(closed.exists(s => s.n_events == 3 && s.sum_value == 7.0 &&
+      s.session_start_us == us(0) && s.session_end_us == us(20)))
+    assert(open.exists(s => s.n_events == 1 && s.sum_value == 8.0))
+  }
+}
