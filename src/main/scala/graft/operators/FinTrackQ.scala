@@ -42,7 +42,8 @@ object FinTrackQ {
         .otherwise(lit("")))
     val valor = when(col("l_returnflag") === "R", -col("l_extendedprice"))
       .otherwise(col("l_extendedprice"))
-    val cat = Categorizer.categorize(col("descricao"), partRules, hints)
+    // descricao is constructed pre-normalized (upper, single-spaced)
+    val cat = Categorizer.categorizeNormalized(col("descricao"), partRules, hints)
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         descricao.as("descricao"), valor.as("valor"),

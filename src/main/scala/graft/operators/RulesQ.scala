@@ -69,7 +69,8 @@ object RulesQ {
     (s, dir) => {
       val descricao = concat(upper(col("p_name")),
         when(col("p_partkey") % 7 === 0, lit(" PARC 02/10")).otherwise(lit("")))
-      val cat = Categorizer.categorize(col("descricao"), partRules, hints)
+      // descricao is constructed pre-normalized (upper, single-spaced)
+      val cat = Categorizer.categorizeNormalized(col("descricao"), partRules, hints)
       Tables(s, dir, "part")
         .select(descricao.as("descricao"))
         .select(col("descricao"), cat.as("c"))

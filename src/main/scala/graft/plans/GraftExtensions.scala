@@ -1,0 +1,47 @@
+package graft.plans
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+/** Registration of the engine's native expressions as SQL functions, both
+  * via `SparkSessionExtensions` (builder-time: `.withExtensions(new
+  * GraftExtensions)` / `spark.sql.extensions=graft.plans.GraftExtensions`)
+  * and via the session's FunctionRegistry for an existing session — so
+  * `spark.sql("SELECT cosine_sim(a, b)")` works next to the Column API.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.definitions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal int argument, got $other")
+  }
+
+  val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim",
+      new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
+      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))),
+    ("minhash_sig",
+      new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_sig"),
+      (args: Seq[Expression]) =>
+        MinHashSignatureExpr(args(0), intArg(args(1), "minhash_sig"))),
+    ("shingles",
+      new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
+      (args: Seq[Expression]) =>
+        ShinglesExpr(args(0), intArg(args(1), "shingles"))))
+
+  /** Register on an already-built session. */
+  def register(spark: SparkSession): Unit =
+    definitions.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry
+        .registerFunction(FunctionIdentifier(name), info, builder)
+    }
+}

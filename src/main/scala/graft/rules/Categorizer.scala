@@ -57,8 +57,17 @@ object Categorizer {
     * fields (categoria, subcategoria, recorrente_suspeita,
     * parcelado_suspeito). */
   def categorize(desc: Column, rules: Seq[CategoryRule],
+      hints: Seq[String] = recorrenteHints): Column =
+    categorizeNormalized(norm(desc), rules, hints)
+
+  /** Same chain over an ALREADY-normalized (upper, space-collapsed)
+    * description. Use this when the input is known-normalized or the
+    * caller materializes the normalization once: the `desc` expression is
+    * inlined into every rlike branch of the chain (~2·rules+3 of them), so
+    * passing a raw column through `categorize` pays trim+collapse+upper
+    * per branch per row. */
+  def categorizeNormalized(n: Column, rules: Seq[CategoryRule],
       hints: Seq[String] = recorrenteHints): Column = {
-    val n    = norm(desc)
     val parc = n.rlike(parcPattern)
 
     val fallback = struct(

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+
+/** Plan-quality audits: the properties that decide whether these operators
+  * survive a 100× scale-up — filter/projection pushdown into the parquet
+  * scan, broadcast of dimension sides, no accidental cartesian products,
+  * whole-stage codegen on the hot paths, bounded shuffle counts. */
+class PlanSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def run(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  private def physical(df: DataFrame): String =
+    df.queryExecution.sparkPlan.toString
+
+  private def scans(df: DataFrame): Seq[FileSourceScanExec] =
+    df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+
+  test("q02: predicates and projection are pushed into the parquet scan") {
+    val s = scans(run("q02_filter_pushdown"))
+    assert(s.nonEmpty)
+    val pushed = s.head.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(l_shipdate") &&
+      pushed.contains("LessThan(l_quantity"), pushed)
+    val readSchema = s.head.metadata("ReadSchema")
+    // projection pruning: only the 5 referenced columns, not all 11
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      readSchema)
+  }
+
+  test("q03: dimension join broadcasts; fact joins are not cartesian") {
+    val p = physical(run("q03_revenue_by_nation"))
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q01: aggregation is partial (map-side combine) + codegen") {
+    val df = run("q01_pricing_summary")
+    assert(physical(df).contains("partial_sum"), physical(df).take(800))
+    df.collect() // finalize the adaptive plan so codegen spans materialize
+    // whole-stage codegen renders as "*(n)" stage annotations
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("*(1)"), executed.take(500))
+  }
+
+  test("s03: brute-force pair join is a broadcast NLJ, never a cartesian shuffle") {
+    val p = physical(run("s03_cosine_neardup"))
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q13: windowed query shuffles exactly once (on the partition key)") {
+    val df = run("q13_running_balance")
+    df.collect() // finalize the adaptive plan (exchanges are inserted by EnsureRequirements)
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(executed).length
+    assert(n === 1, executed.take(800))
+    assert(executed.contains("hashpartitioning(user_id"), executed.take(800))
+  }
+
+  test("d05: scan reads only the text column for the fingerprint dedup") {
+    val s = scans(run("d05_prefix_dedup_groups"))
+    val readSchema = s.head.metadata("ReadSchema")
+    assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
+  }
+
+  test("SQL surface: native kernels registered as SQL functions") {
+    graft.plans.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+      "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c, " +
+      "shingles('a b c d', 3) AS sh, " +
+      "minhash_sig(shingles('a b c d', 3), 4) AS sig").collect()(0)
+    assert(r.getDouble(0) === 1.0)
+    assert(r.getSeq[String](1) === Seq("a b c", "b c d"))
+    assert(r.getSeq[Long](2).length === 4)
+  }
+}
