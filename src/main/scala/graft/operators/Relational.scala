@@ -349,9 +349,32 @@ object Relational {
           col("sum_qty"), col("n_rows"))
     })
 
+  /** CUBE — all grouping-set combinations in one pass (companion of q12's
+    * ROLLUP; SURVEY §2.4 free-capability note). */
+  val q32CubeQuantity: Q = Q(
+    "q32_cube_quantity",
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY CUBE (l_returnflag, l_linestatus)
+    """),
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+    })
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03RevenueByNation,
     q04TopRevenueOrders, q05TopkAbsEvents, q06LatestOrderPerCustomer,
     q07ModePriorityPerNation, q08BudgetVsActual, q09CustomersWithoutOrders,
-    q10UrgentBigSpenders, q11CustomerOnlyNations, q12RollupQuantity)
+    q10UrgentBigSpenders, q11CustomerOnlyNations, q12RollupQuantity,
+    q32CubeQuantity)
 }

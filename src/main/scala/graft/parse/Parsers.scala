@@ -60,6 +60,40 @@ object Parsers {
       }.out
   }
 
+  /** BB bill summary record — representative subset of `FaturaResumo`
+    * (bb_bill.py:64-86); fields recovered by first-match regexes over the
+    * whole document (F6 find-first extraction, bb_bill.py:43-58). All
+    * nullable: absent fields stay null. */
+  final case class FaturaResumo(
+      titular: String, vencimento: String, valor_total: java.lang.Double,
+      limite_unico: java.lang.Double, pagamento_minimo: java.lang.Double,
+      fatura_fechada_em: String)
+
+  private val RVencimento = """Vencimento:?\s*(\d{2}/\d{2}/\d{4})""".r.unanchored
+  private val RValorTotal = """Valor total desta fatura\s+R\$\s*([\d.,]+)""".r.unanchored
+  private val RLimite     = """Limite único\s+R\$\s*([\d.,]+)""".r.unanchored
+  private val RPagMin     = """Pagamento mínimo\s+R\$\s*([\d.,]+)""".r.unanchored
+  private val RFechada    = """Fatura fechada em:?\s*(\d{2}/\d{2}/\d{4})""".r.unanchored
+
+  def parseFaturaResumo(text: String): FaturaResumo = {
+    def find1(re: scala.util.matching.Regex): Option[String] =
+      re.findFirstMatchIn(text).map(_.group(1))
+    def money1(re: scala.util.matching.Regex): java.lang.Double =
+      find1(re).flatMap(brl).map(Double.box).orNull
+    // titular: first card-context holder, else first all-caps name line
+    val titular = text.linesIterator.map(_.trim).collectFirst {
+      case CardContext(h, _) => h
+      case l if l.matches("[A-ZÀ-Þ][A-ZÀ-Þ ]{5,}") => l
+    }.orNull
+    FaturaResumo(
+      titular,
+      find1(RVencimento).orNull,
+      money1(RValorTotal),
+      money1(RLimite),
+      money1(RPagMin),
+      find1(RFechada).orNull)
+  }
+
   // ---------- BB checking-account statement ----------------------------
 
   /** One statement movement (extrato_bb_lancamentos, FIXTURES §3). */
