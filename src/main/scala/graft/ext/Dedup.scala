@@ -118,9 +118,12 @@ object Dedup {
         .filter(col("jaccard") >= 0.35)
     })
 
-  /** MinHash+LSH near-dup pairs — the probabilistic scale path: 16 bands ×
-    * 1 row (high recall at J≥0.5), bucket equi-join for candidates, exact
-    * Jaccard verification. Not ANSI-SQL-expressible (seeded xxhash64) →
+  /** MinHash+LSH near-dup pairs — the probabilistic scale path: 8 bands ×
+    * 2 rows (candidate P = 1-(1-J²)^8: ≈3.5e-5 miss at the corpus' J≥0.85
+    * true pairs, but only ~8·J² false-candidate rate on the J≈0.02-0.05
+    * vocabulary-overlap background — r=1 banding made ~30%% of ALL pairs
+    * candidates), bucket equi-join for candidates, exact Jaccard
+    * verification. Not ANSI-SQL-expressible (seeded xxhash64) →
     * rows-only driver check; recall/precision proven in DedupSpec against
     * d06's exact answer. */
   val d07MinhashLsh: Q = Q(
@@ -128,7 +131,7 @@ object Dedup {
     None,
     (s, dir) => minhashNearDupPairs(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
-      nGram = 3, k = 16, bands = 16, rowsPerBand = 1, threshold = 0.5))
+      nGram = 3, k = 16, bands = 8, rowsPerBand = 2, threshold = 0.5))
 
   /** Reusable MinHash+LSH pipeline over (doc_id, text).
     *

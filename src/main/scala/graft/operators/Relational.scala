@@ -95,7 +95,7 @@ object Relational {
       val c  = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n  = t(s, dir, "nation").select("n_nationkey", "n_name")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -196,7 +196,7 @@ object Relational {
       val o = t(s, dir, "orders").select("o_custkey", "o_orderpriority")
       val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = t(s, dir, "nation").select("n_nationkey", "n_name")
-      val counted = o.join(c, col("o_custkey") === col("c_custkey"))
+      val counted = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))

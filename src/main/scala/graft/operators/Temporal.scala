@@ -108,6 +108,98 @@ object Temporal {
         .agg(count(lit(1)).as("n_new"),
           max(unix_micros(col("ts"))).as("new_watermark_us")))
 
+  /** Ranking-family windows (rank / dense_rank / ntile / lead — SURVEY
+    * §2.5 notes these come free once W1 exists): customer spend ranked
+    * within nation-of-customer quartiles. */
+  val q33RankFamily: Q = Q(
+    "q33_rank_family",
+    Some("""
+      SELECT o_custkey, total,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile,
+             coalesce(lead(o_custkey, 1) OVER w, -1) AS next_custkey
+      FROM (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey)
+      WINDOW w AS (ORDER BY total DESC, o_custkey ASC)
+    """),
+    (s, dir) => {
+      val spend = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"))
+      val w = Window.orderBy(col("total").desc, col("o_custkey").asc)
+      spend.select(col("o_custkey"), col("total"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        coalesce(lead(col("o_custkey"), 1).over(w), lit(-1L)).as("next_custkey"))
+    })
+
+  /** The engine's SQL string surface: temp views + `spark.sql` (the
+    * reference drives MERGE/DELETE/DDL through SQL strings — SURVEY §2.1;
+    * here the whole query is SQL against registered views). */
+  val q34SqlSurface: Q = Q(
+    "q34_sql_surface",
+    Some("""
+      SELECT s_name, round(sum(l_extendedprice), 2) AS supplied_value,
+             count(*) AS n_lines
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY s_name
+      HAVING count(*) > 100
+    """),
+    (s, dir) => {
+      Tables(s, dir, "lineitem").createOrReplaceTempView("v_lineitem")
+      Tables(s, dir, "supplier").createOrReplaceTempView("v_supplier")
+      s.sql("""
+        SELECT s_name, round(sum(l_extendedprice), 2) AS supplied_value,
+               count(*) AS n_lines
+        FROM v_lineitem JOIN v_supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        HAVING count(*) > 100
+      """)
+    })
+
+  /** As-of join — the canonical "operator Spark lacks" (builder preference
+    * (a): compose built-ins). For each purchase, the most recent click of
+    * the same user at or before it. Implemented with the scalable
+    * union+window pattern: tag both sides, union, and take the running
+    * `last(click_ts, ignoreNulls)` over (user, time) ordering — ONE
+    * shuffle on the key, no range-join explosion, no per-key sort-merge
+    * custom operator needed. Oracle: DuckDB's native ASOF LEFT JOIN. */
+  val q35AsofJoin: Q = Q(
+    "q35_asof_join",
+    Some("""
+      WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+                 FROM events WHERE event_type = 'purchase'),
+           c AS (SELECT user_id, epoch_us(ts) AS ts_us
+                 FROM events WHERE event_type = 'click')
+      SELECT p.event_id, p.user_id, p.ts_us,
+             c.ts_us AS last_click_ts_us
+      FROM p ASOF LEFT JOIN c
+        ON p.user_id = c.user_id AND p.ts_us >= c.ts_us
+    """),
+    (s, dir) => {
+      val e = ev(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      // kind 0 = click (right side), kind 1 = purchase (left side); at
+      // equal timestamps the click sorts first, so "at or before" includes
+      // ties — matching ASOF's >= semantics.
+      val tagged = e.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"), lit(0).as("kind"))
+        .unionByName(e.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts_us"), lit(1).as("kind")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_us"), col("kind"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("last_click_ts_us",
+          last(when(col("kind") === 0, col("ts_us")), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_ts_us"))
+    })
+
   val all: Seq[Q] = Seq(
-    q13RunningBalance, q14TumblingWindow, q15JsonExtract, q20WatermarkIncremental)
+    q13RunningBalance, q14TumblingWindow, q15JsonExtract,
+    q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin)
 }

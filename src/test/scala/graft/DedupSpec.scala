@@ -46,7 +46,7 @@ class DedupSpec extends SparkSpec {
       .filter(col("j") >= 0.5)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val lsh = Dedup.minhashNearDupPairs(docs, 3, 16, 16, 1, 0.5)
+    val lsh = Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5)
       .select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty, "corpus should contain injected near-dups")
