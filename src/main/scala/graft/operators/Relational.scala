@@ -371,10 +371,36 @@ object Relational {
           col("sum_qty"), col("n_rows"))
     })
 
+  /** Top-2 orders per customer through the CUSTOM physical operator
+    * (graft.plans.TopKPerGroup: LogicalPlan + Strategy + SparkPlan with
+    * map-side bounded heaps — only k rows per key per input partition
+    * reach the shuffle, vs the window form's full shuffle + sort). The
+    * oracle is the equivalent window-rank SQL, proving the custom operator
+    * computes exactly the declarative semantics. */
+  val q36TopkPerGroupNative: Q = Q(
+    "q36_topk_per_group_native",
+    Some("""
+      SELECT o_custkey, o_orderkey, o_totalprice
+      FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) x
+      WHERE rn <= 2
+    """),
+    (s, dir) => {
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      graft.plans.TopKPerGroup.topKPerGroup(o,
+        keys = Seq(o("o_custkey")),
+        ordering = Seq(graft.plans.TopKPerGroup.desc(o("o_totalprice")),
+          graft.plans.TopKPerGroup.asc(o("o_orderkey"))),
+        k = 2)
+    })
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q02FilterPushdown, q03RevenueByNation,
     q04TopRevenueOrders, q05TopkAbsEvents, q06LatestOrderPerCustomer,
     q07ModePriorityPerNation, q08BudgetVsActual, q09CustomersWithoutOrders,
     q10UrgentBigSpenders, q11CustomerOnlyNations, q12RollupQuantity,
-    q32CubeQuantity)
+    q32CubeQuantity, q36TopkPerGroupNative)
 }
