@@ -199,7 +199,54 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("ts_us"), col("last_click_ts_us"))
     })
 
+  /** Batch sessionization — the oracle-checkable twin of
+    * `streaming.EventsStreaming.sessionize`: a session boundary is a
+    * >30-minute gap to the previous event of the same user; session ids
+    * are the running sum of boundary flags. Same gap semantics as the
+    * stateful streaming version, expressed as two windows. */
+  val q37SessionizeBatch: Q = Q(
+    "q37_sessionize_batch",
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+      b AS (
+        SELECT *,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS boundary
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT *, sum(boundary) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM b)
+      SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+             count(*) AS n_events,
+             min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+             round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, session_no
+    """),
+    (s, dir) => {
+      val gapUs = 30L * 60 * 1000000
+      val wo = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      val wf = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("ts_us"), col("value"))
+        .withColumn("boundary",
+          when(lag(col("ts_us"), 1).over(wo).isNull ||
+               col("ts_us") - lag(col("ts_us"), 1).over(wo) > gapUs, 1L)
+            .otherwise(0L))
+        .withColumn("session_no", sum(col("boundary")).over(wf))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("session_start_us"),
+          max(col("ts_us")).as("session_end_us"),
+          round(sum(col("value")), 2).as("sum_value"))
+    })
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
-    q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin)
+    q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
+    q37SessionizeBatch)
 }

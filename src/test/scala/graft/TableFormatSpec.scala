@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.lake.{ParquetTableFormat => fmt, SkewJoin}
+
+/** Table-format verbs over real parquet directories + salted skew-join
+  * equivalence. */
+class TableFormatSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType),
+    StructField("ver", LongType)))
+
+  private def df(rows: (Long, String, Long)*) =
+    LocalTable.of(spark, schema, rows.map { case (k, v, t) => Row(k, v, t) })
+
+  test("createOrAppend → merge → deleteWhere lifecycle on a parquet dir") {
+    val path = Files.createTempDirectory("graft-fmt-").toString + "/table"
+    assert(!fmt.exists(spark, path))
+    fmt.createOrAppend(df((1L, "a", 1L), (2L, "b", 1L)), path, Nil)
+    assert(fmt.exists(spark, path) && fmt.read(spark, path).count() === 2)
+
+    // merge: update k=2 (newer), insert k=3, leave k=1
+    fmt.merge(spark, path, df((2L, "b2", 2L), (3L, "c", 2L)), Seq("k"), "ver", Nil)
+    val afterMerge = fmt.read(spark, path).orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(afterMerge === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+
+    // stale merge: older version must NOT overwrite
+    fmt.merge(spark, path, df((2L, "stale", 0L)), Seq("k"), "ver", Nil)
+    assert(fmt.read(spark, path).filter(col("k") === 2)
+      .collect()(0).getString(1) === "b2")
+
+    fmt.deleteWhere(spark, path, "v", "a", Nil)
+    assert(fmt.read(spark, path).count() === 2)
+    assert(fmt.read(spark, path).filter(col("v") === "a").count() === 0)
+  }
+
+  test("salted equi-join matches the plain join on skewed data") {
+    // heavy skew: 90% of rows share key 7
+    val rows = (1L to 1000L).map(i => (if (i <= 900) 7L else i, s"r$i", 1L))
+    val left = df(rows: _*)
+    val right = LocalTable.of(spark,
+      StructType(Seq(StructField("rk", LongType), StructField("rv", StringType))),
+      (1L to 50L).map(i => Row(i, s"dim$i")) :+ Row(7L, "hot"))
+    val plain = left.join(right, col("k") === col("rk"))
+      .select("k", "v", "rv").collect().map(_.toSeq).toSet
+    val salted = SkewJoin.saltedEquiJoin(left, right, "k", "rk", salts = 8)
+      .select("k", "v", "rv").collect().map(_.toSeq).toSet
+    assert(salted === plain)
+    // 900 hot-key rows × 2 right matches (dim7 + hot); k=901..1000 unmatched
+    assert(plain.size === 1800)
+  }
+
+  test("salted two-phase aggregation matches plain groupBy") {
+    val rows = (1L to 500L).map(i => (if (i <= 450) 7L else i % 10, s"x", i))
+    val d = df(rows: _*)
+    val plain = d.groupBy("k").agg(sum("ver").as("s"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = SkewJoin.saltedSumByKey(d, "k", "ver", salts = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted === plain)
+  }
+}
