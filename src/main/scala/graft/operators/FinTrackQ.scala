@@ -21,14 +21,14 @@ import graft.rules.{Categorizer, CategoryRule}
 object FinTrackQ {
 
   /** Part-vocabulary rules shared with RulesQ's q18 (order matters). */
-  private[operators] val partRules: Seq[CategoryRule] = Seq(
+  val partRules: Seq[CategoryRule] = Seq(
     CategoryRule("Hardware", "Fasteners", Seq("BOLT", "\\bROD\\b")),
     CategoryRule("Hardware", "Forge", Seq("ANVIL", "PLATE")),
     CategoryRule("Gadgets", "Widgets", Seq("WIDGET"), forceRecorrente = true),
     CategoryRule("Gadgets", "Gizmos", Seq("GIZMO")),
     CategoryRule("Machinery", "Gears", Seq("GEAR")))
 
-  private[operators] val hints = Seq("\\bNEW\\b", "\\bHOT\\b", "ASSINAT|MENSAL")
+  val hints = Seq("\\bNEW\\b", "\\bHOT\\b", "ASSINAT|MENSAL")
 
   /** Categorized transaction table: one row per lineitem. */
   def transactions(s: SparkSession, dir: String): DataFrame = {

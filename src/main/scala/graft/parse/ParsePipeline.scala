@@ -21,13 +21,15 @@ object ParsePipeline {
 
   /** BB bill text → categorized transaction table (bb_bill.py:184-229 +
     * categories_bb.py applied via the compiled rule Column). */
-  def bbBills(raw: DataFrame): DataFrame = {
+  def bbBills(raw: DataFrame,
+      rules: Seq[graft.rules.CategoryRule] = Categorizer.transactionRules,
+      hints: Seq[String] = Categorizer.recorrenteHints): DataFrame = {
     val parsed = docs(raw).flatMap { case (key, text) =>
       Parsers.parseBBBill(text).map(t => (key, t))
     }(Encoders.tuple(Encoders.STRING, Encoders.product[Parsers.BBBillTxn]))
       .toDF("landing_object_key", "t")
       .select(col("landing_object_key"), col("t.*"))
-    val cat = Categorizer.categorize(col("descricao"), Categorizer.transactionRules)
+    val cat = Categorizer.categorize(col("descricao"), rules, hints)
     parsed.withColumn("c", cat)
       .select(col("landing_object_key"), col("titular_cartao"), col("final_cartao"),
         col("data"), col("pais"), col("descricao"), col("valor"),
@@ -112,5 +114,53 @@ object ParsePipeline {
         .select("data", "lote", "documento", "historico", "valor", "sinal")
     })
 
-  val all: Seq[Q] = Seq(q26ParseExtrato)
+  /** Same round-trip proof for the BB BILL line machine + rules engine:
+    * render each part as a bill transaction line (`dd/MM DESC [CC] R$
+    * valor`), parse executor-side, categorize with the part-vocabulary
+    * rules, and emit the recovered + derived fields. */
+  val q38ParseBillCategorize: Q = Q(
+    "q38_parse_bill_categorize",
+    Some {
+      val d = "descricao"
+      val rules = graft.operators.FinTrackQ.partRules
+      val hints = graft.operators.FinTrackQ.hints
+      s"""
+      WITH cents AS (
+        SELECT *, CAST(round(p_retailprice * 100) AS BIGINT) AS c FROM part),
+      parsed AS (
+        SELECT lpad(CAST(CAST(p_partkey % 28 AS INTEGER) + 1 AS VARCHAR), 2, '0') || '/' ||
+               lpad(CAST(CAST(p_partkey % 12 AS INTEGER) + 1 AS VARCHAR), 2, '0') AS data,
+               CASE WHEN p_partkey % 3 = 0 THEN 'BR' END AS pais,
+               upper(p_name) AS descricao,
+               CAST(c AS DOUBLE) / 100 AS valor
+        FROM cents)
+      SELECT data, pais, descricao, valor,
+             ${Categorizer.categorizeSqlField(d, rules, "categoria", hints)} AS categoria,
+             ${Categorizer.categorizeSqlField(d, rules, "subcategoria", hints)} AS subcategoria,
+             ${Categorizer.recorrenteSql(d, rules, hints)} AS recorrente_suspeita,
+             ${Categorizer.parceladoSql(d)} AS parcelado_suspeito
+      FROM parsed
+      """
+    },
+    (s, dir) => {
+      val cents = round(col("p_retailprice") * 100).cast("long")
+      val brlText = concat(
+        regexp_replace(format_number(expr("CAST(round(p_retailprice*100) AS BIGINT) DIV 100"), 0), ",", "."),
+        lit(","), lpad((cents % 100).cast("string"), 2, "0"))
+      val line = concat(
+        lpad((col("p_partkey") % 28 + 1).cast("string"), 2, "0"), lit("/"),
+        lpad((col("p_partkey") % 12 + 1).cast("string"), 2, "0"), lit(" "),
+        upper(col("p_name")),
+        when(col("p_partkey") % 3 === 0, lit(" BR")).otherwise(lit("")),
+        lit(" R$ "), brlText)
+      val rendered = Tables(s, dir, "part")
+        .select(col("p_partkey").cast("string").as("landing_object_key"),
+          line.as("text"))
+      bbBills(rendered,
+          graft.operators.FinTrackQ.partRules, graft.operators.FinTrackQ.hints)
+        .select("data", "pais", "descricao", "valor",
+          "categoria", "subcategoria", "recorrente_suspeita", "parcelado_suspeito")
+    })
+
+  val all: Seq[Q] = Seq(q26ParseExtrato, q38ParseBillCategorize)
 }
