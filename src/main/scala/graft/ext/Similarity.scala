@@ -150,5 +150,61 @@ object Similarity {
       .limit(k)
   }
 
-  val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh)
+  /** IVF-style ANN: a coarse quantizer (here: a deterministic subset of
+    * the corpus as centroids — a k-means fit would slot into the same
+    * shape) partitions vectors into inverted lists by nearest centroid;
+    * a query probes only its `nProbe` nearest centroids' lists and
+    * exact-rescores those candidates.
+    *
+    * Scale shape: centroid assignment is scan × broadcast(centroids) +
+    * argmin — one pass, no shuffle of the corpus; the probe reads only
+    * `nProbe/nCentroids` of the data. At 100 TB the lists would be
+    * written bucketed-by-centroid so a probe is a partition-pruned scan. */
+  def ivfAssignments(embeddings: DataFrame, nCentroids: Int): DataFrame = {
+    val centroids = broadcast(embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce")))
+    val scored = embeddings.crossJoin(centroids)
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
+        cosine(col("embedding"), col("ce")).as("c_sim"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF probe: exact top-k within the query's nProbe nearest lists. */
+  def annTopKIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
+      nCentroids: Int, nProbe: Int): DataFrame = {
+    val assigned = ivfAssignments(embeddings, nCentroids)
+    val centroids = broadcast(embeddings
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce")))
+    val q = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qe"))
+    val probes = broadcast(centroids.crossJoin(broadcast(q))
+      .select(col("centroid_id"), cosine(col("ce"), col("qe")).as("c_sim"))
+      .orderBy(col("c_sim").desc, col("centroid_id").asc)
+      .limit(nProbe)
+      .select(col("centroid_id").as("probe_id")))
+    assigned
+      .join(probes, col("centroid_id") === col("probe_id"))
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
+  /** IVF ANN over the corpus (rows-only driver check; recall proven on
+    * planted clusters in SimilaritySpec). */
+  val s05AnnIvf: Q = Q(
+    "s05_ann_ivf",
+    None,
+    (s, dir) => annTopKIvf(emb(s, dir), queryVecId = 0, k = 10,
+      nCentroids = 16, nProbe = 4))
+
+  val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh, s05AnnIvf)
 }

@@ -64,5 +64,13 @@ class SimilaritySpec extends SparkSpec {
     val clusterHits = ann.count(_.getInt(1) === 0)
     assert(ann.length === 10)
     assert(clusterHits >= 9, s"expected >=9 same-cluster hits, got $clusterHits")
+
+    // IVF variant: centroids are the first 16 vectors (4 per cluster), so a
+    // 4-probe query must recover its own cluster exactly
+    val ivf = Similarity.annTopKIvf(planted, 0, 10, nCentroids = 16, nProbe = 4)
+      .collect()
+    assert(ivf.length === 10)
+    assert(ivf.count(_.getInt(1) === 0) === 10,
+      s"IVF should return only cluster-0 neighbors")
   }
 }
