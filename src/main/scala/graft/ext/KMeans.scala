@@ -1,0 +1,129 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.LocalTable
+import graft.plans.{CosineSimilarityExpr, NearestCentroidExpr}
+
+/** Distributed Lloyd's k-means over DataFrames — the IVF coarse-quantizer
+  * fit (spherical variant: assignment by max cosine, update by elementwise
+  * mean, which cosine treats identically to the normalized mean).
+  *
+  * Scale shape per iteration:
+  *   - assignment is a pure projection (NearestCentroidExpr carries the
+  *     k×d centroid matrix into codegen as a reference object) — one scan,
+  *     zero shuffle;
+  *   - the centroid update is posexplode → groupBy(cid, pos).avg with
+  *     map-side partial aggregation, so the shuffle is at most k×d rows
+  *     per map task regardless of corpus size;
+  *   - only the k×d means come back to the driver (k-means' standard
+  *     driver-side model update — MLlib's KMeans does the same), never
+  *     corpus rows.
+  *
+  * Determinism: init picks the k distinct vectors with the lowest
+  * xxhash64, and every subsequent step is a deterministic aggregate, so
+  * the same corpus always yields the same model.
+  */
+object KMeans {
+
+  /** Fit k centroids on `vectors(vecCol: Array[Float])`. */
+  def fit(vectors: DataFrame, vecCol: String, k: Int, maxIters: Int): Array[Array[Float]] = {
+    require(k > 0 && maxIters >= 0)
+    val v = vectors.select(col(vecCol).as("v")).filter(col("v").isNotNull)
+    var centroids: Array[Array[Float]] = v.distinct()
+      .orderBy(xxhash64(col("v")))
+      .limit(k)
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    var iter = 0
+    while (iter < maxIters) {
+      val assigned = v.select(
+        NearestCentroidExpr.nearestCentroid(col("v"), centroids).as("cid"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      val means = assigned
+        .groupBy(col("cid"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("c"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).map(_.toFloat).toArray)
+        .toMap
+      // empty clusters keep their previous centroid
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i))).toArray
+      iter += 1
+    }
+    centroids
+  }
+}
+
+/** IVF (inverted-file) ANN index: k-means coarse quantizer + inverted
+  * lists physically PARTITIONED BY centroid id, so a probe of `nProbe`
+  * lists is a partition-pruned scan — the layout is the index.
+  *
+  * Mirrors the classic IVF-Flat design (Sivic & Zisserman's visual-words
+  * inverted files; FAISS IVF): at 100 TB the lists directory is the
+  * long-lived artifact, built once per corpus snapshot and probed by every
+  * query, reading `nProbe/k` of the data per query.
+  */
+object IvfIndex {
+
+  /** Fit the quantizer, assign every vector, and write the inverted lists
+    * under `path` partitioned by `centroid_id` (plus the k×d model at
+    * `path.centroids`). Returns the fitted centroids. */
+  def build(vectors: DataFrame, vecCol: String, k: Int, iters: Int,
+      path: String): Array[Array[Float]] = {
+    val cs = KMeans.fit(vectors, vecCol, k, iters)
+    vectors
+      .withColumn("centroid_id", NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
+      // co-locate each list before the partitioned write: one writer task
+      // per centroid → one file per list directory instead of
+      // tasks×centroids small files (at larger scale: repartition(n, col)
+      // for n files per list)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    val spark = vectors.sparkSession
+    LocalTable.of(spark,
+        StructType(Seq(
+          StructField("centroid_id", IntegerType),
+          StructField("centroid", ArrayType(FloatType)))),
+        cs.toIndexedSeq.zipWithIndex.map { case (c, i) => Row(i, c.toIndexedSeq) })
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath(path))
+    cs
+  }
+
+  def centroidsPath(path: String): String = path + ".centroids"
+
+  def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(centroidsPath(path))
+      .orderBy(col("centroid_id"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Top-k cosine probe of the `nProbe` nearest inverted lists. Probe-list
+    * selection is k×d driver math on the stored model; the scan carries a
+    * `centroid_id IN (...)` partition filter, so only the probed lists'
+    * files are read (asserted in SimilaritySpec via inputFiles). */
+  def probe(spark: SparkSession, path: String, queryVec: Array[Float],
+      k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame = {
+    val cs = loadCentroids(spark, path)
+    val probeIds = cs.zipWithIndex
+      .map { case (c, i) => (CosineSimilarityExpr.cosine(queryVec, c), i) }
+      .sortBy { case (sim, i) => (-sim, i) }
+      .take(nProbe)
+      .map(_._2)
+    val lists = spark.read.parquet(path)
+      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
+    val candidates = excludeVecId.fold(lists)(id => lists.filter(col("vec_id") =!= id))
+    candidates
+      .select(col("vec_id"), col("label"),
+        round(CosineSimilarityExpr.cosineSim(
+          col("embedding"), typedlit(queryVec.toIndexedSeq)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(k)
+  }
+}

@@ -102,9 +102,19 @@ object Similarity {
         .select(col("qid"), col("vec_id").as("nn_id"), col("cos_sim"), col("rk"))
     })
 
-  /** Embedding-cosine near-dup pairs above a threshold — the brute-force
-    * baseline of the near-dup family (d06/d07 analogue in vector space).
-    * Oracle-checkable; the LSH-bucketed variant (s04) is the scale path. */
+  /** Embedding-cosine near-dup pairs above a threshold — the EXACT answer
+    * (d06/d07 analogue in vector space), oracle-checked against DuckDB's
+    * brute force.
+    *
+    * Scale shape: at a low threshold (0.4 ⇒ pairs up to 66° apart) on
+    * DENSE vectors no blocking scheme can prune without losing recall, so
+    * the exact semantics are inherently O(n²) compare. What CAN be fixed
+    * is the plan: instead of an all-pairs BroadcastNestedLoopJoin (one
+    * node holds a whole side), the grid self-join below shards the n²
+    * work into G² equal cells via plain equi-join keys — every executor
+    * gets n²/G² comparisons, shuffle volume is 2·n·G rows, and no
+    * broadcast/cartesian appears in the plan (asserted in PlanSpec). For
+    * HIGH thresholds the LSH-banded candidates of s04/annTopK apply. */
   val s03CosineNearDup: Q = Q(
     "s03_cosine_neardup",
     Some("""
@@ -113,17 +123,34 @@ object Similarity {
       FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4
     """),
-    (s, dir) => {
-      val e = emb(s, dir)
-      val par = s.sparkContext.defaultParallelism
-      val a = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        .repartition(par)
-      val b = e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, col("vec_a") < col("vec_b"))
-        .select(col("vec_a"), col("vec_b"),
-          round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
-        .filter(col("cos_sim") >= 0.4)
-    })
+    (s, dir) => cosineThresholdSelfJoin(emb(s, dir), threshold = 0.4, grid = 8))
+
+  /** Exact cosine-threshold self-join as a 1-bucket-theta grid join
+    * (Okcan & Riedewald, SIGMOD'11): each vector hashes to a block
+    * b ∈ [0,G); the left side replicates each row across its block-row
+    * (b, 0..G-1), the right side across its block-column (0..G-1, b), and
+    * the equi-join on the (row, col) cell meets every ordered pair in
+    * exactly one cell. `vec_a < vec_b` then keeps one orientation per
+    * unordered pair, so the result is exactly the brute-force answer.
+    * Choose G ≈ √(cluster cores) at scale: shuffle is 2·n·G rows, each of
+    * the G² cells compares (n/G)² pairs. */
+  def cosineThresholdSelfJoin(embeddings: DataFrame, threshold: Double,
+      grid: Int): DataFrame = {
+    val blocked = embeddings.select(col("vec_id"), col("embedding"),
+      pmod(xxhash64(col("vec_id")), lit(grid)).cast("int").as("blk"))
+    val cells = sequence(lit(0), lit(grid - 1))
+    val a = blocked
+      .select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("blk").as("cell_r"), explode(cells).as("cell_c"))
+    val b = blocked
+      .select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        explode(cells).as("cell_r"), col("blk").as("cell_c"))
+    a.join(b, Seq("cell_r", "cell_c"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("ea"), col("eb")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 
   /** Approximate NN via random-hyperplane LSH: 12-bit signatures, probe
     * the query's bucket plus all buckets at hamming ≤ 2, exact-rescore
@@ -150,61 +177,52 @@ object Similarity {
       .limit(k)
   }
 
-  /** IVF-style ANN: a coarse quantizer (here: a deterministic subset of
-    * the corpus as centroids — a k-means fit would slot into the same
-    * shape) partitions vectors into inverted lists by nearest centroid;
-    * a query probes only its `nProbe` nearest centroids' lists and
-    * exact-rescores those candidates.
-    *
-    * Scale shape: centroid assignment is scan × broadcast(centroids) +
-    * argmin — one pass, no shuffle of the corpus; the probe reads only
-    * `nProbe/nCentroids` of the data. At 100 TB the lists would be
-    * written bucketed-by-centroid so a probe is a partition-pruned scan. */
-  def ivfAssignments(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val centroids = broadcast(embeddings
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce")))
-    val scored = embeddings.crossJoin(centroids)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"),
-        cosine(col("embedding"), col("ce")).as("c_sim"))
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("label"), col("embedding"), col("centroid_id"))
-  }
+  /** IVF assignments with a fitted quantizer: nearest-centroid is a single
+    * codegen'd projection over the scan (the k×d model rides into the plan
+    * as a reference object) — zero shuffle, zero join; see
+    * `graft.plans.NearestCentroidExpr` and `graft.ext.KMeans`. */
+  def ivfAssignments(embeddings: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    embeddings.withColumn("centroid_id",
+      graft.plans.NearestCentroidExpr.nearestCentroid(col("embedding"), centroids))
 
-  /** IVF probe: exact top-k within the query's nProbe nearest lists. */
+  /** IVF probe without a persisted index (fit + assign + in-plan probe):
+    * exact top-k within the query's nProbe nearest inverted lists. The
+    * persisted path — lists written partitioned by centroid so the probe
+    * is a partition-pruned scan — is `graft.ext.IvfIndex`. */
   def annTopKIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
-      nCentroids: Int, nProbe: Int): DataFrame = {
-    val assigned = ivfAssignments(embeddings, nCentroids)
-    val centroids = broadcast(embeddings
-      .filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("ce")))
-    val q = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding").as("qe"))
-    val probes = broadcast(centroids.crossJoin(broadcast(q))
-      .select(col("centroid_id"), cosine(col("ce"), col("qe")).as("c_sim"))
-      .orderBy(col("c_sim").desc, col("centroid_id").asc)
-      .limit(nProbe)
-      .select(col("centroid_id").as("probe_id")))
-    assigned
-      .join(probes, col("centroid_id") === col("probe_id"))
-      .filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
+      nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
+    val cs = KMeans.fit(embeddings, "embedding", nCentroids, kmeansIters)
+    val qv = embeddings.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probeIds = cs.zipWithIndex
+      .map { case (c, i) => (graft.plans.CosineSimilarityExpr.cosine(qv, c), i) }
+      .sortBy { case (sim, i) => (-sim, i) }
+      .take(nProbe).map(_._2)
+    ivfAssignments(embeddings, cs)
+      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*) &&
+        col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+        round(cosine(col("embedding"), typedlit(qv.toIndexedSeq)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }
 
-  /** IVF ANN over the corpus (rows-only driver check; recall proven on
-    * planted clusters in SimilaritySpec). */
+  /** IVF ANN over the corpus via the PERSISTED index: k-means fit,
+    * inverted lists written partitioned by centroid id, probe reads only
+    * the nProbe matching partitions (rows-only driver check; recall and
+    * partition pruning proven in SimilaritySpec). */
   val s05AnnIvf: Q = Q(
     "s05_ann_ivf",
     None,
-    (s, dir) => annTopKIvf(emb(s, dir), queryVecId = 0, k = 10,
-      nCentroids = 16, nProbe = 4))
+    (s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ivf-").toString + "/lists"
+      IvfIndex.build(emb(s, dir), "embedding", k = 16, iters = 3, path = path)
+      val qv = emb(s, dir).filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      IvfIndex.probe(s, path, qv, k = 10, nProbe = 4, excludeVecId = Some(0L))
+    })
 
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh, s05AnnIvf)
 }

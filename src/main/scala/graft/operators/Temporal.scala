@@ -125,15 +125,22 @@ object Temporal {
       WINDOW w AS (ORDER BY total DESC, o_custkey ASC)
     """),
     (s, dir) => {
+      // Global ORDER BY window with NO partition key: computed via the
+      // two-pass range-partitioned rank (GlobalOrder) instead of
+      // Window.orderBy, which would Exchange every row into ONE partition.
       val spend = Tables(s, dir, "orders")
         .groupBy(col("o_custkey"))
         .agg(round(sum(col("o_totalprice")), 2).as("total"))
-      val w = Window.orderBy(col("total").desc, col("o_custkey").asc)
-      spend.select(col("o_custkey"), col("total"),
-        rank().over(w).as("rnk"),
-        dense_rank().over(w).as("drnk"),
-        ntile(4).over(w).as("quartile"),
-        coalesce(lead(col("o_custkey"), 1).over(w), lit(-1L)).as("next_custkey"))
+      val ranked = GlobalOrder.withRanks(spend,
+        Seq(col("total").desc, col("o_custkey").asc),
+        Seq(col("total"), col("o_custkey")))
+      GlobalOrder.leadByRowNumber(ranked.df, "rn", "o_custkey", "__next")
+        .select(col("o_custkey"), col("total"),
+          col("rnk").cast("int").as("rnk"),
+          col("drnk").cast("int").as("drnk"),
+          GlobalOrder.ntileFromRowNumber(col("rn"), 4, ranked.totalRows)
+            .cast("int").as("quartile"),
+          coalesce(col("__next"), lit(-1L)).as("next_custkey"))
     })
 
   /** The engine's SQL string surface: temp views + `spark.sql` (the

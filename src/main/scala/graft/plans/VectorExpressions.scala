@@ -147,6 +147,56 @@ object ShinglesExpr {
   }
 }
 
+/** Nearest-centroid assignment: argmax cosine similarity of a float-vector
+  * column against a small in-plan centroid matrix (the IVF coarse
+  * quantizer). The matrix rides into generated code via
+  * `ctx.addReferenceObj`, so assignment is a single tight loop inside the
+  * scan projection — zero shuffle, zero join. This replaces the
+  * crossJoin(corpus × centroids) + window-argmin shape, which shuffled and
+  * sorted k× the corpus to take a per-row argmin.
+  *
+  * Ties break to the lowest centroid id; a null/absent vector yields null.
+  */
+case class NearestCentroidExpr(child: Expression, centroids: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroidExpr.nearest(
+      input.asInstanceOf[ArrayData].toFloatArray(), centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.NearestCentroidExpr.nearest($a.toFloatArray(), $cs)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidExpr {
+
+  /** Tight-loop kernel shared by interpreted eval and generated code. */
+  def nearest(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var c = 0
+    while (c < centroids.length) {
+      val sim = CosineSimilarityExpr.cosine(v, centroids(c))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+
+  def nearestCentroid(c: Column, centroids: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(NearestCentroidExpr(GraftSqlBridge.expression(c), centroids))
+  }
+}
+
 object CosineSimilarityExpr {
 
   /** Tight-loop kernel, shared by interpreted eval and generated code. */

@@ -48,10 +48,22 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("*(1)"), executed.take(500))
   }
 
-  test("s03: brute-force pair join is a broadcast NLJ, never a cartesian shuffle") {
+  test("s03: exact pair join is a grid equi-join — no BNLJ, no cartesian") {
     val p = physical(run("s03_cosine_neardup"))
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(500))
-    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    // the quadratic work is sharded by the (cell_r, cell_c) equi-key
+    assert(p.contains("cell_r") && p.contains("cell_c"), p.take(800))
+  }
+
+  test("q33: global rank family plans with NO single-partition Exchange") {
+    val df = run("q33_rank_family")
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    // the window that remains is partitioned (by the range-partition id)
+    assert(executed.contains("rangepartitioning"), executed.take(1200))
   }
 
   test("q13: windowed query shuffles exactly once (on the partition key)") {

@@ -65,12 +65,87 @@ class SimilaritySpec extends SparkSpec {
     assert(ann.length === 10)
     assert(clusterHits >= 9, s"expected >=9 same-cluster hits, got $clusterHits")
 
-    // IVF variant: centroids are the first 16 vectors (4 per cluster), so a
-    // 4-probe query must recover its own cluster exactly
+    // IVF variant: k-means-fit quantizer, 4-probe query must recover its
+    // own cluster exactly
     val ivf = Similarity.annTopKIvf(planted, 0, 10, nCentroids = 16, nProbe = 4)
       .collect()
     assert(ivf.length === 10)
     assert(ivf.count(_.getInt(1) === 0) === 10,
       s"IVF should return only cluster-0 neighbors")
+  }
+
+  test("k-means fit is deterministic and separates planted clusters") {
+    val planted = plantedClusters(nClusters = 4, perCluster = 25)
+    val cs1 = graft.ext.KMeans.fit(planted, "embedding", k = 8, maxIters = 3)
+    val cs2 = graft.ext.KMeans.fit(planted, "embedding", k = 8, maxIters = 3)
+    assert(cs1.map(_.toSeq).toSeq === cs2.map(_.toSeq).toSeq)
+    // every planted cluster captures at least one centroid: each cluster's
+    // center must be near-parallel (cos > 0.9) to some fitted centroid
+    val centers = plantedCenters(4)
+    centers.foreach { c =>
+      val best = cs1.map(graft.plans.CosineSimilarityExpr.cosine(c, _)).max
+      assert(best > 0.9, s"no centroid near a planted center (best=$best)")
+    }
+  }
+
+  test("persisted IVF index: probe is partition-pruned and recall >= 0.9 vs exact") {
+    val planted = plantedClusters(nClusters = 4, perCluster = 25)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec-").toString + "/lists"
+    graft.ext.IvfIndex.build(planted, "embedding", k = 16, iters = 3, path)
+    val qv = planted.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+
+    val probeDf = graft.ext.IvfIndex.probe(spark, path, qv, k = 10,
+      nProbe = 4, excludeVecId = Some(0L))
+    probeDf.collect()
+    // partition pruning: the executed scan read files from at most nProbe
+    // of the 16 centroid_id=... list directories (numFiles metric)
+    val scan = findScan(probeDf.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in probe plan"))
+    assert(scan.metadata("PartitionFilters").contains("centroid_id"),
+      scan.metadata("PartitionFilters"))
+    val filesRead = scan.metrics("numFiles").value
+    val totalFiles = spark.read.parquet(path).inputFiles.length
+    assert(totalFiles > 4, s"index only has $totalFiles list files")
+    assert(filesRead <= 4, s"probe read $filesRead of $totalFiles files")
+
+    // recall vs the exact brute-force top-10
+    val exactTop = planted.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(Similarity.cosine(col("embedding"), typedlit(qv.toIndexedSeq)), 6)
+          .as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10).collect().map(_.getLong(0)).toSet
+    val annTop = probeDf.collect().map(_.getLong(0)).toSet
+    val recall = (exactTop & annTop).size.toDouble / exactTop.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  private def findScan(p: org.apache.spark.sql.execution.SparkPlan)
+      : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      findScan(a.executedPlan)
+    case f: org.apache.spark.sql.execution.FileSourceScanExec => Some(f)
+    case other => other.children.flatMap(findScan).headOption
+  }
+
+  private def plantedCenters(nClusters: Int): Array[Array[Float]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(nClusters)(Array.fill(64)(rnd.nextGaussian().toFloat))
+  }
+
+  private def plantedClusters(nClusters: Int, perCluster: Int) = {
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(nClusters)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      Row(i.toLong, c.map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq, i % nClusters)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    LocalTable.of(spark, schema, rows)
   }
 }
