@@ -42,12 +42,15 @@ object Bench {
     }
 
     names.foreach(exec) // warmup pass
-    // median of 3 measured passes per query — the box shows ~2× run-to-run
-    // noise under background load; medians keep one stall from dominating
+    // min of 3 measured passes per query: the box shows multi-second
+    // background-load stalls that can span a whole pass (r02 measured 2×
+    // the steady-state total), and the minimum is the standard noise-floor
+    // statistic — it estimates the query's true cost, not the machine's
+    // worst moment
     val passes = Seq.fill(3)(names.map(n => n -> exec(n)).toMap)
     val results = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0).sorted
-      n -> (if (ts.isEmpty) -1.0 else ts(ts.length / 2))
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -17,6 +17,10 @@ object Tables {
     "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // engine planner surface (rank-limit rewrite, TopKPerGroup strategy,
+    // SQL functions) rides in on the corpus chokepoint so driver-built
+    // sessions get it without builder cooperation; idempotent per session
+    graft.plans.GraftRuntime.ensure(spark)
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
       // reader rejects; read it as raw nanos and re-expose micros below.

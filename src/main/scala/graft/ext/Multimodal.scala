@@ -107,11 +107,32 @@ object Multimodal {
     })
 
   /** The full binary pipeline through the stub decoder (mapPartitions
-    * batch shape) — aggregated per kind. Rows-only driver check; exact
-    * per-record features are spec-tested. */
+    * batch shape) — aggregated per kind. The stub decode is deterministic
+    * (byte-mean intensity over the UTF-8 payload), so the whole pipeline
+    * is oracle-checkable: DuckDB recomputes the byte mean from
+    * hex(encode(text)) two hex chars at a time. Per-doc byte sums are
+    * integers (exact in double), so only the final avg is rounded. */
   val m02DecodePipeline: Q = Q(
     "m02_decode_pipeline",
-    None,
+    Some("""
+      WITH feats AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                    WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+                    ELSE list_sum(list_transform(
+                           generate_series(1, octet_length(encode(text))),
+                           i -> CAST(concat('0x', substr(hex(encode(text)), 2*i-1, 2)) AS INT)))
+                         / CAST(octet_length(encode(text)) AS DOUBLE) END AS mean_intensity
+        FROM documents)
+      SELECT kind,
+             CAST(count(*) AS BIGINT) AS n_media,
+             CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+             round(avg(mean_intensity), 4) AS avg_intensity
+      FROM feats
+      GROUP BY kind
+    """),
     (s, dir) => {
       val media = mediaTable(Tables(s, dir, "documents"))
       decodeFeatures(media, () => MediaDecoder.DeterministicStub)

@@ -23,6 +23,13 @@ trait TableFormat {
   /** DELETE FROM path WHERE col = value (forms_main.py:401-419). */
   def deleteWhere(spark: SparkSession, path: String, colName: String,
       value: String, partitionCols: Seq[String]): Unit
+  /** Maintenance: rewrite small files toward `targetMb` data files
+    * (the reference's rewrite_data_files analogue). */
+  def compact(spark: SparkSession, path: String, partitionCols: Seq[String],
+      targetMb: Int = 256): Unit
+  /** Maintenance: drop all but the newest `retainLast` table snapshots
+    * (expire_snapshots(retain_last=…), datatrack_spark_utils.py:756-768). */
+  def expireSnapshots(path: String, retainLast: Int): Unit
 }
 
 /** Parquet-directory implementation. Rewrites go through a temp directory
@@ -41,19 +48,78 @@ object ParquetTableFormat extends TableFormat {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  private val SnapshotSuffix = ".__snapshot_"
+
+  /** Snapshot directories for `path`, oldest → newest. */
+  def listSnapshots(path: String): Seq[java.io.File] = {
+    val dir = new java.io.File(path)
+    val parent = Option(dir.getParentFile).getOrElse(new java.io.File("."))
+    val prefix = dir.getName + SnapshotSuffix
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+      .sortBy(_.getName)
+      .toIndexedSeq
+  }
+
+  /** Every rewrite archives the replaced table dir as the next numbered
+    * snapshot (a rename, so it costs nothing regardless of table size) —
+    * the parquet analogue of a format snapshot: time-travel reads stay
+    * possible until `expireSnapshots` reclaims the space, and a crashed
+    * rewrite never truncates the live table. */
   private def rewrite(spark: SparkSession, path: String, next: DataFrame,
       partitionCols: Seq[String]): Unit = {
     val tmp = path + ".__rewrite_tmp"
     val w = next.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
     val dir = new java.io.File(path)
-    val bak = new java.io.File(path + ".__rewrite_old")
-    if (bak.exists()) scala.reflect.io.Directory(bak.toPath.toFile).deleteRecursively()
-    if (dir.exists() && !dir.renameTo(bak))
+    val nextIdx = listSnapshots(path).lastOption
+      .map(_.getName.split(SnapshotSuffix.replace(".", "\\.")).last.toInt + 1)
+      .getOrElse(0)
+    val snap = new java.io.File(f"$path$SnapshotSuffix$nextIdx%05d")
+    if (dir.exists() && !dir.renameTo(snap))
       throw new java.io.IOException(s"rewrite: cannot move $path aside")
     if (!new java.io.File(tmp).renameTo(dir))
       throw new java.io.IOException(s"rewrite: cannot promote $tmp")
-    scala.reflect.io.Directory(bak.toPath.toFile).deleteRecursively()
+  }
+
+  override def expireSnapshots(path: String, retainLast: Int): Unit = {
+    require(retainLast >= 0)
+    listSnapshots(path).dropRight(retainLast)
+      .foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
+  }
+
+  /** Small-file compaction: one rewrite that co-locates each partition's
+    * rows into one writer task (unpartitioned tables use the optimizer's
+    * size estimate for a ~targetMb shard count). At cluster scale the
+    * per-partition file count generalizes to `repartition(n, cols :+
+    * salt)`; the verb and the snapshot/expire lifecycle are the point. */
+  override def compact(spark: SparkSession, path: String,
+      partitionCols: Seq[String], targetMb: Int = 256): Unit = {
+    val current = read(spark, path)
+    val compacted =
+      if (partitionCols.nonEmpty)
+        current.repartition(partitionCols.map(col): _*)
+      else
+        graft.sources.Sources.sizeBasedRepartition(current, targetMb)
+    rewrite(spark, path, compacted.localCheckpoint(), partitionCols)
+  }
+
+  /** S12 — external-table DDL over an existing parquet directory + MSCK
+    * partition recovery (datatrack_spark_utils.py:627-680): the files are
+    * the table; the catalog entry just points at them. Uses native
+    * `USING PARQUET` DDL (the `STORED AS` Hive form needs Hive support). */
+  def createExternalTable(spark: SparkSession, table: String, path: String): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.sql(s"CREATE TABLE $table USING PARQUET LOCATION '$path'")
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.table(table)
+  }
+
+  /** Re-sync the catalog after files landed behind its back — the
+    * MSCK REPAIR step of the reference's DDL path. */
+  def repairTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"MSCK REPAIR TABLE $table")
+    spark.catalog.refreshTable(table)
   }
 
   override def merge(spark: SparkSession, path: String, source: DataFrame,

@@ -371,6 +371,33 @@ object Relational {
           col("sum_qty"), col("n_rows"))
     })
 
+  /** GROUPING SETS beyond rollup/cube — an arbitrary, non-hierarchical
+    * set list ((flag, status), (status), ()) that neither `rollup` nor
+    * `cube` expresses (q12/q32's companions; SURVEY §2.4 free-capability
+    * note). One Expand + one aggregate pass, same scale shape as rollup. */
+  val q39GroupingSets: Q = Q(
+    "q39_grouping_sets",
+    Some("""
+      SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+             coalesce(l_linestatus, 'ALL') AS linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             count(*) AS n_rows
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """),
+    (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq.empty),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+    })
+
   /** Top-2 orders per customer through the CUSTOM physical operator
     * (graft.plans.TopKPerGroup: LogicalPlan + Strategy + SparkPlan with
     * map-side bounded heaps — only k rows per key per input partition
@@ -402,5 +429,5 @@ object Relational {
     q04TopRevenueOrders, q05TopkAbsEvents, q06LatestOrderPerCustomer,
     q07ModePriorityPerNation, q08BudgetVsActual, q09CustomersWithoutOrders,
     q10UrgentBigSpenders, q11CustomerOnlyNations, q12RollupQuantity,
-    q32CubeQuantity, q36TopkPerGroupNative)
+    q32CubeQuantity, q36TopkPerGroupNative, q39GroupingSets)
 }

@@ -122,6 +122,40 @@ object Scalars {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("n_rows")))
 
+  /** Approximate sketches (SURVEY §2.4 free-capability note):
+    * HyperLogLog++ distinct counts (`approx_count_distinct`, rsd 2%) and
+    * KLL-style quantiles (`percentile_approx`). Sketch internals differ
+    * across engines, so the contract checked cross-engine is the exact
+    * value plus a deterministic bounds test: the approximate answer must
+    * land within the documented tolerance of the exact one (TRUE in the
+    * oracle). At 100 TB the sketch is the point — one pass, fixed-size
+    * state per group, no expand like exact DISTINCT. */
+  val q40ApproxSketches: Q = Q(
+    "q40_approx_sketches",
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_exact,
+             TRUE AS approx_cd_ok,
+             TRUE AS approx_p50_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+    """),
+    (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_exact"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"),
+          expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50_approx"),
+          expr("percentile(l_quantity, 0.5)").as("p50_exact"))
+        .select(
+          col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("approx_cd_ok"),
+          (abs(col("p50_approx") - col("p50_exact")) <=
+            greatest(abs(col("p50_exact")) * 0.05, lit(0.5))).as("approx_p50_ok")))
+
   val all: Seq[Q] = Seq(
-    q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts)
+    q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
+    q40ApproxSketches)
 }

@@ -11,10 +11,13 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   * `spark.sql("SELECT cosine_sim(a, b)")` works next to the Column API.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.definitions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectOptimizerRule(_ => RankLimitRewrite)
+    e.injectPlannerStrategy(_ => TopKPerGroup.TopKStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -82,6 +82,37 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("lang") && !readSchema.contains("source"), readSchema)
   }
 
+  test("rank-limit rewrite: q06's window-dedup plans into TopKPerGroupExec") {
+    val df = run("q06_latest_order_per_customer")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerGroupNode"), optimized.take(800))
+    assert(!optimized.contains("Window"), optimized.take(800))
+    val p = physical(df)
+    assert(p.contains("TopKPerGroup") && !p.contains("Window"), p.take(800))
+    // rewrite preserves semantics: identical rows to the explicit window form
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy(org.apache.spark.sql.functions.col("o_orderdate").desc,
+        org.apache.spark.sql.functions.col("o_orderkey").desc)
+    val viaWindow = Tables(spark, sfDir, "orders")
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(org.apache.spark.sql.functions.col("__rn") === 1)
+      .drop("__rn")
+      .select(df.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq: _*)
+    assert(df.collect().map(_.toSeq).toSet === viaWindow.collect().map(_.toSeq).toSet)
+  }
+
+  test("rank-limit rewrite does NOT fire when the rank column is kept") {
+    import org.apache.spark.sql.functions._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val keepsRank = Tables(spark, sfDir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+    assert(!keepsRank.queryExecution.optimizedPlan.toString
+      .contains("TopKPerGroupNode"))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(

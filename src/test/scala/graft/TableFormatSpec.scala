@@ -41,6 +41,59 @@ class TableFormatSpec extends SparkSpec {
     assert(fmt.read(spark, path).filter(col("v") === "a").count() === 0)
   }
 
+  test("rewrites archive snapshots; expireSnapshots retains the newest N") {
+    val path = Files.createTempDirectory("graft-snap-").toString + "/table"
+    fmt.createOrAppend(df((1L, "a", 1L), (2L, "b", 1L)), path, Nil)
+    assert(fmt.listSnapshots(path).isEmpty)
+    fmt.merge(spark, path, df((2L, "b2", 2L)), Seq("k"), "ver", Nil)     // snapshot 0
+    fmt.deleteWhere(spark, path, "v", "a", Nil)                          // snapshot 1
+    assert(fmt.listSnapshots(path).map(_.getName.takeRight(5)) === Seq("00000", "00001"))
+    // time travel: snapshot 0 is the pre-merge table
+    assert(spark.read.parquet(fmt.listSnapshots(path).head.toString).count() === 2)
+    fmt.expireSnapshots(path, retainLast = 1)
+    assert(fmt.listSnapshots(path).map(_.getName.takeRight(5)) === Seq("00001"))
+    fmt.expireSnapshots(path, retainLast = 0)
+    assert(fmt.listSnapshots(path).isEmpty)
+    // live table untouched by expiry
+    assert(fmt.read(spark, path).count() === 1)
+  }
+
+  test("compact rewrites a fragmented partitioned table to one file per partition") {
+    val path = Files.createTempDirectory("graft-compact-").toString + "/table"
+    // 6 appends × 2 partitions → ≥12 small files
+    (1 to 6).foreach { i =>
+      fmt.createOrAppend(
+        df((i.toLong, "x", 1L), (100L + i, "y", 1L))
+          .withColumn("p", col("k") % 2), path, Seq("p"))
+    }
+    def dataFiles(dir: java.io.File): Seq[java.io.File] = {
+      val kids = Option(dir.listFiles()).getOrElse(Array.empty).toIndexedSeq
+      kids.filter(_.isFile).filter(_.getName.endsWith(".parquet")) ++
+        kids.filter(_.isDirectory).flatMap(dataFiles)
+    }
+    val before = dataFiles(new java.io.File(path)).size
+    assert(before >= 12)
+    val rows = fmt.read(spark, path).collect().map(_.toSeq).toSet
+    fmt.compact(spark, path, Seq("p"))
+    assert(dataFiles(new java.io.File(path)).size <= 2)
+    assert(fmt.read(spark, path).collect().map(_.toSeq).toSet === rows)
+    fmt.expireSnapshots(path, 0)
+  }
+
+  test("external-table DDL + MSCK recovers partitions added behind the catalog") {
+    val path = Files.createTempDirectory("graft-ddl-").toString + "/table"
+    fmt.createOrAppend(df((1L, "a", 1L)).withColumn("p", lit(0)), path, Seq("p"))
+    val t = fmt.createExternalTable(spark, "graft_ddl_spec", path)
+    assert(t.count() === 1)
+    // new partition lands directly in the directory, not via the catalog
+    fmt.createOrAppend(df((2L, "b", 1L)).withColumn("p", lit(1)), path, Seq("p"))
+    fmt.repairTable(spark, "graft_ddl_spec")
+    assert(spark.table("graft_ddl_spec").count() === 2)
+    assert(spark.table("graft_ddl_spec")
+      .filter(col("p") === 1).select("v").collect().map(_.getString(0)).toSeq === Seq("b"))
+    spark.sql("DROP TABLE graft_ddl_spec")
+  }
+
   test("salted equi-join matches the plain join on skewed data") {
     // heavy skew: 90% of rows share key 7
     val rows = (1L to 1000L).map(i => (if (i <= 900) 7L else i, s"r$i", 1L))
