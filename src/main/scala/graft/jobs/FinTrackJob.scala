@@ -27,9 +27,7 @@ object FinTrackJob {
     existingRaw match {
       case None => fresh
       case Some(raw) =>
-        val key = fresh.select("landing_object_key").limit(1)
-          .collect().headOption.map(_.getString(0)).getOrElse("")
-        Lake.deleteByKeyAppend(raw, fresh, "landing_object_key", key)
+        Lake.deleteByKeysAppend(raw, fresh, "landing_object_key")
     }
   }
 

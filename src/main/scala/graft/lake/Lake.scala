@@ -80,6 +80,23 @@ object Lake {
     table.filter(col(lineageCol) =!= lineageValue || col(lineageCol).isNull)
       .unionByName(fresh, allowMissingColumns = true)
 
+  /** I2, set-valued: displace every lineage key present in `fresh` via a
+    * left-anti join against its distinct keys — no driver action in the
+    * middle of the DAG, and one call handles a multi-file reload. The
+    * anti-join side is a per-file key set, so it broadcasts. */
+  def deleteByKeysAppend(table: DataFrame, fresh: DataFrame,
+      lineageCol: String): DataFrame = {
+    val keys = broadcast(fresh.select(lineageCol).distinct())
+    table.join(keys, Seq(lineageCol), "left_anti")
+      .unionByName(fresh, allowMissingColumns = true)
+  }
+
+  /** P13 — empty-input guard (datatrack_spark_utils.py:97-99): the
+    * reference skips a load when every input frame is empty. Each probe
+    * is `isEmpty` (a limit-1 job), never a count over the input. */
+  def allInputsEmpty(inputs: Seq[DataFrame]): Boolean =
+    inputs.forall(_.isEmpty)
+
   /** P9 — ingestion lineage/partition columns (etls_raw/main.py:300-315):
     * a fixed ingestion timestamp fans out to date/year/month/day partition
     * columns. `ts` is passed in (never `current_timestamp`) so reruns are

@@ -140,20 +140,26 @@ object Scalars {
       FROM lineitem
       GROUP BY l_returnflag
     """),
-    (s, dir) =>
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          countDistinct(col("l_partkey")).as("n_exact"),
-          approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"),
-          expr("percentile_approx(l_quantity, 0.5, 10000)").as("p50_approx"),
-          expr("percentile(l_quantity, 0.5)").as("p50_exact"))
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      // two aggregates joined on the tiny group key: countDistinct plans
+      // an Expand and the percentile pair plans object aggregation —
+      // mixed in ONE agg they degrade to a single giant SortAggregate
+      // (14 s at sf0.1 vs ~1 s split)
+      val cd = li.groupBy(col("l_returnflag")).agg(
+        countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      val pct = li.groupBy(col("l_returnflag")).agg(
+        expr("percentile_approx(l_quantity, 0.5, 1000)").as("p50_approx"),
+        expr("percentile(l_quantity, 0.5)").as("p50_exact"))
+      cd.join(pct, "l_returnflag")
         .select(
           col("l_returnflag"), col("n_exact"),
           (abs(col("n_approx") - col("n_exact")) <=
             col("n_exact") * 0.05).as("approx_cd_ok"),
           (abs(col("p50_approx") - col("p50_exact")) <=
-            greatest(abs(col("p50_exact")) * 0.05, lit(0.5))).as("approx_p50_ok")))
+            greatest(abs(col("p50_exact")) * 0.05, lit(0.5))).as("approx_p50_ok"))
+    })
 
   val all: Seq[Q] = Seq(
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,

@@ -7,6 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Descending, Expression,
   InterpretedOrdering, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  AllTuples, ClusteredDistribution, Distribution, Partitioning,
+  UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 
 /** Whole-operator custom plan (builder preference (c): LogicalPlan +
@@ -30,11 +33,26 @@ case class TopKPerGroupNode(
     copy(child = c)
 }
 
+/** One physical stage of top-k-per-group: a streaming heap pass over each
+  * input partition. Planned twice — a `partial` instance over the raw
+  * input (so at most k rows per (key, partition) reach the shuffle) and a
+  * final instance that declares `ClusteredDistribution(keys)`, letting
+  * `EnsureRequirements` insert Spark's own Tungsten exchange between the
+  * two — the same partial/final split and shuffle machinery as a hash
+  * aggregate, applied to top-k. No sort of the input ever happens; per-key
+  * state is k row copies. */
 case class TopKPerGroupExec(
     keys: Seq[Expression], ordering: Seq[SortOrder], k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    partial: Boolean, child: SparkPlan) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else if (keys.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(keys) :: Nil
+
+  override def outputPartitioning: Partitioning = child.outputPartitioning
 
   override protected def withNewChildInternal(c: SparkPlan): TopKPerGroupExec =
     copy(child = c)
@@ -44,40 +62,25 @@ case class TopKPerGroupExec(
     val boundKeys = keys
     val boundOrdering = ordering
     val kk = k
-    val numPartitions = conf.numShufflePartitions
-
-    // map side: bounded heap per key within each input partition
-    val partial: RDD[(UnsafeRow, UnsafeRow)] =
-      child.execute().mapPartitions { it =>
-        val keyProj = UnsafeProjection.create(boundKeys, childOutput)
-        val ord = new InterpretedOrdering(
-          BindReferences.bindReferences(boundOrdering, childOutput))
-        val heaps = new java.util.HashMap[UnsafeRow, TopKHeap]()
-        it.foreach { row =>
-          val key = keyProj(row)
-          var heap = heaps.get(key)
-          if (heap == null) {
-            heap = new TopKHeap(kk, ord)
-            heaps.put(key.copy(), heap)
-          }
-          heap.offer(row.asInstanceOf[UnsafeRow])
+    child.execute().mapPartitions { it =>
+      val keyProj = UnsafeProjection.create(boundKeys, childOutput)
+      val ord = TopKPerGroup.ordering(boundOrdering, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow, TopKHeap]()
+      it.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new TopKHeap(kk, ord)
+          heaps.put(key.copy(), heap)
         }
-        val out = Seq.newBuilder[(UnsafeRow, UnsafeRow)]
-        heaps.forEach((key, heap) => heap.rows.foreach(r => out += key -> r))
-        out.result().iterator
+        heap.offer(row.asInstanceOf[UnsafeRow])
       }
-
-    // reduce side: merge the per-partition survivors per key
-    partial
-      .aggregateByKey(List.empty[UnsafeRow], numPartitions)(
-        (acc, row) => row :: acc, _ ::: _)
-      .mapPartitions { it =>
-        val ord = new InterpretedOrdering(
-          BindReferences.bindReferences(boundOrdering, childOutput))
-        it.flatMap { case (_, rows) =>
-          rows.sorted(ord.asInstanceOf[Ordering[UnsafeRow]]).take(kk)
-        }
-      }
+      val out = Seq.newBuilder[InternalRow]
+      heaps.forEach((_, heap) =>
+        heap.rows.toSeq.sorted(ord.asInstanceOf[Ordering[UnsafeRow]])
+          .foreach(out += _))
+      out.result().iterator
+    }
   }
 }
 
@@ -100,11 +103,24 @@ private[plans] final class TopKHeap(
 
 object TopKPerGroup {
 
-  /** Planner strategy mapping the logical node to the exec. */
+  /** Code-generated row comparator (falls back to interpreted if codegen
+    * fails) — the heap compares every input row, so an interpreted
+    * ordering would put a reflective call on the per-row hot path. */
+  private[plans] def ordering(sortOrder: Seq[SortOrder],
+      output: Seq[Attribute]): Ordering[InternalRow] = {
+    val bound = BindReferences.bindReferences(sortOrder, output)
+    try org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+      .generate(bound)
+    catch { case _: Exception => new InterpretedOrdering(bound) }
+  }
+
+  /** Planner strategy: partial heap pass → (exchange inserted by
+    * EnsureRequirements) → final heap pass. */
   object TopKStrategy extends SparkStrategy {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case TopKPerGroupNode(keys, ord, k, child) =>
-        TopKPerGroupExec(keys, ord, k, planLater(child)) :: Nil
+        TopKPerGroupExec(keys, ord, k, partial = false,
+          TopKPerGroupExec(keys, ord, k, partial = true, planLater(child))) :: Nil
       case _ => Nil
     }
   }

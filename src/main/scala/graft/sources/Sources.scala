@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -38,6 +38,22 @@ object Sources {
           .when(path.contains("/fatura/") && path.contains("/bradesco/"), "fatura_bradesco")
           .when(path.contains("/extrato/") && path.contains("/bradesco/"), "extrato_bradesco")
           .otherwise("desconhecido").as("kind"))
+  }
+
+  /** S2 — PDF text extraction, executor-side over landed binaries: the
+    * reference runs pdfplumber per file on the driver (bb_bill.py:89-92,
+    * "\n".join of page texts); here the binary `content` column from
+    * [[landingFiles]] maps through the engine's own extractor
+    * ([[graft.parse.PdfText]]) in parallel, yielding (path, text) ready
+    * for the U3 line parsers. Pure per-row computation — no shuffle. */
+  def extractPdfTexts(landing: DataFrame): DataFrame = {
+    val ds = landing
+      .filter(lower(col("path")).endsWith(".pdf"))
+      .select(col("path"), col("content"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    ds.map { case (p, bytes) => (p, graft.parse.PdfText.extractText(bytes)) }(
+      Encoders.tuple(Encoders.STRING, Encoders.STRING))
+      .toDF("path", "text")
   }
 
   /** The forms CSV's quirky source headers (FIXTURES §1; two contain

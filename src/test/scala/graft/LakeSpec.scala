@@ -55,6 +55,24 @@ class LakeSpec extends SparkSpec {
     assert(twice.filter(col("v") === "src1").agg(sum("ver")).collect()(0).getLong(0) === 4L)
   }
 
+  test("deleteByKeysAppend displaces fresh keys without driver collection") {
+    val table = df((1L, "src1", 1L), (2L, "src1", 1L), (3L, "src2", 1L))
+    val fresh = df((1L, "src1", 2L), (2L, "src1", 2L))
+    val once  = Lake.deleteByKeysAppend(table, fresh, "v")
+    val twice = Lake.deleteByKeysAppend(once, fresh, "v")
+    assert(once.count() === 3 && twice.count() === 3)
+    assert(twice.filter(col("v") === "src1").agg(sum("ver")).collect()(0).getLong(0) === 4L)
+    // src2 rows survive untouched
+    assert(twice.filter(col("v") === "src2").count() === 1)
+  }
+
+  test("allInputsEmpty guards only when every input is empty") {
+    val empty = df()
+    val one   = df((1L, "a", 1L))
+    assert(Lake.allInputsEmpty(Seq(empty, one.filter(col("k") < 0))))
+    assert(!Lake.allInputsEmpty(Seq(empty, one)))
+  }
+
   test("incrementalAfter is strictly-greater; maxWatermark returns new max") {
     val d = df((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
     assert(Lake.incrementalAfter(d, "ver", lit(20L)).count() === 1)

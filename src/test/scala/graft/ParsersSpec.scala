@@ -43,6 +43,28 @@ class ParsersSpec extends SparkSpec {
       |09/11 LOJA SEM TITULAR FORTALEZA 99,90
       |""".stripMargin
 
+  test("PDF round-trip: real flate-compressed PDF bytes → page-concat text") {
+    val lines = Seq("SERGIO MAIA RAULINO (Cartão 1234)",
+      "05/11 UBER *TRIP HELP.UBER.COM BR R$ 24,90",
+      "Parens \\ backslash (nested) ok")
+    val pdf = PdfFixture.pdf(Seq(lines))
+    assert(new String(pdf.take(5), "ISO-8859-1") === "%PDF-")
+    assert(graft.parse.PdfText.extractText(pdf) === lines.mkString("\n"))
+    // uncompressed content streams too
+    val raw = PdfFixture.pdf(Seq(lines), compress = false)
+    assert(graft.parse.PdfText.extractText(raw) === lines.mkString("\n"))
+    // multi-page: page texts joined with \n (the reference's contract)
+    val two = PdfFixture.pdf(Seq(Seq("page one"), Seq("page two")))
+    assert(graft.parse.PdfText.extractText(two) === "page one\npage two")
+  }
+
+  test("S2 closed: PDF bytes parse to the same rows as the text fixture") {
+    val pdf = PdfFixture.pdf(Seq(bbBillText.linesIterator.toSeq.filter(_.nonEmpty)))
+    val viaPdf = Parsers.parseBBBill(graft.parse.PdfText.extractText(pdf))
+    assert(viaPdf === Parsers.parseBBBill(bbBillText))
+    assert(viaPdf.length === 5)
+  }
+
   test("BB bill: card context, country, installment, negative refund") {
     val got = Parsers.parseBBBill(bbBillText)
     assert(got.length === 5)

@@ -34,6 +34,23 @@ class SourcesSpec extends SparkSpec {
       Seq("cruz_raulino", "bb", "fatura", 2025, 11, "fatura_nov.pdf", "fatura_bb")))
   }
 
+  test("extractPdfTexts: landed PDF binaries → text, executor-side") {
+    val root = tmpDir()
+    val p = Paths.get(root,
+      "fintrack/01_clientes/cruz_raulino/01_bancos/bb/fatura/2025/11")
+    Files.createDirectories(p)
+    val lines = Seq("SERGIO MAIA RAULINO (Cartão 1234)",
+      "05/11 UBER *TRIP HELP.UBER.COM BR R$ 24,90")
+    Files.write(p.resolve("fatura_nov.pdf"), PdfFixture.pdf(Seq(lines)))
+    // a CSV beside it must be ignored by the PDF path
+    Files.writeString(p.resolve("extra.csv"), "a,b")
+
+    val got = Sources.extractPdfTexts(Sources.landingFiles(spark, root)).collect()
+    assert(got.length === 1)
+    assert(got(0).getString(0).endsWith("fatura_nov.pdf"))
+    assert(got(0).getString(1) === lines.mkString("\n"))
+  }
+
   test("readFormsCsv: quirky headers, BRL + date parse, NULL survival") {
     val dir = tmpDir()
     // FIXTURES §1: two header names contain embedded newlines; one row has
