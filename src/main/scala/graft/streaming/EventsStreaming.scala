@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{
+  GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig, ValueState}
 
 /** Structured Streaming re-expression of the reference's batch-level
   * incrementality (SURVEY §2.10): the control-table high watermark (I1)
@@ -67,5 +69,49 @@ object EventsStreaming {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.product[Session], Encoders.product[Session])
+  }
+
+  /** The same sessionization on Spark 4's `transformWithState` — the
+    * successor API to flatMapGroupsWithState: named state variables
+    * created against a handle (RocksDB-backed, TTL-capable, live
+    * schema-evolvable) instead of one opaque GroupState blob. Kept
+    * alongside [[sessionize]] so both stateful surfaces stay exercised. */
+  final class SessionProcessor extends StatefulProcessor[Long, Event, Session] {
+    @transient private var session: ValueState[Session] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      session = getHandle.getValueState[Session](
+        "session", Encoders.product[Session], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[Session] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_type))
+      var cur = if (session.exists()) session.get() else null
+      val out = Seq.newBuilder[Session]
+      sorted.foreach { e =>
+        if (cur == null) {
+          cur = Session(userId, e.ts_us, e.ts_us, 1L, e.value, closed = false)
+        } else if (e.ts_us - cur.session_end_us > SessionGapUs) {
+          out += cur.copy(closed = true)
+          cur = Session(userId, e.ts_us, e.ts_us, 1L, e.value, closed = false)
+        } else {
+          cur = cur.copy(session_end_us = math.max(cur.session_end_us, e.ts_us),
+            n_events = cur.n_events + 1, sum_value = cur.sum_value + e.value)
+        }
+      }
+      if (cur != null) { session.update(cur); out += cur }
+      out.result().iterator
+    }
+  }
+
+  /** Sessionization via transformWithState (Update mode, processing-time
+    * semantics — no timers used, state transitions are input-driven like
+    * [[sessionize]]). */
+  def sessionizeTws(events: Dataset[Event]): Dataset[Session] = {
+    implicit val sessionEnc: org.apache.spark.sql.Encoder[Session] =
+      Encoders.product[Session]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new SessionProcessor, TimeMode.None(),
+        OutputMode.Update())
   }
 }

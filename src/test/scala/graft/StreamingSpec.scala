@@ -36,6 +36,69 @@ class StreamingSpec extends SparkSpec {
     assert(rows === Set(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
 
+  test("sessionizeTws (transformWithState) matches flatMapGroupsWithState") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    // transformWithState state variables need the RocksDB provider
+    // (column families); the HDFS-backed default cannot host them
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.sessionizeTws(in.toDS())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode("update").start()
+    in.addData(Event(7L, us(0), "click", 1.0), Event(7L, us(10), "view", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(7L, us(20), "click", 4.0), Event(7L, us(70), "click", 8.0))
+    q.processAllAvailable()
+    val latest = spark.table("tws_out").collect().map { r =>
+      Session(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getBoolean(5))
+    }
+    q.stop()
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    val closed = latest.filter(_.closed)
+    val open   = latest.filter(s => !s.closed && s.session_start_us == us(70))
+    assert(closed.exists(s => s.n_events == 3 && s.sum_value == 7.0 &&
+      s.session_start_us == us(0) && s.session_end_us == us(20)))
+    assert(open.exists(s => s.n_events == 1 && s.sum_value == 8.0))
+  }
+
+  test("file source -> AvailableNow -> parquet sink: incremental, exactly-once") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft-stream-").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckDir = s"$root/ck"
+    Files.createDirectories(Paths.get(inDir))
+    Files.writeString(Paths.get(inDir, "batch1.csv"), "7,click,1.5\n8,view,2.5\n")
+
+    def runOnce(): Unit = {
+      val in = spark.readStream
+        .schema("user_id LONG, event_type STRING, value DOUBLE")
+        .csv(inDir)
+      val q = in.writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 2)
+    // restart with NO new files: checkpoint skips everything (the I3
+    // modifiedTime-skip semantics, carried by the engine not the driver)
+    runOnce()
+    assert(spark.read.parquet(outDir).count() === 2)
+    // a new landing file is picked up incrementally on the next run
+    Files.writeString(Paths.get(inDir, "batch2.csv"), "7,click,9.0\n")
+    runOnce()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === 3)
+    assert(out.agg(org.apache.spark.sql.functions.sum("value"))
+      .collect()(0).getDouble(0) === 13.0)
+  }
+
   test("sessionize: gap splits sessions, state persists across batches") {
     implicit val sql = spark.sqlContext
     implicit val enc = Encoders.product[Event]
