@@ -71,6 +71,33 @@ object Temporal {
           col("event_type"))
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value")))
 
+  /** Sliding (overlapping) windows via Spark's real `window(ts, size,
+    * slide)` — q14's tumbling companion; every event lands in
+    * size/slide = 2 windows. The oracle expands each event across its two
+    * aligned window starts with a generate_series cross join. Same
+    * streaming-ready shape: the identical expression runs under
+    * `readStream` with a watermark. */
+  val q41SlidingWindow: Q = Q(
+    "q41_sliding_window",
+    Some("""
+      WITH expanded AS (
+        SELECT (epoch_us(ts) // 300000000 - i) * 300 AS window_start,
+               event_type, value
+        FROM events, generate_series(0, 1) AS t(i))
+      SELECT window_start, event_type,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM expanded
+      GROUP BY 1, 2
+    """),
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_seconds(col("w.start")).as("window_start"),
+          col("event_type"), col("n_events"), col("sum_value")))
+
   /** JSON scalar extraction (F16 — to_json/from_json family;
     * json_writer.py:153,195): pull `props.k`, aggregate by it. */
   val q15JsonExtract: Q = Q(
@@ -255,5 +282,5 @@ object Temporal {
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
-    q37SessionizeBatch)
+    q37SessionizeBatch, q41SlidingWindow)
 }
