@@ -9,13 +9,17 @@ import graft.{Q, Tables}
   * opaque `binary` columns with a typed metadata struct, plus a
   * batch-shaped executor-side decode/feature-extract stage.
   *
-  * The decode itself is STUBBED (no image/audio codecs ship in this
-  * environment — see [[MediaDecoder.RealCodec]]); everything Spark-side is
-  * real and tested: the schema, the binary column construction, the
-  * `mapPartitions` batch shape (decoder init once per partition, stream of
-  * records per batch — the Scala-native equivalent of a pandas-batched
-  * UDF), and the partitioning posture (stateless per-row features: scan →
-  * project, no shuffle).
+  * Two decoders ship: [[MediaDecoder.RealCodec]] decodes real media with
+  * the JDK's own codecs (javax.imageio for PNG/JPEG/BMP/GIF,
+  * javax.sound.sampled for WAV/AIFF; video stays a documented seam — no
+  * JDK video codec), and [[MediaDecoder.DeterministicStub]] derives
+  * features from the payload bytes so the m02 pipeline stays
+  * DuckDB-oracle-checkable over the synthetic corpus (whose "media" is
+  * text bytes, not real images). Everything Spark-side is shared: the
+  * schema, the binary column construction, the `mapPartitions` batch
+  * shape (decoder init once per partition — the Scala-native equivalent
+  * of a pandas-batched UDF), and the partitioning posture (stateless
+  * per-row features: scan → project, no shuffle).
   */
 object Multimodal {
 
@@ -32,13 +36,71 @@ object Multimodal {
   }
 
   object MediaDecoder {
-    /** Real codec integration point. Intentionally unimplemented: no
-      * image/audio libraries exist in this environment. Swap this in for
-      * [[DeterministicStub]] when a codec (e.g. javax.imageio / ffmpeg
-      * bindings) is on the classpath. */
+    /** Real codec over the JDK's own media stack: images through
+      * `javax.imageio` (PNG/JPEG/BMP/GIF readers ship with the JDK —
+      * mean intensity is the average pixel luminance), audio through
+      * `javax.sound.sampled` (WAV/AIFF PCM — mean absolute sample
+      * amplitude scaled to 0-255). Video has no JDK codec, and undecodable
+      * payloads return the no-signal shape (0×0, intensity 0) rather than
+      * failing the batch — the per-record behavior a 100 TB decode pass
+      * needs (one corrupt file must not kill a partition). */
     object RealCodec extends MediaDecoder {
-      def decode(docId: Long, kind: String, bytes: Array[Byte]): MediaFeatures =
-        ??? // STUB: requires a codec library; see DeterministicStub
+      def decode(docId: Long, kind: String, bytes: Array[Byte]): MediaFeatures = {
+        val decoded = kind match {
+          case "image" => decodeImage(bytes)
+          case "audio" => decodeAudio(bytes)
+          case _ => None // no JDK video codec; integration seam for ffmpeg
+        }
+        decoded match {
+          case Some((w, h, mean)) =>
+            MediaFeatures(docId, kind, bytes.length.toLong, w, h, mean)
+          case None =>
+            MediaFeatures(docId, kind, bytes.length.toLong, 0, 0, 0.0)
+        }
+      }
+
+      private def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+        try {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          if (img == null) None
+          else {
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val rgb = img.getRGB(x, y)
+                sum += (((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)) / 3.0
+                x += 1
+              }
+              y += 1
+            }
+            val n = img.getWidth.toLong * img.getHeight
+            Some((img.getWidth, img.getHeight, if (n == 0) 0.0 else sum / n))
+          }
+        } catch { case _: Exception => None }
+
+      private def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Double)] =
+        try {
+          val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = in.getFormat
+          val data = in.readAllBytes()
+          in.close()
+          if (fmt.getSampleSizeInBits != 16 || data.length < 2) None
+          else {
+            val buf = java.nio.ByteBuffer.wrap(data).order(
+              if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+              else java.nio.ByteOrder.LITTLE_ENDIAN)
+            var sum = 0.0
+            val n = data.length / 2
+            var i = 0
+            while (i < n) { sum += math.abs(buf.getShort(i * 2).toDouble); i += 1 }
+            // (frames, channels) stand in for (width, height); amplitude 0-255
+            Some(((n / fmt.getChannels), fmt.getChannels,
+              sum / n / 32768.0 * 255.0))
+          }
+        } catch { case _: Exception => None }
     }
 
     /** Deterministic fake decode used for tests and the pipeline drive:

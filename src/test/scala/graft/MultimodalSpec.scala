@@ -31,6 +31,67 @@ class MultimodalSpec extends SparkSpec {
     assert(mean > 32.0 && mean < 127.0)
   }
 
+  test("RealCodec decodes an actual PNG via the JDK ImageIO stack") {
+    // 4x2 image, half black half white -> mean intensity 127.5
+    val img = new java.awt.image.BufferedImage(4, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach { x =>
+      img.setRGB(x, 0, 0x000000)
+      img.setRGB(x, 1, 0xFFFFFF)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.MediaDecoder.RealCodec.decode(1L, "image", bos.toByteArray)
+    assert(f.width === 4 && f.height === 2)
+    assert(math.abs(f.mean_intensity - 127.5) < 1e-9)
+    assert(f.n_bytes === bos.toByteArray.length.toLong)
+  }
+
+  test("RealCodec decodes an actual WAV via javax.sound.sampled") {
+    // 16-bit mono PCM, constant amplitude 16384 -> mean |sample| = 16384
+    val samples = Array.fill[Short](64)(16384.toShort)
+    val pcm = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(pcm.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val f = Multimodal.MediaDecoder.RealCodec.decode(2L, "audio", bos.toByteArray)
+    assert(f.width === 64 && f.height === 1) // frames x channels
+    assert(math.abs(f.mean_intensity - 16384.0 / 32768.0 * 255.0) < 1e-6)
+  }
+
+  test("RealCodec survives undecodable payloads with the no-signal shape") {
+    val f = Multimodal.MediaDecoder.RealCodec.decode(3L, "image",
+      "not an image".getBytes("UTF-8"))
+    assert(f.width === 0 && f.height === 0 && f.mean_intensity === 0.0)
+    val v = Multimodal.MediaDecoder.RealCodec.decode(4L, "video", Array[Byte](1, 2))
+    assert(v.width === 0 && v.n_bytes === 2L)
+  }
+
+  test("decodeFeatures runs the RealCodec through the same batch shape") {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = LocalTable.of(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("kind",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))),
+      Seq(org.apache.spark.sql.Row(1L, "image", bos.toByteArray)))
+    val out = Multimodal.decodeFeatures(media, () => Multimodal.MediaDecoder.RealCodec)
+      .collect()(0)
+    assert(out.getAs[Int]("width") === 2 && out.getAs[Int]("height") === 2)
+    assert(out.getAs[Double]("mean_intensity") === 0.0) // all-black default
+  }
+
   test("n_bytes matches the text byte length end-to-end") {
     val docs = Tables(spark, sfDir, "documents").limit(10)
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(docs),
