@@ -147,7 +147,10 @@ object Similarity {
       .select(col("vec_id").as("idb"), col("embedding").as("eb"),
         explode(sequence(lit(0), col("blk"))).as("cell_r"),
         col("blk").as("cell_c"))
-    a.join(b, Seq("cell_r", "cell_c"))
+    // hash join, not sort-merge: 36 tiny join keys with huge per-key
+    // match counts — SMJ's sorted-row buffering dominates; a hash build
+    // of the (small) replicated side streams the probe side through
+    a.join(b.hint("shuffle_hash"), Seq("cell_r", "cell_c"))
       .filter(col("cell_r") =!= col("cell_c") || col("ida") < col("idb"))
       .select(least(col("ida"), col("idb")).as("vec_a"),
         greatest(col("ida"), col("idb")).as("vec_b"),

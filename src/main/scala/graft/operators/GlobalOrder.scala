@@ -41,8 +41,12 @@ object GlobalOrder {
       rnCol: String = "rn", rnkCol: String = "rnk",
       drnkCol: String = "drnk"): Ranked = {
     val spark = df.sparkSession
+    // localCheckpoint: the stats pass and the output pass both need the
+    // range-partitioned frame; materializing it once halves the exchanges
+    // (executor-pinned blocks — the standard two-pass-rank trade)
     val parts = df.repartitionByRange(sortExprs: _*)
       .withColumn(PID, spark_partition_id())
+      .localCheckpoint()
     val stats = parts.groupBy(col(PID))
       .agg(count(lit(1)).as("cnt"),
         count_distinct(struct(tieCols: _*)).as("dcnt"))
