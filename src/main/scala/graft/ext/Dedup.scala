@@ -58,14 +58,24 @@ object Dedup {
     * aggregate per outer element (64× recompute of the full token scan,
     * interpreted) — the explode/agg shape hashes each token exactly once
     * and stays inside whole-stage codegen. Returns (idCol, "sig"). */
+  /** SimHash signature width: 60 bits (15 hex chars of md5) — the token
+    * hash is md5-derived so the whole signature is reproducible in ANSI
+    * SQL (DuckDB computes the identical value), which is what makes d08
+    * oracle-checkable; 60 = 4 bands × 15 bits for the banding. */
+  val SimhashBits = 60
+  val SimhashBands = 4
+  val SimhashBandBits: Int = SimhashBits / SimhashBands
+
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perTok = docs
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val bitSums = (0 until 64).map { b =>
+      // 60-bit token hash from md5 — cross-engine reproducible (DuckDB:
+      // CAST('0x' || substr(md5(tok),1,15) AS BIGINT))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until SimhashBits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"b$b")
     }
-    val sig = (0 until 64).foldLeft(lit(0L)) { (acc, b) =>
+    val sig = (0 until SimhashBits).foldLeft(lit(0L)) { (acc, b) =>
       acc + when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }
     val sigs = perTok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
@@ -75,7 +85,7 @@ object Dedup {
       .select(col(idCol), coalesce(col("sig"), lit(0L)).as("sig"))
   }
 
-  /** Hamming distance between two 64-bit signatures. */
+  /** Hamming distance between two signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   // ---- catalog queries -----------------------------------------------
@@ -128,7 +138,31 @@ object Dedup {
     * d06's exact answer. */
   val d07MinhashLsh: Q = Q(
     "d07_minhash_lsh_neardup",
-    None,
+    // The oracle is the EXACT brute-force Jaccard answer: every emitted
+    // pair is exact-verified (so output ⊆ exact always), and the banding
+    // (8×2 over the corpus' J≥0.78 near-dup pairs: miss ≤ (1-J²)⁸ ≈ 1e-3)
+    // catches every true pair on the gate corpus — DedupSpec proves
+    // recall == exact, and the gate data is fixed, so equality is
+    // deterministic. The seeded MinHash internals stay un-expressed in
+    // SQL; the CONTRACT (exact result set) is what the gate checks.
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                   THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                        / len(list_distinct(a.sh || b.sh))
+                   ELSE 0.0 END, 4) AS jaccard
+      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      WHERE jaccard >= 0.5
+    """),
     (s, dir) => minhashNearDupPairs(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       nGram = 3, k = 16, bands = 8, rowsPerBand = 2, threshold = 0.5))
@@ -164,18 +198,50 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** SimHash near-dup pairs: 64-bit signatures, candidates from any shared
-    * 16-bit band (4 bands ⇒ recall 1.0 for hamming ≤ 3 by pigeonhole),
-    * verified by exact hamming ≤ 3. Rows-only driver check. */
+  /** SimHash near-dup pairs: 60-bit md5-derived signatures, candidates
+    * from any shared 15-bit band (4 bands ⇒ recall 1.0 for hamming ≤ 3 by
+    * PIGEONHOLE — 3 differing bits can dirty at most 3 of the 4 bands, so
+    * a ≤3-hamming pair always shares a clean band; no probabilistic
+    * caveat). The oracle recomputes the identical signatures in SQL and
+    * takes the exact hamming ≤ 3 pairs brute-force. */
   val d08SimhashPairs: Q = Q(
     "d08_simhash_neardup",
-    None,
+    Some("""
+      WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                 regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      hashed AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) AS h
+        FROM toks),
+      bits AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN (h // (CAST(1 AS BIGINT) << b)) % 2 = 1
+                   THEN 1 ELSE -1 END) AS s
+        FROM hashed, generate_series(0, 59) AS g(b)
+        GROUP BY 1, 2),
+      sigs0 AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b)
+                        ELSE 0 END) AS BIGINT) AS sig
+        FROM bits GROUP BY 1),
+      sigs AS (
+        SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+        FROM documents d LEFT JOIN sigs0 s USING (doc_id))
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+      FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    """),
     (s, dir) => {
       val sigs = simhashSignatures(Tables(s, dir, "documents"), "doc_id", "text")
-      val banded = sigs.withColumn("band_id", explode(sequence(lit(0), lit(3))))
+      val banded = sigs
+        .withColumn("band_id", explode(sequence(lit(0), lit(SimhashBands - 1))))
         .withColumn("band_val",
-          call_function("shiftright", col("sig"), col("band_id") * 16)
-            .bitwiseAND(0xFFFFL))
+          call_function("shiftright", col("sig"), col("band_id") * SimhashBandBits)
+            .bitwiseAND((1L << SimhashBandBits) - 1))
       val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
         col("band_id"), col("band_val"))
       val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
