@@ -159,7 +159,7 @@ object Similarity {
   }
 
   /** Approximate NN via random-hyperplane LSH: 12-bit signatures, probe
-    * the query's bucket plus all buckets at hamming ≤ 2, exact-rescore
+    * the query's bucket plus all buckets at hamming ≤ 3, exact-rescore
     * candidates. Seeded-hash hyperplanes are not ANSI-SQL-expressible →
     * rows-only driver check; recall vs s01 proven in SimilaritySpec. */
   val s04AnnLsh: Q = Q(
@@ -167,18 +167,39 @@ object Similarity {
     None,
     (s, dir) => annTopK(emb(s, dir), queryVecId = 0, k = 10, nBits = 12, maxProbeHamming = 3))
 
-  /** LSH-bucketed approximate top-k for one query id. */
+  /** All signatures within `maxHamming` bit flips of `sig` — the probe
+    * bucket set. C(nBits, ≤3) stays small (299 for 12 bits); at larger
+    * nBits drop maxProbeHamming or move to banded multi-probe. */
+  private[graft] def hammingBall(sig: Long, nBits: Int, maxHamming: Int): Seq[Long] = {
+    var frontier = Set(sig)
+    var all = Set(sig)
+    (1 to maxHamming).foreach { _ =>
+      frontier = for { s <- frontier; b <- (0 until nBits).toSet[Int] }
+        yield s ^ (1L << b)
+      all ++= frontier
+    }
+    all.toSeq.sorted
+  }
+
+  /** LSH-bucketed approximate top-k for one query id.
+    *
+    * The probe is a PRUNED equi-lookup, not a scan-and-filter: the
+    * hamming ball around the query signature is enumerated driver-side
+    * (k×nBits model math, like IVF's probe-list selection) and becomes a
+    * `sig IN (...)` predicate — pushdown-able into a sig-sorted/bucketed
+    * corpus layout, where a computed bit_count(xor) filter never is. */
   def annTopK(embeddings: DataFrame, queryVecId: Long, k: Int, nBits: Int,
       maxProbeHamming: Int): DataFrame = {
     val sigs = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       lshSignature(col("embedding"), nBits).as("sig"))
-    val q = sigs.filter(col("vec_id") === queryVecId)
-      .select(col("sig").as("qsig"), col("embedding").as("qe"))
-    sigs.filter(col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(q))
-      .filter(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= maxProbeHamming)
+    val qRow = sigs.filter(col("vec_id") === queryVecId)
+      .select(col("sig"), col("embedding")).head()
+    val (qsig, qe) = (qRow.getLong(0), qRow.getSeq[Float](1).toIndexedSeq)
+    val probeSigs = hammingBall(qsig, nBits, maxProbeHamming)
+    sigs.filter(col("vec_id") =!= queryVecId &&
+        col("sig").isin(probeSigs: _*))
       .select(col("vec_id"), col("label"),
-        round(cosine(col("embedding"), col("qe")), 6).as("cos_sim"))
+        round(cosine(col("embedding"), typedlit(qe)), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id").asc)
       .limit(k)
   }

@@ -43,6 +43,19 @@ class SimilaritySpec extends SparkSpec {
     val exactBest = Similarity.s01CosineTopk.run(spark, sfDir)
       .agg(max("cos_sim")).collect()(0).getDouble(0)
     assert(ann.map(_.getDouble(1)).max <= exactBest + 1e-9)
+    // the probe is a pruned IN-lookup on the signature, not a computed
+    // hamming filter over every row
+    val plan = Similarity.annTopK(e, 0, 10, 12, 3)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("INSET"), plan.take(800))
+    assert(!plan.contains("bit_count"), plan.take(800))
+  }
+
+  test("hammingBall enumerates exactly the ≤h-flip neighborhood") {
+    val ball = Similarity.hammingBall(0L, 12, 3)
+    assert(ball.length === 1 + 12 + 66 + 220) // C(12,0..3)
+    assert(ball.forall(s => java.lang.Long.bitCount(s) <= 3))
+    assert(Similarity.hammingBall(5L, 12, 0) === Seq(5L))
   }
 
   test("ANN-LSH recall is high on clustered data (planted near-neighbors)") {
