@@ -161,7 +161,37 @@ object Scalars {
             greatest(abs(col("p50_exact")) * 0.05, lit(0.5))).as("approx_p50_ok"))
     })
 
+  /** Mergeable Datasketches HLL (Spark 4 `hll_sketch_agg` /
+    * `hll_union_agg`): sketches built per (flag, status) sub-group then
+    * UNIONED to per-flag estimates — the shape that matters at 100 TB,
+    * where per-partition/per-day sketches are persisted once and every
+    * rollup is a cheap union instead of a re-scan (exact DISTINCT cannot
+    * pre-aggregate this way). Checked against the exact count with the
+    * q40 bounds pattern. */
+  val q42HllMergeable: Q = Q(
+    "q42_hll_mergeable",
+    Some("""
+      SELECT l_returnflag,
+             count(DISTINCT l_partkey) AS n_exact,
+             TRUE AS sketch_ok
+      FROM lineitem
+      GROUP BY l_returnflag
+    """),
+    (s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      val perPart = li.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+      val merged = perPart.groupBy(col("l_returnflag"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, false))").as("n_approx"))
+      val exact = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_exact"))
+      exact.join(merged, "l_returnflag")
+        .select(col("l_returnflag"), col("n_exact"),
+          (abs(col("n_approx") - col("n_exact")) <=
+            col("n_exact") * 0.05).as("sketch_ok"))
+    })
+
   val all: Seq[Q] = Seq(
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
-    q40ApproxSketches)
+    q40ApproxSketches, q42HllMergeable)
 }

@@ -118,6 +118,23 @@ object PagedConnector {
   def markProcessed(state: State, meta: FileMeta): State =
     state + (meta.id -> (meta.modifiedTime, meta.size))
 
+  // ---- I5 daily-run guard --------------------------------------------
+
+  private def runKey(job: String) = "__run:" + job
+
+  /** I5 — daily-run guard (the reference's Airflow-side skip-if-already-
+    * uploaded-today check, forms job :104-121): true when the state file
+    * records a successful run of `job` for `day`. The day is passed in
+    * (never read from a clock) so reruns and tests are deterministic. */
+  def alreadyRanOn(statePath: Path, job: String, day: String): Boolean =
+    loadState(statePath).get(runKey(job)).exists(_._1 == day)
+
+  /** Record a successful run of `job` for `day` (atomic, same file as
+    * the file-skip state). */
+  def markRun(statePath: Path, job: String, day: String): Unit =
+    saveState(statePath,
+      markProcessed(loadState(statePath), FileMeta(runKey(job), job, day, 0L)))
+
   // ---- flat JSON codec (id -> {modifiedTime, size}), JDK-only ---------
 
   private def renderState(state: State): String =

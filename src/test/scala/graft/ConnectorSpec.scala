@@ -109,6 +109,22 @@ class ConnectorSpec extends SparkSpec {
     assert(byKey === Map("doc1.txt" -> 3L, "doc2.txt" -> 1L))
   }
 
+  test("I5 daily-run guard: one run per day per job, reset next day") {
+    val statePath = tmpDir().resolve("_state.json")
+    assert(!PagedConnector.alreadyRanOn(statePath, "forms", "2026-08-12"))
+    PagedConnector.markRun(statePath, "forms", "2026-08-12")
+    assert(PagedConnector.alreadyRanOn(statePath, "forms", "2026-08-12"))
+    assert(!PagedConnector.alreadyRanOn(statePath, "forms", "2026-08-13"))
+    assert(!PagedConnector.alreadyRanOn(statePath, "other_job", "2026-08-12"))
+    // the guard coexists with file-skip entries in the same state file
+    PagedConnector.saveState(statePath, PagedConnector.markProcessed(
+      PagedConnector.loadState(statePath),
+      FileMeta("a.pdf", "a.pdf", "t1", 3L)))
+    assert(PagedConnector.alreadyRanOn(statePath, "forms", "2026-08-12"))
+    assert(PagedConnector.shouldSkip(FileMeta("a.pdf", "a.pdf", "t1", 3L),
+      PagedConnector.loadState(statePath)))
+  }
+
   // ---- S6 projection builder -----------------------------------------
 
   private val pgCols = Seq(
