@@ -58,6 +58,24 @@ class PropertySpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("property: PDF write → extract round-trips arbitrary latin-1 lines") {
+    // hostile content: parens, backslashes, accents, digits, punctuation
+    val lineGen = Gen.listOfN(8, Gen.frequency(
+      10 -> Gen.alphaNumChar,
+      3 -> Gen.oneOf('(', ')', '\\', 'ã', 'ç', 'É', ' ', ',', '/', '$', '-'),
+      1 -> Gen.oneOf('*', '%', '<', '>', '[', ']'))).map(_.mkString)
+    val docs = sample(Gen.listOfN(30, Gen.listOfN(4, lineGen)))
+    docs.foreach { lines =>
+      // PDF text layout cannot represent blank/whitespace-only lines
+      val ls = lines.map(_.trim).filter(_.nonEmpty)
+      val viaPdf = graft.parse.PdfText.extractText(PdfFixture.pdf(Seq(ls)))
+      assert(viaPdf === ls.mkString("\n"), s"lines=$ls")
+      val raw = graft.parse.PdfText.extractText(
+        PdfFixture.pdf(Seq(ls), compress = false))
+      assert(raw === ls.mkString("\n"), s"uncompressed lines=$ls")
+    }
+  }
+
   test("property: conformToSchema always matches the destination schema") {
     val dest = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),
