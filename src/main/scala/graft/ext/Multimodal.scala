@@ -118,6 +118,67 @@ object Multimodal {
     }
   }
 
+  /** Media transforms beyond decode — the resize / frame-sample stages of
+    * a training-data pipeline, real JDK implementations through the same
+    * per-partition batch shape as [[decodeFeatures]]. */
+  object MediaTransforms {
+
+    /** Re-encoded PNG scaled to (w, h) via Graphics2D bilinear drawImage;
+      * None when the payload is not a decodable image. */
+    def resizeImage(bytes: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } catch { case _: Exception => None }
+
+    /** Every `stride`-th frame of a multi-frame image container (animated
+      * GIF — the JDK's only multi-frame reader), re-encoded as PNGs.
+      * Single-frame formats yield their one frame when sampled. */
+    def sampleFrames(bytes: Array[Byte], stride: Int): Seq[Array[Byte]] = {
+      require(stride > 0)
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) return Seq.empty
+        val reader = readers.next()
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (0 until n by stride).map { i =>
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(reader.read(i), "png", bos)
+          bos.toByteArray
+        }
+      } catch { case _: Exception => Seq.empty }
+      finally iis.close()
+    }
+  }
+
+  /** Resize stage over a media frame: (doc_id, media) → (doc_id, resized
+    * binary | null, out_w, out_h) — per-partition batched like
+    * [[decodeFeatures]], stateless projection shape (no shuffle). */
+  def resizeImages(media: DataFrame, w: Int, h: Int): DataFrame = {
+    val ds = media.select(col("doc_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    ds.map { case (id, bytes) =>
+      (id, MediaTransforms.resizeImage(bytes, w, h).orNull, w, h)
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY,
+      Encoders.scalaInt, Encoders.scalaInt))
+      .toDF("doc_id", "resized", "out_w", "out_h")
+  }
+
   /** Synthesize a media table from `documents`: text bytes stand in for
     * media payloads; kind/metadata derived deterministically. Schema:
     * (doc_id, kind, media binary, meta struct). */

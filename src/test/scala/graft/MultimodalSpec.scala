@@ -92,6 +92,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Double]("mean_intensity") === 0.0) // all-black default
   }
 
+  private def pngBytes(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("resizeImage scales a real PNG; resizeImages runs the batch shape") {
+    val resized = Multimodal.MediaTransforms.resizeImage(pngBytes(4, 2, 0xFF0000), 2, 1)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.get))
+    assert(back.getWidth === 2 && back.getHeight === 1)
+    assert((back.getRGB(0, 0) & 0xFFFFFF) === 0xFF0000) // color survives
+    assert(Multimodal.MediaTransforms.resizeImage("junk".getBytes, 2, 2).isEmpty)
+
+    val media = LocalTable.of(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))),
+      Seq(org.apache.spark.sql.Row(1L, pngBytes(8, 8, 0x00FF00)),
+        org.apache.spark.sql.Row(2L, "not-an-image".getBytes)))
+    val out = Multimodal.resizeImages(media, 4, 4)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Array[Byte]]("resized") != null)
+    assert(out(1).isNullAt(1)) // undecodable → null, batch survives
+    assert(out(0).getAs[Int]("out_w") === 4)
+  }
+
+  test("sampleFrames strides through a real animated GIF") {
+    // 4-frame animated GIF via the JDK GIF writer's sequence API
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    val colors = Seq(0xFF0000, 0x00FF00, 0x0000FF, 0xFFFFFF)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 2).foreach(x => (0 until 2).foreach(y => img.setRGB(x, y, c)))
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close()
+    val gif = bos.toByteArray
+
+    val all = Multimodal.MediaTransforms.sampleFrames(gif, 1)
+    assert(all.length === 4)
+    val sampled = Multimodal.MediaTransforms.sampleFrames(gif, 2)
+    assert(sampled.length === 2) // frames 0 and 2
+    // sampled frames are valid PNGs with the right colors
+    val f0 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(sampled(0)))
+    assert((f0.getRGB(0, 0) & 0xFFFFFF) === 0xFF0000)
+    // a single-frame PNG yields its one frame; junk yields none
+    assert(Multimodal.MediaTransforms.sampleFrames(pngBytes(2, 2, 0), 2).length === 1)
+    assert(Multimodal.MediaTransforms.sampleFrames("junk".getBytes, 1).isEmpty)
+  }
+
   test("n_bytes matches the text byte length end-to-end") {
     val docs = Tables(spark, sfDir, "documents").limit(10)
     val feats = Multimodal.decodeFeatures(Multimodal.mediaTable(docs),
