@@ -279,8 +279,46 @@ object Temporal {
           round(sum(col("value")), 2).as("sum_value"))
     })
 
+  /** q37's sessionization through Spark's NATIVE `session_window`
+    * (Catalyst SessionWindow + the session-merging aggregation path, the
+    * same operator Structured Streaming uses with a watermark): one
+    * expression instead of two windows + running sum. Window end is
+    * last-event + gap by definition, which the oracle mirrors. */
+  val q43SessionWindowNative: Q = Q(
+    "q43_session_window_native",
+    Some("""
+      WITH e AS (
+        SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events),
+      b AS (
+        SELECT *,
+          CASE WHEN lag(ts_us) OVER w IS NULL
+                    OR ts_us - lag(ts_us) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS boundary
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      sess AS (
+        SELECT *, sum(boundary) OVER (PARTITION BY user_id
+                                      ORDER BY ts_us, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM b)
+      SELECT user_id,
+             min(ts_us) AS session_start_us,
+             max(ts_us) + 1800000000 AS session_end_us,
+             count(*) AS n_events,
+             round(sum(value), 2) AS sum_value
+      FROM sess GROUP BY user_id, session_no
+    """),
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("sum_value")))
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
-    q37SessionizeBatch, q41SlidingWindow)
+    q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative)
 }
