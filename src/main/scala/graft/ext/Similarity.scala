@@ -26,10 +26,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.plans.CosineSimilarityExpr.cosineSim(a, b)
 
-  /** Random-hyperplane sign bit: hyperplane `p`'s component for dimension
-    * `d` is ±1 derived from a seeded hash — deterministic, no stored
-    * model. Returns the `nBits`-bit signature of `v`. */
+  /** Random-hyperplane sign bits: hyperplane `p`'s component for
+    * dimension `d` is ±1 derived from a seeded hash — deterministic, no
+    * stored model. Returns the `nBits`-bit signature of `v`. Native
+    * codegen'd kernel (graft.plans.LshSignatureExpr); the equivalent
+    * nested-HOF chain re-inlines the projection per hyperplane,
+    * interpreted. */
   def lshSignature(v: Column, nBits: Int): Column =
+    graft.plans.LshSignatureExpr.lshSig(v, nBits)
+
+  /** The HOF formulation the kernel replaces — kept as the parity
+    * reference (SimilaritySpec asserts bit-identical signatures). */
+  private[graft] def lshSignatureHof(v: Column, nBits: Int): Column =
     aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
       (acc, p) => {
         val proj = aggregate(

@@ -225,3 +225,57 @@ object CosineSimilarityExpr {
       CosineSimilarityExpr(GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
   }
 }
+
+/** Native random-hyperplane LSH signature: hyperplane p's component for
+  * dimension d is ±1 from the low bit of the chained
+  * xxhash64(p, d) (seed 42 — Spark's own), bit p of the result is the
+  * sign of the projection. Bit-identical to the nested-HOF formulation it
+  * replaces (`aggregate(sequence, …, zip_with(…))`), which re-inlined the
+  * inner aggregate per hyperplane — interpreted AND O(nBits·dim) with
+  * per-element lambda dispatch. One tight codegen'd loop instead.
+  */
+case class LshSignatureExpr(child: Expression, nBits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    LshSignatureExpr.signature(input.asInstanceOf[ArrayData].toFloatArray(), nBits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.LshSignatureExpr.signature($a.toFloatArray(), $nBits)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSignatureExpr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Tight-loop kernel, shared by interpreted eval and generated code.
+    * Hash chaining replicates Spark's `xxhash64(p, d)` on two ints:
+    * h = hashInt(d, hashInt(p, 42)). */
+  def signature(v: Array[Float], nBits: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < nBits) {
+      val hp = XXH64.hashInt(p, 42L)
+      var proj = 0.0
+      var d = 0
+      while (d < v.length) {
+        proj += v(d).toDouble *
+          (if ((XXH64.hashInt(d, hp) & 1L) == 1L) 1.0 else -1.0)
+        d += 1
+      }
+      if (proj > 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def lshSig(c: Column, nBits: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(LshSignatureExpr(GraftSqlBridge.expression(c), nBits))
+  }
+}

@@ -51,6 +51,16 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("bit_count"), plan.take(800))
   }
 
+  test("LSH signature kernel is bit-identical to the HOF formulation") {
+    val e = Tables(spark, sfDir, "embeddings").limit(100)
+    val both = e.select(
+      Similarity.lshSignature(org.apache.spark.sql.functions.col("embedding"), 12).as("k"),
+      Similarity.lshSignatureHof(org.apache.spark.sql.functions.col("embedding"), 12).as("h"))
+    assert(both.filter(org.apache.spark.sql.functions.col("k") =!=
+      org.apache.spark.sql.functions.col("h")).count() === 0)
+    assert(both.filter(org.apache.spark.sql.functions.col("k") >= (1L << 12)).count() === 0)
+  }
+
   test("hammingBall enumerates exactly the ≤h-flip neighborhood") {
     val ball = Similarity.hammingBall(0L, 12, 3)
     assert(ball.length === 1 + 12 + 66 + 220) // C(12,0..3)
