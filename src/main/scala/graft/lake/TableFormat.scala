@@ -111,7 +111,9 @@ object ParquetTableFormat extends TableFormat {
   def createExternalTable(spark: SparkSession, table: String, path: String): DataFrame = {
     spark.sql(s"DROP TABLE IF EXISTS $table")
     spark.sql(s"CREATE TABLE $table USING PARQUET LOCATION '$path'")
-    spark.sql(s"MSCK REPAIR TABLE $table")
+    // MSCK only applies to partitioned tables (unpartitioned ones reject it)
+    if (spark.catalog.listColumns(table).filter(_.isPartition).count() > 0)
+      spark.sql(s"MSCK REPAIR TABLE $table")
     spark.table(table)
   }
 
@@ -120,6 +122,30 @@ object ParquetTableFormat extends TableFormat {
   def repairTable(spark: SparkSession, table: String): Unit = {
     spark.sql(s"MSCK REPAIR TABLE $table")
     spark.catalog.refreshTable(table)
+  }
+
+  /** Destination-side schema evolution (the ALTER half of the
+    * reference's evoluir_schema, datatrack_spark_utils.py:221-302 —
+    * `Lake.conformToSchema` is the source half): ADD COLUMNS for every
+    * source field the catalog table lacks. Returns the added names.
+    * Type changes are rejected loudly — silent coercion corrupts lakes. */
+  def evolveTable(spark: SparkSession, table: String,
+      source: org.apache.spark.sql.types.StructType): Seq[String] = {
+    val existing = spark.table(table).schema
+    val byName = existing.fields.map(f => f.name -> f.dataType).toMap
+    source.fields.foreach { f =>
+      byName.get(f.name).foreach { t =>
+        require(t == f.dataType,
+          s"evolveTable: column ${f.name} is $t in $table but ${f.dataType} in source")
+      }
+    }
+    val missing = source.fields.filter(f => !byName.contains(f.name))
+    if (missing.nonEmpty) {
+      val cols = missing.map(f => s"${f.name} ${f.dataType.sql}").mkString(", ")
+      spark.sql(s"ALTER TABLE $table ADD COLUMNS ($cols)")
+      spark.catalog.refreshTable(table)
+    }
+    missing.map(_.name).toIndexedSeq
   }
 
   override def merge(spark: SparkSession, path: String, source: DataFrame,

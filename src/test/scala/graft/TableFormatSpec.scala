@@ -94,6 +94,27 @@ class TableFormatSpec extends SparkSpec {
     spark.sql("DROP TABLE graft_ddl_spec")
   }
 
+  test("evolveTable adds missing columns, rejects type changes") {
+    val path = Files.createTempDirectory("graft-evolve-").toString + "/table"
+    fmt.createOrAppend(df((1L, "a", 1L)), path, Nil)
+    fmt.createExternalTable(spark, "graft_evolve_spec", path)
+    val evolved = StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType),
+      StructField("ver", LongType), StructField("extra", DoubleType)))
+    assert(fmt.evolveTable(spark, "graft_evolve_spec", evolved) === Seq("extra"))
+    // idempotent: nothing further to add
+    assert(fmt.evolveTable(spark, "graft_evolve_spec", evolved) === Seq.empty)
+    // old rows read back with NULL in the new column
+    val r = spark.table("graft_evolve_spec").select("k", "extra").collect()(0)
+    assert(r.getLong(0) === 1L && r.isNullAt(1))
+    // incompatible type change fails loudly
+    intercept[IllegalArgumentException] {
+      fmt.evolveTable(spark, "graft_evolve_spec",
+        StructType(Seq(StructField("v", LongType))))
+    }
+    spark.sql("DROP TABLE graft_evolve_spec")
+  }
+
   test("salted equi-join matches the plain join on skewed data") {
     // heavy skew: 90% of rows share key 7
     val rows = (1L to 1000L).map(i => (if (i <= 900) 7L else i, s"r$i", 1L))
