@@ -185,5 +185,110 @@ object TextStats {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_doc_id"))
         .filter(col("n_docs") > 1))
 
-  val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore, d04ExactDedup, d05PrefixDedupGroups)
+  /** PII scrubbing — masking emails / CPF / BR phone numbers before text
+    * lands in a training corpus. The corpus is synthetic, so each doc is
+    * first salted with DETERMINISTIC PII built from its id (both engines
+    * construct the identical string), then scrubbed; counts come from
+    * regexp_count. Patterns stay in the Java∩RE2 common subset (character
+    * classes only — no lookaround) so Spark and DuckDB agree. */
+  val d09PiiScrub: Q = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val cpf = "\\d{3}\\.\\d{3}\\.\\d{3}-\\d{2}"
+    val phone = "\\(\\d{2}\\) \\d{4,5}-\\d{4}"
+    Q(
+      "d09_pii_scrub",
+      Some(s"""
+        WITH salted AS (
+          SELECT doc_id,
+                 text || ' contato: user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com cpf 123.456.789-0' || CAST(doc_id % 10 AS VARCHAR)
+                      || ' tel (85) 9999-000' || CAST(doc_id % 10 AS VARCHAR) AS t
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(t, '$email')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(t, '$cpf')) AS INTEGER) AS n_cpfs,
+               CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER) AS n_phones,
+               substr(regexp_replace(regexp_replace(regexp_replace(t,
+                 '$email', '[EMAIL]', 'g'), '$cpf', '[CPF]', 'g'),
+                 '$phone', '[PHONE]', 'g'), 1, 80) AS scrubbed_prefix
+        FROM salted
+      """),
+      (s, dir) => {
+        val salted = Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            lit(" contato: user"), col("doc_id").cast("string"),
+            lit("@example.com cpf 123.456.789-0"), (col("doc_id") % 10).cast("string"),
+            lit(" tel (85) 9999-000"), (col("doc_id") % 10).cast("string")).as("t"))
+        salted.select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).cast("int").as("n_emails"),
+          regexp_count(col("t"), lit(cpf)).cast("int").as("n_cpfs"),
+          regexp_count(col("t"), lit(phone)).cast("int").as("n_phones"),
+          substring(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "[EMAIL]"), cpf, "[CPF]"), phone, "[PHONE]"), 1, 80)
+            .as("scrubbed_prefix"))
+      })
+  }
+
+  /** Vocabulary building — the corpus token count table every tokenizer
+    * train run starts from: explode tokens → count → deterministic top-50
+    * (count desc, token asc). Map-side partial aggregation makes this one
+    * shuffle of distinct tokens regardless of corpus size. */
+  val d10Vocabulary: Q = Q(
+    "d10_vocabulary",
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t <> '')) AS token
+        FROM documents)
+      SELECT token, count(*) AS freq
+      FROM toks
+      GROUP BY token
+      ORDER BY freq DESC, token ASC
+      LIMIT 50
+    """),
+    (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc)
+        .limit(50))
+
+  /** Deterministic hash-based train/val/test split — THE canonical
+    * training-data assignment: bucket = md5-derived hash of the doc id
+    * mod 100 (cross-engine reproducible, stable under reruns and
+    * repartitioning, no RNG), 80/10/10. Aggregated per split so the gate
+    * checks the whole assignment, not a sample. */
+  val d11SplitAssign: Q = Q(
+    "d11_split_assign",
+    Some("""
+      WITH assigned AS (
+        SELECT doc_id, n_chars,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents)
+      SELECT CASE WHEN bucket < 80 THEN 'train'
+                  WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+             count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars
+      FROM assigned
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).as("bucket")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), bucket)
+        .select(
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"),
+          col("n_chars"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+    })
+
+  val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
+    d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
+    d11SplitAssign)
 }
