@@ -288,7 +288,74 @@ object TextStats {
           sum(col("n_chars")).cast("long").as("total_chars"))
     })
 
+  /** Train/test contamination check (decontamination pass): d11's test
+    * split joined against its train split on the shared-prefix
+    * fingerprint (overlap detection by content prefix, the practical
+    * decontamination criterion — exact full-text equality misses
+    * near-copies). Equi-join on the fingerprint — never a cross-split
+    * scan; at 100 TB both sides are one shuffle on the hash. */
+  val d12Contamination: Q = Q(
+    "d12_contamination",
+    Some("""
+      WITH assigned AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      fp AS (
+        SELECT doc_id, bucket, md5(substr(text, 1, 40)) AS fp
+        FROM assigned)
+      SELECT t.doc_id AS test_doc, tr.doc_id AS train_doc
+      FROM fp t JOIN fp tr ON t.fp = tr.fp
+      WHERE t.bucket >= 90 AND tr.bucket < 80
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).as("bucket")
+      val fp = Tables(s, dir, "documents")
+        .select(col("doc_id"), bucket, prefixFingerprint(col("text"), 40).as("fp"))
+      val test = fp.filter(col("bucket") >= 90)
+        .select(col("doc_id").as("test_doc"), col("fp"))
+      val train = fp.filter(col("bucket") < 80)
+        .select(col("doc_id").as("train_doc"), col("fp"))
+      test.join(train, "fp").select(col("test_doc"), col("train_doc"))
+    })
+
+  /** Intra-document repetition ratio — the boilerplate/spam signal every
+    * corpus quality filter computes: 1 − distinct/total 3-gram shingles.
+    * Pure projection, no shuffle. */
+  val d13RepetitionRatio: Q = Q(
+    "d13_repetition_ratio",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               len(list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END)) AS n_distinct
+        FROM documents)
+      SELECT doc_id,
+             CAST(n_distinct AS INTEGER) AS distinct_shingles,
+             round(CASE WHEN n_tok >= 3
+                   THEN 1.0 - CAST(n_distinct AS DOUBLE) / (n_tok - 2)
+                   ELSE 0.0 END, 4) AS rep_ratio
+      FROM t
+    """),
+    (s, dir) => {
+      val t = Tables(s, dir, "documents")
+      val nTok = tokenCount(col("text"))
+      val nDistinct = size(graft.plans.ShinglesExpr.shingles(col("text"), 3))
+      t.select(col("doc_id"),
+        nDistinct.cast("int").as("distinct_shingles"),
+        round(when(nTok >= 3,
+          lit(1.0) - nDistinct.cast("double") / (nTok - 2).cast("double"))
+          .otherwise(lit(0.0)), 4).as("rep_ratio"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
-    d11SplitAssign)
+    d11SplitAssign, d12Contamination, d13RepetitionRatio)
 }
