@@ -26,27 +26,18 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     graft.plans.CosineSimilarityExpr.cosineSim(a, b)
 
-  /** Random-hyperplane sign bits: hyperplane `p`'s component for
-    * dimension `d` is ±1 derived from a seeded hash — deterministic, no
-    * stored model. Returns the `nBits`-bit signature of `v`. Native
-    * codegen'd kernel (graft.plans.LshSignatureExpr); the equivalent
-    * nested-HOF chain re-inlines the projection per hyperplane,
-    * interpreted. */
-  def lshSignature(v: Column, nBits: Int): Column =
-    graft.plans.LshSignatureExpr.lshSig(v, nBits)
+  /** Corpus vector width (TESTDATA embeddings are 64-dim). */
+  val EmbeddingDim = 64
 
-  /** The HOF formulation the kernel replaces — kept as the parity
-    * reference (SimilaritySpec asserts bit-identical signatures). */
-  private[graft] def lshSignatureHof(v: Column, nBits: Int): Column =
-    aggregate(sequence(lit(0), lit(nBits - 1)), lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, d) => x.cast("double") *
-              when(xxhash64(p, d).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
-          lit(0.0), (a2, x) => a2 + x)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      })
+  /** Random-hyperplane sign bits: the ±1 hyperplane matrix is an
+    * md5-derived MODEL (data-independent, built once driver-side,
+    * SQL-reproducible — the same move that made d08 oracle-checkable),
+    * applied by the codegen'd kernel
+    * (graft.plans.HyperplaneSignatureExpr). Returns the `nBits`-bit
+    * signature of `v`. */
+  def lshSignature(v: Column, nBits: Int, dim: Int = EmbeddingDim): Column =
+    graft.plans.HyperplaneSignatureExpr.hyperplaneSig(v,
+      graft.plans.HyperplaneSignatureExpr.md5Signs(nBits, dim))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -168,11 +159,40 @@ object Similarity {
 
   /** Approximate NN via random-hyperplane LSH: 12-bit signatures, probe
     * the query's bucket plus all buckets at hamming ≤ 3, exact-rescore
-    * candidates. Seeded-hash hyperplanes are not ANSI-SQL-expressible →
-    * rows-only driver check; recall vs s01 proven in SimilaritySpec. */
+    * candidates. ORACLE-CHECKED: the md5-derived hyperplane matrix is
+    * reproducible in SQL, so DuckDB recomputes every signature and takes
+    * the identical candidates (the oracle expresses the candidate SET as
+    * a hamming filter — semantically equal to the engine's pruned
+    * IN-lookup over the enumerated hamming ball). */
   val s04AnnLsh: Q = Q(
     "s04_ann_lsh",
-    None,
+    Some("""
+      WITH hp AS (
+        SELECT p, d,
+               CASE WHEN CAST(concat('0x', substr(md5(p || ':' || d), 1, 1)) AS INT) % 2 = 1
+                    THEN 1.0 ELSE -1.0 END AS sign
+        FROM generate_series(0, 11) g1(p), generate_series(0, 63) g2(d)),
+      proj AS (
+        SELECT e.vec_id, hp.p,
+               sum(CAST(e.embedding[hp.d + 1] AS DOUBLE) * hp.sign) AS pr
+        FROM embeddings e, hp
+        GROUP BY 1, 2),
+      sig AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN pr > 0 THEN (CAST(1 AS BIGINT) << p)
+                        ELSE 0 END) AS BIGINT) AS sig
+        FROM proj GROUP BY 1),
+      q AS (
+        SELECT s.sig AS qsig, e.embedding AS qe
+        FROM sig s JOIN embeddings e USING (vec_id) WHERE s.vec_id = 0)
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+      FROM sig s JOIN embeddings e USING (vec_id), q
+      WHERE e.vec_id <> 0 AND bit_count(xor(s.sig, q.qsig)) <= 3
+      ORDER BY cos_sim DESC, e.vec_id ASC
+      LIMIT 10
+    """),
     (s, dir) => annTopK(emb(s, dir), queryVecId = 0, k = 10, nBits = 12, maxProbeHamming = 3))
 
   /** All signatures within `maxHamming` bit flips of `sig` — the probe

@@ -226,56 +226,68 @@ object CosineSimilarityExpr {
   }
 }
 
-/** Native random-hyperplane LSH signature: hyperplane p's component for
-  * dimension d is ±1 from the low bit of the chained
-  * xxhash64(p, d) (seed 42 — Spark's own), bit p of the result is the
-  * sign of the projection. Bit-identical to the nested-HOF formulation it
-  * replaces (`aggregate(sequence, …, zip_with(…))`), which re-inlined the
-  * inner aggregate per hyperplane — interpreted AND O(nBits·dim) with
-  * per-element lambda dispatch. One tight codegen'd loop instead.
+/** Native random-hyperplane LSH signature against an explicit ±1
+  * hyperplane matrix (nBits × dim): bit p of the result is the sign of
+  * the projection of the vector onto hyperplane p. The matrix is a
+  * data-independent MODEL — built once driver-side (see
+  * [[HyperplaneSignatureExpr.md5Signs]]) and carried into generated code
+  * as a reference object like the IVF centroids — so per-row cost is one
+  * tight float loop inside whole-stage codegen; the nested-HOF
+  * formulation this replaces re-inlined the projection per hyperplane,
+  * interpreted. Deriving signs from md5 keeps the whole signature
+  * reproducible in ANSI SQL, which is what lets s04 be oracle-checked.
   */
-case class LshSignatureExpr(child: Expression, nBits: Int)
+case class HyperplaneSignatureExpr(child: Expression, signs: Array[Array[Float]])
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.LongType
 
   override protected def nullSafeEval(input: Any): Any =
-    LshSignatureExpr.signature(input.asInstanceOf[ArrayData].toFloatArray(), nBits)
+    HyperplaneSignatureExpr.signature(
+      input.asInstanceOf[ArrayData].toFloatArray(), signs)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("hyperplanes", signs, "float[][]")
     defineCodeGen(ctx, ev, a =>
-      s"graft.plans.LshSignatureExpr.signature($a.toFloatArray(), $nBits)")
+      s"graft.plans.HyperplaneSignatureExpr.signature($a.toFloatArray(), $m)")
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-object LshSignatureExpr {
-  import org.apache.spark.sql.catalyst.expressions.XXH64
+object HyperplaneSignatureExpr {
 
-  /** Tight-loop kernel, shared by interpreted eval and generated code.
-    * Hash chaining replicates Spark's `xxhash64(p, d)` on two ints:
-    * h = hashInt(d, hashInt(p, 42)). */
-  def signature(v: Array[Float], nBits: Int): Long = {
+  /** Tight-loop kernel, shared by interpreted eval and generated code. */
+  def signature(v: Array[Float], signs: Array[Array[Float]]): Long = {
     var sig = 0L
     var p = 0
-    while (p < nBits) {
-      val hp = XXH64.hashInt(p, 42L)
+    while (p < signs.length) {
+      val row = signs(p)
+      val n = math.min(v.length, row.length)
       var proj = 0.0
       var d = 0
-      while (d < v.length) {
-        proj += v(d).toDouble *
-          (if ((XXH64.hashInt(d, hp) & 1L) == 1L) 1.0 else -1.0)
-        d += 1
-      }
+      while (d < n) { proj += v(d).toDouble * row(d); d += 1 }
       if (proj > 0) sig |= (1L << p)
       p += 1
     }
     sig
   }
 
-  def lshSig(c: Column, nBits: Int): Column = {
+  /** The ±1 hyperplane matrix from md5: sign(p, d) = +1 iff the first
+    * hex nibble of md5("p:d") is odd — matched exactly by the DuckDB SQL
+    * `CAST('0x' || substr(md5(p || ':' || d), 1, 1) AS INT) % 2`. */
+  def md5Signs(nBits: Int, dim: Int): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (p, d) =>
+      val digest = md.digest(s"$p:$d".getBytes("UTF-8"))
+      if (((digest(0) >> 4) & 1) == 1) 1.0f else -1.0f
+    }
+  }
+
+  def hyperplaneSig(c: Column, signs: Array[Array[Float]]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
-    GraftSqlBridge.column(LshSignatureExpr(GraftSqlBridge.expression(c), nBits))
+    GraftSqlBridge.column(
+      HyperplaneSignatureExpr(GraftSqlBridge.expression(c), signs))
   }
 }

@@ -51,14 +51,22 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("bit_count"), plan.take(800))
   }
 
-  test("LSH signature kernel is bit-identical to the HOF formulation") {
-    val e = Tables(spark, sfDir, "embeddings").limit(100)
-    val both = e.select(
-      Similarity.lshSignature(org.apache.spark.sql.functions.col("embedding"), 12).as("k"),
-      Similarity.lshSignatureHof(org.apache.spark.sql.functions.col("embedding"), 12).as("h"))
-    assert(both.filter(org.apache.spark.sql.functions.col("k") =!=
-      org.apache.spark.sql.functions.col("h")).count() === 0)
-    assert(both.filter(org.apache.spark.sql.functions.col("k") >= (1L << 12)).count() === 0)
+  test("LSH signature kernel matches a driver-side recomputation") {
+    import graft.plans.HyperplaneSignatureExpr
+    val signs = HyperplaneSignatureExpr.md5Signs(12, 64)
+    val e = Tables(spark, sfDir, "embeddings").limit(50)
+    val rows = e.select(org.apache.spark.sql.functions.col("embedding"),
+      Similarity.lshSignature(
+        org.apache.spark.sql.functions.col("embedding"), 12).as("sig"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      assert(r.getLong(1) === HyperplaneSignatureExpr.signature(v, signs))
+      assert(r.getLong(1) >= 0L && r.getLong(1) < (1L << 12))
+    }
+    // the md5-derived matrix is deterministic and genuinely mixed-sign
+    val flat = signs.flatten
+    assert(flat.count(_ > 0) > 200 && flat.count(_ < 0) > 200)
   }
 
   test("hammingBall enumerates exactly the ≤h-flip neighborhood") {
