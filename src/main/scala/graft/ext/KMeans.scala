@@ -22,19 +22,28 @@ import graft.plans.{CosineSimilarityExpr, NearestCentroidExpr}
   *     driver-side model update — MLlib's KMeans does the same), never
   *     corpus rows.
   *
-  * Determinism: init picks the k distinct vectors with the lowest
-  * xxhash64, and every subsequent step is a deterministic aggregate, so
-  * the same corpus always yields the same model.
+  * Determinism: init picks the vectors of the k ids with the lowest
+  * md5-derived hash (an ANSI-SQL-reproducible choice — the same trick
+  * that made d08/s04 oracle-checkable), and every subsequent step is a
+  * deterministic aggregate, so the same corpus always yields the same
+  * model in any engine.
   */
 object KMeans {
 
-  /** Fit k centroids on `vectors(vecCol: Array[Float])`. */
-  def fit(vectors: DataFrame, vecCol: String, k: Int, maxIters: Int): Array[Array[Float]] = {
+  /** Fit k centroids on `vectors(vecCol: Array[Float])`; `idCol` seeds
+    * the deterministic init. */
+  def fit(vectors: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxIters: Int): Array[Array[Float]] = {
     require(k > 0 && maxIters >= 0)
     val v = vectors.select(col(vecCol).as("v")).filter(col("v").isNotNull)
-    var centroids: Array[Array[Float]] = v.distinct()
-      .orderBy(xxhash64(col("v")))
+    var centroids: Array[Array[Float]] = vectors
+      .select(col(idCol).cast("string").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .withColumn("h",
+        conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long"))
+      .orderBy(col("h"), col("id"))
       .limit(k)
+      .select("v")
       .collect()
       .map(_.getSeq[Float](0).toArray)
     var iter = 0
@@ -75,8 +84,8 @@ object IvfIndex {
     * under `path` partitioned by `centroid_id` (plus the k×d model at
     * `path.centroids`). Returns the fitted centroids. */
   def build(vectors: DataFrame, vecCol: String, k: Int, iters: Int,
-      path: String): Array[Array[Float]] = {
-    val cs = KMeans.fit(vectors, vecCol, k, iters)
+      path: String, idCol: String = "vec_id"): Array[Array[Float]] = {
+    val cs = KMeans.fit(vectors, idCol, vecCol, k, iters)
     vectors
       .withColumn("centroid_id", NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
       // co-locate each list before the partitioned write: one writer task

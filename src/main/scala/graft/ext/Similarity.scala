@@ -247,7 +247,7 @@ object Similarity {
     * is a partition-pruned scan — is `graft.ext.IvfIndex`. */
   def annTopKIvf(embeddings: DataFrame, queryVecId: Long, k: Int,
       nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
-    val cs = KMeans.fit(embeddings, "embedding", nCentroids, kmeansIters)
+    val cs = KMeans.fit(embeddings, "vec_id", "embedding", nCentroids, kmeansIters)
     val qv = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Float](0).toArray
     val probeIds = cs.zipWithIndex
@@ -270,14 +270,67 @@ object Similarity {
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** One Lloyd iteration of the s05 oracle: assign by max cosine (ties →
+    * lowest cid, mirroring NearestCentroidExpr), recompute per-(cid, dim)
+    * means CAST to FLOAT — the same float quantization the engine applies
+    * each iteration, which is what makes the two engines' centroids
+    * bit-identical despite different double-summation orders. */
+  private def ivfOracleIteration(i: Int): String = s"""
+    a$i AS (
+      SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+        FROM emb e CROSS JOIN c$i c) t WHERE rn = 1),
+    m$i AS (
+      SELECT cid, list(f ORDER BY d) AS c FROM (
+        SELECT a.cid, g.d, CAST(avg(CAST(a.embedding[g.d] AS DOUBLE)) AS FLOAT) AS f
+        FROM a$i a CROSS JOIN generate_series(1, 64) g(d)
+        GROUP BY a.cid, g.d) t GROUP BY cid),
+    c${i + 1} AS (SELECT p.cid, coalesce(m.c, p.c) AS c FROM c$i p LEFT JOIN m$i m USING (cid))"""
+
   /** IVF ANN over the corpus via the PERSISTED index: k-means fit,
     * inverted lists written partitioned by centroid id (once per corpus —
     * see [[ivfIndexCache]]), probe reads only the nProbe matching
-    * partitions (rows-only driver check; recall and partition pruning
-    * proven in SimilaritySpec). */
+    * partitions (pruning proven in SimilaritySpec).
+    *
+    * ORACLE-CHECKED end-to-end: the md5-seeded init is SQL-reproducible
+    * and the three Lloyd iterations are UNROLLED in the oracle
+    * ([[ivfOracleIteration]]) — DuckDB fits the identical quantizer,
+    * selects the same nProbe lists, and returns the same top-k. */
   val s05AnnIvf: Q = Q(
     "s05_ann_ivf",
-    None,
+    Some(s"""
+      WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM emb),
+      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      ${ivfOracleIteration(0)},
+      ${ivfOracleIteration(1)},
+      ${ivfOracleIteration(2)},
+      q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0),
+      probe AS (
+        SELECT cid FROM (
+          SELECT c.cid, row_number() OVER (
+            ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+          FROM c3 c, q) t WHERE rn <= 4),
+      afinal AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+          FROM emb e CROSS JOIN c3 c) t WHERE rn = 1)
+      SELECT e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+      FROM afinal a JOIN emb e USING (vec_id), q
+      WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0
+      ORDER BY cos_sim DESC, e.vec_id ASC
+      LIMIT 10
+    """),
     (s, dir) => {
       val path = ivfIndexCache.computeIfAbsent(dir, { _ =>
         val p = java.nio.file.Files

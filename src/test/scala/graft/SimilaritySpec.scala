@@ -107,8 +107,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("k-means fit is deterministic and separates planted clusters") {
     val planted = plantedClusters(nClusters = 4, perCluster = 25)
-    val cs1 = graft.ext.KMeans.fit(planted, "embedding", k = 8, maxIters = 3)
-    val cs2 = graft.ext.KMeans.fit(planted, "embedding", k = 8, maxIters = 3)
+    val cs1 = graft.ext.KMeans.fit(planted, "vec_id", "embedding", k = 8, maxIters = 3)
+    val cs2 = graft.ext.KMeans.fit(planted, "vec_id", "embedding", k = 8, maxIters = 3)
     assert(cs1.map(_.toSeq).toSeq === cs2.map(_.toSeq).toSeq)
     // every planted cluster captures at least one centroid: each cluster's
     // center must be near-parallel (cos > 0.9) to some fitted centroid
