@@ -175,7 +175,7 @@ object PdfText {
     val padded = if (hex.length % 2 == 1) hex + "0" else hex
     val sb = new StringBuilder
     var k = 0
-    while (k + 1 < padded.length + 1 && k + 2 <= padded.length) {
+    while (k + 2 <= padded.length) {
       sb += Integer.parseInt(padded.substring(k, k + 2), 16).toChar
       k += 2
     }
