@@ -32,12 +32,18 @@ object Sources {
         seg("/(\\d{4})/\\d{2}/[^/]+$").cast("int").as("year"),
         seg("/\\d{4}/(\\d{2})/[^/]+$").cast("int").as("month"),
         seg("/([^/]+)$").as("file_name"),
-        // F15 — kind classification from path segments (etls_raw/main.py:142-150)
-        when(path.contains("/fatura/") && path.contains("/bb/"), "fatura_bb")
-          .when(path.contains("/extrato/") && path.contains("/bb/"), "extrato_bb")
-          .when(path.contains("/fatura/") && path.contains("/bradesco/"), "fatura_bradesco")
-          .when(path.contains("/extrato/") && path.contains("/bradesco/"), "extrato_bradesco")
-          .otherwise("desconhecido").as("kind"))
+        // F15 — folder-based kind classification (etls_raw/main.py:222-234:
+        // bank segment + doc_type folder, "muito mais robusto" than the
+        // filename variant). Accepts the singular and plural folder forms.
+        {
+          val bank = seg("/01_bancos/([^/]+)/")
+          val doc  = seg("/01_bancos/[^/]+/([^/]+)/\\d{4}/")
+          when(bank === "bb" && doc.startsWith("fatura"), "fatura_bb")
+            .when(bank === "bb" && doc.startsWith("extrato"), "extrato_bb")
+            .when(bank === "bradesco" && doc.startsWith("fatura"), "fatura_bradesco")
+            .when(bank === "bradesco" && doc.startsWith("extrato"), "extrato_bradesco")
+            .otherwise("desconhecido").as("kind")
+        })
   }
 
   /** S2 — PDF text extraction, executor-side over landed binaries: the

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.parse.{Parsers, ParsePipeline, PdfText}
+import graft.sources.Sources
+
+/** End-to-end proof against the reference's REAL checked-in bank PDFs
+  * (spark/scripts/data/raw/drive/01_clientes/cruz_raulino_familia/...,
+  * copied verbatim into src/test/resources/landing_real): extraction
+  * (PdfText), parsing (Parsers), and the distributed pipeline
+  * (Sources.landingFiles → extractPdfTexts → ParsePipeline) all run on
+  * real pdfplumber-grade documents — CID/Type0 fonts with ToUnicode CMaps
+  * (BB faturas), WinAnsi TrueType (Bradesco), positioned text requiring
+  * reading-order assembly.
+  *
+  * Golden expectations come from the reference's own inspection harness:
+  * inspect_bradesco_output.py:121-130 validates card finals
+  * 0039/9952/9953 against the parsed Bradesco bills. */
+class RealPdfSpec extends SparkSpec {
+
+  private val root: Path = {
+    val url = getClass.getResource("/landing_real")
+    assert(url != null, "landing_real fixture dir missing from test resources")
+    Paths.get(url.toURI)
+  }
+
+  private def pdfsUnder(sub: String): Seq[Path] = {
+    val dir = root.resolve("01_clientes/cruz_raulino_familia/01_bancos").resolve(sub)
+    Files.walk(dir).iterator().asScala
+      .filter(p => p.toString.toLowerCase.endsWith(".pdf")).toSeq.sortBy(_.toString)
+  }
+
+  private def text(p: Path): String = PdfText.extractText(Files.readAllBytes(p))
+
+  test("all 15 real PDFs extract non-empty text") {
+    val all = pdfsUnder("")
+    assert(all.size === 15)
+    all.foreach { p =>
+      val t = text(p)
+      assert(t.length > 200, s"near-empty extraction for $p (${t.length} chars)")
+    }
+  }
+
+  test("BB faturas (CID fonts + ToUnicode): transactions, card context, resumo") {
+    val faturas = pdfsUnder("bb/faturas")
+    assert(faturas.size === 4)
+    faturas.foreach { p =>
+      val rows = Parsers.parseBBBill(text(p))
+      assert(rows.nonEmpty, s"no transactions parsed from $p")
+      assert(rows.forall(_.final_cartao != null), s"rows without card context in $p")
+    }
+    // the October 2025 bill, field-level
+    val out25 = text(faturas.find(_.toString.contains("Out_25")).get)
+    val rows = Parsers.parseBBBill(out25)
+    assert(rows.map(_.final_cartao).distinct.sorted === Seq("3116", "4229"))
+    assert(rows.exists(r => r.titular_cartao == "Sergio Maia Raulino" &&
+      r.final_cartao == "4229"))
+    val fiap = rows.find(_.descricao.startsWith("FIAP")).get
+    assert(fiap.valor === 490.0 && fiap.pais === "BR" && fiap.data === "05/09")
+    // negative payment row survives the sign
+    assert(rows.exists(_.valor < -15000))
+    val resumo = Parsers.parseFaturaResumo(out25)
+    assert(resumo.vencimento === "05/10/2025")
+    assert(resumo.valor_total === 13703.95)
+    assert(resumo.titular != null)
+  }
+
+  test("BB extratos (real C/D layout): movements, groups, header") {
+    val extratos = pdfsUnder("bb/extratos")
+    assert(extratos.size === 4)
+    extratos.foreach { p =>
+      val rows = Parsers.parseExtrato(text(p))
+      assert(rows.nonEmpty, s"no movements parsed from $p")
+    }
+    val jan = text(extratos.find(_.toString.contains("2026/01")).get)
+    val hdr = Parsers.parseExtratoHeader(jan).get
+    assert(hdr.agencia === "4041-X" && hdr.conta === "18506-X")
+    assert(hdr.cliente === "SERGIO MAIA RAULINO")
+    val rows = Parsers.parseExtrato(jan)
+    // Pix credit of 461,80 on 02/01 with its Documento column recovered
+    val pix = rows.find(r => r.valor == 461.80).get
+    assert(pix.sinal === "+" && pix.data === "02/01/2026" &&
+      pix.documento === "21.144.035.264.451")
+    assert(pix.grupo === "Pix - Recebido")
+    // debits carry the negative sign
+    assert(rows.exists(r => r.sinal == "-" && r.valor == -1448.63))
+    // boleto payee wrapped onto the next line lands in complemento
+    assert(rows.exists(r => Option(r.complemento).exists(_.contains("COELCE"))))
+  }
+
+  test("Bradesco faturas (real layout): reference golden finals 0039/9952/9953") {
+    val faturas = pdfsUnder("bradesco/faturas")
+    assert(faturas.size === 3)
+    val perDoc = faturas.map(p => p -> Parsers.parseBradesco(text(p))).toMap
+    perDoc.foreach { case (p, rows) => assert(rows.nonEmpty, s"no rows from $p") }
+    // the reference's own golden (inspect_bradesco_output.py --expected-finals)
+    val finals = perDoc.values.flatten.map(_.cartao_final).toSet
+    assert(finals === Set("0039", "9952", "9953"))
+    val jan = perDoc.find(_._1.toString.contains("2026/01")).get._2
+    assert(jan.map(_.cartao_final).toSet === Set("0039", "9952", "9953"))
+    // payment with leading minus → tipo pagamento, negative value
+    val pagto = jan.find(_.tipo == "pagamento").get
+    assert(pagto.valor === -12027.45 && pagto.descricao.startsWith("PAGTO"))
+    // day/month sandwich resolves to dd/MM
+    val grill = jan.find(_.descricao == "FORTALEZA GRILL").get
+    assert(grill.data === "07/12" && grill.valor === 134.26)
+    assert(jan.forall(_.titular_cartao != null))
+    assert(jan.exists(r => r.titular_cartao == "SERGIO M RAULINO" &&
+      r.cartao_final == "9953"))
+    assert(jan.exists(r => r.titular_cartao == "PAULA V C RAULINO" &&
+      r.cartao_final == "9952"))
+  }
+
+  test("Bradesco extratos: text extraction (reference defines no parser: " +
+      "etls_raw/main.py:231-232)") {
+    val extratos = pdfsUnder("bradesco/extratos")
+    assert(extratos.size === 4)
+    val jan = text(extratos.find(_.toString.contains("2026/01")).get)
+    assert(jan.contains("Extrato de: Ag: 2515"))
+    assert(jan.contains("SALDO ANTERIOR"))
+  }
+
+  test("distributed path: landingFiles → extractPdfTexts → ParsePipeline on real corpus") {
+    val landing = Sources.landingFiles(spark, root.toString)
+    val byKind = landing.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byKind === Map("fatura_bb" -> 4L, "extrato_bb" -> 4L,
+      "fatura_bradesco" -> 3L, "extrato_bradesco" -> 4L))
+
+    val texts = Sources.extractPdfTexts(landing).cache()
+    try {
+      assert(texts.count() === 15)
+
+      // executor-side parse of the BB bills, then the rules engine
+      val bb = texts.filter(org.apache.spark.sql.functions.col("path").contains("/faturas/"))
+        .filter(org.apache.spark.sql.functions.col("path").contains("/bb/"))
+        .withColumnRenamed("path", "landing_object_key")
+      val bills = ParsePipeline.bbBills(bb)
+      val n = bills.count()
+      assert(n > 100, s"expected >100 bill rows across 4 faturas, got $n")
+      assert(bills.filter("categoria IS NULL").count() === 0)
+
+      // executor-side parse of the real Bradesco bills incl. mode back-fill
+      val brad = texts.filter(org.apache.spark.sql.functions.col("path").contains("/bradesco/faturas/"))
+        .withColumnRenamed("path", "landing_object_key")
+      val bradRows = ParsePipeline.bradescoBills(brad)
+      assert(bradRows.count() > 50)
+      assert(bradRows.select("cartao_final").distinct().collect()
+        .map(_.getString(0)).toSet === Set("0039", "9952", "9953"))
+    } finally texts.unpersist()
+  }
+}
