@@ -33,11 +33,37 @@ trait TableFormat {
 }
 
 /** Parquet-directory implementation. Rewrites go through a temp directory
-  * plus atomic-ish rename so a crashed rewrite never truncates the table. */
+  * plus atomic-ish rename so a crashed rewrite never truncates the table.
+  *
+  * All filesystem access goes through the Hadoop `FileSystem` API resolved
+  * from the table path, so the lake verbs work unchanged against any
+  * configured `fs.*` scheme (local, HDFS, s3a object stores — the
+  * reference lands everything in MinIO over S3A, etls_raw/main.py:153-248),
+  * not just `java.io.File` paths. Note the usual object-store caveat:
+  * S3A "rename" is copy+delete, so snapshot archival costs a copy there —
+  * the same trade every rename-based committer makes. */
 object ParquetTableFormat extends TableFormat {
 
-  override def exists(spark: SparkSession, path: String): Boolean =
-    new java.io.File(path).exists()
+  import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+
+  /** Snapshots retained automatically after each rewrite; older ones are
+    * reclaimed inline so long-running merge/delete loops can't grow the
+    * table's footprint without bound. Call [[expireSnapshots]] with a
+    * larger value only to trim further. */
+  val autoRetainSnapshots = 2
+
+  private def fsOf(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val conf = SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    (p.getFileSystem(conf), p)
+  }
+
+  override def exists(spark: SparkSession, path: String): Boolean = {
+    val (fs, p) = fsOf(path)
+    fs.exists(p)
+  }
 
   override def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
@@ -51,41 +77,45 @@ object ParquetTableFormat extends TableFormat {
   private val SnapshotSuffix = ".__snapshot_"
 
   /** Snapshot directories for `path`, oldest → newest. */
-  def listSnapshots(path: String): Seq[java.io.File] = {
-    val dir = new java.io.File(path)
-    val parent = Option(dir.getParentFile).getOrElse(new java.io.File("."))
-    val prefix = dir.getName + SnapshotSuffix
-    Option(parent.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith(prefix))
+  def listSnapshots(path: String): Seq[HPath] = {
+    val (fs, p) = fsOf(path)
+    val parent = Option(p.getParent).getOrElse(new HPath("."))
+    val prefix = p.getName + SnapshotSuffix
+    if (!fs.exists(parent)) Seq.empty
+    else fs.listStatus(parent).toIndexedSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(prefix))
+      .map(_.getPath)
       .sortBy(_.getName)
-      .toIndexedSeq
   }
 
   /** Every rewrite archives the replaced table dir as the next numbered
-    * snapshot (a rename, so it costs nothing regardless of table size) —
+    * snapshot (a rename, so it costs nothing on a rename-capable FS) —
     * the parquet analogue of a format snapshot: time-travel reads stay
-    * possible until `expireSnapshots` reclaims the space, and a crashed
-    * rewrite never truncates the live table. */
+    * possible until expiry reclaims the space, and a crashed rewrite
+    * never truncates the live table. Snapshots beyond
+    * [[autoRetainSnapshots]] are expired inline. */
   private def rewrite(spark: SparkSession, path: String, next: DataFrame,
       partitionCols: Seq[String]): Unit = {
     val tmp = path + ".__rewrite_tmp"
     val w = next.write.mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
-    val dir = new java.io.File(path)
+    val (fs, dir) = fsOf(path)
     val nextIdx = listSnapshots(path).lastOption
       .map(_.getName.split(SnapshotSuffix.replace(".", "\\.")).last.toInt + 1)
       .getOrElse(0)
-    val snap = new java.io.File(f"$path$SnapshotSuffix$nextIdx%05d")
-    if (dir.exists() && !dir.renameTo(snap))
+    val snap = new HPath(f"$path$SnapshotSuffix$nextIdx%05d")
+    if (fs.exists(dir) && !fs.rename(dir, snap))
       throw new java.io.IOException(s"rewrite: cannot move $path aside")
-    if (!new java.io.File(tmp).renameTo(dir))
+    if (!fs.rename(new HPath(tmp), dir))
       throw new java.io.IOException(s"rewrite: cannot promote $tmp")
+    expireSnapshots(path, autoRetainSnapshots)
   }
 
   override def expireSnapshots(path: String, retainLast: Int): Unit = {
     require(retainLast >= 0)
+    val (fs, _) = fsOf(path)
     listSnapshots(path).dropRight(retainLast)
-      .foreach(f => scala.reflect.io.Directory(f).deleteRecursively())
+      .foreach(p => fs.delete(p, true))
   }
 
   /** Small-file compaction: one rewrite that co-locates each partition's

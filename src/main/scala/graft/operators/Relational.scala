@@ -238,12 +238,12 @@ object Relational {
       FROM budget b FULL OUTER JOIN actual a ON b.categoria = a.categoria
     """),
     (s, dir) => {
-      // Reflection-free literal DataFrame (runtime TypeTag encoders break
-      // under REPL class-wrapping; an explicit schema works everywhere).
-      val budget = graft.LocalTable.stringDouble(s, "b_categoria", "orcado", Seq(
-        ("AUTOMOBILE", 400000000.0), ("BUILDING", 420000000.0),
-        ("FURNITURE", 410000000.0), ("MACHINERY", 400000000.0),
-        ("HOUSEHOLD", 405000000.0), ("AEROSPACE", 1000000.0)))
+      // Budget sourced from an actual YAML config (S4 — the reference's
+      // compare_budget.py:12-25 yaml.safe_load of budget.yaml), parsed
+      // driver-side and turned into a reflection-free literal DataFrame.
+      val budget = graft.LocalTable.stringDouble(s, "b_categoria", "orcado",
+        graft.sources.Yaml.budget(
+          graft.sources.Yaml.readConfig("/graft/budget_segments.yaml")))
       val o = t(s, dir, "orders").select("o_custkey", "o_totalprice")
       val c = t(s, dir, "customer").select("c_custkey", "c_mktsegment")
       val actual = o.join(c, col("o_custkey") === col("c_custkey"))

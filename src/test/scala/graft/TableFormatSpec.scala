@@ -50,12 +50,16 @@ class TableFormatSpec extends SparkSpec {
     assert(fmt.listSnapshots(path).map(_.getName.takeRight(5)) === Seq("00000", "00001"))
     // time travel: snapshot 0 is the pre-merge table
     assert(spark.read.parquet(fmt.listSnapshots(path).head.toString).count() === 2)
+    // a third rewrite auto-expires beyond autoRetainSnapshots (=2): the
+    // numbering keeps advancing, the oldest snapshot is reclaimed inline
+    fmt.merge(spark, path, df((9L, "z", 9L)), Seq("k"), "ver", Nil)       // snapshot 2
+    assert(fmt.listSnapshots(path).map(_.getName.takeRight(5)) === Seq("00001", "00002"))
     fmt.expireSnapshots(path, retainLast = 1)
-    assert(fmt.listSnapshots(path).map(_.getName.takeRight(5)) === Seq("00001"))
+    assert(fmt.listSnapshots(path).map(_.getName.takeRight(5)) === Seq("00002"))
     fmt.expireSnapshots(path, retainLast = 0)
     assert(fmt.listSnapshots(path).isEmpty)
     // live table untouched by expiry
-    assert(fmt.read(spark, path).count() === 1)
+    assert(fmt.read(spark, path).count() === 2)
   }
 
   test("compact rewrites a fragmented partitioned table to one file per partition") {
