@@ -128,23 +128,27 @@ object Dedup {
         .filter(col("jaccard") >= 0.35)
     })
 
-  /** MinHash+LSH near-dup pairs — the probabilistic scale path: 8 bands ×
-    * 2 rows (candidate P = 1-(1-J²)^8: ≈3.5e-5 miss at the corpus' J≥0.85
-    * true pairs, but only ~8·J² false-candidate rate on the J≈0.02-0.05
-    * vocabulary-overlap background — r=1 banding made ~30%% of ALL pairs
-    * candidates), bucket equi-join for candidates, exact Jaccard
-    * verification. Not ANSI-SQL-expressible (seeded xxhash64) →
-    * rows-only driver check; recall/precision proven in DedupSpec against
-    * d06's exact answer. */
+  /** MinHash+LSH near-dup pairs — the probabilistic scale path: b bands ×
+    * r rows (candidate P = 1-(1-J^r)^b), bucket equi-join for candidates,
+    * exact Jaccard verification. r=2 keeps the J≈0.02-0.05
+    * vocabulary-overlap background out of the candidate set (r=1 banding
+    * made ~30%% of ALL pairs candidates); the band count then buys
+    * recall at the threshold. The gate runs 48×2 so the analytical miss
+    * bound (≤1e-6 at J=0.5) covers any corpus; production tuning trades
+    * bands for candidate volume per the same formula. */
   val d07MinhashLsh: Q = Q(
     "d07_minhash_lsh_neardup",
     // The oracle is the EXACT brute-force Jaccard answer: every emitted
-    // pair is exact-verified (so output ⊆ exact always), and the banding
-    // (8×2 over the corpus' J≥0.78 near-dup pairs: miss ≤ (1-J²)⁸ ≈ 1e-3)
-    // catches every true pair on the gate corpus — DedupSpec proves
-    // recall == exact, and the gate data is fixed, so equality is
-    // deterministic. The seeded MinHash internals stay un-expressed in
-    // SQL; the CONTRACT (exact result set) is what the gate checks.
+    // pair is exact-verified (so output ⊆ exact always). Recall is a
+    // PROBABILISTIC property of the banding, so the gate runs wide —
+    // 48 bands × 2 rows: P(miss) = (1-J²)⁴⁸ ≤ 1e-6 at the J=0.5
+    // threshold boundary and vanishing above it — so the analytical
+    // bound, not corpus luck, is what makes engine == exact hold on any
+    // regenerated corpus (a 5000-doc corpus with ~250 true pairs expects
+    // ~2.5e-4 misses). DedupSpec separately proves the
+    // candidates-then-verify contract at production-narrow 8×2 banding.
+    // The seeded MinHash internals stay un-expressed in SQL; the
+    // CONTRACT (exact result set) is what the gate checks.
     Some("""
       WITH s AS (
         SELECT doc_id,
@@ -165,7 +169,7 @@ object Dedup {
     """),
     (s, dir) => minhashNearDupPairs(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
-      nGram = 3, k = 16, bands = 8, rowsPerBand = 2, threshold = 0.5))
+      nGram = 3, k = 96, bands = 48, rowsPerBand = 2, threshold = 0.5))
 
   /** Reusable MinHash+LSH pipeline over (doc_id, text).
     *

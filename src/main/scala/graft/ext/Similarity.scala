@@ -221,7 +221,9 @@ object Similarity {
     val sigs = embeddings.select(col("vec_id"), col("label"), col("embedding"),
       lshSignature(col("embedding"), nBits).as("sig"))
     val qRow = sigs.filter(col("vec_id") === queryVecId)
-      .select(col("sig"), col("embedding")).head()
+      .select(col("sig"), col("embedding")).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"annTopK: query vec_id=$queryVecId not found in the corpus"))
     val (qsig, qe) = (qRow.getLong(0), qRow.getSeq[Float](1).toIndexedSeq)
     val probeSigs = hammingBall(qsig, nBits, maxProbeHamming)
     sigs.filter(col("vec_id") =!= queryVecId &&
@@ -249,7 +251,10 @@ object Similarity {
       nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
     val cs = KMeans.fit(embeddings, "vec_id", "embedding", nCentroids, kmeansIters)
     val qv = embeddings.filter(col("vec_id") === queryVecId)
-      .select(col("embedding")).head().getSeq[Float](0).toArray
+      .select(col("embedding")).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"annTopKIvf: query vec_id=$queryVecId not found in the corpus"))
+      .getSeq[Float](0).toArray
     val probeIds = cs.zipWithIndex
       .map { case (c, i) => (graft.plans.CosineSimilarityExpr.cosine(qv, c), i) }
       .sortBy { case (sim, i) => (-sim, i) }
@@ -263,12 +268,47 @@ object Similarity {
       .limit(k)
   }
 
-  /** Built IVF indexes by corpus dir: the inverted-list layout is a
-    * LONG-LIVED artifact — built once per corpus snapshot, probed by every
-    * query after (FAISS's train-once/search-many contract). Re-fitting
-    * k-means per probe would charge the build to every lookup. */
+  /** Built IVF indexes keyed by corpus FINGERPRINT (dir + file count +
+    * total bytes + newest mtime of the embeddings table): the
+    * inverted-list layout is a LONG-LIVED artifact — built once per
+    * corpus snapshot, probed by every query after (FAISS's
+    * train-once/search-many contract). The fingerprint invalidates the
+    * cache when a corpus is regenerated at the same path; cached temp
+    * dirs are reclaimed on JVM exit. */
   private val ivfIndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private val ivfCleanupHooked = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def registerIvfCleanup(): Unit =
+    if (ivfCleanupHooked.compareAndSet(false, true))
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        ivfIndexCache.values().forEach { p =>
+          scala.util.Try {
+            val root = java.nio.file.Paths.get(p).getParent
+            java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          }
+        }))
+
+  /** Cheap snapshot identity for a parquet table dir: any rewrite changes
+    * file count, bytes, or mtimes. */
+  private def corpusFingerprint(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir, "embeddings.parquet")
+    if (!java.nio.file.Files.exists(p)) dir
+    else {
+      var count = 0L; var bytes = 0L; var newest = 0L
+      val stream = java.nio.file.Files.walk(p)
+      try stream.forEach { f =>
+        if (java.nio.file.Files.isRegularFile(f)) {
+          count += 1
+          bytes += java.nio.file.Files.size(f)
+          newest = math.max(newest, java.nio.file.Files.getLastModifiedTime(f).toMillis)
+        }
+      } finally stream.close()
+      s"$dir#$count#$bytes#$newest"
+    }
+  }
 
   /** One Lloyd iteration of the s05 oracle: assign by max cosine (ties →
     * lowest cid, mirroring NearestCentroidExpr), recompute per-(cid, dim)
@@ -332,7 +372,8 @@ object Similarity {
       LIMIT 10
     """),
     (s, dir) => {
-      val path = ivfIndexCache.computeIfAbsent(dir, { _ =>
+      registerIvfCleanup()
+      val path = ivfIndexCache.computeIfAbsent(corpusFingerprint(dir), { _ =>
         val p = java.nio.file.Files
           .createTempDirectory("graft-ivf-").toString + "/lists"
         IvfIndex.build(emb(s, dir), "embedding", k = 16, iters = 3, path = p)

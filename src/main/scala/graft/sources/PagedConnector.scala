@@ -38,8 +38,9 @@ object PagedConnector {
     * also sorts listings by name for stable processing order,
     * gdrive/client.py:52). Page tokens are the start offset. */
   final class LocalFsPagedSource(root: Path) extends PagedSource {
-    private def all(): Seq[FileMeta] =
-      Files.list(root).iterator().asScala
+    private def all(): Seq[FileMeta] = {
+      val stream = Files.list(root)
+      try stream.iterator().asScala
         .filter(Files.isRegularFile(_))
         .filterNot(_.getFileName.toString.startsWith("_state"))
         .map { p =>
@@ -50,10 +51,20 @@ object PagedConnector {
             size = Files.size(p))
         }
         .toSeq.sortBy(_.name)
+      finally stream.close()
+    }
+
+    // The listing is snapshotted once per drain (at the tokenless first
+    // page) and later pages serve from the snapshot — offset tokens over
+    // a re-computed listing would duplicate or skip entries if files
+    // land mid-drain, the same consistency contract a real paged API's
+    // server-side cursor provides.
+    @volatile private var snapshot: Seq[FileMeta] = Nil
 
     override def listPage(pageToken: Option[String],
         pageSize: Int): (Seq[FileMeta], Option[String]) = {
-      val files = all()
+      if (pageToken.isEmpty) snapshot = all()
+      val files = snapshot
       val start = pageToken.map(_.toInt).getOrElse(0)
       val page = files.slice(start, start + pageSize)
       val next = if (start + pageSize < files.length) Some((start + pageSize).toString) else None
