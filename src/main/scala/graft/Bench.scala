@@ -56,10 +56,21 @@ object Bench {
       n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 3-decimal seconds keep the one-line artifact compact enough to
+    // survive tail-window capture (the r3 artifact lost its head and
+    // total to a mid-line cut); the total rides at BOTH ends so either
+    // truncation direction preserves it, and the full JSON is also
+    // persisted to BENCH_LOCAL.json.
+    def s3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
     spark.stop()
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+    catch { case _: Exception => () } // best-effort: stdout is the contract
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -36,17 +36,31 @@ object GlobalOrder {
   /** Adds global `rnCol` (row_number), `rnkCol` (rank) and `drnkCol`
     * (dense_rank) over `sortExprs`. `tieCols` are the plain columns whose
     * equal tuples define rank ties (i.e. the sort-key columns). Output
-    * rank columns are LongType. */
+    * rank columns are LongType.
+    *
+    * Materialization trade (`faultTolerant`): the default localCheckpoint
+    * pins the range-partitioned frame to executor blocks WITHOUT lineage —
+    * cheapest, but a lost executor fails the job (fine in local mode,
+    * acceptable on clusters with external shuffle). `faultTolerant = true`
+    * uses persist(MEMORY_AND_DISK) instead, which KEEPS lineage: a lost
+    * block recomputes through the range exchange, and because
+    * RangePartitioner's boundary sampling is deterministically seeded the
+    * recomputed partition is identical — correctness survives executor
+    * loss at the cost of carrying the lineage. Both paths are asserted
+    * equal in PlanSpec. Callers on the fault-tolerant path own the
+    * persist lifecycle (unpersist via the returned frame when done). */
   def withRanks(df: DataFrame, sortExprs: Seq[Column], tieCols: Seq[Column],
       rnCol: String = "rn", rnkCol: String = "rnk",
-      drnkCol: String = "drnk"): Ranked = {
+      drnkCol: String = "drnk", faultTolerant: Boolean = false): Ranked = {
     val spark = df.sparkSession
-    // localCheckpoint: the stats pass and the output pass both need the
-    // range-partitioned frame; materializing it once halves the exchanges
-    // (executor-pinned blocks — the standard two-pass-rank trade)
-    val parts = df.repartitionByRange(sortExprs: _*)
+    // the stats pass and the output pass both need the range-partitioned
+    // frame; materializing it once halves the exchanges
+    val ranged = df.repartitionByRange(sortExprs: _*)
       .withColumn(PID, spark_partition_id())
-      .localCheckpoint()
+    val parts =
+      if (faultTolerant)
+        ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ranged.localCheckpoint()
     val stats = parts.groupBy(col(PID))
       .agg(count(lit(1)).as("cnt"),
         count_distinct(struct(tieCols: _*)).as("dcnt"))

@@ -140,5 +140,42 @@ object LakeQ {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
     })
 
-  val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution, q25DeleteAppend)
+  /** Salted skew join at the gate (builder checklist: "skewed keys →
+    * salting"): two thirds of all orders are remapped onto ONE hot
+    * customer key, then joined to the customer dim through
+    * [[graft.lake.SkewJoin.saltedEquiJoin]] — the hot key's rows spread
+    * over 8 (key, salt) reducers instead of hammering one. The dim side
+    * carries a shuffle_hash hint so the join actually shuffles (a
+    * broadcast would hide the skew — and at 100 TB the build side of a
+    * skewed join is not always broadcastable); PlanSpec asserts the
+    * broadcast-free shape. The salt never changes row-level results, so
+    * the oracle is the plain unsalted join. */
+  val q44SkewSaltedJoin: Q = Q(
+    "q44_skew_salted_join",
+    Some("""
+      WITH skewed AS (
+        SELECT CASE WHEN o_custkey % 3 = 0 THEN 1 ELSE o_custkey END AS k,
+               o_totalprice
+        FROM orders)
+      SELECT c_mktsegment AS segment,
+             round(sum(o_totalprice), 2) AS total,
+             count(*) AS n_rows
+      FROM skewed JOIN customer ON k = c_custkey
+      GROUP BY c_mktsegment
+    """),
+    (s, dir) => {
+      val skewed = Tables(s, dir, "orders")
+        .select(when(col("o_custkey") % 3 === 0, lit(1L))
+          .otherwise(col("o_custkey")).as("k"), col("o_totalprice"))
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("rk"), col("c_mktsegment"))
+        .hint("shuffle_hash")
+      graft.lake.SkewJoin.saltedEquiJoin(skewed, dim, "k", "rk", salts = 8)
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"),
+          count(lit(1)).as("n_rows"))
+    })
+
+  val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
+    q25DeleteAppend, q44SkewSaltedJoin)
 }

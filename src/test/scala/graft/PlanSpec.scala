@@ -115,6 +115,42 @@ class PlanSpec extends SparkSpec {
       .contains("TopKPerGroupNode"))
   }
 
+  test("q44: salted skew join shuffles on (key, salt) — no broadcast hiding the skew") {
+    val df = run("q44_skew_salted_join")
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // a broadcast would make the salting a no-op demonstration
+    assert(!executed.contains("BroadcastHashJoin"), executed.take(1000))
+    assert(!executed.contains("CartesianProduct"))
+    // the join key is the composite (key, salt): the hot key's rows hash
+    // to `salts` different reducers
+    assert(executed.contains("__salt"), executed.take(1000))
+  }
+
+  test("GlobalOrder: fault-tolerant persist path agrees with localCheckpoint path") {
+    import org.apache.spark.sql.functions._
+    val spend = Tables(spark, sfDir, "orders")
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"))
+    val sortExprs = Seq(col("total").desc, col("o_custkey").asc)
+    val tieCols = Seq(col("total"), col("o_custkey"))
+    val fast = graft.operators.GlobalOrder.withRanks(spend, sortExprs, tieCols)
+    val safe = graft.operators.GlobalOrder.withRanks(spend, sortExprs, tieCols,
+      faultTolerant = true)
+    try {
+      assert(fast.totalRows === safe.totalRows)
+      def rows(r: graft.operators.GlobalOrder.Ranked) =
+        r.df.select("o_custkey", "rn", "rnk", "drnk")
+          .collect().map(_.toSeq).toSet
+      assert(rows(fast) === rows(safe))
+      // the persist path keeps lineage: its plan can recompute through the
+      // deterministic range exchange after block loss
+      assert(safe.df.queryExecution.optimizedPlan.toString
+        .contains("InMemoryRelation"))
+    } finally safe.df.unpersist()
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
