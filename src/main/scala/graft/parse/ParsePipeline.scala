@@ -59,6 +59,16 @@ object ParsePipeline {
     backfillHolderByMode(rows)
   }
 
+  /** Bradesco statement text → movements table. The reference only
+    * classifies this landing kind (etls_raw/main.py:231-232) and has no
+    * extractor; the engine completes the document family. */
+  def bradescoExtratos(raw: DataFrame): DataFrame =
+    docs(raw).flatMap { case (key, text) =>
+      Parsers.parseBradescoExtrato(text).map(t => (key, t))
+    }(Encoders.tuple(Encoders.STRING, Encoders.product[Parsers.BradescoMov]))
+      .toDF("landing_object_key", "t")
+      .select(col("landing_object_key"), col("t.*"))
+
   /** Mode-based back-fill: most frequent non-null holder per card final,
     * deterministic tiebreak, mapped onto rows with a null holder. */
   def backfillHolderByMode(rows: DataFrame): DataFrame = {

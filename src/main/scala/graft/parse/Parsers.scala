@@ -347,6 +347,93 @@ object Parsers {
     }.out
   }
 
+  // ---------- Bradesco checking-account statement -----------------------
+
+  /** One Bradesco statement movement. The reference classifies
+    * `extrato_bradesco` landings but never built the extractor
+    * (etls_raw/main.py:231-232 — "se você vier a criar o extractor");
+    * the engine completes the family against the real checked-in
+    * statements. */
+  final case class BradescoMov(
+      data: String, historico: String, documento: String,
+      valor: Double, saldo: java.lang.Double, complemento: String)
+
+  /** Bradesco statement header: Nome / Ag / Conta / as-of data. */
+  final case class BradescoExtratoHeader(
+      nome: String, agencia: String, conta: String, data: String)
+
+  private val BradNome  = """(?i)Nome:\s+([A-ZÀ-ÿa-z ]+)""".r.unanchored
+  private val BradAgCta = """(?i)Ag:\s*(\S+)\s*\|\s*Conta:\s*(\S+)""".r.unanchored
+  private val BradData  = """(?i)Data:\s*(\d{2}/\d{2}/\d{4})""".r.unanchored
+
+  def parseBradescoExtratoHeader(text: String): Option[BradescoExtratoHeader] = {
+    val nome = BradNome.findFirstMatchIn(text).map(m => normSpace(m.group(1)))
+    val agCta = BradAgCta.findFirstMatchIn(text)
+    val data = BradData.findFirstMatchIn(text).map(_.group(1))
+    if (nome.isEmpty && agCta.isEmpty) None
+    else Some(BradescoExtratoHeader(nome.orNull,
+      agCta.map(_.group(1)).orNull, agCta.map(_.group(2)).orNull, data.orNull))
+  }
+
+  private val ShortDate = """\d{2}/\d{2}/\d{2}"""
+  private val MoneyPart = """\d{1,3}(?:\.\d{3})*,\d{2}"""
+  /** `[dd/MM/yy] [HIST]? doc(6+) [-] valor [[-] saldo]` — the debit
+    * column renders its minus as a separate token. */
+  private val BradMov =
+    (s"""^($ShortDate )?(.*?)(\\d{6,}) (- )?($MoneyPart)( (- )?($MoneyPart))?$$""").r
+  private val BradMovNoDoc =
+    (s"""^($ShortDate) (.+?) (- )?($MoneyPart)( (- )?($MoneyPart))?$$""").r
+  private val ContinuationStart = Seq("Rem:", "Des:", "Remet")
+  private val SectionClosers = Seq("Total", "Os dados", "Lançamentos Futuros",
+    "Saldos Invest", "Data Histórico", "Fone Fácil", "Extrato de:")
+
+  /** Line machine over the real statement layout: short alpha lines carry
+    * the next movement's histórico (`Transfe Pix` renders above its row);
+    * undated rows inherit the last seen date; `Rem:`/`Des:`/free-text
+    * lines append to the open movement's complemento; Saldo rows
+    * (SALDO ANTERIOR, Saldo Invest Fácil) and section totals are not
+    * movements. */
+  def parseBradescoExtrato(text: String): Seq[BradescoMov] = {
+    final case class St(date: String, pendingHist: String,
+        out: Vector[BradescoMov], open: Boolean)
+    def money(sign: String, v: String): Double =
+      brl(v).map(x => if (sign != null) -x else x).getOrElse(0.0)
+    def emit(st: St, date: String, hist0: String, doc: String,
+        vSign: String, v: String, sSign: String, sv: String): St = {
+      val hist = if (hist0 != null && hist0.trim.nonEmpty) normSpace(hist0)
+                 else st.pendingHist
+      val d = if (date != null) date.trim else st.date
+      if (hist != null && hist.startsWith("Saldo")) st.copy(date = d, open = false)
+      else St(d, null, st.out :+ BradescoMov(d, hist, doc,
+        money(vSign, v),
+        if (sv == null) null else Double.box(money(sSign, sv)), null), open = true)
+    }
+    text.linesIterator.map(normSpace).filter(_.nonEmpty)
+      .foldLeft(St(null, null, Vector.empty, false)) { (st, line) =>
+        line match {
+          case l if SectionClosers.exists(l.startsWith) =>
+            st.copy(pendingHist = null, open = false)
+          case BradMov(date, hist, doc, vSign, v, _, sSign, sv) =>
+            emit(st, date, hist, doc, vSign, v, sSign, sv)
+          case BradMovNoDoc(date, hist, vSign, v, _, sSign, sv)
+              if !normSpace(hist).startsWith("Saldo") && !hist.toUpperCase(
+                java.util.Locale.ROOT).startsWith("SALDO") =>
+            emit(st, date, hist, null, vSign, v, sSign, sv)
+          case l if ContinuationStart.exists(l.startsWith) && st.open && st.out.nonEmpty =>
+            val last = st.out.last
+            val comp = if (last.complemento == null) l else last.complemento + " " + l
+            st.copy(out = st.out.init :+ last.copy(complemento = comp))
+          case l if !l.exists(_.isDigit) && l.length <= 20 =>
+            st.copy(pendingHist = l, open = false)
+          case l if st.open && st.out.nonEmpty =>
+            val last = st.out.last
+            val comp = if (last.complemento == null) l else last.complemento + " " + l
+            st.copy(out = st.out.init :+ last.copy(complemento = comp))
+          case _ => st.copy(open = false)
+        }
+      }.out
+  }
+
   /** Real checked-in layout: `Gastos referentes ao cartão: Final NNNN |
     * TITULAR` blocks; a narrow date column renders the day number just
     * above and the month abbreviation just below each first-transaction

@@ -114,13 +114,46 @@ class RealPdfSpec extends SparkSpec {
       r.cartao_final == "9952"))
   }
 
-  test("Bradesco extratos: text extraction (reference defines no parser: " +
-      "etls_raw/main.py:231-232)") {
+  test("Bradesco extratos: header + movements (an extractor the reference never " +
+      "built — etls_raw/main.py:231-232)") {
     val extratos = pdfsUnder("bradesco/extratos")
     assert(extratos.size === 4)
-    val jan = text(extratos.find(_.toString.contains("2026/01")).get)
-    assert(jan.contains("Extrato de: Ag: 2515"))
-    assert(jan.contains("SALDO ANTERIOR"))
+    extratos.foreach { p =>
+      assert(Parsers.parseBradescoExtrato(text(p)).nonEmpty, s"no movements from $p")
+    }
+    val out = text(extratos.find(_.toString.contains("2025/10")).get)
+    val hdr = Parsers.parseBradescoExtratoHeader(out).get
+    assert(hdr.nome === "SERGIO MAIA RAULINO")
+    assert(hdr.agencia === "2515" && hdr.conta === "7787-9")
+    val rows = Parsers.parseBradescoExtrato(out)
+    // pending-histórico line above a dated credit, saldo column, complemento
+    val pix = rows.find(r => r.documento == "1033051").get
+    assert(pix.data === "03/11/25" && pix.historico === "Transfe Pix" &&
+      pix.valor === 2980.0 && pix.saldo === 2980.0 &&
+      pix.complemento === "Rem: Sergio Maia Raulino 03/11")
+    // debit: separate minus token binds to the value
+    val debit = rows.find(r => r.documento == "1356578").get
+    assert(debit.valor === -59.80 && debit.saldo === 12.82 &&
+      debit.complemento.contains("Des: Becker"))
+    // undated row inherits the last seen date
+    val carried = rows.find(r => r.documento == "1241170").get
+    assert(carried.data === "05/12/25" && carried.valor === 1000.0 &&
+      carried.saldo === null)
+    // inline-histórico row with both value and balance
+    val rent = rows.find(r => r.documento == "8044755").get
+    assert(rent.historico === "Rent.inv.facil" && rent.data === "05/11/25" &&
+      rent.valor === 0.02 && rent.saldo === 5256.08)
+    // balances are not movements
+    assert(!rows.exists(r => Option(r.historico).exists(_.toUpperCase.startsWith("SALDO"))))
+    // distributed path
+    val raw = LocalTable.of(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("landing_object_key",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))),
+      Seq(org.apache.spark.sql.Row("x.pdf", out)))
+    assert(ParsePipeline.bradescoExtratos(raw).count() === rows.size.toLong)
   }
 
   test("distributed path: landingFiles → extractPdfTexts → ParsePipeline on real corpus") {
