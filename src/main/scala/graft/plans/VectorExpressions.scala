@@ -70,19 +70,47 @@ object MinHashSignatureExpr {
   import org.apache.spark.sql.catalyst.expressions.XXH64
   import org.apache.spark.sql.catalyst.util.GenericArrayData
 
-  /** One pass: for each shingle, k seeded hashes; per-seed running min.
-    * Empty set → Long.MaxValue sentinels (no shared buckets). */
+  /** splitmix64 — seeds the affine hash family deterministically. */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Affine family coefficients (a odd → each a*h+b is a permutation of
+    * Z_2^64). Grown on demand, cached: the per-row hot loop reads plain
+    * arrays. */
+  @volatile private var coefA: Array[Long] = Array.emptyLongArray
+  @volatile private var coefB: Array[Long] = Array.emptyLongArray
+  private def coefficients(k: Int): (Array[Long], Array[Long]) = {
+    if (coefA.length < k) synchronized {
+      if (coefA.length < k) {
+        coefA = Array.tabulate(k)(j => mix(2L * j) | 1L)
+        coefB = Array.tabulate(k)(j => mix(2L * j + 1))
+      }
+    }
+    (coefA, coefB)
+  }
+
+  /** One pass, hash-once: each shingle is xxhash64'd ONCE, then the k
+    * MinHash values derive from k affine permutations a_j*h+b_j of that
+    * hash (the standard min-wise family, as in Spark ML's MinHashLSH) —
+    * O(bytes + k) per shingle instead of O(k × bytes). Empty set →
+    * Long.MaxValue sentinels (no shared buckets). */
   def signature(sh: ArrayData, k: Int): ArrayData = {
+    val (as, bs) = coefficients(k)
     val mins = Array.fill(k)(Long.MaxValue)
     var i = 0
     val n = sh.numElements()
     while (i < n) {
       val s = sh.getUTF8String(i)
-      var seed = 0
-      while (seed < k) {
-        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L + seed)
-        if (h < mins(seed)) mins(seed) = h
-        seed += 1
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes(), 42L)
+      var j = 0
+      while (j < k) {
+        val v = as(j) * h + bs(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
       }
       i += 1
     }
