@@ -39,6 +39,35 @@ object EventsStreaming {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Watermarked streaming dedup — the streaming twin of exact dedup
+    * (d04) and the I2 idempotent-reload contract: duplicate keys arriving
+    * within the watermark horizon are dropped with BOUNDED state (keys
+    * older than the watermark are evicted; `dropDuplicates` without a
+    * watermark would grow state forever on an unbounded stream). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
+  /** Streaming upsert into the lake: every micro-batch MERGEs into the
+    * parquet table through the version-guarded [[graft.lake.TableFormat]]
+    * verb (foreachBatch is exactly the reference's per-file
+    * delete-before-append idempotency (I2) generalized — a replayed batch
+    * re-merges the same keys and the newer-wins guard makes it a no-op).
+    * Returns the query; callers own trigger/checkpoint via the writer. */
+  def mergeToLake(events: DataFrame, path: String, keys: Seq[String],
+      versionCol: String, checkpointDir: String,
+      fmt: graft.lake.TableFormat = graft.lake.ParquetTableFormat)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          fmt.merge(batch.sparkSession, path,
+            graft.lake.Lake.dedupByKeys(batch, keys, Some(versionCol)),
+            keys, versionCol, Nil)
+      }
+
   /** Session gap in micros (30 minutes). */
   val SessionGapUs: Long = 30L * 60 * 1000 * 1000
 

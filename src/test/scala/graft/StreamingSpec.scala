@@ -123,4 +123,46 @@ class StreamingSpec extends SparkSpec {
       s.session_start_us == us(0) && s.session_end_us == us(20)))
     assert(open.exists(s => s.n_events == 1 && s.sum_value == 8.0))
   }
+
+  test("dedupStream drops in-watermark duplicate keys with bounded state") {
+    implicit val sql = spark.sqlContext
+    implicit val enc3 = Encoders.product[(Long, java.sql.Timestamp, Double)]
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val df = in.toDF().toDF("k", "ts", "v")
+    val q = EventsStreaming.dedupStream(df, Seq("k"), "ts", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    in.addData((1L, t(0), 1.0), (1L, t(1), 99.0), (2L, t(1), 2.0))
+    q.processAllAvailable()
+    in.addData((1L, t(2), 98.0), (3L, t(3), 3.0)) // 1 is still a duplicate
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("dedup_out").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    // exactly one survivor per key; which in-batch duplicate of key 1
+    // survives is not defined, but the LATER-batch duplicate (98.0) must
+    // have been dropped against the carried state
+    assert(rows.map(_._1).sorted === Seq(1L, 2L, 3L))
+    assert(rows.toMap.apply(1L) !== 98.0)
+  }
+
+  test("mergeToLake: micro-batches MERGE into the parquet table, replays are no-ops") {
+    implicit val sql = spark.sqlContext
+    implicit val encM = Encoders.product[(Long, String, Long)]
+    val root = java.nio.file.Files.createTempDirectory("graft-mrg-").toString
+    val in = MemoryStream[(Long, String, Long)]
+    val df = in.toDF().toDF("k", "v", "ver")
+    val q = EventsStreaming.mergeToLake(df, s"$root/t", Seq("k"), "ver", s"$root/ck")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    in.addData((1L, "a", 1L), (2L, "b", 1L))
+    val run1 = q.start(); run1.awaitTermination()
+    assert(spark.read.parquet(s"$root/t").count() === 2)
+    // batch 2: update k=2 (newer), stale k=1 (older version loses), insert k=3
+    in.addData((2L, "b2", 2L), (1L, "stale", 0L), (3L, "c", 1L))
+    val run2 = q.start(); run2.awaitTermination()
+    val t2 = spark.read.parquet(s"$root/t").orderBy("k")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(t2 === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
+  }
 }
