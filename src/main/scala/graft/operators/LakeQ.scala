@@ -176,6 +176,64 @@ object LakeQ {
           count(lit(1)).as("n_rows"))
     })
 
+  /** The whole trusted-load lifecycle at the gate: three
+    * [[graft.lake.TrustedLoad]] runs against one target table — an
+    * initial half-load (rows up to a date split), the incremental
+    * remainder (the control-table watermark excludes everything already
+    * loaded), and a correction batch at a later version that newer-wins
+    * a subset of keys. The final table must equal the one-shot answer —
+    * proving the incremental composition loses nothing, duplicates
+    * nothing, and applies corrections exactly once; the oracle computes
+    * that one-shot answer directly. */
+  val q45TrustedLifecycle: Q = Q(
+    "q45_trusted_lifecycle",
+    Some("""
+      SELECT o_orderkey,
+             round(o_totalprice + CASE WHEN o_orderkey % 100 = 0
+                                       THEN 1000.0 ELSE 0.0 END, 2) AS total,
+             c_mktsegment AS segment
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    """),
+    (s, dir) => {
+      import graft.lake.{ControlTable, EntityTransformer, TrustedLoad}
+      val target = java.nio.file.Files
+        .createTempDirectory("graft-q45-").toString + "/t"
+      def withTs(df: org.apache.spark.sql.DataFrame) =
+        df.withColumn("ingest_ts", col("o_orderdate").cast("timestamp"))
+      val orders = withTs(Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"))
+      val cust = Tables(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      val enricher = new EntityTransformer {
+        override val entityName = "trusted.q45"
+        override val inputs = Seq("orders", "customer")
+        override val primaryKey = Seq("o_orderkey")
+        override def transform(dfs: Map[String, org.apache.spark.sql.DataFrame]) =
+          dfs("orders").join(broadcast(dfs("customer")),
+              col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
+              col("c_mktsegment").as("segment"), col("ingest_ts"))
+      }
+      val inc = Map("orders" -> "ingest_ts")
+      def run(ctl: org.apache.spark.sql.DataFrame,
+          src: org.apache.spark.sql.DataFrame, at: String) =
+        TrustedLoad.run(enricher,
+          n => if (n == "orders") src else cust, ctl, inc, "ingest_ts",
+          target, java.sql.Timestamp.valueOf(at)).control
+      // run 1: everything shipped before the split date
+      val split = "1995-07-01"
+      val c1 = run(ControlTable.empty(s),
+        orders.filter(col("o_orderdate") < lit(split)), "2025-01-01 00:00:00")
+      // run 2: the full source again — the watermark loads only the rest
+      val c2 = run(c1, orders, "2025-01-02 00:00:00")
+      // run 3: corrections for 1%% of keys at a later version
+      val corrections = orders.filter(col("o_orderkey") % 100 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("ingest_ts",
+          lit(java.sql.Timestamp.valueOf("2035-01-01 00:00:00")))
+      run(c2, corrections, "2025-01-03 00:00:00")
+      s.read.parquet(target).select("o_orderkey", "total", "segment")
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
-    q25DeleteAppend, q44SkewSaltedJoin)
+    q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle)
 }
