@@ -355,7 +355,48 @@ object TextStats {
           .otherwise(lit(0.0)), 4).as("rep_ratio"))
     })
 
+  /** Deterministic stratified sampling — the data-mixing primitive of a
+    * training-data pipeline: per-stratum keep rates (downsample the
+    * dominant language, keep rarer strata fully) applied via a seeded
+    * hash bucket, so the sample is reproducible, cluster-order-
+    * independent, and retry-safe (no rand()). The rates ride in a tiny
+    * broadcast dim exactly as they would from a config table at 100 TB;
+    * strata absent from the table default to keep-everything. The hash
+    * is salted ('samp:') so sampling stays independent of d11's
+    * train/val/test assignment. */
+  val d14StratifiedSample: Q = Q(
+    "d14_stratified_sample",
+    Some("""
+      WITH rates AS (
+        SELECT * FROM (VALUES ('en', 20), ('zh', 100), ('es', 50), ('de', 50))
+               AS r(lang, pct)),
+      b AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5('samp:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents)
+      SELECT b.doc_id, b.lang
+      FROM b LEFT JOIN rates r ON b.lang = r.lang
+      WHERE b.bucket < coalesce(r.pct, 100)
+    """),
+    (s, dir) => {
+      val rates = graft.LocalTable.of(s,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("r_lang",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("pct",
+            org.apache.spark.sql.types.IntegerType))),
+        Seq(org.apache.spark.sql.Row("en", 20), org.apache.spark.sql.Row("zh", 100),
+          org.apache.spark.sql.Row("es", 50), org.apache.spark.sql.Row("de", 50)))
+      val bucket = conv(substring(md5(concat(lit("samp:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), bucket.as("bucket"))
+        .join(broadcast(rates), col("lang") === col("r_lang"), "left")
+        .filter(col("bucket") < coalesce(col("pct"), lit(100)))
+        .select(col("doc_id"), col("lang"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
-    d11SplitAssign, d12Contamination, d13RepetitionRatio)
+    d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample)
 }
