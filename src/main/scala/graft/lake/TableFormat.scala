@@ -68,9 +68,19 @@ object ParquetTableFormat extends TableFormat {
   override def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** The reference's file-layout posture for lake tables: zstd
+    * compression and a bounded record count per data file
+    * (spark-defaults-production.conf:60-61 zstd;
+    * datatrack_spark_utils.py:402-413 256 MB targets / ≤1M rows per
+    * file). Applied per-write so engine defaults stay untouched. */
+  private def layoutWriter(df: DataFrame) =
+    df.write
+      .option("compression", "zstd")
+      .option("maxRecordsPerFile", 1000000L)
+
   override def createOrAppend(df: DataFrame, path: String,
       partitionCols: Seq[String]): Unit = {
-    val w = df.write.mode(SaveMode.Append)
+    val w = layoutWriter(df).mode(SaveMode.Append)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
@@ -97,7 +107,7 @@ object ParquetTableFormat extends TableFormat {
   private def rewrite(spark: SparkSession, path: String, next: DataFrame,
       partitionCols: Seq[String]): Unit = {
     val tmp = path + ".__rewrite_tmp"
-    val w = next.write.mode(SaveMode.Overwrite)
+    val w = layoutWriter(next).mode(SaveMode.Overwrite)
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(tmp)
     val (fs, dir) = fsOf(path)
     val nextIdx = listSnapshots(path).lastOption
