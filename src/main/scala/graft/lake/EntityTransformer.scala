@@ -95,8 +95,12 @@ object TrustedLoad {
     val out = transformer.postTransform(
       transformer.transform(transformer.preTransform(dfs)))
 
-    // 4. W1 dedup within the batch, then version-guarded MERGE upsert
+    // 4. W1 dedup within the batch, then version-guarded MERGE upsert.
+    //    Materialized once: the row count and the merge both consume the
+    //    deduped frame — without the checkpoint the dedup would compute
+    //    twice (count job + merge input).
     val deduped = Lake.dedupByKeys(out, transformer.primaryKey, Some(versionCol))
+      .localCheckpoint()
     val rows = deduped.count()
     fmt.merge(spark, targetPath, deduped, transformer.primaryKey, versionCol,
       transformer.partitionCol.toSeq)

@@ -317,8 +317,55 @@ object Temporal {
           unix_micros(col("w.end")).as("session_end_us"),
           col("n_events"), col("sum_value")))
 
+  /** Time-series resample + gap fill — a family the reference has no
+    * engine for (SURVEY §1.1: "no time-series-specific engine"): per-user
+    * daily totals re-gridded onto a dense per-user date spine
+    * (sequence + explode between that user's first and last active day),
+    * missing days forward-filled with the last observed value and
+    * flagged. Scale shape: the spine explodes per user (bounded by the
+    * date range), the fill is one window per user partition — no global
+    * exchange, no driver-side date loop. */
+  val q46ResampleFfill: Q = Q(
+    "q46_resample_ffill",
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM daily GROUP BY 1),
+      spine AS (SELECT user_id,
+                       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                   CAST(d1 AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds),
+      j AS (SELECT s.user_id, s.day, d.day_value
+            FROM spine s LEFT JOIN daily d USING (user_id, day))
+      SELECT user_id, day,
+             last_value(day_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+             day_value IS NULL AS is_gap
+      FROM j
+    """),
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("day_value"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("value_filled"),
+          col("day_value").isNull.as("is_gap"))
+    })
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
-    q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative)
+    q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
+    q46ResampleFfill)
 }
