@@ -384,5 +384,104 @@ object Similarity {
       IvfIndex.probe(s, path, qv, k = 10, nProbe = 4, excludeVecId = Some(0L))
     })
 
-  val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh, s05AnnIvf)
+  /** Product quantization with asymmetric-distance scoring (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", PAMI 2011)
+    * — the memory-bound half of a serious ANN stack (IVF prunes WHICH
+    * vectors to read, PQ shrinks WHAT is read: d floats → M one-byte
+    * codes, ~32× here):
+    *   - codebook: the md5-ranked seeded init (KMeans.fit with 0
+    *     iterations — the same ANSI-SQL-reproducible ranking s05 uses)
+    *     sliced into M=8 subspaces of 8 dims × 16 codes each;
+    *   - encode: per subspace, nearest codeword by cosine (the codegen'd
+    *     NearestCentroidExpr over the sliced vector) — a pure projection,
+    *     one scan, zero shuffle, exactly how a 100 TB corpus would be
+    *     code-compressed once and stored;
+    *   - ADC probe: the query never gets encoded — its 8×16 partial
+    *     dot-product table is computed driver-side (k×d model math, like
+    *     IVF's probe-list selection) and rides into the plan as
+    *     element_at lookups; score = Σ_m dot(q_m, codeword_m). Top-k by
+    *     the additive approximation.
+    * The whole construction is deterministic, so the oracle rebuilds
+    * codebook, codes, and ADC scores relationally (no Lloyd unrolling
+    * needed at 0 fit iterations). */
+  val s06PqAdc: Q = Q(
+    "s06_pq_adc",
+    Some("""
+      WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM emb),
+      init AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      sub AS (SELECT unnest(generate_series(0, 7)) AS m),
+      codes AS (
+        SELECT vec_id, m, cid AS code FROM (
+          SELECT e.vec_id, s.m, i.cid,
+                 row_number() OVER (PARTITION BY e.vec_id, s.m
+                   ORDER BY list_cosine_similarity(
+                     CAST(e.embedding[s.m*8+1 : s.m*8+8] AS DOUBLE[]),
+                     CAST(i.c[s.m*8+1 : s.m*8+8] AS DOUBLE[])) DESC,
+                   i.cid ASC) AS rn
+          FROM emb e CROSS JOIN sub s CROSS JOIN init i) t
+        WHERE rn = 1),
+      q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0),
+      scores AS (
+        SELECT c.vec_id,
+               sum(list_inner_product(
+                 CAST(q.qe[c.m*8+1 : c.m*8+8] AS DOUBLE[]),
+                 CAST(i.c[c.m*8+1 : c.m*8+8] AS DOUBLE[]))) AS score
+        FROM codes c JOIN init i ON i.cid = c.code, q
+        GROUP BY c.vec_id)
+      SELECT e.vec_id, e.label, round(s.score, 6) AS adc_score
+      FROM scores s JOIN emb e USING (vec_id)
+      WHERE e.vec_id <> 0
+      ORDER BY adc_score DESC, e.vec_id ASC
+      LIMIT 10
+    """),
+    (s, dir) => pqAdcTopK(emb(s, dir), queryVecId = 0L, topK = 10,
+      subspaces = 8, codebookSize = 16, fitIters = 0))
+
+  /** Reusable PQ+ADC pipeline over (vec_id, label, embedding): fit one
+    * codebook per subspace (seeded k-means; `fitIters = 0` keeps the
+    * md5-ranked init, which is what makes the gate query relationally
+    * oracle-able), encode by per-subspace nearest codeword, score with
+    * the query's precomputed partial-dot tables. */
+  def pqAdcTopK(e: DataFrame, queryVecId: Long, topK: Int, subspaces: Int,
+      codebookSize: Int, fitIters: Int): DataFrame = {
+    val dim = e.select(col("embedding")).take(1).headOption
+      .map(_.getSeq[Float](0).length)
+      .getOrElse(throw new IllegalArgumentException("pqAdcTopK: empty corpus"))
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val sub = dim / subspaces
+    val init = KMeans.fit(e, "vec_id", "embedding", codebookSize, fitIters)
+    val codebooks: Seq[Array[Array[Float]]] =
+      (0 until subspaces).map(m => init.map(_.slice(m * sub, (m + 1) * sub)))
+    val qv = e.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).take(1).headOption
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqAdcTopK: query vec_id=$queryVecId not found"))
+      .getSeq[Float](0).toArray
+    // ADC lookup tables: dot(q_m, codeword_j) per subspace, driver-side
+    val adc: Seq[Seq[Double]] = (0 until subspaces).map { m =>
+      codebooks(m).toSeq.map { c =>
+        var d = 0.0; var i = 0
+        while (i < sub) { d += qv(m * sub + i).toDouble * c(i).toDouble; i += 1 }
+        d
+      }
+    }
+    val score = (0 until subspaces).map { m =>
+      val code = graft.plans.NearestCentroidExpr.nearestCentroid(
+        slice(col("embedding"), m * sub + 1, sub), codebooks(m))
+      element_at(typedlit(adc(m)), code + 1)
+    }.reduce(_ + _)
+    e.filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"), round(score, 6).as("adc_score"))
+      .orderBy(col("adc_score").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
+  val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
+    s05AnnIvf, s06PqAdc)
 }

@@ -103,6 +103,14 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.length === 10)
     assert(ivf.count(_.getInt(1) === 0) === 10,
       s"IVF should return only cluster-0 neighbors")
+
+    // PQ+ADC variant (trained codebook, 3 Lloyd iterations): the additive
+    // approximation must still rank vec 0's own cluster on top
+    val pq = Similarity.pqAdcTopK(planted, 0, topK = 10, subspaces = 8,
+      codebookSize = 16, fitIters = 3).collect()
+    assert(pq.length === 10)
+    assert(pq.count(_.getInt(1) === 0) >= 9,
+      s"PQ-ADC should recover the planted cluster")
   }
 
   test("k-means fit is deterministic and separates planted clusters") {
