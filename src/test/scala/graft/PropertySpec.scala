@@ -76,6 +76,23 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: extractText never throws on arbitrary or corrupted bytes") {
+    // executor-side robustness: a damaged landing PDF must degrade to ""
+    // (or partial text), never kill the task
+    val rnd = new scala.util.Random(4242)
+    val garbage = Seq.fill(20)(Array.fill(rnd.nextInt(4000))(rnd.nextInt().toByte))
+    garbage.foreach(b => graft.parse.PdfText.extractText(b)) // must not throw
+    // structured prefixes with torn-off tails (truncated real PDFs)
+    val real = PdfFixture.pdf(Seq(Seq("alpha", "beta", "gamma")))
+    (1 until real.length by 97).foreach { cut =>
+      graft.parse.PdfText.extractText(real.take(cut)) // must not throw
+    }
+    // bit-flipped stream bytes (corrupt Flate payloads)
+    val flipped = real.clone()
+    (0 until flipped.length by 31).foreach(i => flipped(i) = (flipped(i) ^ 0x5a).toByte)
+    graft.parse.PdfText.extractText(flipped) // must not throw
+  }
+
   test("property: conformToSchema always matches the destination schema") {
     val dest = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),
