@@ -151,6 +151,23 @@ class PlanSpec extends SparkSpec {
     } finally safe.df.unpersist()
   }
 
+  test("s06: PQ encode + ADC scoring is a pure projection — no join, no shuffle before top-k") {
+    val df = run("s06_pq_adc")
+    val p = physical(df)
+    // codes and scores derive from model objects riding inside expressions;
+    // the only wide op is the final TakeOrdered
+    assert(!p.contains("Join"), p.take(1000))
+    assert(!p.contains("Exchange hashpartitioning"), p.take(1000))
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+  }
+
+  test("d14: stratified sample scan prunes the text column") {
+    val s = scans(run("d14_stratified_sample"))
+    val readSchema = s.head.metadata("ReadSchema")
+    assert(!readSchema.contains("text"), readSchema)
+    assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
