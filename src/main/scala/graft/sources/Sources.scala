@@ -84,13 +84,25 @@ object Sources {
       .option("multiLine", "true")
       .option("encoding", "UTF-8")
       .csv(path)
-    val renamed = formsRenameMap.foldLeft(raw) { case (df, (from, to)) =>
+    // CRLF exports leave a \r on the LAST header name (quoted multi-line
+    // headers get normalized by the parser, the trailing unquoted one
+    // does not) — normalize names before the rename map
+    val cleanNames = raw.columns.foldLeft(raw) { (df, c) =>
+      if (c.contains("\r")) df.withColumnRenamed(c, c.replace("\r", "")) else df
+    }
+    val renamed = formsRenameMap.foldLeft(cleanNames) { case (df, (from, to)) =>
       if (df.columns.contains(from)) df.withColumnRenamed(from, to) else df
     }
     // required columns backfilled with NULLs (forms_main.py required-col fill)
     val required = formsRenameMap.map(_._2)
-    val complete = required.foldLeft(renamed) { (df, c) =>
+    val complete0 = required.foldLeft(renamed) { (df, c) =>
       if (df.columns.contains(c)) df else df.withColumn(c, lit(null).cast("string"))
+    }
+    // CRLF exports: Spark's multiLine parser keeps the \r on each row's
+    // last (unquoted) column — strip carriage returns everywhere, the
+    // normalization pandas applies transparently for the reference
+    val complete = required.foldLeft(complete0) { (df, c) =>
+      df.withColumn(c, regexp_replace(col(c), "\r", ""))
     }
     complete.select(
       dates.toTimestampMulti(col("carimbo")).as("carimbo"),

@@ -156,12 +156,42 @@ class RealPdfSpec extends SparkSpec {
     assert(ParsePipeline.bradescoExtratos(raw).count() === rows.size.toLong)
   }
 
+  test("real forms CSV: multiline pt-BR headers, rename map, BRL/date parse, NULL survival") {
+    val csv = root.resolve(
+      "02_forms/cruz_raulino_familia/forms_gastos_compartilhados_20260103.csv")
+    assert(Files.exists(csv))
+    val df = Sources.readFormsCsv(spark, csv.toString, "cruz_raulino_familia")
+    val rows = df.collect()
+    assert(rows.length === 151)
+    // the quirky embedded-newline headers landed on the normalized names
+    assert(df.columns.take(8) === Array("carimbo", "lancado_por", "data_pagamento",
+      "vencimento", "descricao", "valor", "tipo_de_custo", "categoria"))
+    // pt-BR money without the R$ prefix, including single-decimal values
+    val vals = rows.flatMap(r => Option(r.getAs[java.lang.Double]("valor")))
+    assert(vals.contains(92.6) && vals.contains(237.63))
+    // real-world dirt: one blank valor plus five free-text entries the
+    // users typed into the money column ("388,29 ifood", "Frangolandia"…)
+    // — all degrade to NULL (the reference's float-parse failure
+    // contract), never to a crash under ANSI mode
+    assert(rows.count(_.isNullAt(df.columns.indexOf("valor"))) === 6)
+    // submitters and dates parse
+    assert(rows.map(_.getAs[String]("lancado_por")).distinct.sorted
+      === Array("Sergio", "Valesca"))
+    assert(rows.forall(!_.isNullAt(df.columns.indexOf("carimbo"))))
+    assert(rows.forall(_.getAs[String]("client_slug") == "cruz_raulino_familia"))
+    // accented categories survive UTF-8 end-to-end
+    assert(rows.exists(_.getAs[String]("categoria") == "1. Alimentação"))
+  }
+
   test("distributed path: landingFiles → extractPdfTexts → ParsePipeline on real corpus") {
     val landing = Sources.landingFiles(spark, root.toString)
     val byKind = landing.groupBy("kind").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the two forms CSVs under 02_forms are listed but are not bank docs:
+    // the folder-based classifier puts them in 'desconhecido', exactly as
+    // the reference's classifier would
     assert(byKind === Map("fatura_bb" -> 4L, "extrato_bb" -> 4L,
-      "fatura_bradesco" -> 3L, "extrato_bradesco" -> 4L))
+      "fatura_bradesco" -> 3L, "extrato_bradesco" -> 4L, "desconhecido" -> 2L))
 
     val texts = Sources.extractPdfTexts(landing).cache()
     try {
