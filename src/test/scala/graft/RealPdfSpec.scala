@@ -183,6 +183,29 @@ class RealPdfSpec extends SparkSpec {
     assert(rows.exists(_.getAs[String]("categoria") == "1. Alimentação"))
   }
 
+  test("FinTrackJob runs the full §3 slice on the real forms export") {
+    val csv = root.resolve(
+      "02_forms/cruz_raulino_familia/forms_gastos_compartilhados_20260103.csv")
+    val out = Files.createTempDirectory("graft-realjob-").toString
+    val budget = Seq("1. Alimentação" -> 2000.0, "3. Água, Luz e Gás" -> 800.0,
+      "99. Inexistente" -> 50.0)
+    val (monthly, compare) = graft.jobs.FinTrackJob.run(spark, csv.toString,
+      "cruz_raulino_familia", budget, out,
+      java.sql.Timestamp.valueOf("2026-01-03 00:00:00"))
+    val m = monthly.collect()
+    assert(m.nonEmpty && m.forall(r => r.getAs[String]("categoria") != null))
+    val c = compare.collect().map(r => r.getAs[String]("categoria") -> r).toMap
+    // budgeted-but-unspent category zero-fills; real categories join
+    assert(c("99. Inexistente").getAs[Double]("realizado") === 0.0)
+    assert(c.contains("1. Alimentação") &&
+      !c("1. Alimentação").getAs[Boolean]("sem_orcamento"))
+    // unbudgeted real spend is flagged
+    assert(c.exists { case (_, r) => r.getAs[Boolean]("sem_orcamento") })
+    // reports land as CSV files
+    assert(Files.list(Paths.get(out, "monthly_by_category")).iterator().asScala
+      .exists(_.toString.endsWith(".csv")))
+  }
+
   test("distributed path: landingFiles → extractPdfTexts → ParsePipeline on real corpus") {
     val landing = Sources.landingFiles(spark, root.toString)
     val byKind = landing.groupBy("kind").count().collect()
