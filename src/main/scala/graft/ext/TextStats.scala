@@ -396,7 +396,48 @@ object TextStats {
         .select(col("doc_id"), col("lang"))
     })
 
+  /** Sliding-window document chunking — the context-window primitive of
+    * RAG/pretraining pipelines: token windows of 32 with stride 16, one
+    * output row per (doc, chunk) carrying the chunk's token count and a
+    * content fingerprint (chunk-level dedup key). Tokenization is
+    * materialized in its own projection BEFORE the window transform so
+    * the per-chunk lambda references an attribute instead of re-inlining
+    * the regexp split per iteration (the HOF re-evaluation trap —
+    * see plans.ShinglesExpr). Pure projection + explode: no shuffle,
+    * chunk count bounded by ceil(max(n-32,0)/16)+1. */
+  val d15Chunking: Q = Q(
+    "d15_chunking",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      b AS (
+        SELECT doc_id, toks,
+               greatest(CAST(ceil((len(toks) - 32) / 16.0) AS INT), 0) AS k
+        FROM t),
+      c AS (
+        SELECT doc_id, i AS chunk_id, toks[i*16+1 : i*16+32] AS chunk
+        FROM b, unnest(generate_series(0, k)) u(i))
+      SELECT doc_id, chunk_id, CAST(len(chunk) AS BIGINT) AS n_tokens,
+             md5(array_to_string(chunk, ' ')) AS fingerprint
+      FROM c
+    """),
+    (s, dir) => {
+      val toked = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+      val k = greatest(
+        ceil((size(col("toks")) - 32).cast("double") / 16.0).cast("int"), lit(0))
+      toked
+        .select(col("doc_id"),
+          posexplode(transform(sequence(lit(0), k),
+            i => slice(col("toks"), i * 16 + 1, lit(32)))).as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("fingerprint"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
-    d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample)
+    d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
+    d15Chunking)
 }
