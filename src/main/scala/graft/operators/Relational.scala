@@ -398,6 +398,37 @@ object Relational {
           col("sum_qty"), col("n_rows"))
     })
 
+  /** Pivot — wide per-month report with one column per order priority
+    * (the relational `pivot` API surface; Spark plans it as a single
+    * hash aggregate over `sum(CASE WHEN …)` branches — one scan, one
+    * shuffle on the groupBy key, which is also exactly the pivot-free
+    * SQL the oracle runs). The pivot domain is declared explicitly: an
+    * undeclared domain would force an extra distinct-collect job at
+    * 100 TB just to discover the columns. */
+  val q47PivotPriorities: Q = Q(
+    "q47_pivot_priorities",
+    Some("""
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent,
+             round(sum(o_totalprice) FILTER (o_orderpriority = '2-HIGH'), 2) AS high,
+             round(sum(o_totalprice) FILTER (o_orderpriority = '3-MEDIUM'), 2) AS medium,
+             round(sum(o_totalprice) FILTER (o_orderpriority = '4-NOT SPECIFIED'), 2) AS notspec,
+             round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS low
+      FROM orders
+      GROUP BY 1
+    """),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(round(sum(col("o_totalprice")), 2))
+        .withColumnRenamed("1-URGENT", "urgent")
+        .withColumnRenamed("2-HIGH", "high")
+        .withColumnRenamed("3-MEDIUM", "medium")
+        .withColumnRenamed("4-NOT SPECIFIED", "notspec")
+        .withColumnRenamed("5-LOW", "low"))
+
   /** Top-2 orders per customer through the CUSTOM physical operator
     * (graft.plans.TopKPerGroup: LogicalPlan + Strategy + SparkPlan with
     * map-side bounded heaps — only k rows per key per input partition
@@ -429,5 +460,5 @@ object Relational {
     q04TopRevenueOrders, q05TopkAbsEvents, q06LatestOrderPerCustomer,
     q07ModePriorityPerNation, q08BudgetVsActual, q09CustomersWithoutOrders,
     q10UrgentBigSpenders, q11CustomerOnlyNations, q12RollupQuantity,
-    q32CubeQuantity, q36TopkPerGroupNative, q39GroupingSets)
+    q32CubeQuantity, q36TopkPerGroupNative, q39GroupingSets, q47PivotPriorities)
 }
