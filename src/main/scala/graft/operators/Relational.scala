@@ -429,6 +429,38 @@ object Relational {
         .withColumnRenamed("4-NOT SPECIFIED", "notspec")
         .withColumnRenamed("5-LOW", "low"))
 
+  /** Unpivot — melt the q47 wide report back to long form (the reshape
+    * pair's inverse, Spark's native `unpivot`/melt). Planned as one
+    * Expand over the aggregated frame: no join, no extra shuffle beyond
+    * the aggregation's own. NULL cells (months with no orders at that
+    * priority) are dropped by unpivot's contract, matching the oracle's
+    * inner UNION ALL with IS NOT NULL. */
+  val q48UnpivotPriorities: Q = Q(
+    "q48_unpivot_priorities",
+    Some("""
+      WITH wide AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               round(sum(o_totalprice) FILTER (o_orderpriority = '1-URGENT'), 2) AS urgent,
+               round(sum(o_totalprice) FILTER (o_orderpriority = '5-LOW'), 2) AS low
+        FROM orders GROUP BY 1)
+      SELECT month, priority, total FROM (
+        SELECT month, 'urgent' AS priority, urgent AS total FROM wide
+        UNION ALL
+        SELECT month, 'low' AS priority, low AS total FROM wide)
+      WHERE total IS NOT NULL
+    """),
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(
+          round(sum(when(col("o_orderpriority") === "1-URGENT",
+            col("o_totalprice"))), 2).as("urgent"),
+          round(sum(when(col("o_orderpriority") === "5-LOW",
+            col("o_totalprice"))), 2).as("low"))
+        .unpivot(Array(col("month")), Array(col("urgent"), col("low")),
+          "priority", "total")
+        .filter(col("total").isNotNull))
+
   /** Top-2 orders per customer through the CUSTOM physical operator
     * (graft.plans.TopKPerGroup: LogicalPlan + Strategy + SparkPlan with
     * map-side bounded heaps — only k rows per key per input partition
@@ -460,5 +492,6 @@ object Relational {
     q04TopRevenueOrders, q05TopkAbsEvents, q06LatestOrderPerCustomer,
     q07ModePriorityPerNation, q08BudgetVsActual, q09CustomersWithoutOrders,
     q10UrgentBigSpenders, q11CustomerOnlyNations, q12RollupQuantity,
-    q32CubeQuantity, q36TopkPerGroupNative, q39GroupingSets, q47PivotPriorities)
+    q32CubeQuantity, q36TopkPerGroupNative, q39GroupingSets, q47PivotPriorities,
+    q48UnpivotPriorities)
 }
