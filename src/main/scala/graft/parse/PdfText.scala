@@ -48,7 +48,7 @@ object PdfText {
     val texts = pages.map(p => renderPage(objs, p)).filter(_.nonEmpty)
     if (texts.nonEmpty) texts.mkString("\n")
     // structure-free fallback (content streams without a page tree)
-    else contentStreams(pdf).map(s => textOfContentStream(s, WinAnsiFont)).filter(_.nonEmpty).mkString("\n")
+    else contentStreams(pdf).map(textOfContentStream).filter(_.nonEmpty).mkString("\n")
   }
 
   // ---- object table ---------------------------------------------------
@@ -437,7 +437,7 @@ object PdfText {
 
   /** Fallback text of one content stream: position-aware spans with no
     * font table (WinAnsi assumed). */
-  private[parse] def textOfContentStream(cs: String, font: FontDec): String =
+  private[parse] def textOfContentStream(cs: String): String =
     assemble(spansOf(cs, Map.empty))
 
   /** `(...)` literal string with escapes; returns (decoded, indexAfter). */
