@@ -363,9 +363,67 @@ object Temporal {
           col("day_value").isNull.as("is_gap"))
     })
 
+  /** Interval (range) join via time-bucketing — the join family Spark
+    * has no native strategy for: a raw `ts BETWEEN t_start AND t_end`
+    * condition plans as a nested-loop join (every event against every
+    * interval). The bucket-grid rewrite (same family as s03's triangle
+    * grid): events land in their hour bucket, each interval explodes
+    * onto the hour buckets it overlaps, the join becomes an EQUI-join on
+    * the bucket plus a cheap residual BETWEEN — shuffle-partitionable,
+    * fan-out bounded by interval length / bucket width. PlanSpec asserts
+    * the nested-loop never appears. */
+  val q49IntervalBucketJoin: Q = Q(
+    "q49_interval_bucket_join",
+    Some("""
+      WITH intervals AS (
+        SELECT * FROM (VALUES
+          (1, TIMESTAMP '2024-01-03 06:00:00', TIMESTAMP '2024-01-03 18:30:00'),
+          (2, TIMESTAMP '2024-01-10 00:00:00', TIMESTAMP '2024-01-12 00:00:00'),
+          (3, TIMESTAMP '2024-01-15 20:15:00', TIMESTAMP '2024-01-16 04:45:00'),
+          (4, TIMESTAMP '2024-01-20 12:00:00', TIMESTAMP '2024-01-20 12:59:59'),
+          (5, TIMESTAMP '2024-01-25 00:00:00', TIMESTAMP '2024-01-31 23:59:59'))
+          AS v(interval_id, t_start, t_end))
+      SELECT i.interval_id, count(*) AS n_events,
+             round(sum(e.value), 2) AS sum_value
+      FROM events e JOIN intervals i
+        ON e.ts BETWEEN i.t_start AND i.t_end
+      GROUP BY i.interval_id
+    """),
+    (s, dir) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss"
+      val intervals = graft.LocalTable.of(s,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("interval_id",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("t_start",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("t_end",
+            org.apache.spark.sql.types.TimestampType))),
+        Seq(
+          (1, "2024-01-03 06:00:00", "2024-01-03 18:30:00"),
+          (2, "2024-01-10 00:00:00", "2024-01-12 00:00:00"),
+          (3, "2024-01-15 20:15:00", "2024-01-16 04:45:00"),
+          (4, "2024-01-20 12:00:00", "2024-01-20 12:59:59"),
+          (5, "2024-01-25 00:00:00", "2024-01-31 23:59:59")).map { case (i, a, b) =>
+          org.apache.spark.sql.Row(i, java.sql.Timestamp.valueOf(a),
+            java.sql.Timestamp.valueOf(b))
+        })
+      // hour-bucket grid: intervals explode onto every hour they overlap
+      val bucketed = intervals.select(col("interval_id"), col("t_start"), col("t_end"),
+        explode(sequence(
+          floor(unix_timestamp(col("t_start")) / 3600).cast("long"),
+          floor(unix_timestamp(col("t_end")) / 3600).cast("long"))).as("bucket"))
+      val events = ev(s, dir).select(col("ts"), col("value"),
+        floor(unix_timestamp(col("ts")) / 3600).cast("long").as("bucket"))
+      events.join(bucketed, Seq("bucket"))
+        .filter(col("ts").between(col("t_start"), col("t_end")))
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+    })
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
-    q46ResampleFfill)
+    q46ResampleFfill, q49IntervalBucketJoin)
 }

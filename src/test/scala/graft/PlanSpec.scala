@@ -168,6 +168,14 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("doc_id") && readSchema.contains("lang"), readSchema)
   }
 
+  test("q49: interval join plans as a bucket equi-join — no nested loop") {
+    val df = run("q49_interval_bucket_join")
+    val p = physical(df)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1000))
+    assert(!p.contains("CartesianProduct"), p.take(1000))
+    assert(p.contains("bucket"), p.take(1000))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
