@@ -59,33 +59,40 @@ object PdfText {
 
   /** All `N 0 obj` bodies: dictionary text + decoded stream bytes. The
     * scan ignores the xref table entirely (robust to the slightly-off
-    * offsets real generators emit). */
+    * offsets real generators emit). Matches that fall INSIDE a previous
+    * object's binary stream are skipped — compressed bytes can contain
+    * the `N 0 obj` pattern, and such a phantom must not shadow a real
+    * object. */
   private[parse] def parseObjects(doc: String, pdf: Array[Byte]): Map[Int, PdfObj] = {
     val out = mutable.Map.empty[Int, PdfObj]
+    var skipUntil = 0 // end offset of the last seen stream body
     ObjStart.findAllMatchIn(doc).foreach { m =>
-      val num = m.group(1).toInt
-      var i = skipWs(doc, m.end)
-      val dict =
-        if (doc.startsWith("<<", i)) {
-          val (d, after) = balancedDict(doc, i)
-          i = skipWs(doc, after)
-          d
-        } else "" // scalar object (length int etc.) — no dict
-      val stream =
-        if (doc.startsWith("stream", i)) {
-          var s = i + "stream".length
-          if (s < doc.length && doc.charAt(s) == '\r') s += 1
-          if (s < doc.length && doc.charAt(s) == '\n') s += 1
-          val e = doc.indexOf("endstream", s)
-          if (e < 0) None
-          else {
-            val raw = pdf.slice(s, trimEol(doc, e))
-            if (dict.contains("/FlateDecode")) inflate(raw)
-            else if (dict.contains("/Filter")) None // unsupported filter
-            else Some(raw)
-          }
-        } else None
-      out(num) = PdfObj(dict, stream)
+      if (m.start >= skipUntil) {
+        val num = m.group(1).toInt
+        var i = skipWs(doc, m.end)
+        val dict =
+          if (doc.startsWith("<<", i)) {
+            val (d, after) = balancedDict(doc, i)
+            i = skipWs(doc, after)
+            d
+          } else "" // scalar object (length int etc.) — no dict
+        val stream =
+          if (doc.startsWith("stream", i)) {
+            var s = i + "stream".length
+            if (s < doc.length && doc.charAt(s) == '\r') s += 1
+            if (s < doc.length && doc.charAt(s) == '\n') s += 1
+            val e = doc.indexOf("endstream", s)
+            if (e < 0) None
+            else {
+              skipUntil = e
+              val raw = pdf.slice(s, trimEol(doc, e))
+              if (dict.contains("/FlateDecode")) inflate(raw)
+              else if (dict.contains("/Filter")) None // unsupported filter
+              else Some(raw)
+            }
+          } else None
+        out(num) = PdfObj(dict, stream)
+      }
     }
     out.toMap
   }
