@@ -436,8 +436,49 @@ object TextStats {
           md5(concat_ws(" ", col("chunk"))).as("fingerprint"))
     })
 
+  /** Concat-and-chop sequence packing — how pretraining pipelines fill
+    * fixed context windows: documents are concatenated per shard and the
+    * token stream is chopped into 512-token sequences, so each doc maps
+    * to a span [first_seq, last_seq] of the sequences it lands in.
+    * Sharding is the deterministic md5 bucket (8 shards), packing within
+    * a shard is a running token total over doc_id order — one window per
+    * shard partition, no global exchange, shards pack in parallel
+    * exactly as 8 writer tasks would at 100 TB. */
+  val d16SequencePacking: Q = Q(
+    "d16_sequence_packing",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, shard, n_tokens,
+               coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM t)
+      SELECT doc_id, shard, n_tokens,
+             CAST(floor(cum_before / 512) AS BIGINT) AS first_seq,
+             CAST(floor((cum_before + n_tokens - 1) / 512) AS BIGINT) AS last_seq
+      FROM c
+    """),
+    (s, dir) => {
+      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 8).as("shard")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), shard,
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("shard"), col("n_tokens"),
+          floor(col("cum_before") / 512).cast("long").as("first_seq"),
+          floor((col("cum_before") + col("n_tokens") - 1) / 512).cast("long").as("last_seq"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
-    d15Chunking)
+    d15Chunking, d16SequencePacking)
 }
