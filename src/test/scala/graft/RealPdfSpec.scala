@@ -66,6 +66,13 @@ class RealPdfSpec extends SparkSpec {
     assert(resumo.vencimento === "05/10/2025")
     assert(resumo.valor_total === 13703.95)
     assert(resumo.titular != null)
+    // every bill in the corpus yields a vencimento and a total
+    faturas.foreach { p =>
+      val r = Parsers.parseFaturaResumo(text(p))
+      assert(r.vencimento != null && r.vencimento.matches("""\d{2}/\d{2}/\d{4}"""),
+        s"no vencimento from $p")
+      assert(r.valor_total != null && r.valor_total > 0, s"no total from $p")
+    }
   }
 
   test("BB extratos (real C/D layout): movements, groups, header") {
@@ -101,6 +108,11 @@ class RealPdfSpec extends SparkSpec {
     assert(finals === Set("0039", "9952", "9953"))
     val jan = perDoc.find(_._1.toString.contains("2026/01")).get._2
     assert(jan.map(_.cartao_final).toSet === Set("0039", "9952", "9953"))
+    // the November bill only carries the two main cards
+    val nov = perDoc.find(_._1.toString.contains("2025/11")).get._2
+    assert(nov.map(_.cartao_final).toSet === Set("9952", "9953"))
+    // all parsed values are plausible money (no date/doc tokens leaked in)
+    perDoc.values.flatten.foreach(r => assert(math.abs(r.valor) < 100000, r.toString))
     // payment with leading minus → tipo pagamento, negative value
     val pagto = jan.find(_.tipo == "pagamento").get
     assert(pagto.valor === -12027.45 && pagto.descricao.startsWith("PAGTO"))
