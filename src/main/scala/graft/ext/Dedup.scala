@@ -188,11 +188,20 @@ object Dedup {
       .withColumn("band", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
       .select(col("doc_id"),
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
-    val candidates = banded.as("a").join(banded.as("b"),
-        col("a.band_id") === col("b.band_id") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // candidates by BUCKET GROUPING, not a self-join: the bands×N rows
+    // shuffle ONCE into their (band_id, band_hash) buckets and pairs
+    // expand inside each bucket — a self-join would shuffle the same
+    // rows twice and build a hash table of one whole side. Bucket
+    // membership lists are near-dup groups (small); the nested pair
+    // transform runs on those tiny arrays only.
+    val candidates = banded
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + 2, size(col("ds"))),
+          y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
     candidates
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
