@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -65,6 +66,15 @@ object Dedup {
   val SimhashBits = 60
   val SimhashBands = 4
   val SimhashBandBits: Int = SimhashBits / SimhashBands
+
+  /** Default hot-bucket membership cap for LSH candidate generation: the
+    * first `cap` members of a bucket pair all-with-all (cap²/2 pairs max),
+    * every member beyond the cap pairs with the bucket's rank-1
+    * representative only (m−cap pairs) — bounded buffers and bounded
+    * fan-out on degenerate near-dup clusters, identical connected
+    * components. 1000 keeps the all-pairs budget ≤ ~500k per bucket while
+    * being far above any bucket the gate corpora produce. */
+  val DefaultBucketCap = 1000
 
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perTok = docs
@@ -179,8 +189,10 @@ object Dedup {
     * Carrying arrays through the 16-way band explode would multiply the
     * shuffle payload by `bands`, which is what kills this at 100 TB. */
   def minhashNearDupPairs(docs: DataFrame, nGram: Int, k: Int, bands: Int,
-      rowsPerBand: Int, threshold: Double): DataFrame = {
+      rowsPerBand: Int, threshold: Double,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    require(bucketCap >= 2, "bucketCap must allow at least one pair")
     val shingled = docs
       .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
     val banded = shingled
@@ -191,10 +203,25 @@ object Dedup {
     // candidates by BUCKET GROUPING, not a self-join: the bands×N rows
     // shuffle ONCE into their (band_id, band_hash) buckets and pairs
     // expand inside each bucket — a self-join would shuffle the same
-    // rows twice and build a hash table of one whole side. Bucket
-    // membership lists are near-dup groups (small); the nested pair
-    // transform runs on those tiny arrays only.
-    val candidates = banded
+    // rows twice and build a hash table of one whole side.
+    //
+    // Hot-bucket cap: a near-dup CLUSTER of m docs (the normal case in
+    // web-crawl dedup) lands its whole membership in one bucket; without
+    // a cap that is one m-element aggregation buffer and m²/2 expanded
+    // pairs from a single row. So membership is ranked per bucket first
+    // (a per-partition sort of ROWS — spillable — never an array buffer):
+    // the first `bucketCap` members pair all-with-all, members beyond the
+    // cap each pair with the bucket minimum only. Connected components —
+    // the thing dedup consumes — are IDENTICAL (every tail member links
+    // to the rank-1 representative); the emitted pair LIST is the full
+    // m²/2 only while m ≤ bucketCap, which holds for every bucket at gate
+    // scale, so the gate's exact pair-set contract is unaffected.
+    val wOrd = Window.partitionBy(col("band_id"), col("band_hash"))
+      .orderBy(col("doc_id"))
+    val ranked = banded
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("rep", first(col("doc_id")).over(wOrd))
+    val headPairs = ranked.filter(col("rn") <= bucketCap)
       .groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -202,7 +229,9 @@ object Dedup {
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-      .distinct()
+    val tailPairs = ranked.filter(col("rn") > bucketCap)
+      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = headPairs.union(tailPairs).distinct()
     candidates
       .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
       .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
