@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -67,13 +66,14 @@ object Dedup {
   val SimhashBands = 4
   val SimhashBandBits: Int = SimhashBits / SimhashBands
 
-  /** Default hot-bucket membership cap for LSH candidate generation: the
-    * first `cap` members of a bucket pair all-with-all (cap²/2 pairs max),
-    * every member beyond the cap pairs with the bucket's rank-1
-    * representative only (m−cap pairs) — bounded buffers and bounded
-    * fan-out on degenerate near-dup clusters, identical connected
-    * components. 1000 keeps the all-pairs budget ≤ ~500k per bucket while
-    * being far above any bucket the gate corpora produce. */
+  /** Default hot-bucket membership cap for LSH/SimHash candidate
+    * generation: buckets at or under the cap pair all-with-all (cap²/2
+    * pairs max), hot buckets pair every member with the bucket-min
+    * representative only (m−1 pairs) — bounded buffers and bounded
+    * fan-out on degenerate near-dup clusters, CANDIDATE-graph connected
+    * components preserved (post-verification components can differ; see
+    * minhashNearDupPairs). 1000 keeps the all-pairs budget ≤ ~500k per
+    * bucket while being far above any bucket the gate corpora produce. */
   val DefaultBucketCap = 1000
 
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -188,11 +188,23 @@ object Dedup {
     * twice for the exact-Jaccard verify of the distinct candidate pairs.
     * Carrying arrays through the 16-way band explode would multiply the
     * shuffle payload by `bands`, which is what kills this at 100 TB. */
+  /** @param verifySampleRate opt-in sampling of the exact-Jaccard verify
+    *   stage for very large corpora: candidate pairs land in a
+    *   deterministic xxhash64 sample bucket (no rand() — reproducible and
+    *   retry-safe); the sampled fraction is exact-verified and
+    *   threshold-filtered as usual, the remainder is emitted
+    *   banding-trusted with `jaccard` NULL (the banding's analytical
+    *   false-positive bound is then the precision statement, and the
+    *   verified sample measures it empirically). 1.0 (default, and what
+    *   the gate runs) verifies everything — output ⊆ exact. */
   def minhashNearDupPairs(docs: DataFrame, nGram: Int, k: Int, bands: Int,
       rowsPerBand: Int, threshold: Double,
-      bucketCap: Int = DefaultBucketCap): DataFrame = {
+      bucketCap: Int = DefaultBucketCap,
+      verifySampleRate: Double = 1.0): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
     require(bucketCap >= 2, "bucketCap must allow at least one pair")
+    require(verifySampleRate > 0.0 && verifySampleRate <= 1.0,
+      "verifySampleRate must be in (0, 1]")
     val shingled = docs
       .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
     val banded = shingled
@@ -205,23 +217,43 @@ object Dedup {
     // expand inside each bucket — a self-join would shuffle the same
     // rows twice and build a hash table of one whole side.
     //
-    // Hot-bucket cap: a near-dup CLUSTER of m docs (the normal case in
-    // web-crawl dedup) lands its whole membership in one bucket; without
-    // a cap that is one m-element aggregation buffer and m²/2 expanded
-    // pairs from a single row. So membership is ranked per bucket first
-    // (a per-partition sort of ROWS — spillable — never an array buffer):
-    // the first `bucketCap` members pair all-with-all, members beyond the
-    // cap each pair with the bucket minimum only. Connected components —
-    // the thing dedup consumes — are IDENTICAL (every tail member links
-    // to the rank-1 representative); the emitted pair LIST is the full
-    // m²/2 only while m ≤ bucketCap, which holds for every bucket at gate
-    // scale, so the gate's exact pair-set contract is unaffected.
-    val wOrd = Window.partitionBy(col("band_id"), col("band_hash"))
-      .orderBy(col("doc_id"))
-    val ranked = banded
-      .withColumn("rn", row_number().over(wOrd))
-      .withColumn("rep", first(col("doc_id")).over(wOrd))
-    val headPairs = ranked.filter(col("rn") <= bucketCap)
+    // Hot-bucket cap as a COUNT-GATED HOT/COLD SPLIT. A near-dup CLUSTER
+    // of m docs (the normal case in web-crawl dedup) lands its whole
+    // membership in one bucket; uncapped that is one m-element
+    // aggregation buffer and m²/2 expanded pairs from a single row.
+    // Bucket sizes come from a cheap partial-aggregatable count first:
+    //   - COLD buckets (m ≤ bucketCap — every bucket on non-degenerate
+    //     corpora) take the single-aggregate collect_list-and-expand
+    //     path, whose buffer the count gate now provably bounds;
+    //   - HOT buckets (m > bucketCap — the rare skew case) take star
+    //     pairing with the bucket-min representative: m−1 pairs, no
+    //     collect_list, no window/sort anywhere.
+    // The banded exchange on (band_id, band_hash) is built once and
+    // reused by the count and the split (ReusedExchange), so the cold
+    // corpus pays the old single-shuffle plan + one skinny count agg.
+    // CANDIDATE-graph connected components are preserved (every hot
+    // member links to the representative), but the verify stage below
+    // prunes edges by exact Jaccard, and LSH co-bucketing at r rows does
+    // NOT imply similarity to the representative — so post-verification
+    // components CAN differ from the uncapped run once a bucket exceeds
+    // the cap. That is the accepted trade: a >bucketCap bucket is
+    // overwhelmingly a single boilerplate/near-identical cluster whose
+    // members all verify against the representative; the gate corpora
+    // never exceed the cap, so the gate's exact pair-set contract is
+    // unaffected.
+    // ONE exchange feeds everything downstream: the explicit repartition
+    // on the bucket keys is shared (ReusedExchange) by the count
+    // aggregate, the count join, and the per-bucket aggregates below —
+    // without it, Catalyst's column pruning specializes each consumer's
+    // scan and the documents are scanned (and shingled + minhashed)
+    // twice. Counts and join are co-partitioned with the data, so
+    // neither adds a shuffle.
+    val bandedP = banded.repartition(col("band_id"), col("band_hash"))
+    val bucketCounts = bandedP
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_m"))
+    val withM = bandedP.join(bucketCounts, Seq("band_id", "band_hash"))
+    val coldPairs = withM.filter(col("bucket_m") <= bucketCap)
       .groupBy(col("band_id"), col("band_hash"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
@@ -229,23 +261,111 @@ object Dedup {
         transform(slice(col("ds"), i + 2, size(col("ds"))),
           y => struct(x.as("doc_a"), y.as("doc_b")))))).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"))
-    val tailPairs = ranked.filter(col("rn") > bucketCap)
-      .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
-    val candidates = headPairs.union(tailPairs).distinct()
-    candidates
-      .join(shingled.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(shingled.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    val hotMembers = withM.filter(col("bucket_m") > bucketCap)
+    val hotReps = hotMembers.groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("doc_a"))
+    val hotPairs = hotMembers.join(hotReps, Seq("band_id", "band_hash"))
+      .filter(col("doc_id") =!= col("doc_a"))
+      .select(col("doc_a"), col("doc_id").as("doc_b"))
+    val candidates = coldPairs.union(hotPairs).distinct()
+    // the verify join re-reads `shingled`, whose plan is ALSO inside
+    // `pairs`' lineage (a self-join): every reference is alias-qualified
+    // so resolution is pinned — unqualified col("sh_a")-style renames
+    // resolved against the wrong lineage copy in some exprId contexts
+    // (observed as wrong jaccard values for a handful of pairs)
+    def verify(pairs: DataFrame): DataFrame = pairs.alias("vp")
+      .join(shingled.alias("vsa"), col("vp.doc_a") === col("vsa.doc_id"))
+      .join(shingled.alias("vsb"), col("vp.doc_b") === col("vsb.doc_id"))
+      .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
+        round(jaccard(col("vsa.sh"), col("vsb.sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+    if (verifySampleRate >= 1.0) verify(candidates)
+    else {
+      // ONE linear pipeline, not complementary filter branches: splitting
+      // `candidates` into a sampled branch and a trusted branch re-derives
+      // the whole candidate subtree per branch and hands the optimizer a
+      // pair of complementary pushable predicates to relocate through the
+      // pair-generation lambdas (observed to silently drop rows in some
+      // exprId contexts). Here the sample flag is a plain boolean column;
+      // unsampled pairs ride through the two LEFT joins unmatched (the
+      // flag is part of the join condition, so no shingle lookup and no
+      // jaccard evaluation happens for them) and keep jaccard NULL.
+      val cut = lit((verifySampleRate * 1000000L).toLong)
+      val flagged = candidates.withColumn("vsampled",
+        pmod(xxhash64(lit("verify"), col("doc_a"), col("doc_b")), lit(1000000L)) < cut)
+      flagged.alias("vp")
+        .join(shingled.alias("vsa"),
+          col("vp.vsampled") && (col("vp.doc_a") === col("vsa.doc_id")), "left")
+        .join(shingled.alias("vsb"),
+          col("vp.vsampled") && (col("vp.doc_b") === col("vsb.doc_id")), "left")
+        .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
+          when(col("vp.vsampled"),
+            round(jaccard(col("vsa.sh"), col("vsb.sh")), 4)).as("jaccard"))
+        .filter(col("jaccard").isNull || col("jaccard") >= threshold)
+    }
+  }
+
+  /** Reusable SimHash near-dup pairs over (doc_id, sig) signatures:
+    * candidates from any shared band, generated by BUCKET GROUPING with
+    * the same count-gated hot/cold split as minhashNearDupPairs — cold
+    * (band_id, band_val) buckets pair all-with-all from a collect_list
+    * whose buffer the count gate bounds at `bandCap` structs; hot buckets
+    * star-pair every member with the bucket-min representative (m−1
+    * pairs, no list buffer, no m×m fan-out). The 8-byte sig rides along
+    * in the bucket rows so hamming is computed inline — no join-back.
+    * Hot-bucket caveat: a pair co-located ONLY in hot bands is emitted
+    * only via its representative edges, so the pigeonhole recall
+    * guarantee binds per cold band; a hot band is overwhelmingly one
+    * boilerplate cluster whose members all sit within maxHamming of the
+    * representative. */
+  def simhashNearDupPairs(sigs: DataFrame, maxHamming: Int,
+      bandCap: Int = DefaultBucketCap): DataFrame = {
+    require(bandCap >= 2, "bandCap must allow at least one pair")
+    val banded = sigs
+      .withColumn("band_id", explode(sequence(lit(0), lit(SimhashBands - 1))))
+      .withColumn("band_val",
+        call_function("shiftright", col("sig"), col("band_id") * SimhashBandBits)
+          .bitwiseAND((1L << SimhashBandBits) - 1))
+      .select(col("doc_id"), col("sig"), col("band_id"), col("band_val"))
+    // same single-exchange shape as minhashNearDupPairs: repartition on
+    // the band keys once, count/join/expand all reuse that exchange
+    val bandedP = banded.repartition(col("band_id"), col("band_val"))
+    val bucketCounts = bandedP
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(count(lit(1)).as("bucket_m"))
+    val withM = bandedP.join(bucketCounts, Seq("band_id", "band_val"))
+    // sort_array orders the structs by doc_id (first field), so expanded
+    // pairs always come out doc_a < doc_b
+    val coldPairs = withM.filter(col("bucket_m") <= bandCap)
+      .groupBy(col("band_id"), col("band_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + 2, size(col("ms"))),
+          y => struct(x.getField("doc_id").as("doc_a"),
+            y.getField("doc_id").as("doc_b"),
+            hamming64(x.getField("sig"), y.getField("sig")).as("hamming")))))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.hamming"))
+    val hotMembers = withM.filter(col("bucket_m") > bandCap)
+    val hotReps = hotMembers.groupBy(col("band_id"), col("band_val"))
+      .agg(min(struct(col("doc_id"), col("sig"))).as("rep"))
+    val hotPairs = hotMembers.join(hotReps, Seq("band_id", "band_val"))
+      .filter(col("doc_id") =!= col("rep.doc_id"))
+      .select(col("rep.doc_id").as("doc_a"), col("doc_id").as("doc_b"),
+        hamming64(col("rep.sig"), col("sig")).as("hamming"))
+    coldPairs.union(hotPairs)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** SimHash near-dup pairs: 60-bit md5-derived signatures, candidates
     * from any shared 15-bit band (4 bands ⇒ recall 1.0 for hamming ≤ 3 by
     * PIGEONHOLE — 3 differing bits can dirty at most 3 of the 4 bands, so
     * a ≤3-hamming pair always shares a clean band; no probabilistic
-    * caveat). The oracle recomputes the identical signatures in SQL and
-    * takes the exact hamming ≤ 3 pairs brute-force. */
+    * caveat while every shared band is under the hot-band cap, which
+    * holds for every bucket the gate corpora produce). The oracle
+    * recomputes the identical signatures in SQL and takes the exact
+    * hamming ≤ 3 pairs brute-force. */
   val d08SimhashPairs: Q = Q(
     "d08_simhash_neardup",
     Some("""
@@ -277,26 +397,9 @@ object Dedup {
       FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 3
     """),
-    (s, dir) => {
-      val sigs = simhashSignatures(Tables(s, dir, "documents"), "doc_id", "text")
-      val banded = sigs
-        .withColumn("band_id", explode(sequence(lit(0), lit(SimhashBands - 1))))
-        .withColumn("band_val",
-          call_function("shiftright", col("sig"), col("band_id") * SimhashBandBits)
-            .bitwiseAND((1L << SimhashBandBits) - 1))
-      val a = banded.select(col("doc_id").as("doc_a"), col("sig").as("sig_a"),
-        col("band_id"), col("band_val"))
-      val b = banded.select(col("doc_id").as("doc_b"), col("sig").as("sig_b"),
-        col("band_id").as("band_id_b"), col("band_val").as("band_val_b"))
-      a.join(b,
-          col("band_id") === col("band_id_b") &&
-          col("band_val") === col("band_val_b") &&
-          col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          hamming64(col("sig_a"), col("sig_b")).as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 3)
-    })
+    (s, dir) => simhashNearDupPairs(
+      simhashSignatures(Tables(s, dir, "documents"), "doc_id", "text"),
+      maxHamming = 3))
 
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs)
 }

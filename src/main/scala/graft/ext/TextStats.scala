@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
@@ -436,14 +436,55 @@ object TextStats {
           md5(concat_ws(" ", col("chunk"))).as("fingerprint"))
     })
 
+  /** Number of packing shards for an input of `estimatedSizeMb`: one
+    * shard per ~`targetShardMb` of input, minimum 1 — writer parallelism
+    * scales with data volume instead of a fixed constant (a hard-coded 8
+    * is an 8-task ceiling at 100 TB). */
+  def packingShards(estimatedSizeMb: Long, targetShardMb: Long = 512L): Int = {
+    require(targetShardMb > 0, "targetShardMb must be positive")
+    math.max(1L, (estimatedSizeMb + targetShardMb - 1) / targetShardMb).toInt
+  }
+
+  /** Reusable concat-and-chop sequence packing over (doc_id, text) with
+    * an explicit shard count — see d16 for the shape. Shard count should
+    * come from packingShards(estimatedInputMb) in production; the gate
+    * query pins 8 for oracle parity. */
+  def sequencePacking(docs: DataFrame, seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % shards).as("shard")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), shard,
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("cum_before") / seqLen).cast("long").as("first_seq"),
+        floor((col("cum_before") + col("n_tokens") - 1) / seqLen).cast("long").as("last_seq"))
+  }
+
+  /** sequencePacking with the shard count derived from Catalyst's size
+    * estimate of the input plan — the auto-scaling entry point: parquet
+    * file statistics drive `sizeInBytes`, so a 100 TB scan gets ~200k
+    * shards at the default 512 MB target while a toy input packs in one. */
+  def sequencePackingAuto(docs: DataFrame, seqLen: Int,
+      targetShardMb: Long = 512L): DataFrame = {
+    val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+    val mb = (bytes / (1024L * 1024L)).toLong
+    sequencePacking(docs, seqLen, packingShards(mb, targetShardMb))
+  }
+
   /** Concat-and-chop sequence packing — how pretraining pipelines fill
     * fixed context windows: documents are concatenated per shard and the
     * token stream is chopped into 512-token sequences, so each doc maps
     * to a span [first_seq, last_seq] of the sequences it lands in.
-    * Sharding is the deterministic md5 bucket (8 shards), packing within
-    * a shard is a running token total over doc_id order — one window per
-    * shard partition, no global exchange, shards pack in parallel
-    * exactly as 8 writer tasks would at 100 TB. */
+    * Sharding is the deterministic md5 bucket (pinned at 8 here for
+    * oracle parity; production derives the count via packingShards),
+    * packing within a shard is a running token total over doc_id order —
+    * one window per shard partition, no global exchange, shards pack in
+    * parallel exactly as 8 writer tasks would. */
   val d16SequencePacking: Q = Q(
     "d16_sequence_packing",
     Some("""
@@ -462,20 +503,9 @@ object TextStats {
              CAST(floor((cum_before + n_tokens - 1) / 512) AS BIGINT) AS last_seq
       FROM c
     """),
-    (s, dir) => {
-      val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 8).as("shard")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("shard")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), shard,
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-        .select(col("doc_id"), col("shard"), col("n_tokens"),
-          floor(col("cum_before") / 512).cast("long").as("first_seq"),
-          floor((col("cum_before") + col("n_tokens") - 1) / 512).cast("long").as("last_seq"))
-    })
+    (s, dir) => sequencePacking(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      seqLen = 512, shards = 8))
 
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,

@@ -83,9 +83,8 @@ object TrustedLoad {
 
     // 2. P13 empty guard: every INCREMENTAL input empty → nothing to do
     //    (full-load inputs are reference data, they don't trigger a run)
-    val incrementalDfs = loaded.collect {
-      case (n, df, _) if incrementalCol.contains(n) => df
-    }
+    val incrementalDfs =
+      loaded.filter(t => incrementalCol.contains(t._1)).map(_._2)
     if (incrementalDfs.nonEmpty && Lake.allInputsEmpty(incrementalDfs)) {
       return LoadResult(control, skipped = true, rows = 0L)
     }

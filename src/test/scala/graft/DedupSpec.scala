@@ -53,6 +53,105 @@ class DedupSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  /** Connected components by union-find over collected pairs (test-only;
+    * the operators never collect). */
+  private def components(pairs: Set[(Long, Long)], nodes: Set[Long]): Set[Set[Long]] = {
+    val parent = scala.collection.mutable.Map[Long, Long](nodes.map(n => n -> n).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    pairs.foreach { case (a, b) => parent(find(a)) = find(b) }
+    nodes.groupBy(find).values.map(_.toSet).toSet
+  }
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("bucketCap: capped default equals fully-uncapped run on the gate corpus") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val capped = pairSet(Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5))
+    val uncapped = pairSet(
+      Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5, bucketCap = Int.MaxValue))
+    assert(capped.nonEmpty)
+    assert(capped === uncapped)
+  }
+
+  test("bucketCap: hot bucket takes star pairing — bounded output, identical components") {
+    // 30 identical docs: every band puts all 30 in ONE bucket, so with
+    // cap=8 every bucket is hot and ONLY the m−1 representative star
+    // edges are emitted (the uncapped run emits all m(m−1)/2).
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cluster = (1L to 30L).map(i => (i, text))
+    val others = (100L to 104L).map(i =>
+      (i, (1 to 12).map(j => s"only${i}word$j").mkString(" ")))
+    val docs = strDf((cluster ++ others): _*)
+    val nodes = (cluster ++ others).map(_._1).toSet
+    val uncapped = pairSet(
+      Dedup.minhashNearDupPairs(docs, 3, 96, 48, 2, 0.5, bucketCap = Int.MaxValue))
+    val capped = pairSet(
+      Dedup.minhashNearDupPairs(docs, 3, 96, 48, 2, 0.5, bucketCap = 8))
+    assert(uncapped.size === 30 * 29 / 2)
+    assert(capped === (2L to 30L).map(i => (1L, i)).toSet) // the star, nothing else
+    assert(components(capped, nodes) === components(uncapped, nodes))
+  }
+
+  test("bucketCap: near-identical cluster with partial bucket splits keeps components") {
+    // unique suffix per doc → sigs differ slightly → buckets split into a
+    // mix of hot and cold sub-buckets at cap=8; emitted pairs are a
+    // subset of the uncapped pairs but the components must not split.
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val cluster = (1L to 30L).map(i => (i, s"$base uniq$i"))
+    val others = (100L to 104L).map(i =>
+      (i, (1 to 12).map(j => s"only${i}word$j").mkString(" ")))
+    val docs = strDf((cluster ++ others): _*)
+    val nodes = (cluster ++ others).map(_._1).toSet
+    val uncapped = pairSet(
+      Dedup.minhashNearDupPairs(docs, 3, 96, 48, 2, 0.5, bucketCap = Int.MaxValue))
+    val capped = pairSet(
+      Dedup.minhashNearDupPairs(docs, 3, 96, 48, 2, 0.5, bucketCap = 8))
+    assert(capped.subsetOf(uncapped))
+    assert(components(capped, nodes) === components(uncapped, nodes))
+    assert(components(capped, nodes).exists(_ === (1L to 30L).toSet))
+  }
+
+  test("verifySampleRate: verified subset is exact, trusted remainder preserves recall") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val full = pairSet(Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5))
+    val sampled = Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5,
+      verifySampleRate = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), !r.isNullAt(2))).toMap
+    // partition with filter, NOT `collect { case (p, true) => p }`: that
+    // pattern deterministically dropped entries of this very map on this
+    // box's JVM (C2 applyOrElse pathology — filter/get on the same map
+    // disagreed with collect; see NOTES.md round 6)
+    val verified = sampled.filter(_._2).keySet
+    val trusted = sampled.filterNot(_._2).keySet
+    assert(verified.subsetOf(full))           // verified pairs passed the exact gate
+    assert(full.subsetOf(verified ++ trusted)) // no true pair is lost by sampling
+    assert(trusted.nonEmpty)                   // the sample actually split
+    assert(verified.nonEmpty)
+  }
+
+  test("simhash hot-band cap: star pairing bounds output, components match uncapped") {
+    // 20 identical docs → identical sigs → all 4 band buckets hold all 20
+    // members; bandCap=4 makes every bucket hot → exactly the 19 star
+    // pairs come out (uncapped emits all 190).
+    val cluster = (1L to 20L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta"))
+    val others = Seq(
+      (100L, "completely different payload words over here now"),
+      (101L, "another unrelated document entirely about engines"))
+    val df = strDf((cluster ++ others): _*)
+    val nodes = (cluster ++ others).map(_._1).toSet
+    val sigs = Dedup.simhashSignatures(df, "doc_id", "text")
+    val uncapped = pairSet(Dedup.simhashNearDupPairs(sigs, 3))
+    val capped = pairSet(Dedup.simhashNearDupPairs(sigs, 3, bandCap = 4))
+    val clusterIds = (1L to 20L).toSet
+    assert(uncapped.filter(p => clusterIds(p._1) && clusterIds(p._2)).size === 190)
+    assert(capped.filter(p => clusterIds(p._1) && clusterIds(p._2)) ===
+      (2L to 20L).map(i => (1L, i)).toSet)
+    assert(components(capped, nodes) === components(uncapped, nodes))
+  }
+
   test("simhash: identical texts collide, perturbed text stays close, unrelated far") {
     val df = strDf(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
