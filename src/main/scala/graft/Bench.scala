@@ -50,10 +50,32 @@ object Bench {
     // the steady-state total), and the minimum is the standard noise-floor
     // statistic — it estimates the query's true cost, not the machine's
     // worst moment
-    val passes = Seq.fill(3)(names.map(n => n -> exec(n)).toMap)
+    val passCount = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passes = Seq.fill(passCount)(names.map(n => n -> exec(n)).toMap)
+    // a load stall can span ALL of a query's passes (r05 published 2-3×
+    // phantom regressions on unchanged queries): queries whose passes
+    // still disagree by >30% get up to 3 targeted re-runs, keeping the
+    // overall min — isolated re-measurement inside the same session,
+    // cheap because it only triggers for flagged outliers
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)
-      n -> (if (ts.isEmpty) -1.0 else ts.min)
+      if (ts.isEmpty) n -> -1.0
+      else {
+        var best = ts.min
+        if (best > 0.3 && ts.max > best * 1.3) {
+          var extra = 0
+          var stable = false
+          while (extra < 3 && !stable) {
+            val t = exec(n)
+            if (t >= 0) {
+              if (t < best) best = t
+              stable = t <= best * 1.1 // a run at the floor confirms it
+            }
+            extra += 1
+          }
+        }
+        n -> best
+      }
     }
 
     // 3-decimal seconds keep the one-line artifact compact enough to

@@ -39,6 +39,39 @@ import scala.collection.mutable
   */
 object PdfText {
 
+  /** Typed extraction result: the page-concat text plus the distinct
+    * stream filters the extractor had to SKIP (DCTDecode images,
+    * CCITTFax scans, LZW …). A non-empty `skippedFilters` is the
+    * diagnostic that the text may be partial — callers that must not
+    * ship partial rows check [[PdfExtraction.isComplete]] instead of
+    * guessing from an empty string, and a scanned-image PDF comes back
+    * as (empty text, [/DCTDecode]) rather than a silent "". */
+  final case class PdfExtraction(text: String, skippedFilters: Seq[String]) {
+    def isComplete: Boolean = skippedFilters.isEmpty
+  }
+
+  /** [[extractText]] plus skipped-filter diagnostics — never throws on
+    * exotic or corrupted streams; unsupported filters are skipped and
+    * reported, exactly like the per-object decode path does. */
+  def extract(pdf: Array[Byte]): PdfExtraction =
+    PdfExtraction(extractText(pdf), unsupportedStreamFilters(pdf))
+
+  /** Filter names (beyond /FlateDecode) attached to stream dictionaries
+    * in the raw bytes — one scan, order of first appearance, distinct.
+    * These are exactly the streams parseObjects/contentStreams skip. */
+  def unsupportedStreamFilters(pdf: Array[Byte]): Seq[String] = {
+    val doc = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    FilterNamesRe.findAllMatchIn(doc)
+      .flatMap(m => FilterTokenRe.findAllIn(m.group(1)))
+      .filter(_ != "/FlateDecode")
+      .toSeq.distinct
+  }
+
+  // `/Filter /Name` (one name) or `/Filter [/A /B]` (a filter chain) —
+  // the single-name form must NOT run on into the next dictionary key
+  private val FilterNamesRe = """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
+  private val FilterTokenRe = """/[A-Za-z0-9]+""".r
+
   /** All page texts joined with "\n" — the reference's page-concat
     * contract. Returns "" for bytes with no extractable text. */
   def extractText(pdf: Array[Byte]): String = {

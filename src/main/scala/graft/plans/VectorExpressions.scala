@@ -80,17 +80,24 @@ object MinHashSignatureExpr {
 
   /** Affine family coefficients (a odd → each a*h+b is a permutation of
     * Z_2^64). Grown on demand, cached: the per-row hot loop reads plain
-    * arrays. */
-  @volatile private var coefA: Array[Long] = Array.emptyLongArray
-  @volatile private var coefB: Array[Long] = Array.emptyLongArray
+    * arrays. Published as ONE volatile pair — two separate fields let a
+    * racing reader observe the grown `a` array next to the still-empty
+    * `b` array (torn publication; surfaced as an
+    * ArrayIndexOutOfBoundsException in the first multi-threaded stage
+    * that warmed the cache). */
+  @volatile private var coefs: (Array[Long], Array[Long]) =
+    (Array.emptyLongArray, Array.emptyLongArray)
   private def coefficients(k: Int): (Array[Long], Array[Long]) = {
-    if (coefA.length < k) synchronized {
-      if (coefA.length < k) {
-        coefA = Array.tabulate(k)(j => mix(2L * j) | 1L)
-        coefB = Array.tabulate(k)(j => mix(2L * j + 1))
+    var c = coefs
+    if (c._1.length < k) synchronized {
+      c = coefs
+      if (c._1.length < k) {
+        c = (Array.tabulate(k)(j => mix(2L * j) | 1L),
+          Array.tabulate(k)(j => mix(2L * j + 1)))
+        coefs = c
       }
     }
-    (coefA, coefB)
+    c
   }
 
   /** One pass, hash-once: each shingle is xxhash64'd ONCE, then the k

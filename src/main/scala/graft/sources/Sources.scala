@@ -62,6 +62,27 @@ object Sources {
       .toDF("path", "text")
   }
 
+  /** [[extractPdfTexts]] plus the skipped-filter diagnostic column: a
+    * scanned-image PDF (DCTDecode/CCITTFax streams the JDK-only
+    * extractor cannot decode) yields its path with `skipped_filters`
+    * populated instead of a silently empty text — pipelines route those
+    * rows to quarantine rather than parsing partial text as fact. */
+  def extractPdfTextsWithDiagnostics(landing: DataFrame): DataFrame = {
+    val ds = landing
+      .filter(lower(col("path")).endsWith(".pdf"))
+      .select(col("path"), col("content"))
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    ds.map { case (p, bytes) =>
+      val e = graft.parse.PdfText.extract(bytes)
+      (p, e.text, e.skippedFilters.mkString(","))
+    }(Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.STRING))
+      .toDF("path", "text", "skipped")
+      .withColumn("skipped_filters",
+        when(length(col("skipped")) > 0, split(col("skipped"), ","))
+          .otherwise(array().cast("array<string>")))
+      .drop("skipped")
+  }
+
   /** The forms CSV's quirky source headers (FIXTURES §1; two contain
     * embedded newlines) → normalized names (forms_main.py:228-276). */
   val formsRenameMap: Seq[(String, String)] = Seq(

@@ -93,6 +93,61 @@ class PropertySpec extends SparkSpec {
     graft.parse.PdfText.extractText(flipped) // must not throw
   }
 
+  test("exotic stream filters: text survives, skip is diagnosed, never a throw") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // splice an undecodable image object (random JPEG-ish bytes behind
+    // /DCTDecode, then a /CCITTFaxDecode scan) into a real generated PDF
+    // just before the xref — PdfText ignores xref offsets, so the object
+    // is seen like any incrementally-appended one
+    def withImage(base: Array[Byte], objNum: Int, filter: String, seed: Int): Array[Byte] = {
+      val rnd = new scala.util.Random(seed)
+      val payload = Array.fill(64)(rnd.nextInt().toByte)
+      val head = s"$objNum 0 obj << /Subtype /Image /Width 8 /Height 8 " +
+        s"/Filter $filter /Length ${payload.length} >> stream\n"
+      val doc = new String(base, ISO_8859_1)
+      val at = doc.lastIndexOf("xref")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, at)
+      out.write(head.getBytes(ISO_8859_1)); out.write(payload)
+      out.write("\nendstream endobj\n".getBytes(ISO_8859_1))
+      out.write(base, at, base.length - at)
+      out.toByteArray
+    }
+    val clean = PdfFixture.pdf(Seq(Seq("saldo", "fatura", "total")))
+    assert(graft.parse.PdfText.extract(clean) ===
+      graft.parse.PdfText.PdfExtraction("saldo\nfatura\ntotal", Seq.empty))
+    val withDct = withImage(clean, 90, "/DCTDecode", seed = 7)
+    val e1 = graft.parse.PdfText.extract(withDct)
+    assert(e1.text === "saldo\nfatura\ntotal") // image skip never corrupts text
+    assert(e1.skippedFilters === Seq("/DCTDecode") && !e1.isComplete)
+    val withBoth = withImage(withDct, 91, "/CCITTFaxDecode", seed = 8)
+    val e2 = graft.parse.PdfText.extract(withBoth)
+    assert(e2.text === "saldo\nfatura\ntotal")
+    assert(e2.skippedFilters === Seq("/DCTDecode", "/CCITTFaxDecode"))
+    // filter-chain form: [/ASCII85Decode /DCTDecode] reports both names
+    val chained = withImage(clean, 92, "[/ASCII85Decode /DCTDecode]", seed = 9)
+    assert(graft.parse.PdfText.extract(chained).skippedFilters ===
+      Seq("/ASCII85Decode", "/DCTDecode"))
+    // real bank PDFs: any skipped filter must be a known image codec
+    // (some faturas embed DCT-compressed logos — the text goldens in
+    // RealPdfSpec prove extraction is unaffected by skipping them);
+    // an unknown name here would mean a text-bearing stream was dropped
+    val imageFilters = Set("/DCTDecode", "/CCITTFaxDecode", "/JPXDecode", "/JBIG2Decode")
+    val landing = new java.io.File("src/test/resources/landing_real")
+    if (landing.isDirectory) {
+      def pdfs(d: java.io.File): Seq[java.io.File] = {
+        val kids = Option(d.listFiles()).getOrElse(Array.empty).toIndexedSeq
+        kids.filter(f => f.isFile && f.getName.endsWith(".pdf")) ++
+          kids.filter(_.isDirectory).flatMap(pdfs)
+      }
+      pdfs(landing).foreach { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val skipped = graft.parse.PdfText.unsupportedStreamFilters(bytes)
+        assert(skipped.forall(imageFilters), s"${f.getName}: $skipped")
+      }
+    }
+  }
+
   test("property: conformToSchema always matches the destination schema") {
     val dest = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),

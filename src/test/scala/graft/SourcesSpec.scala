@@ -49,6 +49,13 @@ class SourcesSpec extends SparkSpec {
     assert(got.length === 1)
     assert(got(0).getString(0).endsWith("fatura_nov.pdf"))
     assert(got(0).getString(1) === lines.mkString("\n"))
+
+    // diagnostics variant: a clean Flate PDF reports no skipped filters
+    val diag = Sources.extractPdfTextsWithDiagnostics(
+      Sources.landingFiles(spark, root)).collect()
+    assert(diag.length === 1)
+    assert(diag(0).getString(1) === lines.mkString("\n"))
+    assert(diag(0).getSeq[String](2) === Seq.empty)
   }
 
   test("readFormsCsv: quirky headers, BRL + date parse, NULL survival") {
