@@ -358,6 +358,99 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components over an undirected pair list — the consumer of
+    * every near-dup pair operator: dedup keeps ONE document per
+    * component. Min-label propagation: every node starts as its own
+    * label and repeatedly takes the minimum label in its neighborhood,
+    * so rounds ≈ component diameter — near-dup components are dense
+    * (cliques from cold buckets, stars from hot ones), diameters of 2-4,
+    * which beats the O(log n) alternating-star algorithms on their own
+    * turf while staying three joins of plain DataFrame code. Each round
+    * is one shuffle join + one aggregate; `localCheckpoint` cuts the
+    * iterative lineage (the standard Spark iterative-algorithm
+    * requirement — an unbounded plan tree re-executes every prior round
+    * and eventually breaks the planner). The driver-side loop is the
+    * Pregel shape: a handful of distributed rounds with one cheap
+    * convergence count each, NOT a per-row driver loop.
+    *
+    * Returns (doc_id, component) for every node appearing in `pairs`,
+    * component = min doc_id of the member's component. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    require(maxIter >= 1, "maxIter must be positive")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id"))
+      .distinct()
+      .withColumn("component", col("doc_id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      val next = labels.alias("l")
+        .join(nbrMin.alias("p"), col("l.doc_id") === col("p.src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.component"),
+            coalesce(col("p.nbr_min"), col("l.component"))).as("component"))
+        .localCheckpoint()
+      converged = next.alias("n")
+        .join(labels.alias("o"), Seq("doc_id"))
+        .filter(col("n.component") =!= col("o.component"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Canonical near-dup dedup over the whole corpus: MinHash+LSH pairs →
+    * connected components → every document labeled with its component
+    * representative (min doc_id; singletons label themselves). Keeping
+    * `component == doc_id` rows IS the dedup; the full labeling is
+    * emitted so the oracle can check the partition itself. Gate runs the
+    * same wide banding as d07, so the component structure is the exact
+    * Jaccard ≥ 0.5 transitive closure (DuckDB recomputes it with a
+    * recursive CTE). */
+  val d17NeardupComponents: Q = Q(
+    "d17_neardup_components",
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+              ELSE 0.0 END >= 0.5),
+      reach(src, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.doc_a, r.lbl FROM ex e JOIN reach r ON e.doc_b = r.src)
+      SELECT src AS doc_id, min(lbl) AS component
+      FROM reach GROUP BY src
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = minhashNearDupPairs(docs, nGram = 3, k = 96, bands = 48,
+        rowsPerBand = 2, threshold = 0.5)
+      val cc = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      docs.select(col("doc_id")).alias("d")
+        .join(cc.alias("c"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    })
+
   /** SimHash near-dup pairs: 60-bit md5-derived signatures, candidates
     * from any shared 15-bit band (4 bands ⇒ recall 1.0 for hamming ≤ 3 by
     * PIGEONHOLE — 3 differing bits can dirty at most 3 of the 4 bands, so
@@ -401,5 +494,6 @@ object Dedup {
       simhashSignatures(Tables(s, dir, "documents"), "doc_id", "text"),
       maxHamming = 3))
 
-  val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs)
+  val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
+    d17NeardupComponents)
 }

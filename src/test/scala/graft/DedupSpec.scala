@@ -152,6 +152,27 @@ class DedupSpec extends SparkSpec {
     assert(components(capped, nodes) === components(uncapped, nodes))
   }
 
+  test("connectedComponents: chains, cliques and isolated pairs label by component min") {
+    // graph: chain 1-2-3-4 (diameter 3), clique {10,11,12}, pair {20,21},
+    // bridge 4-10 merging chain+clique into one component
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 10L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (20L, 21L))
+    val df = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))),
+      pairs.map { case (a, b) => Row(a, b) })
+    val got = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 1L, 11L -> 1L, 12L -> 1L,
+      20L -> 20L, 21L -> 20L)
+    assert(got === expected)
+    // agreement with the test-side union-find on the same graph
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val uf = components(pairs.toSet, nodes)
+    val byCc = got.groupBy(_._2).values.map(_.keySet).toSet
+    assert(byCc === uf)
+  }
+
   test("simhash: identical texts collide, perturbed text stays close, unrelated far") {
     val df = strDf(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
