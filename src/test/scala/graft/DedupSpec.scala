@@ -173,6 +173,21 @@ class DedupSpec extends SparkSpec {
     assert(byCc === uf)
   }
 
+  test("partitioning invariance: pairs and components identical at 1, 3 and 7 partitions") {
+    // cluster-layout independence is the distributed-correctness
+    // property: a different executor count must never change results
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val results = Seq(1, 3, 7).map { n =>
+      val d = docs.repartition(n)
+      val pairs = Dedup.minhashNearDupPairs(d, 3, 16, 8, 2, 0.5)
+      val cc = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (pairSet(pairs), cc)
+    }
+    assert(results.distinct.size === 1)
+    assert(results.head._1.nonEmpty && results.head._2.nonEmpty)
+  }
+
   test("simhash: identical texts collide, perturbed text stays close, unrelated far") {
     val df = strDf(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
