@@ -371,7 +371,11 @@ object Dedup {
     * requirement — an unbounded plan tree re-executes every prior round
     * and eventually breaks the planner). The driver-side loop is the
     * Pregel shape: a handful of distributed rounds with one cheap
-    * convergence count each, NOT a per-row driver loop.
+    * convergence count each, NOT a per-row driver loop. On a real
+    * cluster, swap `localCheckpoint` (executor-local, lost with the
+    * executor) for reliable `checkpoint` to the cluster FS — same
+    * lineage cut, survives preemption; the pair list being checkpointed
+    * is O(duplicate rate), far smaller than the corpus either way.
     *
     * Returns (doc_id, component) for every node appearing in `pairs`,
     * component = min doc_id of the member's component. */
