@@ -407,6 +407,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // an unconverged labeling silently under-merges components — dedup
+    // would then KEEP near-duplicates. Fail loudly instead; callers with
+    // pathologically deep graphs raise maxIter explicitly.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
   }
 

@@ -173,6 +173,23 @@ class DedupSpec extends SparkSpec {
     assert(byCc === uf)
   }
 
+  test("connectedComponents: empty input yields empty labels; deep chain needs maxIter") {
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    val empty = LocalTable.of(spark, schema, Seq.empty)
+    assert(Dedup.connectedComponents(empty).collect().isEmpty)
+    // chain of 12 nodes has diameter 11: maxIter=2 must refuse to emit a
+    // half-propagated labeling rather than silently under-merge
+    val chain = LocalTable.of(spark, schema,
+      (1L until 12L).map(i => Row(i, i + 1)))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2)
+    }
+    val full = Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(full === (1L to 12L).map(_ -> 1L).toMap)
+  }
+
   test("partitioning invariance: pairs and components identical at 1, 3 and 7 partitions") {
     // cluster-layout independence is the distributed-correctness
     // property: a different executor count must never change results
