@@ -176,6 +176,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bucket"), p.take(1000))
   }
 
+  test("d07/d08/d17: candidate generation is equi-join only — no BNLJ, no cartesian, no window sort") {
+    Seq("d07_minhash_lsh_neardup", "d08_simhash_neardup",
+      "d17_neardup_components").foreach { q =>
+      val p = physical(run(q))
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(500)}")
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(500)}")
+      // the r5 regression shape: an always-on Window over bands×N rows
+      assert(!p.contains("Window"), s"$q plans a window: ${p.take(500)}")
+    }
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
