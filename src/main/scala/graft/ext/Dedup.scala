@@ -358,6 +358,112 @@ object Dedup {
       .distinct()
   }
 
+  /** Build half of the incremental-dedup posture: the persistent LSH
+    * band index of a corpus — one skinny row (doc_id, band_id,
+    * band_hash) per band per document, the table a production pipeline
+    * writes ONCE and probes with every new batch instead of re-pairing
+    * 100 TB daily. */
+  def minhashBandIndex(docs: DataFrame, nGram: Int, k: Int, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    docs
+      .select(col("doc_id"),
+        minhashSignature(shingles(col("text"), nGram), k).as("sig"))
+      .withColumn("band", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
+      .select(col("doc_id"),
+        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+  }
+
+  /** Probe half: near-dup candidates of `newDocs` against an existing
+    * [[minhashBandIndex]], exact-Jaccard verified against the indexed
+    * corpus. The probe is a bucket equi-join (new bands ⋈ index bands) —
+    * the index side is count-capped exactly like the self-join case: a
+    * hot index bucket (> bucketCap members, the boilerplate cluster)
+    * matches each probe doc against the bucket's min-doc_id
+    * representative only, so probe fan-out per bucket is bounded.
+    * Verification re-reads only the candidate docs' text from the two
+    * corpora (a semi-join-shaped lookup, not a second full scan at
+    * production scale, since candidates ≪ corpus).
+    *
+    * Emits (doc_new, doc_old, jaccard) for verified pairs — the
+    * contamination/duplication report an ingest batch is gated on. */
+  def minhashProbePairs(newDocs: DataFrame, indexedDocs: DataFrame,
+      index: DataFrame, nGram: Int, k: Int, bands: Int, rowsPerBand: Int,
+      threshold: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
+    require(bucketCap >= 1, "bucketCap must be positive")
+    val probeBands = minhashBandIndex(newDocs, nGram, k, bands, rowsPerBand)
+      .select(col("doc_id").as("doc_new"), col("band_id"), col("band_hash"))
+    // same single-exchange count-gate shape as the self-join operators
+    val idxP = index.repartition(col("band_id"), col("band_hash"))
+    val idxCounts = idxP.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_m"))
+    val withM = idxP.join(idxCounts, Seq("band_id", "band_hash"))
+    val coldIdx = withM.filter(col("bucket_m") <= bucketCap)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_old"))
+    val hotIdx = withM.filter(col("bucket_m") > bucketCap)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("doc_old"))
+    val candidates = probeBands
+      .join(coldIdx.union(hotIdx), Seq("band_id", "band_hash"))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
+    val shNew = newDocs.select(col("doc_id"),
+      shingles(col("text"), nGram).as("sh"))
+    val shOld = indexedDocs.select(col("doc_id"),
+      shingles(col("text"), nGram).as("sh"))
+    candidates.alias("c")
+      .join(shNew.alias("pn"), col("c.doc_new") === col("pn.doc_id"))
+      .join(shOld.alias("po"), col("c.doc_old") === col("po.doc_id"))
+      .select(col("c.doc_new").as("doc_new"), col("c.doc_old").as("doc_old"),
+        round(jaccard(col("pn.sh"), col("po.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Incremental dedup gate query: the corpus is split deterministically
+    * (salted md5 bucket, the d11 mechanism with an independent salt)
+    * into an "indexed" 60% and an "incoming" 40%; the incoming batch
+    * probes the index at the d07 wide banding, so the emitted set is the
+    * exact cross-corpus Jaccard ≥ 0.5 answer (same analytical recall
+    * bound). The oracle recomputes the split and the brute-force cross
+    * join. */
+  val d18IncrementalProbe: Q = Q(
+    "d18_incremental_dedup_probe",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents)
+      SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+             round(CASE WHEN len(list_distinct(n.sh || o.sh)) > 0
+                   THEN CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                        / len(list_distinct(n.sh || o.sh))
+                   ELSE 0.0 END, 4) AS jaccard
+      FROM s n JOIN s o ON n.bucket >= 60 AND o.bucket < 60
+      WHERE CASE WHEN len(list_distinct(n.sh || o.sh)) > 0
+            THEN CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                 / len(list_distinct(n.sh || o.sh))
+            ELSE 0.0 END >= 0.5
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val indexed = withBucket.filter(col("bucket") < 60).drop("bucket")
+      val incoming = withBucket.filter(col("bucket") >= 60).drop("bucket")
+      val index = minhashBandIndex(indexed, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2)
+      minhashProbePairs(incoming, indexed, index, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2, threshold = 0.5)
+    })
+
   /** Connected components over an undirected pair list — the consumer of
     * every near-dup pair operator: dedup keeps ONE document per
     * component. Min-label propagation: every node starts as its own
@@ -504,5 +610,5 @@ object Dedup {
       maxHamming = 3))
 
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
-    d17NeardupComponents)
+    d17NeardupComponents, d18IncrementalProbe)
 }

@@ -190,6 +190,34 @@ class DedupSpec extends SparkSpec {
     assert(full === (1L to 12L).map(_ -> 1L).toMap)
   }
 
+  test("incremental probe: index+probe equals brute-force cross pairs; hot index bucket caps") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val indexed = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+    val exact = sh.alias("n").join(sh.alias("o"),
+        col("n.doc_id") % 2 === 1 && col("o.doc_id") % 2 === 0)
+      .select(col("n.doc_id").as("doc_new"), col("o.doc_id").as("doc_old"),
+        Dedup.jaccard(col("n.sh"), col("o.sh")).as("j"))
+      .filter(col("j") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val index = Dedup.minhashBandIndex(indexed, 3, 96, 48, 2)
+    val probed = Dedup.minhashProbePairs(incoming, indexed, index, 3, 96, 48, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty && probed === exact)
+
+    // hot index bucket: 20 identical indexed docs + 2 identical probes →
+    // cap 4 pairs each probe with the representative (id 1) only
+    val text = (1 to 30).map(i => s"h$i").mkString(" ")
+    val idxDocs = strDf((1L to 20L).map(i => (i, text)): _*)
+    val newDocs = strDf((100L, text), (101L, text))
+    val hotIdx = Dedup.minhashBandIndex(idxDocs, 3, 96, 48, 2)
+    val capped = Dedup.minhashProbePairs(newDocs, idxDocs, hotIdx,
+        3, 96, 48, 2, 0.5, bucketCap = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped === Set((100L, 1L), (101L, 1L)))
+  }
+
   test("partitioning invariance: pairs and components identical at 1, 3 and 7 partitions") {
     // cluster-layout independence is the distributed-correctness
     // property: a different executor count must never change results
