@@ -48,6 +48,22 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("sequencePackingAuto scales shards with real parquet statistics") {
+    // a multi-MB parquet of incompressible text: the scan's sizeInBytes
+    // alone must spread packing over several shards at a 1 MB target
+    val dir = java.nio.file.Files.createTempDirectory("graft-pack-").toString + "/docs"
+    spark.range(8000).select(col("id").as("doc_id"),
+      concat_ws(" ", (1 to 20).map(i => md5(concat(col("id"), lit(i)))): _*).as("text"))
+      .write.parquet(dir)
+    val docs = spark.read.parquet(dir)
+    val mb = (docs.queryExecution.optimizedPlan.stats.sizeInBytes / (1024L * 1024L)).toLong
+    assert(mb >= 2, s"expected a multi-MB scan estimate, got ${mb}MB")
+    val shardsSeen = TextStats.sequencePackingAuto(docs, seqLen = 512, targetShardMb = 1L)
+      .select(col("shard")).distinct().collect().map(_.getLong(0)).toSet
+    assert(shardsSeen.size > 1)
+    assert(shardsSeen.max < TextStats.packingShards(mb, 1L))
+  }
+
   test("sequencePackingAuto derives the shard count from plan statistics") {
     val docs = docsDf((1L to 20L).map(i => (i, s"a b c doc$i")): _*)
     val mb = (docs.queryExecution.optimizedPlan.stats.sizeInBytes / (1024L * 1024L)).toLong
