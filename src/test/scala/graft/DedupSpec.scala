@@ -233,6 +233,22 @@ class DedupSpec extends SparkSpec {
     assert(results.head._1.nonEmpty && results.head._2.nonEmpty)
   }
 
+  test("null text: excluded from pairs, labeled as singleton — never a throw or wrong row") {
+    val df = strDf((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .union(LocalTable.of(spark,
+        StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType))),
+        Seq(Row(3L, null))))
+    val pairs = Dedup.minhashNearDupPairs(df, 3, 16, 8, 2, 0.5)
+    val got = pairSet(pairs)
+    assert(got === Set((1L, 2L))) // the null doc pairs with nothing
+    val labeled = df.select(col("doc_id")).alias("d")
+      .join(Dedup.connectedComponents(pairs.select("doc_a", "doc_b")).alias("c"),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labeled === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
   test("simhash: identical texts collide, perturbed text stays close, unrelated far") {
     val df = strDf(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
