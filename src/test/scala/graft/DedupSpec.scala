@@ -233,6 +233,21 @@ class DedupSpec extends SparkSpec {
     assert(results.head._1.nonEmpty && results.head._2.nonEmpty)
   }
 
+  test("hot-cluster stress: 10k-doc identical cluster resolves via star pairs, not 50M expansions") {
+    // the degenerate shape the cap exists for: every band puts all 10k
+    // docs in ONE bucket. Uncapped, the cold path would expand ~50M
+    // pairs per band (~2.4B rows before distinct); the count gate routes
+    // the bucket to star pairing and the whole query stays linear.
+    val n = 10000
+    val text = (1 to 25).map(i => s"stress$i").mkString(" ")
+    val docs = spark.range(1, n + 1)
+      .select(col("id").as("doc_id"), lit(text).as("text"))
+    val pairs = Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5, bucketCap = 1000)
+    assert(pairs.count() === (n - 1).toLong)
+    val comp = Dedup.connectedComponents(pairs.select("doc_a", "doc_b"))
+    assert(comp.select(countDistinct(col("component"))).head.getLong(0) === 1L)
+  }
+
   test("null text: excluded from pairs, labeled as singleton — never a throw or wrong row") {
     val df = strDf((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .union(LocalTable.of(spark,
