@@ -506,12 +506,16 @@ object Dedup {
           least(col("l.component"),
             coalesce(col("p.nbr_min"), col("l.component"))).as("component"))
         .localCheckpoint()
-      converged = next.alias("n")
-        .join(labels.alias("o"), Seq("doc_id"))
-        .filter(col("n.component") =!= col("o.component"))
-        .isEmpty
-      labels = next
       iter += 1
+      // convergence costs a join job of its own: check every OTHER round
+      // (and on the final permitted round) — at worst one extra cheap
+      // propagation over already-checkpointed labels, half the check jobs
+      if (iter % 2 == 0 || iter >= maxIter)
+        converged = next.alias("n")
+          .join(labels.alias("o"), Seq("doc_id"))
+          .filter(col("n.component") =!= col("o.component"))
+          .isEmpty
+      labels = next
     }
     // an unconverged labeling silently under-merges components — dedup
     // would then KEEP near-duplicates. Fail loudly instead; callers with
