@@ -525,6 +525,17 @@ object Dedup {
     labels
   }
 
+  /** Keep-one-per-component dedup — the materialized consumer of the
+    * whole pair→components pipeline: drops every document that is NOT
+    * its component's representative (left-anti join against the
+    * non-representative labels; singletons survive untouched). */
+  def dedupDocuments(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val nonReps = connectedComponents(pairs)
+      .filter(col("doc_id") =!= col("component"))
+      .select(col("doc_id"))
+    docs.join(nonReps, Seq("doc_id"), "left_anti")
+  }
+
   /** Canonical near-dup dedup over the whole corpus: MinHash+LSH pairs →
     * connected components → every document labeled with its component
     * representative (min doc_id; singletons label themselves). Keeping

@@ -248,6 +248,19 @@ class DedupSpec extends SparkSpec {
     assert(comp.select(countDistinct(col("component"))).head.getLong(0) === 1L)
   }
 
+  test("dedupDocuments keeps representatives and singletons, drops the rest") {
+    val docs = strDf(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "alpha beta gamma delta epsilon zeta"),
+      (10L, "unique first document body here today"),
+      (11L, "another entirely distinct body of text"))
+    val pairs = Dedup.minhashNearDupPairs(docs, 3, 96, 48, 2, 0.5)
+    val kept = Dedup.dedupDocuments(docs, pairs.select("doc_a", "doc_b"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 10L, 11L))
+  }
+
   test("null text: excluded from pairs, labeled as singleton — never a throw or wrong row") {
     val df = strDf((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
       .union(LocalTable.of(spark,
