@@ -7,10 +7,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * shuffle parallelism (local unit tests, not scale runs). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // SPARK_GRAFT_TEST_CPUS widens parallelism for concurrency-shaking
+    // runs (races hide at local[4]); default stays small for speed
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_TEST_CPUS", "4")
     val s = SparkSession.builder()
-      .master("local[4]")
+      .master(s"local[$cpus]")
       .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
