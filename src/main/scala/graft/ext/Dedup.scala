@@ -505,22 +505,24 @@ object Dedup {
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
+      // the changed flag rides in the propagation itself, so the
+      // convergence check below is a plain scan of the checkpointed
+      // round — no extra join against the previous labels
       val next = labels.alias("l")
         .join(nbrMin.alias("p"), col("l.doc_id") === col("p.src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.component"),
-            coalesce(col("p.nbr_min"), col("l.component"))).as("component"))
+            coalesce(col("p.nbr_min"), col("l.component"))).as("component"),
+          (coalesce(col("p.nbr_min"), col("l.component")) < col("l.component"))
+            .as("changed"))
         .localCheckpoint()
       iter += 1
-      // convergence costs a join job of its own: check every OTHER round
-      // (and on the final permitted round) — at worst one extra cheap
-      // propagation over already-checkpointed labels, half the check jobs
+      // convergence still costs a job: check every OTHER round (and the
+      // final permitted round) — at worst one extra cheap propagation
+      // over already-checkpointed labels, half the check jobs
       if (iter % 2 == 0 || iter >= maxIter)
-        converged = next.alias("n")
-          .join(labels.alias("o"), Seq("doc_id"))
-          .filter(col("n.component") =!= col("o.component"))
-          .isEmpty
-      labels = next
+        converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("doc_id"), col("component"))
     }
     // an unconverged labeling silently under-merges components — dedup
     // would then KEEP near-duplicates. Fail loudly instead; callers with
