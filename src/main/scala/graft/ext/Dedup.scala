@@ -54,16 +54,6 @@ object Dedup {
         xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))))
           .as("band_hash")))
 
-  /** 64-bit SimHash signatures: bit b is the sign of the sum of (±1)
-    * contributions of every token's hash bit b.
-    *
-    * Deliberately a DataFrame-level pipeline (explode → hash once per
-    * token → 64 conditional sums in one hash aggregate → recombine bits)
-    * rather than a single nested higher-order Column: nested
-    * `transform(aggregate(...))` expressions re-inline the inner
-    * aggregate per outer element (64× recompute of the full token scan,
-    * interpreted) — the explode/agg shape hashes each token exactly once
-    * and stays inside whole-stage codegen. Returns (idCol, "sig"). */
   /** SimHash signature width: 60 bits (15 hex chars of md5) — the token
     * hash is md5-derived so the whole signature is reproducible in ANSI
     * SQL (DuckDB computes the identical value), which is what makes d08
@@ -82,6 +72,16 @@ object Dedup {
     * bucket while being far above any bucket the gate corpora produce. */
   val DefaultBucketCap = 1000
 
+  /** 60-bit SimHash signatures: bit b is the sign of the sum of (±1)
+    * contributions of every token's hash bit b.
+    *
+    * Deliberately a DataFrame-level pipeline (explode → hash once per
+    * token → 60 conditional sums in one hash aggregate → recombine bits)
+    * rather than a single nested higher-order Column: nested
+    * `transform(aggregate(...))` expressions re-inline the inner
+    * aggregate per outer element (60× recompute of the full token scan,
+    * interpreted) — the explode/agg shape hashes each token exactly once
+    * and stays inside whole-stage codegen. Returns (idCol, "sig"). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val perTok = docs
       .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
@@ -192,9 +192,10 @@ object Dedup {
     * Shape: candidates-then-verify. The band bucket join carries ONLY
     * (doc_id, band keys) — the heavy shingle arrays are joined back just
     * twice for the exact-Jaccard verify of the distinct candidate pairs.
-    * Carrying arrays through the 16-way band explode would multiply the
-    * shuffle payload by `bands`, which is what kills this at 100 TB. */
-  /** @param verifySampleRate opt-in sampling of the exact-Jaccard verify
+    * Carrying arrays through the band explode would multiply the
+    * shuffle payload by `bands`, which is what kills this at 100 TB.
+    *
+    * @param verifySampleRate opt-in sampling of the exact-Jaccard verify
     *   stage for very large corpora: candidate pairs land in a
     *   deterministic xxhash64 sample bucket (no rand() — reproducible and
     *   retry-safe); the sampled fraction is exact-verified and
