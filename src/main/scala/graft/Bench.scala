@@ -50,7 +50,14 @@ object Bench {
     // the steady-state total), and the minimum is the standard noise-floor
     // statistic — it estimates the query's true cost, not the machine's
     // worst moment
-    val passCount = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt
+    val passCount = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
+      val n = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_PASSES must be an integer >= 1, got '$v'")
+      }
+      require(n >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $n")
+      n
+    }.getOrElse(3)
     val passes = Seq.fill(passCount)(names.map(n => n -> exec(n)).toMap)
     // a load stall can span ALL of a query's passes (r05 published 2-3×
     // phantom regressions on unchanged queries): queries whose passes
@@ -82,9 +89,15 @@ object Bench {
     // survive tail-window capture (the r3 artifact lost its head and
     // total to a mid-line cut); the total rides at BOTH ends so either
     // truncation direction preserves it, and the full JSON is also
-    // persisted to BENCH_LOCAL.json.
+    // persisted to BENCH_LOCAL.json. The driver's capture keeps the
+    // TAIL of the line (r6 lost the alphabetical head), so the
+    // per-query map is ordered cheapest→costliest with failures (-1)
+    // last: the expensive queries and any failures are what a
+    // truncated artifact must still show.
     def s3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + s3(v) }
+    val qs = results
+      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val line =

@@ -28,17 +28,28 @@ object Dedup {
     graft.plans.ShinglesExpr.shingles(c, n)
 
   /** Exact Jaccard similarity of two DISTINCT-element string-array
-    * columns (shingle sets are distinct by construction). With distinct
-    * inputs |a ∪ b| = |a| + |b| − |a ∩ b|, so one hash-set pass
+    * columns — the PRECONDITION is in the name. With distinct inputs
+    * |a ∪ b| = |a| + |b| − |a ∩ b|, so one hash-set pass
     * (array_intersect) replaces the two passes of the
     * intersect+array_union formulation — the verify stage evaluates this
     * once per candidate pair, which at 100 TB is the second-largest cost
-    * after the shuffle. */
-  def jaccard(a: Column, b: Column): Column = {
+    * after the shuffle. Shingle sets are distinct by construction, so
+    * every internal call site qualifies; arbitrary arrays go through
+    * [[jaccard]], which pays the distinct pass. */
+  def jaccardDistinct(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = size(a).cast("double") + size(b).cast("double") - inter
     when(union > 0, inter / union).otherwise(lit(0.0))
   }
+
+  /** Exact Jaccard similarity of two string-array columns with no
+    * distinctness assumption: inputs are array_distinct'd first, then the
+    * one-pass identity applies. Duplicate-element inputs would silently
+    * overcount the union in the fast path — this wrapper is the safe
+    * public entry; hot verify loops use [[jaccardDistinct]] on inputs
+    * that are sets by construction. */
+  def jaccard(a: Column, b: Column): Column =
+    jaccardDistinct(array_distinct(a), array_distinct(b))
 
   /** k MinHash values of a shingle set — native one-pass Catalyst kernel
     * (graft.plans.MinHashSignatureExpr); the HOF equivalent re-traverses
@@ -140,7 +151,7 @@ object Dedup {
       val b = docs.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
       a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"),
-          round(jaccard(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+          round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
         .filter(col("jaccard") >= 0.35)
     })
 
@@ -189,11 +200,20 @@ object Dedup {
 
   /** Reusable MinHash+LSH pipeline over (doc_id, text).
     *
-    * Shape: candidates-then-verify. The band bucket join carries ONLY
-    * (doc_id, band keys) — the heavy shingle arrays are joined back just
-    * twice for the exact-Jaccard verify of the distinct candidate pairs.
-    * Carrying arrays through the band explode would multiply the
-    * shuffle payload by `bands`, which is what kills this at 100 TB.
+    * Shape: candidates-then-verify, with two eager lineage cuts. The
+    * band bucket join carries ONLY (doc_id, band keys) — carrying arrays
+    * through the band explode would multiply the shuffle payload by
+    * `bands`, which is what kills this at 100 TB. The exact-Jaccard
+    * verify runs on candidate documents only: the corpus is semi-join
+    * pre-filtered on the materialized candidate id set before shingling,
+    * so corpus-wide work is ONE scan + shingle + MinHash pass, total.
+    * NOTE the operator is therefore EAGER at call time (it runs the
+    * banding and candidate jobs); it is the terminal stage of a dedup
+    * pipeline, not a free composable view.
+    *
+    * @param checkpointDir None (default) cuts lineage with
+    *   executor-local blocks; Some(dir) on a cluster FS survives
+    *   executor preemption — see [[connectedComponents]].
     *
     * @param verifySampleRate opt-in sampling of the exact-Jaccard verify
     *   stage for very large corpora: candidate pairs land in a
@@ -207,18 +227,104 @@ object Dedup {
   def minhashNearDupPairs(docs: DataFrame, nGram: Int, k: Int, bands: Int,
       rowsPerBand: Int, threshold: Double,
       bucketCap: Int = DefaultBucketCap,
-      verifySampleRate: Double = 1.0): DataFrame = {
-    require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
-    require(bucketCap >= 2, "bucketCap must allow at least one pair")
+      verifySampleRate: Double = 1.0,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(verifySampleRate > 0.0 && verifySampleRate <= 1.0,
       "verifySampleRate must be in (0, 1]")
-    val shingled = docs
+    // the candidate pair list is MATERIALIZED once (eager lineage cut):
+    // the id-set derivation, the semi-join prefilter and the pair join
+    // below all reference it, and leaving it lazy re-inlines the whole
+    // banding subtree per reference — measured on the gate corpus: 32
+    // parquet scans, zero reused exchanges, 2.4× slower, because AQE's
+    // broadcast conversions specialize each copy's column pruning and
+    // defeat ReusedExchange. The list is O(duplicate rate) ≪ corpus;
+    // `checkpointDir` swaps the executor-local cut for a reliable one on
+    // a cluster FS (same trade as connectedComponents).
+    val candidates = cutLineage(
+      minhashNearDupCandidates(docs, nGram, k, bands, rowsPerBand, bucketCap),
+      checkpointDir)
+    // verify shingles ONLY candidate documents: semi-join the corpus on
+    // the distinct candidate ids (small → broadcast) BEFORE shingling,
+    // and materialize the surviving (doc_id, shingles) rows — candidates
+    // ≪ corpus, so this is one pruned corpus scan + a tiny table, where
+    // the pre-r7 shape re-scanned and re-shingled the ENTIRE corpus once
+    // per pair side — the largest remaining linear cost at 100 TB.
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    val candShingled = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
-    val banded = shingled
-      .select(col("doc_id"), minhashSignature(col("sh"), k).as("sig"))
-      .withColumn("band", explode(lshBandHashes(col("sig"), bands, rowsPerBand)))
-      .select(col("doc_id"),
-        col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
+    def verify(pairs: DataFrame): DataFrame = pairs.alias("vp")
+      .join(candShingled.alias("vsa"), col("vp.doc_a") === col("vsa.doc_id"))
+      .join(candShingled.alias("vsb"), col("vp.doc_b") === col("vsb.doc_id"))
+      .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
+        round(jaccardDistinct(col("vsa.sh"), col("vsb.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    if (verifySampleRate >= 1.0) verify(candidates)
+    else {
+      // ONE linear pipeline, not complementary filter branches: splitting
+      // `candidates` into a sampled branch and a trusted branch hands the
+      // optimizer a pair of complementary pushable predicates to relocate
+      // through the pair-generation lambdas (observed to silently drop
+      // rows in some exprId contexts). Here the sample flag is a plain
+      // boolean column; unsampled pairs ride through the two LEFT joins
+      // unmatched (the flag is part of the join condition, so no shingle
+      // lookup and no jaccard evaluation happens for them) and keep
+      // jaccard NULL.
+      val cut = lit((verifySampleRate * 1000000L).toLong)
+      val flagged = candidates.withColumn("vsampled",
+        pmod(xxhash64(lit("verify"), col("doc_a"), col("doc_b")), lit(1000000L)) < cut)
+      flagged.alias("vp")
+        .join(candShingled.alias("vsa"),
+          col("vp.vsampled") && (col("vp.doc_a") === col("vsa.doc_id")), "left")
+        .join(candShingled.alias("vsb"),
+          col("vp.vsampled") && (col("vp.doc_b") === col("vsb.doc_id")), "left")
+        .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
+          when(col("vp.vsampled"),
+            round(jaccardDistinct(col("vsa.sh"), col("vsb.sh")), 4)).as("jaccard"))
+        .filter(col("jaccard").isNull || col("jaccard") >= threshold)
+    }
+  }
+
+  /** Lineage cut shared by the iterative and multi-reference operators:
+    * executor-local blocks by default (fastest; right for
+    * local/interactive), or a reliable checkpoint on `dir` (any
+    * registered Hadoop FS scheme) — the posture a preemptible-executor
+    * cluster needs. `eager = false` still collapses the plan to ONE
+    * shared RDD — every downstream reference reads the same blocks, so
+    * the subtree computes once — but defers materialization to the first
+    * action, keeping the whole query a single pipelined job instead of a
+    * sequence of checkpoint barriers (measured ~0.2 s/barrier at gate
+    * scale). Iterative loops need `eager = true`: each round must
+    * materialize before the driver can read its convergence metric. */
+  private def cutLineage(df: DataFrame, checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame = {
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+  }
+
+  /** Candidate-pair generation HALF of [[minhashNearDupPairs]] — lazy
+    * (no lineage cut), public so plan audits and callers with their own
+    * verification can inspect/compose the exact pipeline the verified
+    * operator materializes: banding, the single bucket exchange, the
+    * count-gated hot/cold split, the distinct. Emits (doc_a, doc_b)
+    * candidate pairs, doc_a < doc_b within cold buckets, representative
+    * first for hot ones. */
+  def minhashNearDupCandidates(docs: DataFrame, nGram: Int, k: Int,
+      bands: Int, rowsPerBand: Int,
+      bucketCap: Int = DefaultBucketCap): DataFrame =
+    lshCandidatePairs(
+      minhashBandIndex(docs, nGram, k, bands, rowsPerBand), bucketCap)
+
+  /** The count-gated hot/cold candidate split over any band-rows
+    * relation (doc_id, band_id, band_hash) — shared by the self-join
+    * operator and any caller holding a persistent [[minhashBandIndex]].
+    * Lazy. */
+  def lshCandidatePairs(bandRows: DataFrame,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(bucketCap >= 2, "bucketCap must allow at least one pair")
+    val banded = bandRows
+      .select(col("doc_id"), col("band_id"), col("band_hash"))
     // candidates by BUCKET GROUPING, not a self-join: the bands×N rows
     // shuffle ONCE into their (band_id, band_hash) buckets and pairs
     // expand inside each bucket — a self-join would shuffle the same
@@ -235,11 +341,8 @@ object Dedup {
     //   - HOT buckets (m > bucketCap — the rare skew case) take star
     //     pairing with the bucket-min representative: m−1 pairs, no
     //     collect_list, no window/sort anywhere.
-    // The banded exchange on (band_id, band_hash) is built once and
-    // reused by the count and the split (ReusedExchange), so the cold
-    // corpus pays the old single-shuffle plan + one skinny count agg.
     // CANDIDATE-graph connected components are preserved (every hot
-    // member links to the representative), but the verify stage below
+    // member links to the representative), but the caller's verify stage
     // prunes edges by exact Jaccard, and LSH co-bucketing at r rows does
     // NOT imply similarity to the representative — so post-verification
     // components CAN differ from the uncapped run once a bucket exceeds
@@ -248,13 +351,16 @@ object Dedup {
     // members all verify against the representative; the gate corpora
     // never exceed the cap, so the gate's exact pair-set contract is
     // unaffected.
-    // ONE exchange feeds everything downstream: the explicit repartition
-    // on the bucket keys is shared (ReusedExchange) by the count
-    // aggregate, the count join, and the per-bucket aggregates below —
-    // without it, Catalyst's column pruning specializes each consumer's
-    // scan and the documents are scanned (and shingled + minhashed)
-    // twice. Counts and join are co-partitioned with the data, so
-    // neither adds a shuffle.
+    // The explicit repartition on the bucket keys makes the count, the
+    // count join and the per-bucket aggregates co-partitioned, so none
+    // of them adds a shuffle. Exchange REUSE across the count/cold/hot
+    // consumers, however, is best-effort only: when AQE broadcast-
+    // converts the count join (small corpora), each consumer's copy gets
+    // its own column pruning and the scan+shingle+minhash pipeline runs
+    // once per copy. That is bounded (a constant 3-4×, not data-
+    // dependent) and only the skinny band rows are involved; the
+    // MATERIALIZED caller (minhashNearDupPairs) cuts lineage right above
+    // this plan, so nothing downstream ever re-derives it.
     val bandedP = banded.repartition(col("band_id"), col("band_hash"))
     val bucketCounts = bandedP
       .groupBy(col("band_id"), col("band_hash"))
@@ -274,41 +380,7 @@ object Dedup {
     val hotPairs = hotMembers.join(hotReps, Seq("band_id", "band_hash"))
       .filter(col("doc_id") =!= col("doc_a"))
       .select(col("doc_a"), col("doc_id").as("doc_b"))
-    val candidates = coldPairs.union(hotPairs).distinct()
-    // the verify join re-reads `shingled`, whose plan is ALSO inside
-    // `pairs`' lineage (a self-join): every reference is alias-qualified
-    // so resolution stays pinned no matter how the surrounding plan
-    // grows — the documented defensive posture for shared-lineage joins
-    def verify(pairs: DataFrame): DataFrame = pairs.alias("vp")
-      .join(shingled.alias("vsa"), col("vp.doc_a") === col("vsa.doc_id"))
-      .join(shingled.alias("vsb"), col("vp.doc_b") === col("vsb.doc_id"))
-      .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
-        round(jaccard(col("vsa.sh"), col("vsb.sh")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    if (verifySampleRate >= 1.0) verify(candidates)
-    else {
-      // ONE linear pipeline, not complementary filter branches: splitting
-      // `candidates` into a sampled branch and a trusted branch re-derives
-      // the whole candidate subtree per branch and hands the optimizer a
-      // pair of complementary pushable predicates to relocate through the
-      // pair-generation lambdas (observed to silently drop rows in some
-      // exprId contexts). Here the sample flag is a plain boolean column;
-      // unsampled pairs ride through the two LEFT joins unmatched (the
-      // flag is part of the join condition, so no shingle lookup and no
-      // jaccard evaluation happens for them) and keep jaccard NULL.
-      val cut = lit((verifySampleRate * 1000000L).toLong)
-      val flagged = candidates.withColumn("vsampled",
-        pmod(xxhash64(lit("verify"), col("doc_a"), col("doc_b")), lit(1000000L)) < cut)
-      flagged.alias("vp")
-        .join(shingled.alias("vsa"),
-          col("vp.vsampled") && (col("vp.doc_a") === col("vsa.doc_id")), "left")
-        .join(shingled.alias("vsb"),
-          col("vp.vsampled") && (col("vp.doc_b") === col("vsb.doc_id")), "left")
-        .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
-          when(col("vp.vsampled"),
-            round(jaccard(col("vsa.sh"), col("vsb.sh")), 4)).as("jaccard"))
-        .filter(col("jaccard").isNull || col("jaccard") >= threshold)
-    }
+    coldPairs.union(hotPairs).distinct()
   }
 
   /** Reusable SimHash near-dup pairs over (doc_id, sig) signatures:
@@ -323,7 +395,10 @@ object Dedup {
     * only via its representative edges, so the pigeonhole recall
     * guarantee binds per cold band; a hot band is overwhelmingly one
     * boilerplate cluster whose members all sit within maxHamming of the
-    * representative. */
+    * representative. Nothing enforces that assumption on an arbitrary
+    * corpus — when a pair set diverges from a brute-force oracle, run
+    * [[simhashHotBands]] on the same signatures: a non-empty result
+    * means the cap (not the signatures) caused the divergence. */
   def simhashNearDupPairs(sigs: DataFrame, maxHamming: Int,
       bandCap: Int = DefaultBucketCap): DataFrame = {
     require(bandCap >= 2, "bandCap must allow at least one pair")
@@ -380,6 +455,59 @@ object Dedup {
         col("band.band_id").as("band_id"), col("band.band_hash").as("band_hash"))
   }
 
+  /** Maintenance half of the incremental-dedup posture: once a probe
+    * batch is admitted, its band rows JOIN the index so the next batch
+    * probes against them too — banding is per-document, so appending the
+    * admitted docs' bands is exactly equivalent to rebuilding the index
+    * from the union of the corpora (DedupSpec proves probe-after-append ≡
+    * probe-against-rebuild). Parameters must match the index's original
+    * banding. */
+  def appendToBandIndex(index: DataFrame, admittedDocs: DataFrame, nGram: Int,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame =
+    index.unionByName(minhashBandIndex(admittedDocs, nGram, k, bands, rowsPerBand))
+
+  /** Persisted variant: append the admitted batch's band rows to the
+    * index TABLE through the lake seam — the production shape, where the
+    * index is a skinny parquet/Iceberg table written once and grown per
+    * admitted batch instead of rebuilt from 100 TB. Partitioned by
+    * band_id so maintenance (compaction per partition) stays bounded;
+    * the probe join reads all bands anyway, so partitioning is a
+    * file-layout choice, not a pruning one. */
+  def appendToBandIndexTable(fmt: graft.lake.TableFormat, tablePath: String,
+      admittedDocs: DataFrame, nGram: Int, k: Int, bands: Int,
+      rowsPerBand: Int): Unit =
+    fmt.createOrAppend(
+      minhashBandIndex(admittedDocs, nGram, k, bands, rowsPerBand),
+      tablePath, Seq("band_id"))
+
+  /** Diagnostic: the band buckets of a [[minhashBandIndex]]-shaped
+    * relation whose membership exceeds `bucketCap` — i.e. the buckets the
+    * count-gated hot/cold split routes to star pairing. The capped
+    * operators' recall guarantees are conditional on hot buckets being
+    * genuine boilerplate clusters; when a pair-set diverges from a
+    * brute-force oracle, a NON-EMPTY result here says the cap (not the
+    * signatures) is the cause. Group on every non-doc_id column so the
+    * same helper audits minhash (band_id, band_hash) and simhash
+    * (band_id, band_val) band relations. */
+  def hotBuckets(bandRows: DataFrame, bucketCap: Int = DefaultBucketCap): DataFrame = {
+    val keys = bandRows.columns.filter(_ != "doc_id").map(col).toSeq
+    bandRows.groupBy(keys: _*)
+      .agg(count(lit(1)).as("bucket_m"))
+      .filter(col("bucket_m") > bucketCap)
+  }
+
+  /** Diagnostic twin of [[hotBuckets]] for SimHash: band rows derived
+    * from signatures exactly as [[simhashNearDupPairs]] derives them, so
+    * the audited buckets are the operator's own. */
+  def simhashHotBands(sigs: DataFrame, bandCap: Int = DefaultBucketCap): DataFrame =
+    hotBuckets(
+      sigs.withColumn("band_id", explode(sequence(lit(0), lit(SimhashBands - 1))))
+        .withColumn("band_val",
+          call_function("shiftright", col("sig"), col("band_id") * SimhashBandBits)
+            .bitwiseAND((1L << SimhashBandBits) - 1))
+        .select(col("doc_id"), col("band_id"), col("band_val")),
+      bandCap)
+
   /** Probe half: near-dup candidates of `newDocs` against an existing
     * [[minhashBandIndex]], exact-Jaccard verified against the indexed
     * corpus. The probe is a bucket equi-join (new bands ⋈ index bands) —
@@ -387,15 +515,17 @@ object Dedup {
     * hot index bucket (> bucketCap members, the boilerplate cluster)
     * matches each probe doc against the bucket's min-doc_id
     * representative only, so probe fan-out per bucket is bounded.
-    * Verification re-reads only the candidate docs' text from the two
-    * corpora (a semi-join-shaped lookup, not a second full scan at
-    * production scale, since candidates ≪ corpus).
+    * Verification exact-Jaccards the candidate pairs against the two
+    * corpora's shingle sets (see the in-body note on the measured shape
+    * choice; at archive scale, pre-filter `indexedDocs` to the probed
+    * buckets' members so the big side is never scanned wholesale).
     *
     * Emits (doc_new, doc_old, jaccard) for verified pairs — the
     * contamination/duplication report an ingest batch is gated on. */
   def minhashProbePairs(newDocs: DataFrame, indexedDocs: DataFrame,
       index: DataFrame, nGram: Int, k: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
+      threshold: Double, bucketCap: Int = DefaultBucketCap,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
     require(bucketCap >= 1, "bucketCap must be positive")
     val probeBands = minhashBandIndex(newDocs, nGram, k, bands, rowsPerBand)
@@ -414,15 +544,31 @@ object Dedup {
       .join(coldIdx.union(hotIdx), Seq("band_id", "band_hash"))
       .select(col("doc_new"), col("doc_old"))
       .distinct()
-    val shNew = newDocs.select(col("doc_id"),
-      shingles(col("text"), nGram).as("sh"))
-    val shOld = indexedDocs.select(col("doc_id"),
-      shingles(col("text"), nGram).as("sh"))
+    // verify joins the WHOLESALE-shingled corpora below the pair join —
+    // a deliberate, MEASURED choice (10× gate corpus, isolated min-of-3):
+    // this shape 5.0 s; candidate-semi-join prefilter + lineage cut
+    // 7.5 s; shingle-above-the-join 8.8 s. Unlike the self-join operator
+    // (whose candidate list is O(duplicate rate) ≪ corpus), a wide-banded
+    // probe's candidate set is batch×background-collision sized — here
+    // comparable to the corpus itself — so (a) computing shingles per
+    // PAIR occurrence inside the join condition (where Catalyst pushes
+    // the threshold filter, interpreted, evaluated again in the project)
+    // costs more than one codegen'd per-document pass, and (b) a lineage
+    // cut serializes the candidate job against the verify job, losing
+    // more overlap than the prefilter saves. At true archive scale the
+    // batch ≪ archive and candidates ∝ batch, so the archive side's
+    // wholesale shingle pass becomes the bottleneck — THERE the caller
+    // holds a persisted band index, probes with a small batch, and the
+    // candidate doc_old set is small: filter `indexedDocs` upstream
+    // (left-semi on the probed buckets' members) before calling — this
+    // operator composes with that directly.
+    val shNew = newDocs.select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
+    val shOld = indexedDocs.select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
     candidates.alias("c")
       .join(shNew.alias("pn"), col("c.doc_new") === col("pn.doc_id"))
       .join(shOld.alias("po"), col("c.doc_old") === col("po.doc_id"))
       .select(col("c.doc_new").as("doc_new"), col("c.doc_old").as("doc_old"),
-        round(jaccard(col("pn.sh"), col("po.sh")), 4).as("jaccard"))
+        round(jaccardDistinct(col("pn.sh"), col("po.sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -478,52 +624,81 @@ object Dedup {
     * (cliques from cold buckets, stars from hot ones), diameters of 2-4,
     * which beats the O(log n) alternating-star algorithms on their own
     * turf while staying three joins of plain DataFrame code. Each round
-    * is one shuffle join + one aggregate; `localCheckpoint` cuts the
-    * iterative lineage (the standard Spark iterative-algorithm
-    * requirement — an unbounded plan tree re-executes every prior round
-    * and eventually breaks the planner). The driver-side loop is the
-    * Pregel shape: a handful of distributed rounds with one cheap
-    * convergence count each, NOT a per-row driver loop. On a real
-    * cluster, swap `localCheckpoint` (executor-local, lost with the
-    * executor) for reliable `checkpoint` to the cluster FS — same
-    * lineage cut, survives preemption; the pair list being checkpointed
-    * is O(duplicate rate), far smaller than the corpus either way.
+    * is one shuffle join + one aggregate; the lineage cut per round is
+    * the standard Spark iterative-algorithm requirement — an unbounded
+    * plan tree re-executes every prior round and eventually breaks the
+    * planner. The driver-side loop is the Pregel shape: a handful of
+    * distributed rounds, NOT a per-row driver loop. The pair list being
+    * checkpointed is O(duplicate rate), far smaller than the corpus.
+    *
+    * Lineage-cut strategy: `checkpointDir = None` (default) uses
+    * `localCheckpoint` — executor-local blocks, fastest, right for
+    * local/interactive runs but lost with an executor. On a real cluster
+    * pass `Some(dir)` on the cluster FS (any registered Hadoop scheme):
+    * rounds then cut through reliable `checkpoint`, which survives
+    * executor preemption — the posture a 1000-executor spot-instance
+    * fleet needs.
+    *
+    * Convergence is detected for FREE: a `max(changed)` observed metric
+    * (CollectMetrics) rides the same job that materializes each round's
+    * checkpoint, so no separate probe job re-scans the labels — at
+    * 100 TB the old every-other-round probe was a full label-table pass
+    * each time. The observed-metric delivery is async (listener bus); a
+    * bounded poll covers it, with a one-off probe fallback so a delivery
+    * hiccup degrades to the old cost rather than a hang or a wrong
+    * answer.
     *
     * Returns (doc_id, component) for every node appearing in `pairs`,
     * component = min doc_id of the member's component. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, "maxIter must be positive")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
+    val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct())
+    var labels = cut(edges.select(col("src").as("doc_id"))
       .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id"))
-      .distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint()
+      .withColumn("component", col("doc_id")))
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("component")).as("nbr_min"))
-      // the changed flag rides in the propagation itself, so the
-      // convergence check below is a plain scan of the checkpointed
-      // round — no extra join against the previous labels
-      val next = labels.alias("l")
+      val round = labels.alias("l")
         .join(nbrMin.alias("p"), col("l.doc_id") === col("p.src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.component"),
             coalesce(col("p.nbr_min"), col("l.component"))).as("component"),
           (coalesce(col("p.nbr_min"), col("l.component")) < col("l.component"))
             .as("changed"))
-        .localCheckpoint()
       iter += 1
-      // convergence still costs a job: check every OTHER round (and the
-      // final permitted round) — at worst one extra cheap propagation
-      // over already-checkpointed labels, half the check jobs
-      if (iter % 2 == 0 || iter >= maxIter)
-        converged = next.filter(col("changed")).isEmpty
-      labels = next.select(col("doc_id"), col("component"))
+      // convergence detection rides the propagation job itself: on
+      // checking rounds (every other, plus the last permitted — diameter
+      // grows by ≥2 labels per round pair, so the half-rate check loses
+      // at most one cheap round, same policy the probe-based version
+      // used) a `max(changed)` observed metric is attached, the eager
+      // checkpoint is the action that runs its accumulator, and
+      // `observedMetrics` reads the result straight off the executed
+      // plan — synchronous (no listener bus: an Observation.future await
+      // was measured paying 100-200 ms of bus latency per round) and
+      // ZERO extra jobs, where the old explicit probe re-scanned the
+      // full label table per check — at 100 TB a whole extra pass.
+      // Non-checking rounds skip the metric node entirely so their
+      // join+project stays fully codegen'd. Fall back to one probe job
+      // if the metric is somehow absent — never a wrong answer. max over
+      // zero rows is null → converged (empty graph).
+      if (iter % 2 == 0 || iter >= maxIter) {
+        val observed = round.observe("cc_round", max(col("changed")).as("any_changed"))
+        val next = cut(observed)
+        converged = observed.queryExecution.observedMetrics.get("cc_round") match {
+          case Some(row) => row.getAs[Any]("any_changed") != true
+          case None => next.filter(col("changed")).isEmpty
+        }
+        labels = next.select(col("doc_id"), col("component"))
+      } else {
+        labels = cut(round).select(col("doc_id"), col("component"))
+      }
     }
     // an unconverged labeling silently under-merges components — dedup
     // would then KEEP near-duplicates. Fail loudly instead; callers with

@@ -442,7 +442,13 @@ object TextStats {
     * is an 8-task ceiling at 100 TB). */
   def packingShards(estimatedSizeMb: Long, targetShardMb: Long = 512L): Int = {
     require(targetShardMb > 0, "targetShardMb must be positive")
-    math.max(1L, (estimatedSizeMb + targetShardMb - 1) / targetShardMb).toInt
+    require(estimatedSizeMb >= 0, "estimatedSizeMb must be non-negative")
+    // overflow-safe ceil-divide + Int clamp: a stat-less plan can hand
+    // this the Long.MaxValue defaultSizeInBytes sentinel, and a naive
+    // (mb + target - 1).toInt wraps to 0 or a garbage shard count
+    val shards = estimatedSizeMb / targetShardMb +
+      (if (estimatedSizeMb % targetShardMb > 0) 1L else 0L)
+    math.min(Int.MaxValue.toLong, math.max(1L, shards)).toInt
   }
 
   /** Reusable concat-and-chop sequence packing over (doc_id, text) with
@@ -472,8 +478,18 @@ object TextStats {
   def sequencePackingAuto(docs: DataFrame, seqLen: Int,
       targetShardMb: Long = 512L): DataFrame = {
     val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-    val mb = (bytes / (1024L * 1024L)).toLong
-    sequencePacking(docs, seqLen, packingShards(mb, targetShardMb))
+    // stat-less leaves (JDBC, streaming, some views) report the
+    // spark.sql.defaultSizeInBytes sentinel (Long.MaxValue by default) —
+    // that is "unknown", not "huge": fall back to the cluster's default
+    // parallelism instead of planning 2^31 shards off garbage stats
+    val sentinel = BigInt(
+      docs.sparkSession.sessionState.conf.defaultSizeInBytes)
+    val shards =
+      if (bytes >= sentinel) docs.sparkSession.sparkContext.defaultParallelism
+      else packingShards(
+        (bytes / (1024L * 1024L)).min(BigInt(Long.MaxValue)).toLong,
+        targetShardMb)
+    sequencePacking(docs, seqLen, shards)
   }
 
   /** Concat-and-chop sequence packing — how pretraining pipelines fill

@@ -58,19 +58,39 @@ object PdfText {
 
   /** Filter names (beyond /FlateDecode) attached to stream dictionaries
     * in the raw bytes — one scan, order of first appearance, distinct.
-    * These are exactly the streams parseObjects/contentStreams skip. */
+    * These are exactly the streams parseObjects/contentStreams skip.
+    * Name tokens with `#xx` escapes are decoded before comparison
+    * (`/Fl#61teDecode` IS FlateDecode), and an INDIRECT filter value
+    * (`/Filter 12 0 R`) — which this raw scan cannot resolve — is
+    * reported as the `/IndirectFilterRef` marker rather than silently
+    * passing, so [[PdfExtraction.isComplete]] stays honest on documents
+    * that route their filter through an object reference. */
   def unsupportedStreamFilters(pdf: Array[Byte]): Seq[String] = {
     val doc = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
     FilterNamesRe.findAllMatchIn(doc)
-      .flatMap(m => FilterTokenRe.findAllIn(m.group(1)))
+      .flatMap { m =>
+        val v = m.group(1)
+        if (IndirectRefRe.matches(v)) Iterator("/IndirectFilterRef")
+        else FilterTokenRe.findAllIn(v).map(decodeNameEscapes)
+      }
       .filter(_ != "/FlateDecode")
       .toSeq.distinct
   }
 
-  // `/Filter /Name` (one name) or `/Filter [/A /B]` (a filter chain) —
-  // the single-name form must NOT run on into the next dictionary key
-  private val FilterNamesRe = """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)""".r
-  private val FilterTokenRe = """/[A-Za-z0-9]+""".r
+  // `/Filter /Name` (one name), `/Filter [/A /B]` (a filter chain) or
+  // `/Filter 12 0 R` (indirect value) — the single-name form must NOT
+  // run on into the next dictionary key; names may carry #xx escapes
+  private val FilterNamesRe =
+    """/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9#]+|\d+\s+\d+\s+R)""".r
+  private val FilterTokenRe = """/[A-Za-z0-9#]+""".r
+  private val IndirectRefRe = """\d+\s+\d+\s+R""".r
+
+  /** PDF name-object `#xx` hex escapes decoded to their characters
+    * (ISO-8859-1 range, per the raw-bytes read above). */
+  private def decodeNameEscapes(name: String): String =
+    NameEscapeRe.replaceAllIn(name, m => java.util.regex.Matcher
+      .quoteReplacement(Integer.parseInt(m.group(1), 16).toChar.toString))
+  private val NameEscapeRe = """#([0-9A-Fa-f]{2})""".r
 
   /** All page texts joined with "\n" — the reference's page-concat
     * contract. Returns "" for bytes with no extractable text. */

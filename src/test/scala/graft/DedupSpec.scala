@@ -35,6 +35,19 @@ class DedupSpec extends SparkSpec {
     assert(df.collect()(0).getDouble(0) === 0.5)
   }
 
+  test("jaccard is duplicate-safe; jaccardDistinct is the documented fast path") {
+    // [a,a,b] vs [b,a]: as SETS both are {a,b} → Jaccard 1.0. The
+    // duplicate-blind |a|+|b|−|a∩b| identity would count 'a' twice in the
+    // union (3+2−2 = 3 → 2/3) — the safe wrapper must distinct first
+    val r = strDf((1L, "unused")).select(
+      Dedup.jaccard(array(lit("a"), lit("a"), lit("b")),
+        array(lit("b"), lit("a"))).as("j"),
+      Dedup.jaccardDistinct(array(lit("a"), lit("b")),
+        array(lit("b"), lit("a"))).as("jd")).collect()(0)
+    assert(r.getDouble(0) === 1.0) // {a,b} vs {a,b}
+    assert(r.getDouble(1) === 1.0)
+  }
+
   test("minhash+LSH finds exactly the exact-Jaccard>=0.5 pairs on the corpus") {
     val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
     // exact brute-force answer (test-only; the operator itself never does this)
@@ -275,6 +288,85 @@ class DedupSpec extends SparkSpec {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labeled === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+  }
+
+  test("appendToBandIndex: probe after append equals probe against a rebuilt index") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val batch1 = docs.filter(col("doc_id") % 3 === 0)
+    val batch2 = docs.filter(col("doc_id") % 3 === 1)
+    val incoming = docs.filter(col("doc_id") % 3 === 2)
+    val indexedDocs = docs.filter(col("doc_id") % 3 =!= 2)
+    val appended = Dedup.appendToBandIndex(
+      Dedup.minhashBandIndex(batch1, 3, 96, 48, 2), batch2, 3, 96, 48, 2)
+    val rebuilt = Dedup.minhashBandIndex(batch1.unionByName(batch2), 3, 96, 48, 2)
+    def probe(idx: org.apache.spark.sql.DataFrame) =
+      Dedup.minhashProbePairs(incoming, indexedDocs, idx, 3, 96, 48, 2, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaAppend = probe(appended)
+    assert(viaAppend.nonEmpty, "corpus split should produce cross-batch near-dups")
+    assert(viaAppend === probe(rebuilt))
+
+    // persisted shape: two createOrAppend batches through the lake seam
+    // give the identical probe answer when read back
+    val dir = java.nio.file.Files.createTempDirectory("bandidx").toString
+    val path = s"$dir/band_index"
+    Dedup.appendToBandIndexTable(graft.lake.ParquetTableFormat, path, batch1, 3, 96, 48, 2)
+    Dedup.appendToBandIndexTable(graft.lake.ParquetTableFormat, path, batch2, 3, 96, 48, 2)
+    assert(probe(graft.lake.ParquetTableFormat.read(spark, path)) === viaAppend)
+  }
+
+  test("connectedComponents: reliable-checkpoint strategy agrees with localCheckpoint, incl. on graftfs://") {
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // chain (diameter 5) + clique + isolated pair — several rounds needed
+    val pairs = (1L until 6L).map(i => Row(i, i + 1)) ++
+      Seq(Row(10L, 11L), Row(10L, 12L), Row(11L, 12L), Row(20L, 21L))
+    val df = LocalTable.of(spark, schema, pairs)
+    val viaLocal = Dedup.connectedComponents(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    val ckpt = s"graftfs://$dir"
+    val viaReliable = Dedup.connectedComponents(df, checkpointDir = Some(ckpt))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaReliable === viaLocal)
+    // the rounds really cut lineage through the graftfs scheme: the
+    // checkpoint dir resolved to graftfs and RDD checkpoint files landed
+    // in the backing directory
+    // (the FS qualifies the empty-authority form to "graftfs:/...")
+    assert(spark.sparkContext.getCheckpointDir
+      .exists(_.startsWith("graftfs:")), spark.sparkContext.getCheckpointDir)
+    def anyFile(d: java.io.File): Boolean = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.exists(_.isFile) || kids.filter(_.isDirectory).exists(anyFile)
+    }
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+    // fail-loudly parity: the reliable path refuses an under-propagated
+    // labeling exactly like the local path
+    val chain = LocalTable.of(spark, schema, (1L until 12L).map(i => Row(i, i + 1)))
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 2, checkpointDir = Some(ckpt))
+    }
+  }
+
+  test("hotBuckets/simhashHotBands surface exactly the buckets the cap star-pairs") {
+    val text = (1 to 30).map(i => s"hb$i").mkString(" ")
+    val cluster = (1L to 20L).map(i => (i, text))
+    val others = Seq((100L, "one unrelated small document body here"),
+      (101L, "another distinct body of words entirely"))
+    val docs = strDf((cluster ++ others): _*)
+    val idx = Dedup.minhashBandIndex(docs, 3, 96, 48, 2)
+    // 20 identical docs land all 48 bands in one bucket each → 48 hot rows
+    val hot = Dedup.hotBuckets(idx, bucketCap = 8).collect()
+    assert(hot.length === 48)
+    assert(hot.forall(_.getAs[Long]("bucket_m") === 20L))
+    assert(Dedup.hotBuckets(idx).collect().isEmpty) // default cap: nothing hot
+    val sigs = Dedup.simhashSignatures(docs, "doc_id", "text")
+    val hotBands = Dedup.simhashHotBands(sigs, bandCap = 8).collect()
+    assert(hotBands.length === Dedup.SimhashBands)
+    assert(hotBands.forall(_.getAs[Long]("bucket_m") === 20L))
+    assert(Dedup.simhashHotBands(sigs).collect().isEmpty)
   }
 
   test("simhash: identical texts collide, perturbed text stays close, unrelated far") {

@@ -177,12 +177,25 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d07/d08/d17: candidate generation is equi-join only — no BNLJ, no cartesian, no window sort") {
+    // d07/d17 materialize their candidate stage eagerly (lineage cuts),
+    // so the final query plan no longer contains it — audit the LAZY
+    // candidate pipeline directly, at the gate banding
+    val docs = Tables(spark, sfDir, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val cand = graft.ext.Dedup.minhashNearDupCandidates(docs, 3, 96, 48, 2)
+    val cp = physical(cand)
+    assert(!cp.contains("BroadcastNestedLoopJoin"), cp.take(500))
+    assert(!cp.contains("CartesianProduct"), cp.take(500))
+    // the r5 regression shape: an always-on Window over bands×N rows
+    assert(!cp.contains("Window"), s"candidates plan a window: ${cp.take(500)}")
+    // and the full queries (post-cut verify / components / simhash) stay
+    // equi-join-only too
     Seq("d07_minhash_lsh_neardup", "d08_simhash_neardup",
       "d17_neardup_components").foreach { q =>
       val p = physical(run(q))
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(500)}")
       assert(!p.contains("CartesianProduct"), s"$q: ${p.take(500)}")
-      // the r5 regression shape: an always-on Window over bands×N rows
       assert(!p.contains("Window"), s"$q plans a window: ${p.take(500)}")
     }
   }

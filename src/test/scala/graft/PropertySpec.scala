@@ -148,6 +148,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("filter diagnostics: #xx name escapes decode, indirect /Filter refs are surfaced") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    def scan(s: String): Seq[String] =
+      graft.parse.PdfText.unsupportedStreamFilters(s.getBytes(ISO_8859_1))
+    // an escaped FlateDecode is STILL FlateDecode — must not be reported
+    assert(scan("<< /Filter /Fl#61teDecode /Length 4 >>") === Seq.empty)
+    // an escaped exotic codec reports its DECODED canonical name
+    assert(scan("<< /Filter /DCTDec#6Fde /Length 4 >>") === Seq("/DCTDecode"))
+    assert(scan("<< /Filter [/ASCII85Decode /DCT#44ecode] >>") ===
+      Seq("/ASCII85Decode", "/DCTDecode"))
+    // an indirect filter value cannot be resolved by the raw scan — it is
+    // surfaced as a marker instead of silently passing as "complete"
+    assert(scan("<< /Filter 12 0 R /Length 9 >>") === Seq("/IndirectFilterRef"))
+    // and extract() carries the marker into isComplete: a document whose
+    // stream routes its filter through an object reference is PARTIAL
+    val clean = PdfFixture.pdf(Seq(Seq("saldo", "total")))
+    val withIndirect = clean ++
+      ("\n90 0 obj << /Subtype /Image /Filter 12 0 R /Length 4 >> " +
+        "stream\nabcd\nendstream endobj\n").getBytes(ISO_8859_1)
+    val e = graft.parse.PdfText.extract(withIndirect)
+    assert(e.text === "saldo\ntotal")
+    assert(e.skippedFilters === Seq("/IndirectFilterRef") && !e.isComplete)
+  }
+
   test("property: conformToSchema always matches the destination schema") {
     val dest = StructType(Seq(
       StructField("a", LongType), StructField("b", StringType),

@@ -30,6 +30,33 @@ class TextStatsSpec extends SparkSpec {
     assert(shards === shards.sorted, "shard count must be monotonic in size")
   }
 
+  test("packingShards clamps sentinel-sized inputs instead of overflowing Int") {
+    // Long.MaxValue is the defaultSizeInBytes "unknown" sentinel divided
+    // down to MB — the old ceil-divide wrapped it to 0 or garbage
+    assert(TextStats.packingShards(Long.MaxValue) === Int.MaxValue)
+    assert(TextStats.packingShards(Long.MaxValue, targetShardMb = 1L) === Int.MaxValue)
+    assert(TextStats.packingShards(Long.MaxValue - 1, targetShardMb = Long.MaxValue) === 1)
+    intercept[IllegalArgumentException](TextStats.packingShards(-1))
+  }
+
+  test("sequencePackingAuto: stat-less plans fall back to defaultParallelism, not 2^31 shards") {
+    // a DataFrame over a raw RDD has no size statistics — its leaf
+    // reports the spark.sql.defaultSizeInBytes sentinel
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val rdd = spark.sparkContext.parallelize(
+      (1L to 20L).map(i => Row(i, s"a b c doc$i")))
+    val docs = spark.createDataFrame(rdd, schema)
+    val sentinel = BigInt(spark.sessionState.conf.defaultSizeInBytes)
+    assert(docs.queryExecution.optimizedPlan.stats.sizeInBytes >= sentinel,
+      "precondition: the plan must carry the unknown-size sentinel")
+    val out = TextStats.sequencePackingAuto(docs, seqLen = 10) // must not throw
+    val maxShards = spark.sparkContext.defaultParallelism
+    val shardsSeen = out.select(col("shard")).distinct()
+      .collect().map(_.getLong(0))
+    assert(shardsSeen.forall(s => s >= 0 && s < maxShards))
+  }
+
   test("sequencePacking: packing invariants hold for a non-default shard count") {
     val docs = docsDf((1L to 50L).map(i =>
       (i, (1 to (i % 7 + 1).toInt).map(j => s"t$j").mkString(" "))): _*)
