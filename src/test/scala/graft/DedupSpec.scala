@@ -348,6 +348,12 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 2, checkpointDir = Some(ckpt))
     }
+    // the same strategy plumbs through the pair operator's cuts
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val viaDefault = pairSet(Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5))
+    val viaCkpt = pairSet(Dedup.minhashNearDupPairs(docs, 3, 16, 8, 2, 0.5,
+      checkpointDir = Some(ckpt)))
+    assert(viaCkpt === viaDefault && viaCkpt.nonEmpty)
   }
 
   test("hotBuckets/simhashHotBands surface exactly the buckets the cap star-pairs") {
