@@ -719,6 +719,47 @@ object Dedup {
     docs.join(nonReps, Seq("doc_id"), "left_anti")
   }
 
+  /** INCREMENTAL component maintenance — the labeling half of the
+    * build-once/probe-new posture ([[minhashBandIndex]] /
+    * [[minhashProbePairs]] / [[appendToBandIndex]] are the pair half).
+    * `labels` is the persisted (doc_id, component) table of the archive;
+    * `newPairs` are the batch's pairs (batch-internal + probe cross
+    * pairs). Only components TOUCHED by a new pair are relabeled:
+    *
+    *   1. touched components = labels of the new pairs' endpoints;
+    *   2. their full memberships become (doc_id → old component) edges —
+    *      each old component collapses to a star, so the sub-propagation
+    *      converges in 2-3 rounds regardless of how the original
+    *      component was shaped;
+    *   3. [[connectedComponents]] over newPairs ∪ those star edges
+    *      relabels the affected subgraph (including brand-new docs);
+    *   4. untouched labels pass through unchanged.
+    *
+    * Work is O(|newPairs| + |touched memberships|), never O(archive) —
+    * a daily batch relabels only what it touches, where re-running CC
+    * from scratch replays every historical pair. Result ≡
+    * from-scratch CC over (old pairs ∪ newPairs) restricted to paired
+    * nodes: the min label of a merged component is the min over its
+    * members, and every member reaches the sub-propagation through its
+    * old component's star (proven by the d19 gate against the oracle's
+    * whole-corpus transitive closure, and by DedupSpec equivalence
+    * tests). Docs absent from both inputs stay absent (singletons),
+    * exactly like [[connectedComponents]]. */
+  def updateComponents(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val touched = newPairs.select(col("doc_a").as("doc_id"))
+      .union(newPairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val touchedComps = labels.join(touched, Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct()
+    val members = labels.join(touchedComps, Seq("component"), "left_semi")
+    val subEdges = newPairs.select(col("doc_a"), col("doc_b"))
+      .union(members.select(col("doc_id").as("doc_a"), col("component").as("doc_b")))
+    val subLabels = connectedComponents(subEdges, maxIter, checkpointDir)
+    labels.join(members.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .unionByName(subLabels)
+  }
+
   /** Canonical near-dup dedup over the whole corpus: MinHash+LSH pairs →
     * connected components → every document labeled with its component
     * representative (min doc_id; singletons label themselves). Keeping
@@ -807,6 +848,66 @@ object Dedup {
       simhashSignatures(Tables(s, dir, "documents"), "doc_id", "text"),
       maxHamming = 3))
 
+  /** Incremental components gate: the full incremental-dedup LIFECYCLE —
+    * the archive (the d18 60% split) is paired and labeled first; the
+    * incoming batch then contributes its internal pairs plus the d18
+    * probe's cross pairs, and [[updateComponents]] relabels only the
+    * touched components. The oracle is the d17 oracle verbatim — the
+    * whole-corpus exact-Jaccard transitive closure — so the gate proves
+    * incremental maintenance ≡ from-scratch, via an independent engine. */
+  val d19IncrementalComponents: Q = Q(
+    "d19_incremental_components",
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+              ELSE 0.0 END >= 0.5),
+      reach(src, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.doc_a, r.lbl FROM ex e JOIN reach r ON e.doc_b = r.src)
+      SELECT src AS doc_id, min(lbl) AS component
+      FROM reach GROUP BY src
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val indexed = withBucket.filter(col("bucket") < 60).drop("bucket")
+      val incoming = withBucket.filter(col("bucket") >= 60).drop("bucket")
+      // day 0: archive paired and labeled
+      val archivePairs = minhashNearDupPairs(indexed, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2, threshold = 0.5)
+      val labels = connectedComponents(archivePairs.select(col("doc_a"), col("doc_b")))
+      // day 1: the batch's internal pairs + the index-probe cross pairs
+      val batchPairs = minhashNearDupPairs(incoming, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val index = minhashBandIndex(indexed, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2)
+      val crossPairs = minhashProbePairs(incoming, indexed, index, nGram = 3,
+        k = 96, bands = 48, rowsPerBand = 2, threshold = 0.5)
+        .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+      val cc = updateComponents(labels, batchPairs.union(crossPairs))
+      docs.select(col("doc_id")).alias("d")
+        .join(cc.alias("c"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    })
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
-    d17NeardupComponents, d18IncrementalProbe)
+    d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents)
 }

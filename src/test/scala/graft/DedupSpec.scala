@@ -261,6 +261,54 @@ class DedupSpec extends SparkSpec {
     assert(comp.select(countDistinct(col("component"))).head.getLong(0) === 1L)
   }
 
+  test("updateComponents: incremental relabel equals from-scratch CC on the union") {
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    def pairsDf(ps: Seq[(Long, Long)]) =
+      LocalTable.of(spark, schema, ps.map { case (a, b) => Row(a, b) })
+    // archive: comp {1,2,3}, comp {10,11}, comp {20,21,22}, pair {30,31}
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (21L, 22L), (30L, 31L))
+    val labels = Dedup.connectedComponents(pairsDf(oldPairs))
+    // batch: merges {1..3} with {10,11} via 3-10; a brand-new component
+    // {100,101}; new doc 102 joining {20..22}; {30,31} untouched
+    val newPairs = Seq((3L, 10L), (100L, 101L), (102L, 22L))
+    val got = Dedup.updateComponents(labels, pairsDf(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(pairsDf(oldPairs ++ newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === scratch)
+    assert(got(10L) === 1L)   // merged across the bridge
+    assert(got(100L) === 100L) // brand-new component labels by its min
+    assert(got(102L) === 20L)  // new doc takes the old component's label
+    assert(got(30L) === 30L && got(31L) === 30L) // untouched passes through
+    // untouched components must pass through WITHOUT relabeling work:
+    // empty batch is the degenerate case — labels come back identical
+    val idle = Dedup.updateComponents(labels, pairsDf(Seq.empty))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idle === labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  test("updateComponents on the corpus: batch+probe pairs reproduce whole-corpus components") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val indexed = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val labels = Dedup.connectedComponents(
+      Dedup.minhashNearDupPairs(indexed, 3, 96, 48, 2, 0.5).select("doc_a", "doc_b"))
+    val batchPairs = Dedup.minhashNearDupPairs(incoming, 3, 96, 48, 2, 0.5)
+      .select("doc_a", "doc_b")
+    val index = Dedup.minhashBandIndex(indexed, 3, 96, 48, 2)
+    val cross = Dedup.minhashProbePairs(incoming, indexed, index, 3, 96, 48, 2, 0.5)
+      .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+    val incremental = Dedup.updateComponents(labels, batchPairs.union(cross))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+      Dedup.minhashNearDupPairs(docs, 3, 96, 48, 2, 0.5).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(incremental === scratch)
+    assert(incremental.nonEmpty)
+  }
+
   test("dedupDocuments keeps representatives and singletons, drops the rest") {
     val docs = strDf(
       (1L, "alpha beta gamma delta epsilon zeta"),
