@@ -673,32 +673,26 @@ object Dedup {
           (coalesce(col("p.nbr_min"), col("l.component")) < col("l.component"))
             .as("changed"))
       iter += 1
-      // convergence detection rides the propagation job itself: on
-      // checking rounds (every other, plus the last permitted — diameter
-      // grows by ≥2 labels per round pair, so the half-rate check loses
-      // at most one cheap round, same policy the probe-based version
-      // used) a `max(changed)` observed metric is attached, the eager
-      // checkpoint is the action that runs its accumulator, and
+      // convergence detection rides the propagation job itself: a
+      // `max(changed)` observed metric is attached to every round, the
+      // eager checkpoint is the action that runs its accumulator, and
       // `observedMetrics` reads the result straight off the executed
       // plan — synchronous (no listener bus: an Observation.future await
       // was measured paying 100-200 ms of bus latency per round) and
       // ZERO extra jobs, where the old explicit probe re-scanned the
-      // full label table per check — at 100 TB a whole extra pass.
-      // Non-checking rounds skip the metric node entirely so their
-      // join+project stays fully codegen'd. Fall back to one probe job
-      // if the metric is somehow absent — never a wrong answer. max over
-      // zero rows is null → converged (empty graph).
-      if (iter % 2 == 0 || iter >= maxIter) {
-        val observed = round.observe("cc_round", max(col("changed")).as("any_changed"))
-        val next = cut(observed)
-        converged = observed.queryExecution.observedMetrics.get("cc_round") match {
-          case Some(row) => row.getAs[Any]("any_changed") != true
-          case None => next.filter(col("changed")).isEmpty
-        }
-        labels = next.select(col("doc_id"), col("component"))
-      } else {
-        labels = cut(round).select(col("doc_id"), col("component"))
+      // full label table every other round — at 100 TB a whole extra
+      // pass each time. Checking every round also stops odd-diameter
+      // graphs one full (join+agg+checkpoint) round earlier, which
+      // outweighs the metric's per-row cost at any scale. Fall back to
+      // one probe job if the metric is somehow absent — never a wrong
+      // answer. max over zero rows is null → converged (empty graph).
+      val observed = round.observe("cc_round", max(col("changed")).as("any_changed"))
+      val next = cut(observed)
+      converged = observed.queryExecution.observedMetrics.get("cc_round") match {
+        case Some(row) => row.getAs[Any]("any_changed") != true
+        case None => next.filter(col("changed")).isEmpty
       }
+      labels = next.select(col("doc_id"), col("component"))
     }
     // an unconverged labeling silently under-merges components — dedup
     // would then KEEP near-duplicates. Fail loudly instead; callers with
@@ -892,12 +886,15 @@ object Dedup {
       val archivePairs = minhashNearDupPairs(indexed, nGram = 3, k = 96,
         bands = 48, rowsPerBand = 2, threshold = 0.5)
       val labels = connectedComponents(archivePairs.select(col("doc_a"), col("doc_b")))
-      // day 1: the batch's internal pairs + the index-probe cross pairs
+      // day 1: the batch's internal pairs + the index-probe cross pairs.
+      // The band index is materialized once, exactly as production holds
+      // it as a TABLE — left lazy, the probe's count/cold/hot consumers
+      // would each re-derive the full scan+shingle+minhash pipeline
       val batchPairs = minhashNearDupPairs(incoming, nGram = 3, k = 96,
         bands = 48, rowsPerBand = 2, threshold = 0.5)
         .select(col("doc_a"), col("doc_b"))
       val index = minhashBandIndex(indexed, nGram = 3, k = 96,
-        bands = 48, rowsPerBand = 2)
+        bands = 48, rowsPerBand = 2).localCheckpoint()
       val crossPairs = minhashProbePairs(incoming, indexed, index, nGram = 3,
         k = 96, bands = 48, rowsPerBand = 2, threshold = 0.5)
         .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
