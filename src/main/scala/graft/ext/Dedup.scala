@@ -524,8 +524,7 @@ object Dedup {
     * contamination/duplication report an ingest batch is gated on. */
   def minhashProbePairs(newDocs: DataFrame, indexedDocs: DataFrame,
       index: DataFrame, nGram: Int, k: Int, bands: Int, rowsPerBand: Int,
-      threshold: Double, bucketCap: Int = DefaultBucketCap,
-      checkpointDir: Option[String] = None): DataFrame = {
+      threshold: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
     require(bucketCap >= 1, "bucketCap must be positive")
     val probeBands = minhashBandIndex(newDocs, nGram, k, bands, rowsPerBand)
@@ -561,7 +560,8 @@ object Dedup {
     // holds a persisted band index, probes with a small batch, and the
     // candidate doc_old set is small: filter `indexedDocs` upstream
     // (left-semi on the probed buckets' members) before calling — this
-    // operator composes with that directly.
+    // operator composes with that directly ([[probedBucketMembers]] is
+    // that prefilter).
     val shNew = newDocs.select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
     val shOld = indexedDocs.select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
     candidates.alias("c")
@@ -570,6 +570,24 @@ object Dedup {
       .select(col("c.doc_new").as("doc_new"), col("c.doc_old").as("doc_old"),
         round(jaccardDistinct(col("pn.sh"), col("po.sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Archive-side prefilter for a probe batch: the doc_ids of index
+    * members that share at least one band bucket with the batch — a
+    * SUPERSET of every doc_old [[minhashProbePairs]] can emit, derived
+    * from the skinny index and the batch's bands alone (no text, no
+    * archive scan). At archive scale, left-semi join the archive docs on
+    * this BEFORE calling the probe, so its wholesale verify shingle pass
+    * runs over probed-bucket members only (∝ batch size), never the full
+    * 100 TB archive; the emitted pair set is identical because the
+    * candidate generation reads only `index`, which is not filtered.
+    * DedupSpec proves the equivalence. */
+  def probedBucketMembers(index: DataFrame, newDocs: DataFrame, nGram: Int,
+      k: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val probeBuckets = minhashBandIndex(newDocs, nGram, k, bands, rowsPerBand)
+      .select(col("band_id"), col("band_hash")).distinct()
+    index.join(probeBuckets, Seq("band_id", "band_hash"), "left_semi")
+      .select(col("doc_id")).distinct()
   }
 
   /** Incremental dedup gate query: the corpus is split deterministically

@@ -219,6 +219,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(exact.nonEmpty && probed === exact)
 
+    // archive-side prefilter: restricting the verify corpus to the
+    // probed buckets' members changes nothing about the emitted pairs —
+    // the archive-scale posture where the big side is never scanned whole
+    val members = Dedup.probedBucketMembers(index, incoming, 3, 96, 48, 2)
+    val prefiltered = indexed.join(members, Seq("doc_id"), "left_semi")
+    val viaPrefilter = Dedup.minhashProbePairs(incoming, prefiltered, index,
+        3, 96, 48, 2, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaPrefilter === probed)
+    // and the prefilter is a strict subset of the archive on this corpus
+    // (otherwise the test proves nothing)
+    assert(members.count() < indexed.count())
+
     // hot index bucket: 20 identical indexed docs + 2 identical probes →
     // cap 4 pairs each probe with the representative (id 1) only
     val text = (1 to 30).map(i => s"h$i").mkString(" ")

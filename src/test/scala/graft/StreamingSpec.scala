@@ -147,6 +147,55 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toMap.apply(1L) !== 98.0)
   }
 
+  test("foreachBatch incremental dedup: per-batch label maintenance equals from-scratch") {
+    // the full streaming production loop of the incremental posture:
+    // each micro-batch of documents is probed against the archive's band
+    // index, its pairs merged into the persisted labeling via
+    // updateComponents, and the index grown via appendToBandIndex —
+    // at no point is the archive re-paired or re-labeled from scratch
+    import graft.ext.Dedup
+    implicit val sql = spark.sqlContext
+    implicit val encD = Encoders.product[(Long, String)]
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val dup2 = "one two three four five six seven eight nine"
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    var archive = LocalTable.of(spark, schema, Seq.empty)
+    var index = Dedup.minhashBandIndex(archive, 3, 16, 8, 2)
+    var labels = Dedup.connectedComponents(
+      LocalTable.of(spark, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_a", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("doc_b", org.apache.spark.sql.types.LongType))),
+        Seq.empty))
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (raw: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = raw.localCheckpoint()
+        val internal = Dedup.minhashNearDupPairs(batch, 3, 16, 8, 2, 0.5)
+          .select(col("doc_a"), col("doc_b"))
+        val cross = Dedup.minhashProbePairs(batch, archive, index, 3, 16, 8, 2, 0.5)
+          .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+        labels = Dedup.updateComponents(labels, internal.union(cross)).localCheckpoint()
+        index = Dedup.appendToBandIndex(index, batch, 3, 16, 8, 2).localCheckpoint()
+        archive = archive.unionByName(batch).localCheckpoint()
+        ()
+      }
+      .start()
+    in.addData((1L, dup), (2L, dup), (3L, "unique first document body here today"))
+    q.processAllAvailable()
+    in.addData((4L, dup), (5L, dup2), (6L, dup2)) // 4 merges cross-batch into {1,2}
+    q.processAllAvailable()
+    q.stop()
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scratch = Dedup.connectedComponents(
+      Dedup.minhashNearDupPairs(archive, 3, 16, 8, 2, 0.5).select("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === scratch)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L))
+    assert(archive.count() === 6 && index.count() === 6 * 8)
+  }
+
   test("mergeToLake: micro-batches MERGE into the parquet table, replays are no-ops") {
     implicit val sql = spark.sqlContext
     implicit val encM = Encoders.product[(Long, String, Long)]
