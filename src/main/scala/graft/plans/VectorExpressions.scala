@@ -320,6 +320,18 @@ object HyperplaneSignatureExpr {
     }
   }
 
+  /** Seeded variant for operators that need INDEPENDENT plane sets (one
+    * per LSH band): digest keyed by (seed, plane, coord), so distinct
+    * seeds give uncorrelated matrices while staying deterministic and
+    * SQL-reproducible (`md5(seed || ':' || p || ':' || d)`). */
+  def md5Signs(nBits: Int, dim: Int, seed: String): Array[Array[Float]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nBits, dim) { (p, d) =>
+      val digest = md.digest(s"$seed:$p:$d".getBytes("UTF-8"))
+      if (((digest(0) >> 4) & 1) == 1) 1.0f else -1.0f
+    }
+  }
+
   def hyperplaneSig(c: Column, signs: Array[Array[Float]]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
     GraftSqlBridge.column(
