@@ -240,6 +240,7 @@ object Dedup {
     // defeat ReusedExchange. The list is O(duplicate rate) ≪ corpus;
     // `checkpointDir` swaps the executor-local cut for a reliable one on
     // a cluster FS (same trade as connectedComponents).
+    configureCheckpointDir(docs, checkpointDir)
     val candidates = cutLineage(
       minhashNearDupCandidates(docs, nGram, k, bands, rowsPerBand, bucketCap),
       checkpointDir)
@@ -296,12 +297,20 @@ object Dedup {
     * action, keeping the whole query a single pipelined job instead of a
     * sequence of checkpoint barriers (measured ~0.2 s/barrier at gate
     * scale). Iterative loops need `eager = true`: each round must
-    * materialize before the driver can read its convergence metric. */
+    * materialize before the driver can read its convergence metric.
+    * The checkpoint DIRECTORY is configured once per operator entry (via
+    * [[configureCheckpointDir]]), not here — `setCheckpointDir` mints a
+    * fresh UUID subdirectory every call, and a per-round call would
+    * scatter one round per directory. */
   private def cutLineage(df: DataFrame, checkpointDir: Option[String],
-      eager: Boolean = true): DataFrame = {
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+      eager: Boolean = true): DataFrame =
     if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
-  }
+
+  /** One-time per-operator-call checkpoint-dir setup — see
+    * [[cutLineage]]. */
+  private def configureCheckpointDir(df: DataFrame,
+      checkpointDir: Option[String]): Unit =
+    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
 
   /** Candidate-pair generation HALF of [[minhashNearDupPairs]] — lazy
     * (no lineage cut), public so plan audits and callers with their own
@@ -671,6 +680,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, "maxIter must be positive")
+    configureCheckpointDir(pairs, checkpointDir)
     def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
