@@ -241,8 +241,19 @@ object Dedup {
     // `checkpointDir` swaps the executor-local cut for a reliable one on
     // a cluster FS (same trade as connectedComponents).
     configureCheckpointDir(docs, checkpointDir)
+    // LAZY cut on the skinny band rows: the count/cold/hot consumers of
+    // the candidate split each chase their own copy of the
+    // scan+shingle+MinHash pipeline when AQE broadcast-converts the
+    // count join (see lshCandidatePairs) — collapsing them onto one
+    // shared, cached RDD makes the corpus projection compute once
+    // WITHOUT adding a job barrier (eager = false defers
+    // materialization into the candidate job itself; measured −6% on
+    // the 10× corpus, neutral at gate scale).
+    val bandRows = cutLineage(
+      minhashBandIndex(docs, nGram, k, bands, rowsPerBand),
+      checkpointDir, eager = false)
     val candidates = cutLineage(
-      minhashNearDupCandidates(docs, nGram, k, bands, rowsPerBand, bucketCap),
+      lshCandidatePairs(bandRows, bucketCap),
       checkpointDir)
     // verify shingles ONLY candidate documents: semi-join the corpus on
     // the distinct candidate ids (small → broadcast) BEFORE shingling,
