@@ -255,25 +255,9 @@ object Dedup {
     val candidates = cutLineage(
       lshCandidatePairs(bandRows, bucketCap),
       checkpointDir)
-    // verify shingles ONLY candidate documents: semi-join the corpus on
-    // the distinct candidate ids (small → broadcast) BEFORE shingling,
-    // and materialize the surviving (doc_id, shingles) rows — candidates
-    // ≪ corpus, so this is one pruned corpus scan + a tiny table, where
-    // the pre-r7 shape re-scanned and re-shingled the ENTIRE corpus once
-    // per pair side — the largest remaining linear cost at 100 TB.
-    val candIds = candidates
-      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
-      .distinct()
-    val candShingled = docs.join(candIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
-    def verify(pairs: DataFrame): DataFrame = pairs.alias("vp")
-      .join(candShingled.alias("vsa"), col("vp.doc_a") === col("vsa.doc_id"))
-      .join(candShingled.alias("vsb"), col("vp.doc_b") === col("vsb.doc_id"))
-      .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
-        round(jaccardDistinct(col("vsa.sh"), col("vsb.sh")), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-    if (verifySampleRate >= 1.0) verify(candidates)
+    if (verifySampleRate >= 1.0) verifyJaccardPairs(docs, candidates, nGram, threshold)
     else {
+      val candShingled = candidateShingles(docs, candidates, nGram)
       // ONE linear pipeline, not complementary filter branches: splitting
       // `candidates` into a sampled branch and a trusted branch hands the
       // optimizer a pair of complementary pushable predicates to relocate
@@ -296,6 +280,42 @@ object Dedup {
             round(jaccardDistinct(col("vsa.sh"), col("vsb.sh")), 4)).as("jaccard"))
         .filter(col("jaccard").isNull || col("jaccard") >= threshold)
     }
+  }
+
+  /** The (doc_id, shingles) rows of ONLY the documents named by a
+    * candidate pair list: semi-join the corpus on the distinct candidate
+    * ids (small → broadcast) BEFORE shingling — candidates ≪ corpus, so
+    * this is one pruned corpus scan + a tiny table, where re-shingling
+    * the whole corpus per pair side is the cost that kills a dedup run
+    * at 100 TB. `candidates` should be materialized (the callers cut its
+    * lineage) — it is referenced by the id derivation and the verify
+    * joins. */
+  private def candidateShingles(docs: DataFrame, candidates: DataFrame,
+      nGram: Int): DataFrame = {
+    val candIds = candidates
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
+      .distinct()
+    docs.join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), shingles(col("text"), nGram).as("sh"))
+  }
+
+  /** Exact-Jaccard VERIFY half of the candidates-then-verify pipeline,
+    * public so callers holding their own candidate list — from
+    * [[lshCandidatePairs]] over a persisted band index, or any blocking
+    * scheme — can verify it with the same semi-join-prefiltered shape
+    * the composed operator uses. Emits (doc_a, doc_b, jaccard) for
+    * candidates whose exact Jaccard of `nGram`-shingle sets meets
+    * `threshold`. Pass a MATERIALIZED candidate list (it is referenced
+    * twice). */
+  def verifyJaccardPairs(docs: DataFrame, candidates: DataFrame, nGram: Int,
+      threshold: Double): DataFrame = {
+    val candShingled = candidateShingles(docs, candidates, nGram)
+    candidates.alias("vp")
+      .join(candShingled.alias("vsa"), col("vp.doc_a") === col("vsa.doc_id"))
+      .join(candShingled.alias("vsb"), col("vp.doc_b") === col("vsb.doc_id"))
+      .select(col("vp.doc_a").as("doc_a"), col("vp.doc_b").as("doc_b"),
+        round(jaccardDistinct(col("vsa.sh"), col("vsb.sh")), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** Lineage cut shared by the iterative and multi-reference operators:
@@ -546,23 +566,8 @@ object Dedup {
       index: DataFrame, nGram: Int, k: Int, bands: Int, rowsPerBand: Int,
       threshold: Double, bucketCap: Int = DefaultBucketCap): DataFrame = {
     require(bands * rowsPerBand == k, "bands*rowsPerBand must equal k")
-    require(bucketCap >= 1, "bucketCap must be positive")
     val probeBands = minhashBandIndex(newDocs, nGram, k, bands, rowsPerBand)
-      .select(col("doc_id").as("doc_new"), col("band_id"), col("band_hash"))
-    // same single-exchange count-gate shape as the self-join operators
-    val idxP = index.repartition(col("band_id"), col("band_hash"))
-    val idxCounts = idxP.groupBy(col("band_id"), col("band_hash"))
-      .agg(count(lit(1)).as("bucket_m"))
-    val withM = idxP.join(idxCounts, Seq("band_id", "band_hash"))
-    val coldIdx = withM.filter(col("bucket_m") <= bucketCap)
-      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_old"))
-    val hotIdx = withM.filter(col("bucket_m") > bucketCap)
-      .groupBy(col("band_id"), col("band_hash"))
-      .agg(min(col("doc_id")).as("doc_old"))
-    val candidates = probeBands
-      .join(coldIdx.union(hotIdx), Seq("band_id", "band_hash"))
-      .select(col("doc_new"), col("doc_old"))
-      .distinct()
+    val candidates = lshProbeCandidates(probeBands, index, bucketCap)
     // verify joins the WHOLESALE-shingled corpora below the pair join —
     // a deliberate, MEASURED choice (10× gate corpus, isolated min-of-3):
     // this shape 5.0 s; candidate-semi-join prefilter + lineage cut
@@ -590,6 +595,36 @@ object Dedup {
       .select(col("c.doc_new").as("doc_new"), col("c.doc_old").as("doc_old"),
         round(jaccardDistinct(col("pn.sh"), col("po.sh")), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Candidate half of the probe: near-dup candidates of a probe batch's
+    * band rows against a persistent [[minhashBandIndex]] — a bucket
+    * equi-join with the index side count-capped exactly like the
+    * self-join case (a hot index bucket matches probes against its
+    * min-doc_id representative only, bounding per-bucket fan-out).
+    * Public so callers composing several probes/pair-generations from
+    * the SAME banding pass (the d19 lifecycle does) don't recompute the
+    * batch's scan+shingle+minhash per consumer. Emits
+    * (doc_new, doc_old). */
+  def lshProbeCandidates(probeBands: DataFrame, index: DataFrame,
+      bucketCap: Int = DefaultBucketCap): DataFrame = {
+    require(bucketCap >= 1, "bucketCap must be positive")
+    val probes = probeBands
+      .select(col("doc_id").as("doc_new"), col("band_id"), col("band_hash"))
+    // same single-exchange count-gate shape as the self-join operators
+    val idxP = index.repartition(col("band_id"), col("band_hash"))
+    val idxCounts = idxP.groupBy(col("band_id"), col("band_hash"))
+      .agg(count(lit(1)).as("bucket_m"))
+    val withM = idxP.join(idxCounts, Seq("band_id", "band_hash"))
+    val coldIdx = withM.filter(col("bucket_m") <= bucketCap)
+      .select(col("band_id"), col("band_hash"), col("doc_id").as("doc_old"))
+    val hotIdx = withM.filter(col("bucket_m") > bucketCap)
+      .groupBy(col("band_id"), col("band_hash"))
+      .agg(min(col("doc_id")).as("doc_old"))
+    probes
+      .join(coldIdx.union(hotIdx), Seq("band_id", "band_hash"))
+      .select(col("doc_new"), col("doc_old"))
+      .distinct()
   }
 
   /** Archive-side prefilter for a probe batch: the doc_ids of index
@@ -921,23 +956,34 @@ object Dedup {
       val withBucket = docs.withColumn("bucket", bucket)
       val indexed = withBucket.filter(col("bucket") < 60).drop("bucket")
       val incoming = withBucket.filter(col("bucket") >= 60).drop("bucket")
-      // day 0: archive paired and labeled
-      val archivePairs = minhashNearDupPairs(indexed, nGram = 3, k = 96,
-        bands = 48, rowsPerBand = 2, threshold = 0.5)
-      val labels = connectedComponents(archivePairs.select(col("doc_a"), col("doc_b")))
-      // day 1: the batch's internal pairs + the index-probe cross pairs.
-      // The band index is materialized once, exactly as production holds
-      // it as a TABLE — left lazy, the probe's count/cold/hot consumers
-      // would each re-derive the full scan+shingle+minhash pipeline
-      val batchPairs = minhashNearDupPairs(incoming, nGram = 3, k = 96,
-        bands = 48, rowsPerBand = 2, threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val index = minhashBandIndex(indexed, nGram = 3, k = 96,
+      // the whole lifecycle composes from TWO banding passes — one per
+      // corpus side, each materialized once, exactly as production holds
+      // its band index as a TABLE: the archive bands serve day 0's
+      // self-join candidates AND the probe's index side; the batch bands
+      // serve its internal candidates AND the probe side. The public
+      // halves (lshCandidatePairs / lshProbeCandidates /
+      // verifyJaccardPairs) exist precisely so this composition never
+      // recomputes a scan+shingle+minhash pipeline per consumer.
+      val idxBands = minhashBandIndex(indexed, nGram = 3, k = 96,
         bands = 48, rowsPerBand = 2).localCheckpoint()
-      val crossPairs = minhashProbePairs(incoming, indexed, index, nGram = 3,
-        k = 96, bands = 48, rowsPerBand = 2, threshold = 0.5)
-        .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-      val cc = updateComponents(labels, batchPairs.union(crossPairs))
+      val newBands = minhashBandIndex(incoming, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2).localCheckpoint()
+      // day 0: archive paired and labeled
+      val archivePairs = verifyJaccardPairs(indexed,
+        lshCandidatePairs(idxBands).localCheckpoint(), nGram = 3, threshold = 0.5)
+      val labels = connectedComponents(archivePairs.select(col("doc_a"), col("doc_b")))
+      // day 1: the batch's internal pairs + the index-probe cross pairs
+      val batchPairs = verifyJaccardPairs(incoming,
+        lshCandidatePairs(newBands).localCheckpoint(), nGram = 3, threshold = 0.5)
+        .select(col("doc_a"), col("doc_b"))
+      val crossPairs = verifyJaccardPairs(
+        withBucket.drop("bucket"),
+        lshProbeCandidates(newBands, idxBands)
+          .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
+          .localCheckpoint(),
+        nGram = 3, threshold = 0.5)
+      val cc = updateComponents(labels,
+        batchPairs.union(crossPairs.select(col("doc_a"), col("doc_b"))))
       docs.select(col("doc_id")).alias("d")
         .join(cc.alias("c"), Seq("doc_id"), "left")
         .select(col("doc_id"),
