@@ -990,6 +990,57 @@ object Dedup {
           coalesce(col("component"), col("doc_id")).as("component"))
     })
 
+  /** The ARCHIVE-SCALE probe shape, gate-proven end-to-end: a SMALL
+    * batch (5% split) probes a big archive, and the archive docs that
+    * ever reach the verify stage are pre-filtered to
+    * [[probedBucketMembers]] — index members sharing a band bucket with
+    * the batch — so no stage scans, shingles or shuffles the full
+    * archive text. The oracle is the same brute-force cross-corpus
+    * Jaccard as d18 at this split: the prefilter provably changes
+    * nothing about the answer, only about what the big side costs. */
+  val d20ArchiveProbe: Q = Q(
+    "d20_archive_probe_prefiltered",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents)
+      SELECT n.doc_id AS doc_new, o.doc_id AS doc_old,
+             round(CASE WHEN len(list_distinct(n.sh || o.sh)) > 0
+                   THEN CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                        / len(list_distinct(n.sh || o.sh))
+                   ELSE 0.0 END, 4) AS jaccard
+      FROM s n JOIN s o ON n.bucket >= 95 AND o.bucket < 95
+      WHERE CASE WHEN len(list_distinct(n.sh || o.sh)) > 0
+            THEN CAST(len(list_intersect(n.sh, o.sh)) AS DOUBLE)
+                 / len(list_distinct(n.sh || o.sh))
+            ELSE 0.0 END >= 0.5
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val indexed = withBucket.filter(col("bucket") < 95).drop("bucket")
+      val incoming = withBucket.filter(col("bucket") >= 95).drop("bucket")
+      // production: `index` is a persisted table (minhashBandIndex /
+      // appendToBandIndexTable); materialized here to stand in for it
+      val index = minhashBandIndex(indexed, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2).localCheckpoint()
+      val members = probedBucketMembers(index, incoming, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2)
+      val archiveSlice = indexed.join(members, Seq("doc_id"), "left_semi")
+      minhashProbePairs(incoming, archiveSlice, index, nGram = 3, k = 96,
+        bands = 48, rowsPerBand = 2, threshold = 0.5)
+    })
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
-    d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents)
+    d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
+    d20ArchiveProbe)
 }

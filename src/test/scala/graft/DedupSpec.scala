@@ -322,6 +322,23 @@ class DedupSpec extends SparkSpec {
     assert(incremental.nonEmpty)
   }
 
+  test("verifyJaccardPairs: verifies exactly the threshold-passing candidates") {
+    val docs = strDf(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, "totally different words in this document"),
+      (4L, "alpha beta gamma delta unrelated tail words here"))
+    val schema = StructType(Seq(
+      StructField("doc_a", LongType), StructField("doc_b", LongType)))
+    // hand-built candidate list: a true dup pair, a sub-threshold pair,
+    // and an unrelated pair — only the first survives at 0.5
+    val cands = LocalTable.of(spark, schema,
+      Seq(Row(1L, 2L), Row(1L, 4L), Row(2L, 3L)))
+    val got = Dedup.verifyJaccardPairs(docs, cands, nGram = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set((1L, 2L, 1.0)))
+  }
+
   test("dedupDocuments keeps representatives and singletons, drops the rest") {
     val docs = strDf(
       (1L, "alpha beta gamma delta epsilon zeta"),
