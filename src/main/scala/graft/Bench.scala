@@ -103,8 +103,11 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
     spark.stop()
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
-    catch { case _: Exception => () } // best-effort: stdout is the contract
+    // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
+    // A/B must never clobber BENCH_LOCAL.json's full per-query map.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      catch { case _: Exception => () } // best-effort: stdout is the contract
     System.out.println(line)
     System.out.flush()
   }
