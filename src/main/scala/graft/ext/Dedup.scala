@@ -972,18 +972,18 @@ object Dedup {
       val archivePairs = verifyJaccardPairs(indexed,
         lshCandidatePairs(idxBands).localCheckpoint(), nGram = 3, threshold = 0.5)
       val labels = connectedComponents(archivePairs.select(col("doc_a"), col("doc_b")))
-      // day 1: the batch's internal pairs + the index-probe cross pairs
-      val batchPairs = verifyJaccardPairs(incoming,
-        lshCandidatePairs(newBands).localCheckpoint(), nGram = 3, threshold = 0.5)
-        .select(col("doc_a"), col("doc_b"))
-      val crossPairs = verifyJaccardPairs(
-        withBucket.drop("bucket"),
-        lshProbeCandidates(newBands, idxBands)
-          .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b"))
-          .localCheckpoint(),
-        nGram = 3, threshold = 0.5)
+      // day 1: the batch's internal candidates + the index-probe cross
+      // candidates verify in ONE pass — their pair sets are disjoint
+      // (new×new vs new×old) and both feed the same relabel, so one
+      // candidate union, one materialization, one semi-join+shingle
+      // chain instead of two of each
+      val dayCands = lshCandidatePairs(newBands)
+        .unionByName(lshProbeCandidates(newBands, idxBands)
+          .select(col("doc_new").as("doc_a"), col("doc_old").as("doc_b")))
+        .localCheckpoint()
+      val dayPairs = verifyJaccardPairs(docs, dayCands, nGram = 3, threshold = 0.5)
       val cc = updateComponents(labels,
-        batchPairs.union(crossPairs.select(col("doc_a"), col("doc_b"))))
+        dayPairs.select(col("doc_a"), col("doc_b")))
       docs.select(col("doc_id")).alias("d")
         .join(cc.alias("c"), Seq("doc_id"), "left")
         .select(col("doc_id"),

@@ -200,6 +200,24 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("verifyJaccardPairs: corpus reaches the shingle stage only through a semi-join on candidate ids") {
+    // the 100 TB contract of the verify half: the full corpus is never
+    // shingled wholesale — docs are first LeftSemi-pruned to the ids the
+    // candidate list names, so verify cost tracks candidates, not corpus
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val cands = docs.limit(3).select(col("doc_id").as("doc_a"))
+      .crossJoin(docs.limit(1).select(col("doc_id").as("doc_b")))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .localCheckpoint()
+    val p = physical(
+      graft.ext.Dedup.verifyJaccardPairs(docs, cands, nGram = 3, threshold = 0.5))
+    assert(p.contains("LeftSemi"), s"verify plan has no semi-join prefilter: ${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(500))
+    assert(!p.contains("CartesianProduct"), p.take(500))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
