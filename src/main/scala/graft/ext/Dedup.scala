@@ -1040,7 +1040,103 @@ object Dedup {
         bands = 48, rowsPerBand = 2, threshold = 0.5)
     })
 
+  /** Maximal duplicated token SPANS — dedup below the document level
+    * (the exact-substring / boilerplate primitive): every stride-1
+    * window of `windowTokens` tokens is fingerprinted; a window is
+    * duplicated when its fingerprint occurs at least `minCount` times
+    * anywhere in the corpus (across documents OR repeated within one);
+    * per document, overlapping-or-adjacent duplicated windows merge
+    * into maximal (span_start, span_end) token intervals
+    * (gaps-and-islands). Output: (doc_id, span_start, span_end,
+    * n_windows), token positions 0-based inclusive.
+    *
+    * Scale shape — deliberately ONE pass over the corpus text: the
+    * scan + tokenize + per-window md5 projection (the dominant cost at
+    * 100 TB) materializes once, then the duplicate test is a
+    * count-over-window on the fingerprint exchange — no second scan and
+    * no join back, where a groupBy+semi-join formulation re-scans and
+    * re-hashes the corpus on the probe side. Two exchanges total
+    * (fingerprint, then doc_id; the final island aggregate rides the
+    * doc_id partitioning). The per-doc island window is bounded by a
+    * single document's token count. */
+  def duplicatedSpans(docs: DataFrame, windowTokens: Int,
+      minCount: Long = 2L): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    require(minCount >= 2, "minCount below 2 would mark every window")
+    val toked = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+    val wins = toked.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("toks")) - windowTokens),
+        i => conv(substring(md5(concat_ws(" ",
+          slice(col("toks"), i + 1, lit(windowTokens)))), 1, 15), 16, 10)
+          .cast("long")))
+        .as(Seq("start", "fp")))
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val marked = wins
+      .withColumn("c", count(lit(1)).over(byFp))
+      .filter(col("c") >= minCount)
+      .select(col("doc_id"), col("start"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+    // equal-width windows: a new island starts exactly when the gap to
+    // the previous duplicated start exceeds the window width (adjacent
+    // spans are contiguous text and merge); first row's null lag falls
+    // to otherwise(0) so islands number from 0
+    marked
+      .withColumn("brk",
+        when(col("start") - lag(col("start"), 1).over(byDoc) > windowTokens,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(
+        byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("start")).cast("long").as("span_start"),
+        (max(col("start")) + windowTokens - 1).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        col("n_windows"))
+  }
+
+  /** Span-level exact dedup gate: 8-token stride-1 windows over the
+    * documents table, duplicated when the fingerprint appears twice
+    * anywhere. The DuckDB oracle rebuilds the identical windows,
+    * 60-bit md5 fingerprints, count-over-partition duplicate test and
+    * island merge. */
+  val d21SpanDedup: Q = Q(
+    "d21_span_dedup",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE len(toks) >= 8),
+      m AS (
+        SELECT doc_id, start FROM (
+          SELECT doc_id, start, count(*) OVER (PARTITION BY fp) AS c FROM w)
+        WHERE c >= 2),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g)
+      SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+             CAST(max(start) + 7 AS BIGINT) AS span_end,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+    """),
+    (s, dir) => duplicatedSpans(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      windowTokens = 8))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
-    d20ArchiveProbe)
+    d20ArchiveProbe, d21SpanDedup)
 }

@@ -339,6 +339,41 @@ class DedupSpec extends SparkSpec {
     assert(got === Set((1L, 2L, 1.0)))
   }
 
+  test("duplicatedSpans: cross-doc shared phrase yields merged spans in both docs") {
+    val docs = strDf(
+      (1L, "a b one two three four c"),
+      (2L, "x one two three four y z"))
+    val got = Dedup.duplicatedSpans(docs, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // the shared 4-token phrase contributes two overlapping duplicated
+    // windows per doc, merging into one span covering the phrase
+    assert(got === Set((1L, 2L, 5L, 2L), (2L, 1L, 4L, 2L)))
+  }
+
+  test("duplicatedSpans: within-doc repetition marks both occurrences as separate islands") {
+    val docs = strDf((3L, "p q r z1 z2 p q r"))
+    val got = Dedup.duplicatedSpans(docs, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((3L, 0L, 2L, 1L), (3L, 5L, 7L, 1L)))
+  }
+
+  test("duplicatedSpans: exactly-adjacent duplicated windows merge into one contiguous span") {
+    // "m n o" duplicates at starts 0 and 3 — gap == window width, the
+    // covered text [0,2][3,5] is contiguous → ONE span
+    val docs = strDf((4L, "m n o m n o"))
+    val got = Dedup.duplicatedSpans(docs, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === Set((4L, 0L, 5L, 2L)))
+  }
+
+  test("duplicatedSpans: short docs, null text and unique corpora produce no spans") {
+    val docs = strDf(
+      (5L, "a b"),                     // fewer tokens than the window
+      (6L, null.asInstanceOf[String]), // null-safe
+      (7L, "entirely unique words without any repetition here"))
+    assert(Dedup.duplicatedSpans(docs, windowTokens = 3).isEmpty)
+  }
+
   test("dedupDocuments keeps representatives and singletons, drops the rest") {
     val docs = strDf(
       (1L, "alpha beta gamma delta epsilon zeta"),

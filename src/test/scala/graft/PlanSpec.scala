@@ -218,6 +218,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(500))
   }
 
+  test("d21: span dedup scans the corpus once — duplicate test is count-over-window, not a join-back") {
+    val df = run("d21_span_dedup")
+    assert(scans(df).length === 1, physical(df).take(800))
+    assert(!physical(df).contains("Join"), physical(df).take(800))
+    df.collect() // exchanges are inserted by EnsureRequirements at execution
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the only wide ops: the fingerprint exchange and the doc exchange
+    // (the island aggregate rides the doc_id partitioning)
+    val n = "Exchange hashpartitioning".r.findAllIn(executed).length
+    assert(n === 2, executed.take(1200))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
