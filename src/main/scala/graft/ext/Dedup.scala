@@ -1136,7 +1136,89 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       windowTokens = 8))
 
+  /** The ACTIONABLE half of span-level dedup: rewrite each document
+    * with its duplicated spans (per [[duplicatedSpans]]) removed.
+    * Documents with no duplicated span pass through UNTOUCHED — at
+    * 100 TB the overwhelmingly common case, so most of the corpus is
+    * never rewritten (and keeps its original whitespace); scrubbed
+    * documents are rebuilt from their kept tokens, single-spaced
+    * (inherent to token-level surgery — documented contract).
+    *
+    * Shape: the span list aggregates to ONE row per affected doc
+    * (bounded — spans are merged maximal intervals), equi-joins back on
+    * doc_id, and the rewrite is a single projection: an indexed
+    * higher-order filter drops tokens covered by any span (the span
+    * array is small, so the inner exists is cheap) — no token explode,
+    * no extra shuffle beyond the span computation itself. */
+  def scrubDuplicatedSpans(docs: DataFrame, windowTokens: Int,
+      minCount: Long = 2L): DataFrame = {
+    val spans = duplicatedSpans(docs, windowTokens, minCount)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
+    docs.join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text"))
+          .otherwise(concat_ws(" ",
+            filter(TextStats.tokens(col("text")), (tok, i) =>
+              !exists(col("spans"), sp =>
+                i.cast("long").between(sp.getField("span_start"),
+                  sp.getField("span_end"))))))
+          .as("text"))
+  }
+
+  /** Span-scrub gate: d21's spans removed from the corpus text; span-less
+    * docs byte-identical to the input, scrubbed docs rebuilt from kept
+    * tokens. The oracle mirrors both branches. */
+  val d22SpanScrub: Q = Q(
+    "d22_span_scrub",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE len(toks) >= 8),
+      m AS (
+        SELECT doc_id, start FROM (
+          SELECT doc_id, start, count(*) OVER (PARTITION BY fp) AS c FROM w)
+        WHERE c >= 2),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+      spans AS (
+        SELECT doc_id, min(start) AS span_start, max(start) + 7 AS span_end
+        FROM isl GROUP BY doc_id, island),
+      pos AS (
+        SELECT t.doc_id, i, toks[i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        WHERE t.doc_id IN (SELECT doc_id FROM spans)),
+      kept AS (
+        SELECT p.doc_id, p.i, p.tok FROM pos p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = p.doc_id AND p.i - 1 BETWEEN s.span_start AND s.span_end)),
+      rebuilt AS (
+        SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS text
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM spans)
+                  THEN coalesce(r.text, '') ELSE d.text END AS text
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """),
+    (s, dir) => scrubDuplicatedSpans(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      windowTokens = 8))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
-    d20ArchiveProbe, d21SpanDedup)
+    d20ArchiveProbe, d21SpanDedup, d22SpanScrub)
 }

@@ -374,6 +374,33 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(docs, windowTokens = 3).isEmpty)
   }
 
+  test("scrubDuplicatedSpans: removes the shared phrase, keeps surrounding tokens") {
+    val docs = strDf(
+      (1L, "a b one two three four c"),
+      (2L, "x one two three four y z"))
+    val got = Dedup.scrubDuplicatedSpans(docs, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(1L -> "a b c", 2L -> "x y z"))
+  }
+
+  test("scrubDuplicatedSpans: span-less docs pass through byte-identical") {
+    val docs = strDf(
+      (8L, "unique  doublespace   and trailing words here"),
+      (9L, "other totally different tokens entirely"))
+    val got = Dedup.scrubDuplicatedSpans(docs, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // no duplicated window anywhere: original whitespace survives
+    assert(got(8L) === "unique  doublespace   and trailing words here")
+    assert(got(9L) === "other totally different tokens entirely")
+  }
+
+  test("scrubDuplicatedSpans: fully-duplicated docs scrub to empty text") {
+    val docs = strDf((5L, "r1 r2 r3 r4"), (6L, "r1 r2 r3 r4"))
+    val got = Dedup.scrubDuplicatedSpans(docs, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(5L -> "", 6L -> ""))
+  }
+
   test("dedupDocuments keeps representatives and singletons, drops the rest") {
     val docs = strDf(
       (1L, "alpha beta gamma delta epsilon zeta"),
