@@ -1058,9 +1058,20 @@ object Dedup {
     * re-hashes the corpus on the probe side. Two exchanges total
     * (fingerprint, then doc_id; the final island aggregate rides the
     * doc_id partitioning). The per-doc island window is bounded by a
-    * single document's token count. */
+    * single document's token count.
+    *
+    * Two semantics, picked by `keepFirst`:
+    *   - `false` (default): EVERY occurrence of a duplicated window is a
+    *     span — the boilerplate-REMOVAL reading (headers/footers/license
+    *     blocks should vanish everywhere).
+    *   - `true`: the globally-first occurrence (min (doc_id, start) per
+    *     fingerprint) is NOT a span — the dedup reading (exact-substring
+    *     dedup keeps one copy of each duplicated passage). The ordering
+    *     is total and deterministic, so the survivor is reproducible;
+    *     the fingerprint window gains an order-by but no extra
+    *     exchange. */
   def duplicatedSpans(docs: DataFrame, windowTokens: Int,
-      minCount: Long = 2L): DataFrame = {
+      minCount: Long = 2L, keepFirst: Boolean = false): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
     require(minCount >= 2, "minCount below 2 would mark every window")
     val toked = docs
@@ -1073,10 +1084,20 @@ object Dedup {
           .cast("long")))
         .as(Seq("start", "fp")))
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val marked = wins
-      .withColumn("c", count(lit(1)).over(byFp))
-      .filter(col("c") >= minCount)
-      .select(col("doc_id"), col("start"))
+    val marked = (if (keepFirst) {
+      val byFpOrdered = byFp.orderBy(col("doc_id"), col("start"))
+      wins
+        .withColumn("c", count(lit(1)).over(
+          byFpOrdered.rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("rn", row_number().over(byFpOrdered))
+        .filter(col("c") >= minCount && col("rn") > 1)
+    } else {
+      wins
+        .withColumn("c", count(lit(1)).over(byFp))
+        .filter(col("c") >= minCount)
+    }).select(col("doc_id"), col("start"))
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("start"))
     // equal-width windows: a new island starts exactly when the gap to
@@ -1151,8 +1172,8 @@ object Dedup {
     * array is small, so the inner exists is cheap) — no token explode,
     * no extra shuffle beyond the span computation itself. */
   def scrubDuplicatedSpans(docs: DataFrame, windowTokens: Int,
-      minCount: Long = 2L): DataFrame = {
-    val spans = duplicatedSpans(docs, windowTokens, minCount)
+      minCount: Long = 2L, keepFirst: Boolean = false): DataFrame = {
+    val spans = duplicatedSpans(docs, windowTokens, minCount, keepFirst)
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs.join(spans, Seq("doc_id"), "left")
@@ -1218,7 +1239,49 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       windowTokens = 8))
 
+  /** Keep-first span dedup gate: like d21 but the globally-first
+    * occurrence (min (doc_id, start) per fingerprint) survives — the
+    * exact-substring-dedup reading where one copy of each duplicated
+    * passage is kept. Oracle adds the same deterministic row_number to
+    * the fingerprint partition. */
+  val d23SpanDedupKeepFirst: Q = Q(
+    "d23_span_dedup_keepfirst",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE len(toks) >= 8),
+      m AS (
+        SELECT doc_id, start FROM (
+          SELECT doc_id, start,
+                 count(*) OVER (PARTITION BY fp) AS c,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id, start) AS rn
+          FROM w)
+        WHERE c >= 2 AND rn > 1),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g)
+      SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+             CAST(max(start) + 7 AS BIGINT) AS span_end,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+    """),
+    (s, dir) => duplicatedSpans(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      windowTokens = 8, keepFirst = true))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
-    d20ArchiveProbe, d21SpanDedup, d22SpanScrub)
+    d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst)
 }

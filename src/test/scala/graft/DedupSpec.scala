@@ -374,6 +374,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.duplicatedSpans(docs, windowTokens = 3).isEmpty)
   }
 
+  test("duplicatedSpans keepFirst: the globally-first occurrence survives") {
+    val docs = strDf((5L, "r1 r2 r3 r4"), (6L, "r1 r2 r3 r4"))
+    val got = Dedup.duplicatedSpans(docs, windowTokens = 3, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // both windows' first occurrence lives in doc 5 (min doc_id) — only
+    // doc 6 is marked
+    assert(got === Set((6L, 0L, 3L, 2L)))
+    // within one doc the earlier start survives
+    val self = strDf((3L, "p q r z1 z2 p q r"))
+    val got2 = Dedup.duplicatedSpans(self, windowTokens = 3, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got2 === Set((3L, 5L, 7L, 1L)))
+  }
+
+  test("scrubDuplicatedSpans keepFirst: one copy of the duplicated passage remains") {
+    val docs = strDf((5L, "r1 r2 r3 r4"), (6L, "r1 r2 r3 r4"))
+    val got = Dedup.scrubDuplicatedSpans(docs, windowTokens = 3, keepFirst = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got === Map(5L -> "r1 r2 r3 r4", 6L -> ""))
+  }
+
   test("scrubDuplicatedSpans: removes the shared phrase, keeps surrounding tokens") {
     val docs = strDf(
       (1L, "a b one two three four c"),
