@@ -1074,15 +1074,7 @@ object Dedup {
       minCount: Long = 2L, keepFirst: Boolean = false): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
     require(minCount >= 2, "minCount below 2 would mark every window")
-    val toked = docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) >= windowTokens)
-    val wins = toked.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), size(col("toks")) - windowTokens),
-        i => conv(substring(md5(concat_ws(" ",
-          slice(col("toks"), i + 1, lit(windowTokens)))), 1, 15), 16, 10)
-          .cast("long")))
-        .as(Seq("start", "fp")))
+    val wins = spanWindows(docs, windowTokens)
     val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
     val marked = (if (keepFirst) {
       val byFpOrdered = byFp.orderBy(col("doc_id"), col("start"))
@@ -1098,12 +1090,33 @@ object Dedup {
         .withColumn("c", count(lit(1)).over(byFp))
         .filter(col("c") >= minCount)
     }).select(col("doc_id"), col("start"))
+    mergeIslands(marked, windowTokens)
+  }
+
+  /** The stride-1 window rows (doc_id, start, fp) of a corpus: every
+    * `windowTokens`-token window, fingerprinted 60-bit (md5 slice,
+    * cross-engine reproducible). One codegen'd projection — the shared
+    * scan of the whole span family. */
+  private def spanWindows(docs: DataFrame, windowTokens: Int): DataFrame =
+    docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= windowTokens)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - windowTokens),
+          i => conv(substring(md5(concat_ws(" ",
+            slice(col("toks"), i + 1, lit(windowTokens)))), 1, 15), 16, 10)
+            .cast("long")))
+          .as(Seq("start", "fp")))
+
+  /** Gaps-and-islands merge of marked (doc_id, start) duplicated-window
+    * rows into maximal (span_start, span_end, n_windows) intervals.
+    * Equal-width windows: a new island starts exactly when the gap to
+    * the previous duplicated start exceeds the window width (adjacent
+    * spans are contiguous text and merge); the first row's null lag
+    * falls to otherwise(0) so islands number from 0. Bounded per-doc. */
+  private def mergeIslands(marked: DataFrame, windowTokens: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("start"))
-    // equal-width windows: a new island starts exactly when the gap to
-    // the previous duplicated start exceeds the window width (adjacent
-    // spans are contiguous text and merge); first row's null lag falls
-    // to otherwise(0) so islands number from 0
     marked
       .withColumn("brk",
         when(col("start") - lag(col("start"), 1).over(byDoc) > windowTokens,
@@ -1281,7 +1294,98 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       windowTokens = 8, keepFirst = true))
 
+  /** Window-fingerprint counts of a corpus — the PERSISTED index of
+    * incremental span dedup (the span-family analogue of
+    * [[minhashBandIndex]]): one skinny (fp, cnt) row per distinct
+    * window fingerprint, built with a partial-aggregatable groupBy
+    * (skew-safe — a boilerplate fingerprint with millions of
+    * occurrences map-side combines instead of landing one task).
+    * Written once over the archive; batches probe it and append to it. */
+  def fingerprintIndex(docs: DataFrame, windowTokens: Int): DataFrame =
+    spanWindows(docs, windowTokens)
+      .groupBy(col("fp")).agg(count(lit(1)).as("cnt"))
+
+  /** Index maintenance: merge an admitted batch's window counts into the
+    * index. Counting is associative, so append ≡ rebuild by
+    * construction; through a table format this is a MERGE on fp. */
+  def appendToFingerprintIndex(index: DataFrame, admittedDocs: DataFrame,
+      windowTokens: Int): DataFrame =
+    index.unionByName(fingerprintIndex(admittedDocs, windowTokens))
+      .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
+
+  /** Incremental span dedup: duplicated spans of a NEW batch against
+    * archive + batch, touching the archive only through its
+    * [[fingerprintIndex]] — no archive text is re-scanned or re-hashed.
+    * A batch window is duplicated when its in-batch occurrence count
+    * plus the index count reaches `minCount`; spans merge per batch doc
+    * exactly as in [[duplicatedSpans]]. Equals the from-scratch answer
+    * over archive ∪ batch restricted to batch documents (the archive is
+    * already admitted — its spans were computed when IT was the batch). */
+  def incrementalSpans(newDocs: DataFrame, index: DataFrame,
+      windowTokens: Int, minCount: Long = 2L): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    require(minCount >= 2, "minCount below 2 would mark every window")
+    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val marked = spanWindows(newDocs, windowTokens)
+      .withColumn("c", count(lit(1)).over(byFp))
+      .join(index, Seq("fp"), "left")
+      .filter(col("c") + coalesce(col("cnt"), lit(0L)) >= minCount)
+      .select(col("doc_id"), col("start"))
+    mergeIslands(marked, windowTokens)
+  }
+
+  /** Incremental span dedup gate: the d20 archive/batch split (95/5 on a
+    * deterministic md5 bucket); the archive is visible to the batch only
+    * through its fingerprint index. Oracle = the d21 from-scratch
+    * whole-corpus span dedup restricted to batch documents — proving
+    * the index probe ≡ recomputing over everything. */
+  val d24IncrementalSpanDedup: Q = Q(
+    "d24_incremental_span_dedup",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE len(toks) >= 8),
+      m AS (
+        SELECT doc_id, start FROM (
+          SELECT doc_id, start, count(*) OVER (PARTITION BY fp) AS c FROM w)
+        WHERE c >= 2),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g)
+      SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+             CAST(max(start) + 7 AS BIGINT) AS span_end,
+             count(*) AS n_windows
+      FROM isl
+      WHERE CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 >= 95
+      GROUP BY doc_id, island
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val archive = withBucket.filter(col("bucket") < 95).drop("bucket")
+      val batch = withBucket.filter(col("bucket") >= 95).drop("bucket")
+      // production: the index is a persisted table; materialized here to
+      // stand in for it — the archive TEXT is never touched below
+      val index = fingerprintIndex(archive, windowTokens = 8).localCheckpoint()
+      incrementalSpans(batch, index, windowTokens = 8)
+    })
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
-    d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst)
+    d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
+    d24IncrementalSpanDedup)
 }

@@ -422,6 +422,57 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(5L -> "", 6L -> ""))
   }
 
+  test("incrementalSpans: probe against the fingerprint index equals from-scratch on the union") {
+    val archive = strDf(
+      (1L, "hdr1 hdr2 hdr3 body one two"),   // shares the header with batch doc 10
+      (2L, "only archive words in here"),    // archive-only
+      (3L, "dup1 dup2 dup3 x"), (4L, "dup1 dup2 dup3 y")) // archive-internal dup
+    val batch = strDf(
+      (10L, "intro hdr1 hdr2 hdr3 tail"),     // dup via the archive header
+      (11L, "b1 b2 b3 filler"), (12L, "b1 b2 b3 other"), // batch-internal dup
+      (13L, "totally fresh unseen content"))  // unique
+    val index = Dedup.fingerprintIndex(archive, windowTokens = 3)
+    val got = Dedup.incrementalSpans(batch, index, windowTokens = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fromScratch = Dedup.duplicatedSpans(
+        archive.unionByName(batch), windowTokens = 3)
+      .filter(col("doc_id") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === fromScratch)
+    assert(got.map(_._1) === Set(10L, 11L, 12L)) // 13 stays clean
+  }
+
+  test("appendToFingerprintIndex: probe after append equals probe against a rebuilt index") {
+    val archive = strDf((1L, "a1 a2 a3 a4"), (2L, "c1 c2 c3 c4"))
+    val day1 = strDf((10L, "a1 a2 a3 fresh"), (11L, "n1 n2 n3 n4"))
+    val day2 = strDf((20L, "n1 n2 n3 probe"), (21L, "c1 c2 c3 hit"))
+    val grown = Dedup.appendToFingerprintIndex(
+      Dedup.fingerprintIndex(archive, 3), day1, windowTokens = 3)
+    val rebuilt = Dedup.fingerprintIndex(archive.unionByName(day1), 3)
+    def probe(ix: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalSpans(day2, ix, windowTokens = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(probe(grown) === probe(rebuilt))
+    assert(probe(grown).map(_._1) === Set(20L, 21L)) // day-2 hits via day-1 AND archive fps
+  }
+
+  test("incrementalSpans on the corpus: index probe equals whole-corpus spans for batch docs") {
+    val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+    val bucket = conv(substring(md5(concat(lit("idx:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+    val withBucket = docs.withColumn("bucket", bucket)
+    val archive = withBucket.filter(col("bucket") < 80).drop("bucket")
+    val batch = withBucket.filter(col("bucket") >= 80).drop("bucket")
+    val index = Dedup.fingerprintIndex(archive, windowTokens = 8)
+    val got = Dedup.incrementalSpans(batch, index, windowTokens = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val fromScratch = Dedup.duplicatedSpans(docs, windowTokens = 8)
+      .join(batch.select("doc_id"), Seq("doc_id"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got === fromScratch)
+    assert(got.nonEmpty) // the real corpus has cross-split duplicated spans
+  }
+
   test("dedupDocuments keeps representatives and singletons, drops the rest") {
     val docs = strDf(
       (1L, "alpha beta gamma delta epsilon zeta"),
