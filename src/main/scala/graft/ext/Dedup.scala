@@ -1069,26 +1069,71 @@ object Dedup {
     *     dedup keeps one copy of each duplicated passage). The ordering
     *     is total and deterministic, so the survivor is reproducible;
     *     the fingerprint window gains an order-by but no extra
-    *     exchange. */
+    *     exchange.
+    *
+    * Two duplicate-test shapes, picked by `precountFingerprints` — a
+    * REGIME decision like the d18 verify one:
+    *   - `false` (default): count-over-window on the fingerprint
+    *     exchange — ONE pass over the corpus text, the right default
+    *     when no single window value dominates. The ceiling: WindowExec
+    *     sorts each fp group in one task, so an ultra-hot boilerplate
+    *     fingerprint (say 10⁸ occurrences of one header) serializes its
+    *     whole group through one task's sort.
+    *   - `true`: pre-aggregate per-fingerprint counts (and for
+    *     keepFirst the min (doc_id, start) survivor — both associative,
+    *     so map-side partial aggregation collapses hot fingerprints to
+    *     one row per map task) and join the window rows back on fp.
+    *     Costs a second scan+hash pass of the corpus text; immune to
+    *     fingerprint skew (the join is AQE-skew-splittable, the
+    *     aggregate never buffers a group). Identical output by
+    *     construction — spec-proven.
+    *
+    * Measured (round 7, isolated min-of-3): the window shape wins ~2×
+    * in BOTH regimes at measurable scale — 7.4 s vs 13.9 s on the
+    * 50k-doc sf1 corpus, and still 12.8 s vs 24.6 s on a planted-skew
+    * corpus where one 16-token header appears in all 50k docs (a
+    * 50k-row sort group costs far less than the second corpus
+    * scan+hash). Keep the default; reach for `precountFingerprints`
+    * only when a single fingerprint's occurrence count is orders of
+    * magnitude beyond that — the 10⁸-occurrences-of-one-header corpus
+    * where one task's sort group becomes the straggler. */
   def duplicatedSpans(docs: DataFrame, windowTokens: Int,
-      minCount: Long = 2L, keepFirst: Boolean = false): DataFrame = {
+      minCount: Long = 2L, keepFirst: Boolean = false,
+      precountFingerprints: Boolean = false): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
     require(minCount >= 2, "minCount below 2 would mark every window")
     val wins = spanWindows(docs, windowTokens)
-    val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
-    val marked = (if (keepFirst) {
-      val byFpOrdered = byFp.orderBy(col("doc_id"), col("start"))
-      wins
-        .withColumn("c", count(lit(1)).over(
-          byFpOrdered.rowsBetween(
-            org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.unboundedFollowing)))
-        .withColumn("rn", row_number().over(byFpOrdered))
-        .filter(col("c") >= minCount && col("rn") > 1)
+    val marked = (if (precountFingerprints) {
+      if (keepFirst) {
+        val stats = wins.groupBy(col("fp")).agg(
+          count(lit(1)).as("cnt"),
+          min(struct(col("doc_id"), col("start"))).as("first"))
+        wins.join(stats.filter(col("cnt") >= minCount), Seq("fp"))
+          .filter(!(col("doc_id") === col("first.doc_id") &&
+            col("start") === col("first.start")))
+      } else {
+        wins.join(
+          spanWindows(docs, windowTokens).groupBy(col("fp"))
+            .agg(count(lit(1)).as("cnt")).filter(col("cnt") >= minCount)
+            .select(col("fp")),
+          Seq("fp"), "left_semi")
+      }
     } else {
-      wins
-        .withColumn("c", count(lit(1)).over(byFp))
-        .filter(col("c") >= minCount)
+      val byFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      if (keepFirst) {
+        val byFpOrdered = byFp.orderBy(col("doc_id"), col("start"))
+        wins
+          .withColumn("c", count(lit(1)).over(
+            byFpOrdered.rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+          .withColumn("rn", row_number().over(byFpOrdered))
+          .filter(col("c") >= minCount && col("rn") > 1)
+      } else {
+        wins
+          .withColumn("c", count(lit(1)).over(byFp))
+          .filter(col("c") >= minCount)
+      }
     }).select(col("doc_id"), col("start"))
     mergeIslands(marked, windowTokens)
   }
