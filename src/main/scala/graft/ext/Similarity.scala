@@ -531,6 +531,100 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
   }
 
+  /** SemDeDup-style semantic dedup (Abbas et al., "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication", 2023): cluster
+    * the embedding space with the k-means coarse quantizer, then dedup
+    * ONLY within clusters — the cluster assignment turns the O(n²) pairwise
+    * problem into k independent O((n/k)²) ones, which is the entire trick
+    * that makes embedding-level dedup feasible at corpus scale.
+    *
+    * Semantics (the paper's non-iterative rule): within each cluster rank
+    * members by similarity to their centroid (desc, tie → lowest id); a
+    * member is REMOVED iff some better-ranked member of the same cluster
+    * has cosine ≥ `threshold` with it. Exactly one representative of every
+    * dense semantic neighborhood survives (the one nearest its centroid),
+    * and the rule is a single relational predicate — no greedy iteration —
+    * so it is deterministic and oracle-checkable.
+    *
+    * Scale shape: assignment is the zero-shuffle codegen'd projection
+    * ([[ivfAssignments]]); ranking is one exchange on cluster id; the
+    * within-cluster pair test is an equi-join on cluster id, so shuffle
+    * volume is n rows and the quadratic work is sharded across clusters
+    * (pick k ∝ n so clusters stay bounded; a pathological hot cluster can
+    * be grid-sharded like [[cosineThresholdSelfJoin]]). The ranked
+    * assignment table is materialized once (it feeds both pair sides and
+    * the output join) — at production scale it is the persisted
+    * cluster-assignment table every SemDeDup run stores anyway. */
+  def semanticDedup(embeddings: DataFrame, k: Int, threshold: Double,
+      fitIters: Int = 0): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cs = KMeans.fit(embeddings, "vec_id", "embedding", k, fitIters)
+    val centroidsLit = typedlit(cs.map(_.toIndexedSeq).toIndexedSeq)
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("centroid_sim").desc, col("vec_id").asc)
+    val ranked = embeddings
+      .select(col("vec_id"), col("embedding"),
+        graft.plans.NearestCentroidExpr.nearestCentroid(col("embedding"), cs).as("cid"))
+      .withColumn("centroid_sim",
+        round(cosine(col("embedding"), element_at(centroidsLit, col("cid") + 1)), 6))
+      .withColumn("rk", row_number().over(w))
+      .localCheckpoint()
+    val a = ranked.select(col("cid"), col("embedding").as("ea"), col("rk").as("rka"))
+    val b = ranked.select(col("cid"), col("vec_id").as("idb"),
+      col("embedding").as("eb"), col("rk").as("rkb"))
+    val removed = a.join(b, Seq("cid"))
+      .filter(col("rka") < col("rkb") &&
+        round(cosine(col("ea"), col("eb")), 6) >= threshold)
+      .select(col("idb").as("vec_id")).distinct()
+      .withColumn("rm", lit(1))
+    ranked.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        col("centroid_sim"),
+        when(col("rm").isNull, lit(1L)).otherwise(lit(0L)).as("kept"))
+  }
+
+  /** Semantic-dedup gate: k = 16 clusters from the md5-ranked seeded init
+    * (0 Lloyd iterations — the same ANSI-SQL-reproducible quantizer s06
+    * uses, which is what lets the oracle rebuild the clustering exactly),
+    * τ = 0.4 (the corpus' near-dup regime — its max cosine is ~0.5; a
+    * production run uses τ ≈ 0.95 on real embeddings). The oracle
+    * recomputes centroids, assignments, centroid-similarity ranks, the
+    * within-cluster better-ranked-neighbor test, and the kept flags. */
+  val d25SemanticDedup: Q = Q(
+    "d25_semantic_dedup",
+    Some("""
+      WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM emb),
+      init AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      assign AS (
+        SELECT vec_id, embedding, cid FROM (
+          SELECT e.vec_id, e.embedding, i.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.c AS DOUBLE[])) DESC, i.cid ASC) AS rn
+          FROM emb e CROSS JOIN init i) t WHERE rn = 1),
+      rk AS (
+        SELECT a.vec_id, a.embedding, a.cid,
+               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(i.c AS DOUBLE[])), 6) AS centroid_sim,
+               row_number() OVER (PARTITION BY a.cid
+                 ORDER BY round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(i.c AS DOUBLE[])), 6) DESC,
+                          a.vec_id ASC) AS rk
+        FROM assign a JOIN init i USING (cid)),
+      rem AS (
+        SELECT DISTINCT b.vec_id
+        FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk
+        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) >= 0.4)
+      SELECT r.vec_id, CAST(r.cid AS BIGINT) AS cluster_id, r.centroid_sim,
+             CASE WHEN rem.vec_id IS NULL THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS kept
+      FROM rk r LEFT JOIN rem ON r.vec_id = rem.vec_id
+    """),
+    (s, dir) => semanticDedup(emb(s, dir).select(col("vec_id"), col("embedding")),
+      k = 16, threshold = 0.4))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
-    s05AnnIvf, s06PqAdc)
+    s05AnnIvf, s06PqAdc, d25SemanticDedup)
 }

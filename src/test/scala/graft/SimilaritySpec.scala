@@ -248,6 +248,40 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semanticDedup: one survivor per dense direction group, isolated vectors untouched") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType))))
+    def axis(d: Int, scale: Float): Seq[Float] =
+      Seq.tabulate(8)(i => if (i == d) scale else 0.0f)
+    // scale-only copies share an EXACT direction (cosine 1.0), so whatever
+    // clusters the seeded init produces, a whole group always lands in one
+    // cluster and cross-group cosines stay 0 — the assertions below hold
+    // for every possible init
+    val rows =
+      (0 until 5).map(j => Row(j.toLong, axis(0, 1.0f + j))) ++
+      (10 until 13).map(j => Row(j.toLong, axis(1, 1.0f + j))) ++
+      Seq(Row(20L, axis(2, 1.0f)), Row(21L, axis(3, 1.0f)))
+    val e = LocalTable.of(spark, schema, rows)
+    val out = Similarity.semanticDedup(e, k = 4, threshold = 0.95, fitIters = 2)
+      .collect()
+    assert(out.length === 10)
+    val kept = out.filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assert(kept.count(_ < 10) === 1)                    // group on axis 0
+    assert(kept.count(id => id >= 10 && id < 20) === 1) // group on axis 1
+    assert(Set(20L, 21L).subsetOf(kept))                // isolated: never removed
+    // deterministic end-to-end
+    val again = Similarity.semanticDedup(e, k = 4, threshold = 0.95, fitIters = 2)
+      .collect().filter(_.getLong(3) == 1L).map(_.getLong(0)).toSet
+    assert(again === kept)
+  }
+
+  test("semanticDedup plan: within-cluster pairs are an equi-join, never a cartesian") {
+    val e = Tables(spark, sfDir, "embeddings").select(col("vec_id"), col("embedding"))
+    val p = Similarity.semanticDedup(e, k = 8, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   private def findScan(p: org.apache.spark.sql.execution.SparkPlan)
       : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
