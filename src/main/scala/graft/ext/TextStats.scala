@@ -523,8 +523,51 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       seqLen = 512, shards = 8))
 
+  /** Deterministic global training-order shuffle + round-robin shard
+    * assignment — the step between a curated corpus and its training
+    * shards: every epoch-0 data order must be reproducible (same seed ⇒
+    * same order, different seed ⇒ an independent order), and the order
+    * must be a GLOBAL permutation, not a per-partition one.
+    *
+    * The shuffle key is a seeded 60-bit md5 hash of the doc id (the
+    * corpus' cross-engine RNG — changing `seed` re-deals the permutation);
+    * the global position comes from [[graft.operators.GlobalOrder]]'s
+    * two-pass range-partitioned ranking, so no single-partition window
+    * exchange appears at any scale (the naive `row_number() OVER (ORDER
+    * BY h)` funnels 100 TB through one task). Shards interleave round-
+    * robin over the shuffled order — each of the `nShards` data-loader
+    * files sees a statistically identical slice of the corpus. */
+  def shuffleShards(docs: DataFrame, seed: String, nShards: Int): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val h = conv(substring(md5(concat(lit(seed + ":"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val ranked = graft.operators.GlobalOrder.withRanks(
+      docs.select(col("doc_id")).withColumn("h", h),
+      Seq(col("h").asc, col("doc_id").asc),
+      Seq(col("h"), col("doc_id"))).df
+    ranked.select(col("doc_id"), (col("rn") - 1).as("shuffle_pos"),
+      ((col("rn") - 1) % nShards).as("shard_id"))
+  }
+
+  /** Shuffle-shards gate: seed "s7", 8 shards; the oracle replays the
+    * seeded hash order with a plain global window (fine at oracle scale). */
+  val d26ShuffleShards: Q = Q(
+    "d26_shuffle_shards",
+    Some("""
+      WITH h AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('s7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        FROM documents)
+      SELECT doc_id,
+             row_number() OVER (ORDER BY hh, doc_id) - 1 AS shuffle_pos,
+             (row_number() OVER (ORDER BY hh, doc_id) - 1) % 8 AS shard_id
+      FROM h
+    """),
+    (s, dir) => shuffleShards(
+      Tables(s, dir, "documents").select(col("doc_id")), seed = "s7", nShards = 8))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
-    d15Chunking, d16SequencePacking)
+    d15Chunking, d16SequencePacking, d26ShuffleShards)
 }

@@ -103,4 +103,19 @@ class TextStatsSpec extends SparkSpec {
     assert(expected === 1)
     assert(shardsSeen === Set(0L))
   }
+
+  test("shuffleShards: a reproducible seeded global permutation with balanced round-robin shards") {
+    val docs = docsDf((1L to 100L).map(i => (i, s"doc $i")): _*)
+    val out = TextStats.shuffleShards(docs, seed = "a", nShards = 8).collect()
+    assert(out.map(_.getLong(1)).sorted.toSeq === (0L until 100L))   // a permutation
+    val bySizes = out.groupBy(_.getLong(2)).view.mapValues(_.length).values.toSet
+    assert(bySizes.subsetOf(Set(12, 13)))                            // round-robin balance
+    // same seed reproduces the order; a different seed re-deals it
+    val again = TextStats.shuffleShards(docs, seed = "a", nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      again.map(r => (r.getLong(0), r.getLong(1))).toSet)
+    val other = TextStats.shuffleShards(docs, seed = "b", nShards = 8).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet !==
+      other.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
 }
