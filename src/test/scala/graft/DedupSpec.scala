@@ -446,6 +446,51 @@ class DedupSpec extends SparkSpec {
     assert(corpus(precount = true) === corpus(precount = false))
   }
 
+  test("newDocsViaBloom: exact answer at both fpp extremes; planted dups excluded, new docs admitted") {
+    val archive = strDf(
+      (1L, "shared text one"),
+      (2L, "shared text two"),
+      (3L, "archive only text"))
+    val batch = strDf(
+      (10L, "shared text one"),     // exact dup of archive doc 1 → excluded
+      (11L, "genuinely new text"),
+      (12L, "another new text"),
+      (13L, "shared text two"))     // dup of archive doc 2 → excluded
+    val index = Dedup.contentHashIndex(archive)
+    // plain anti-join ground truth on the same content hash
+    val expected = batch
+      .withColumn("h", conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long"))
+      .join(index, Seq("h"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected === Set(11L, 12L))
+    // tight fpp (FPs unlikely) and an absurdly small filter (2 items at
+    // fpp 0.5 → a couple of bits: nearly every hash collides, forcing
+    // the whole batch through the verify join) must both be exact
+    for ((items, fpp) <- Seq((1000L, 0.01), (2L, 0.5))) {
+      val got = Dedup.newDocsViaBloom(batch, index, items, fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"items=$items fpp=$fpp")
+    }
+    // batch docs carry their content hash through
+    val hs = Dedup.newDocsViaBloom(batch, index, 1000L, 0.01).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hs.keySet === Set(11L, 12L))
+  }
+
+  test("newDocsViaBloom: a bloom-negative batch needs no verify-join rows at all") {
+    val archive = strDf((1L, "old a"), (2L, "old b"))
+    val batch = strDf((10L, "new x"), (11L, "new y"), (12L, "new z"))
+    val index = Dedup.contentHashIndex(archive)
+    val out = Dedup.newDocsViaBloom(batch, index, expectedItems = 1000L, fpp = 0.001)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet === Set(10L, 11L, 12L))
+    // the membership test is a codegen'd scan-side filter, not a join:
+    // the plan contains exactly one join (the verify anti-join), and the
+    // definite-new branch reaches the union join-free
+    val joins = out.queryExecution.executedPlan.toString
+      .linesIterator.count(l => l.contains("Join"))
+    assert(joins <= 2, s"expected the single verify anti-join, got:\n$joins")
+  }
+
   test("incrementalSpans: probe against the fingerprint index equals from-scratch on the union") {
     val archive = strDf(
       (1L, "hdr1 hdr2 hdr3 body one two"),   // shares the header with batch doc 10
