@@ -566,8 +566,143 @@ object TextStats {
     (s, dir) => shuffleShards(
       Tables(s, dir, "documents").select(col("doc_id")), seed = "s7", nShards = 8))
 
+  /** N-gram test-set contamination scoring — the published n-gram-overlap
+    * decontamination method (the "13-gram" family): a training document
+    * is contaminated when a large-enough fraction of its distinct word
+    * n-grams also appears anywhere in the held-out evaluation set.
+    * [[d12Contamination]] is the exact-prefix form (whole-document
+    * collisions); this is the fuzzy, industry-standard one that catches
+    * partial inclusion — a test question quoted inside a larger page.
+    *
+    * Scale shape: the test side collapses to its DISTINCT n-gram set —
+    * evaluation sets are MBs against a 100 TB corpus, so it broadcasts;
+    * the train side is ONE scan whose exploded n-grams broadcast-hash-
+    * join the test set with zero shuffle, and the per-doc hit/total
+    * counts collapse map-side (a doc's exploded rows are contiguous, so
+    * the partial aggregate emits one row per doc per partition before
+    * the only exchange — corpus text bytes never shuffle). Docs with
+    * fewer than n tokens survive via explode_outer and score 0.0. */
+  def ngramContamination(train: DataFrame, test: DataFrame, n: Int,
+      threshold: Double): DataFrame = {
+    require(n > 0, "n must be positive")
+    val testNg = test.select(explode(Dedup.shingles(col("text"), n)).as("ng"))
+      .distinct().withColumn("hit", lit(1))
+    train.select(col("doc_id"),
+        explode_outer(Dedup.shingles(col("text"), n)).as("ng"))
+      .join(broadcast(testNg), Seq("ng"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("ng")).as("total_ngrams"), count(col("hit")).as("hit_ngrams"))
+      .withColumn("overlap_frac",
+        when(col("total_ngrams") > 0,
+          round(col("hit_ngrams").cast("double") / col("total_ngrams"), 4))
+          .otherwise(lit(0.0)))
+      .withColumn("contaminated", col("overlap_frac") >= threshold)
+  }
+
+  /** N-gram contamination gate: the d12 bucket split (train < 80,
+    * test ≥ 90), 3-gram overlap, τ = 0.2. */
+  val d28NgramContamination: Q = Q(
+    "d28_ngram_contamination",
+    Some("""
+      WITH assigned AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      sh AS (
+        SELECT doc_id, bucket,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS ngs
+        FROM assigned),
+      test_set AS (
+        SELECT list(DISTINCT ng) AS tngs
+        FROM (SELECT unnest(ngs) AS ng FROM sh WHERE bucket >= 90)),
+      scored AS (
+        SELECT t.doc_id,
+               CAST(len(t.ngs) AS BIGINT) AS total_ngrams,
+               CAST(len(list_intersect(t.ngs, ts.tngs)) AS BIGINT) AS hit_ngrams
+        FROM sh t CROSS JOIN test_set ts WHERE t.bucket < 80)
+      SELECT doc_id, total_ngrams, hit_ngrams,
+             CASE WHEN total_ngrams > 0
+                  THEN round(CAST(hit_ngrams AS DOUBLE) / total_ngrams, 4)
+                  ELSE 0.0 END AS overlap_frac,
+             (CASE WHEN total_ngrams > 0
+                   THEN round(CAST(hit_ngrams AS DOUBLE) / total_ngrams, 4)
+                   ELSE 0.0 END) >= 0.2 AS contaminated
+      FROM scored
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100).as("bucket")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket)
+      ngramContamination(
+        docs.filter(col("bucket") < 80).select(col("doc_id"), col("text")),
+        docs.filter(col("bucket") >= 90).select(col("text")),
+        n = 3, threshold = 0.2)
+    })
+
+  /** Deterministic source mixing — the corpus-weighting step of every
+    * LLM training run: each source (domain, crawl, curated set) gets a
+    * repeat factor f; every document emits floor(f) guaranteed copies
+    * plus one more iff its seeded hash falls under the fractional part
+    * (f < 1 ⇒ deterministic down-sampling, f > 1 ⇒ oversampling with
+    * fractional repeats). Same inputs ⇒ the same mixture, on any
+    * cluster layout — no RNG.
+    *
+    * Scale shape: a pure projection + generator — the factor lookup is
+    * a config-sized map LITERAL in the plan (no dim-table join, nothing
+    * broadcast), the copy fan-out is a codegen'd explode of a bounded
+    * sequence. Zero shuffles, zero exchanges; composes with
+    * [[shuffleShards]] downstream for the epoch order. */
+  def sourceMixing(docs: DataFrame, factors: Map[String, Double],
+      default: Double = 1.0): DataFrame = {
+    require(factors.values.forall(_ >= 0) && default >= 0,
+      "repeat factors must be non-negative")
+    val f =
+      if (factors.isEmpty) lit(default)
+      else coalesce(element_at(typedLit(factors), col("source")), lit(default))
+    val hmod = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val copies = floor(f).cast("long") +
+      when(hmod < round((f - floor(f)) * 1e6).cast("long"), 1L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"), copies.as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+  }
+
+  /** Source-mixing gate: src0 oversampled 2.5×, src1 kept at 0.4,
+    * src2 at 1.75, everything else 1.0. */
+  val d29SourceMixing: Q = Q(
+    "d29_source_mixing",
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                                WHEN 'src2' THEN 1.75 ELSE 1.0 END AS DOUBLE) AS fac,
+               CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hmod
+        FROM documents),
+      c AS (
+        SELECT doc_id, source,
+               CAST(floor(fac) AS BIGINT) +
+               CASE WHEN hmod < CAST(round((fac - floor(fac)) * 1e6) AS BIGINT)
+                    THEN 1 ELSE 0 END AS copies
+        FROM f)
+      SELECT doc_id, source, CAST(u.copy AS BIGINT) AS copy
+      FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
+      WHERE copies > 0
+    """),
+    (s, dir) => sourceMixing(
+      Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+      Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.75)))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
-    d15Chunking, d16SequencePacking, d26ShuffleShards)
+    d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
+    d29SourceMixing)
 }

@@ -104,6 +104,65 @@ class TextStatsSpec extends SparkSpec {
     assert(shardsSeen === Set(0L))
   }
 
+  private def sourcedDf(rows: (Long, String)*) =
+    LocalTable.of(spark,
+      StructType(Seq(StructField("doc_id", LongType), StructField("source", StringType))),
+      rows.map { case (k, v) => Row(k, v) })
+
+  test("ngramContamination: quoted test content scores high, disjoint text scores zero, short docs survive") {
+    val train = docsDf(
+      (1L, "the exam question about rivers and lakes appears here verbatim"),
+      (2L, "completely unrelated prose with none of those words present today"),
+      (3L, "partial overlap the exam question about nothing else in common with it"),
+      (4L, "tiny doc"))                       // < n tokens → 0 n-grams
+    val test = docsDf(
+      (100L, "the exam question about rivers and lakes appears here verbatim"))
+    val out = TextStats.ngramContamination(train, test, n = 3, threshold = 0.2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === ((8L, 8L, 1.0, true)), "verbatim copy: every n-gram hits")
+    assert(out(2L)._2 === 0L && out(2L)._3 === 0.0 && !out(2L)._4)
+    assert(out(3L)._2 === 2L && out(3L)._4,
+      "the quoted 4-token phrase contributes exactly its 2 interior 3-grams")
+    assert(out(4L) === ((0L, 0L, 0.0, false)), "short docs score 0.0, not dropped")
+    // train-side text must not shuffle: the test set broadcasts
+    val plan = TextStats.ngramContamination(train, test, 3, 0.2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("sourceMixing: floor copies guaranteed, fractional part deterministic, zero factor drops") {
+    val docs = sourcedDf((1L to 200L).map(i =>
+      (i, if (i <= 50) "a" else if (i <= 100) "b" else if (i <= 150) "c" else "d")): _*)
+    val out = TextStats.sourceMixing(docs,
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), default = 1.0).collect()
+    val byDoc = out.groupBy(_.getLong(0))
+    val copiesOf = (s: String) => byDoc.collect {
+      case (id, rows) if rows.head.getString(1) == s => id -> rows.length
+    }
+    assert(copiesOf("a").values.toSet === Set(2), "f=2.0 → exactly two copies each")
+    assert(copiesOf("c") === Map.empty, "f=0.0 → source dropped entirely")
+    assert(copiesOf("d").values.toSet === Set(1), "default 1.0 → exactly one copy")
+    val bKept = copiesOf("b").size
+    assert(bKept > 5 && bKept < 45, s"f=0.5 keeps roughly half, kept $bKept")
+    assert(copiesOf("b").values.toSet === Set(1))
+    // copy indices are 0..k-1 per doc
+    val aCopies = out.filter(_.getString(1) == "a").groupBy(_.getLong(0))
+    assert(aCopies.values.forall(_.map(_.getLong(2)).toSet === Set(0L, 1L)))
+    // deterministic: a second run emits the identical multiset
+    val again = TextStats.sourceMixing(docs,
+      Map("a" -> 2.0, "b" -> 0.5, "c" -> 0.0), default = 1.0).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq ===
+      again.map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq)
+    // pure projection + generator: no join, no exchange anywhere
+    val plan = TextStats.sourceMixing(docs, Map("a" -> 2.0))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("shuffleShards: a reproducible seeded global permutation with balanced round-robin shards") {
     val docs = docsDf((1L to 100L).map(i => (i, s"doc $i")): _*)
     val out = TextStats.shuffleShards(docs, seed = "a", nShards = 8).collect()
