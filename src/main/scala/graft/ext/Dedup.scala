@@ -207,9 +207,8 @@ object Dedup {
     * verify runs on candidate documents only: the corpus is semi-join
     * pre-filtered on the materialized candidate id set before shingling,
     * so corpus-wide work is ONE scan + shingle + MinHash pass, total.
-    * NOTE the operator is therefore EAGER at call time (it runs the
-    * banding and candidate jobs); it is the terminal stage of a dedup
-    * pipeline, not a free composable view.
+    * Both lineage cuts are LAZY (shared RDDs, materialized inside the
+    * first action), so constructing the operator runs no jobs.
     *
     * @param checkpointDir None (default) cuts lineage with
     *   executor-local blocks; Some(dir) on a cluster FS survives
@@ -252,9 +251,15 @@ object Dedup {
     val bandRows = cutLineage(
       minhashBandIndex(docs, nGram, k, bands, rowsPerBand),
       checkpointDir, eager = false)
+    // LAZY for the same reason (and measured: same-JVM alternating A/B,
+    // lazy ≤ eager in every aligned pass at sf0.1 — min 1.41 vs 1.48 s —
+    // and parity at sf1, 8.09 vs 8.33 s; the eager barrier serialized
+    // the candidate job ahead of the verify stage for nothing). All
+    // consumers run inside one action, which materializes the shared
+    // RDD once.
     val candidates = cutLineage(
       lshCandidatePairs(bandRows, bucketCap),
-      checkpointDir)
+      checkpointDir, eager = false)
     if (verifySampleRate >= 1.0) verifyJaccardPairs(docs, candidates, nGram, threshold)
     else {
       val candShingled = candidateShingles(docs, candidates, nGram)
