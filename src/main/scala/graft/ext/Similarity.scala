@@ -625,6 +625,82 @@ object Similarity {
     (s, dir) => semanticDedup(emb(s, dir).select(col("vec_id"), col("embedding")),
       k = 16, threshold = 0.4))
 
+  /** kNN label propagation — classify unlabeled vectors by majority vote
+    * among their k nearest labeled neighbors (cosine; ties at the rank
+    * boundary broken by neighbor id, vote ties by lowest label — fully
+    * deterministic). The corpus-curation classifier primitive: a small
+    * hand-labeled seed set (quality tiers, topics, domains) labels the
+    * rest of the corpus through embedding space.
+    *
+    * Scale shape: the labeled seed set is broadcast (hand-labeled sets
+    * are tiny against a 100 TB corpus) against ONE scan of the unlabeled
+    * side; per-query top-k is a rank-limit window, which the session's
+    * [[graft.plans.RankLimitRewrite]] rewrites to per-partition partial
+    * top-k before the exchange — so the shuffle carries k rows per
+    * unlabeled vector, not the |unlabeled| × |seed| score matrix. For
+    * seed sets too big to broadcast, compose [[annTopK]]'s IVF probe as
+    * the candidate stage instead. */
+  def knnClassify(labeled: DataFrame, unlabeled: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val l = labeled.select(col("vec_id").as("nid"), col("embedding").as("ne"),
+      col("label"))
+    val scored = unlabeled.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(l))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("ne")), 6).as("cos_sim"), col("nid"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nid").asc)
+    val votes = scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col("vec_id"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+    val wv = Window.partitionBy(col("vec_id"))
+      .orderBy(col("votes").desc, col("label").asc)
+    votes.withColumn("vrk", row_number().over(wv)).filter(col("vrk") === 1)
+      .select(col("vec_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** kNN-classify gate: the md5 "lbl:" bucket splits embeddings 80/20
+    * into a labeled seed set and an unlabeled remainder; k = 5. */
+  val s07KnnClassify: Q = Q(
+    "s07_knn_classify",
+    Some("""
+      WITH b AS (
+        SELECT vec_id, embedding, label,
+               CAST(concat('0x', substr(md5('lbl:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+      l AS (SELECT vec_id AS nid, embedding AS ne, label FROM b WHERE bucket < 80),
+      u AS (SELECT vec_id, embedding FROM b WHERE bucket >= 80),
+      scored AS (
+        SELECT u.vec_id, l.label,
+               round(list_cosine_similarity(CAST(u.embedding AS DOUBLE[]), CAST(l.ne AS DOUBLE[])), 6) AS cos_sim,
+               l.nid
+        FROM u CROSS JOIN l),
+      topk AS (
+        SELECT vec_id, label FROM (
+          SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, nid ASC) AS rk
+          FROM scored) t WHERE rk <= 5),
+      votes AS (
+        SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2)
+      SELECT vec_id, label AS pred_label, votes FROM (
+        SELECT vec_id, label, votes,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY votes DESC, label ASC) AS vrk
+        FROM votes) t WHERE vrk = 1
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("lbl:"),
+        col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("bucket", bucket)
+      knnClassify(
+        e.filter(col("bucket") < 80).drop("bucket"),
+        e.filter(col("bucket") >= 80).drop("bucket", "label"),
+        k = 5)
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
-    s05AnnIvf, s06PqAdc, d25SemanticDedup)
+    s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify)
 }

@@ -282,6 +282,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("knnClassify: planted clusters recover their labels unanimously; the seed set broadcasts") {
+    val all = plantedClusters(4, 12)                    // 48 vectors, labels 0-3
+    val labeled = all.filter(col("vec_id") < 32)        // 8 seeds per cluster
+    val unlabeled = all.filter(col("vec_id") >= 32).drop("label")
+    val out = Similarity.knnClassify(labeled, unlabeled, k = 5)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.map(_._1).toSet === (32L until 48L).toSet, "every unlabeled vec classified")
+    // 0.05σ noise against unit-Gaussian centers ⇒ all 5 neighbors share
+    // the cluster: the vote is unanimous and correct
+    rows.foreach { case (id, pred, votes) =>
+      assert(pred === (id % 4).toInt, s"vec $id")
+      assert(votes === 5L, s"vec $id")
+    }
+    // the seed side broadcasts; nothing sort-merges or goes cartesian
+    val p = out.queryExecution.executedPlan.toString
+    assert(p.contains("Broadcast"), p.take(800))
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+  }
+
   private def findScan(p: org.apache.spark.sql.execution.SparkPlan)
       : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
