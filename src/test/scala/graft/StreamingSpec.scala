@@ -196,6 +196,52 @@ class StreamingSpec extends SparkSpec {
     assert(archive.count() === 6 && index.count() === 6 * 8)
   }
 
+  test("foreachBatch incremental span dedup: streamed fingerprint-index maintenance equals from-scratch") {
+    // the span-family streaming twin of the band-index loop above: each
+    // micro-batch's spans are scored against the maintained fingerprint
+    // index (archive text never re-scanned), then its window counts are
+    // merged into the index — counting is associative, so the maintained
+    // index must equal a rebuild over everything ever streamed
+    import graft.ext.Dedup
+    implicit val sql = spark.sqlContext
+    implicit val encD = Encoders.product[(Long, String)]
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val W = 4
+    var archive = LocalTable.of(spark, schema, Seq.empty)
+    var index = Dedup.fingerprintIndex(archive, W)
+    val perBatch = collection.mutable.ArrayBuffer[Set[(Long, Long, Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (raw: org.apache.spark.sql.DataFrame, _: Long) =>
+        val batch = raw.localCheckpoint()
+        perBatch += Dedup.incrementalSpans(batch, index, W).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+        index = Dedup.appendToFingerprintIndex(index, batch, W).localCheckpoint()
+        archive = archive.unionByName(batch).localCheckpoint()
+        ()
+      }
+      .start()
+    val hdr = "h1 h2 h3 h4"
+    in.addData((1L, s"$hdr body one two three"), (2L, s"$hdr other body words here"))
+    q.processAllAvailable()
+    // doc 3 repeats the header — duplicated via the INDEX count alone
+    in.addData((3L, s"intro words $hdr tail"), (4L, "completely unique text body"))
+    q.processAllAvailable()
+    q.stop()
+    def scratchFor(ids: Long*) = Dedup.duplicatedSpans(archive, W)
+      .filter(col("doc_id").isin(ids: _*)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(perBatch(0) === scratchFor(1L, 2L), "batch-1 spans (in-batch duplicate header)")
+    assert(perBatch(1) === scratchFor(3L, 4L), "batch-2 spans (index-counted header)")
+    assert(perBatch(1).map(_._1) === Set(3L), "only the header-bearing doc gains a span")
+    val maintained = index.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.fingerprintIndex(archive, W).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(maintained === rebuilt, "maintained index ≡ rebuild over everything streamed")
+  }
+
   test("mergeToLake: micro-batches MERGE into the parquet table, replays are no-ops") {
     implicit val sql = spark.sqlContext
     implicit val encM = Encoders.product[(Long, String, Long)]
