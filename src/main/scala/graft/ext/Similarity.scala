@@ -648,6 +648,13 @@ object Similarity {
       .crossJoin(broadcast(l))
       .select(col("vec_id"), col("label"),
         round(cosine(col("embedding"), col("ne")), 6).as("cos_sim"), col("nid"))
+    voteTopK(scored, k)
+  }
+
+  /** Shared tail of the kNN classifiers: top-k by (cos_sim desc, nid asc)
+    * per query, then majority vote with (votes desc, label asc)
+    * tie-breaks. Input: (vec_id, label, cos_sim, nid) candidate rows. */
+  private def voteTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nid").asc)
     val votes = scored.withColumn("rk", row_number().over(w))
@@ -658,6 +665,36 @@ object Similarity {
       .orderBy(col("votes").desc, col("label").asc)
     votes.withColumn("vrk", row_number().over(wv)).filter(col("vrk") === 1)
       .select(col("vec_id"), col("label").as("pred_label"), col("votes"))
+  }
+
+  /** [[knnClassify]]'s scale path: IVF-probed candidates instead of the
+    * full |unlabeled| × |seed| score matrix (which grows quadratically —
+    * measured 0.8 s → 45 s for 10× data on the brute-force shape). The
+    * seed set is coarse-quantized once (k-means, the s05/s06 quantizer);
+    * each unlabeled vector fans out to its nProbe nearest lists via the
+    * codegen'd [[graft.plans.NearestCentroidsExpr]] projection and
+    * equi-joins the seed members of just those lists — candidates per
+    * query ≈ nProbe × |seed|/nCentroids, so scoring is linear in both
+    * sides. The seed side can persist as centroid-partitioned IVF lists
+    * ([[IvfIndex]]) to make the probe a partition-pruned scan.
+    * Approximate in general (a true neighbor outside the probed lists is
+    * missed); with `kmeansIters = 0` the seeded quantizer is
+    * ANSI-SQL-reproducible, which is what the gate oracle rebuilds. */
+  def knnClassifyIvf(labeled: DataFrame, unlabeled: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
+    require(k > 0 && nCentroids > 0 && nProbe > 0,
+      "k, nCentroids and nProbe must be positive")
+    val cs = KMeans.fit(labeled, "vec_id", "embedding", nCentroids, kmeansIters)
+    val l = ivfAssignments(labeled, cs)
+      .select(col("centroid_id"), col("vec_id").as("nid"),
+        col("embedding").as("ne"), col("label"))
+    val probed = unlabeled.select(col("vec_id"), col("embedding"),
+      explode(graft.plans.NearestCentroidsExpr.nearestCentroids(
+        col("embedding"), cs, nProbe)).as("centroid_id"))
+    val scored = probed.join(l, Seq("centroid_id"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(col("embedding"), col("ne")), 6).as("cos_sim"), col("nid"))
+    voteTopK(scored, k)
   }
 
   /** kNN-classify gate: the md5 "lbl:" bucket splits embeddings 80/20
@@ -701,6 +738,72 @@ object Similarity {
         k = 5)
     })
 
+  /** IVF-probed kNN-classify gate: same 80/20 split as s07, but the seed
+    * side is coarse-quantized (16 seeded centroids, 0 Lloyd iterations —
+    * SQL-reproducible) and each unlabeled vector scores only the members
+    * of its 4 probed lists. The oracle rebuilds quantizer, assignments,
+    * probes, candidate scoring and the vote. */
+  val s08KnnClassifyIvf: Q = Q(
+    "s08_knn_classify_ivf",
+    Some("""
+      WITH b AS (
+        SELECT vec_id, embedding, label,
+               CAST(concat('0x', substr(md5('lbl:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+      l AS (SELECT vec_id, embedding, label FROM b WHERE bucket < 80),
+      u AS (SELECT vec_id, embedding FROM b WHERE bucket >= 80),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM l),
+      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      la AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+          FROM l e CROSS JOIN c0 c) t WHERE rn = 1),
+      up AS (
+        SELECT vec_id, cid FROM (
+          SELECT q.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+          FROM u q CROSS JOIN c0 c) t WHERE rn <= 4),
+      scored AS (
+        SELECT q.vec_id, s.label,
+               round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(s.embedding AS DOUBLE[])), 6) AS cos_sim,
+               s.vec_id AS nid
+        FROM up
+        JOIN la ON up.cid = la.cid
+        JOIN u q ON up.vec_id = q.vec_id
+        JOIN l s ON la.vec_id = s.vec_id),
+      topk AS (
+        SELECT vec_id, label FROM (
+          SELECT vec_id, label,
+                 row_number() OVER (PARTITION BY vec_id
+                                    ORDER BY cos_sim DESC, nid ASC) AS rk
+          FROM scored) t WHERE rk <= 5),
+      votes AS (
+        SELECT vec_id, label, count(*) AS votes FROM topk GROUP BY 1, 2)
+      SELECT vec_id, label AS pred_label, votes FROM (
+        SELECT vec_id, label, votes,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY votes DESC, label ASC) AS vrk
+        FROM votes) t WHERE vrk = 1
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("lbl:"),
+        col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val e = emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+        .withColumn("bucket", bucket)
+      knnClassifyIvf(
+        e.filter(col("bucket") < 80).drop("bucket"),
+        e.filter(col("bucket") >= 80).drop("bucket", "label"),
+        k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 0)
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
-    s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify)
+    s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf)
 }

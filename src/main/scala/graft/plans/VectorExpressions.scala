@@ -232,6 +232,73 @@ object NearestCentroidExpr {
   }
 }
 
+/** The nProbe nearest centroid ids of a float-vector column (cosine,
+  * best-first, ties to the lower id) — the MULTI-probe coarse-quantizer
+  * step of batched IVF search: where [[NearestCentroidExpr]] assigns a
+  * corpus row to its one home list, this expression fans a QUERY row out
+  * to the nProbe lists worth probing, as a single codegen'd projection
+  * (explode it and equi-join the lists). Zero shuffle, zero join. */
+case class NearestCentroidsExpr(child: Expression,
+    centroids: Array[Array[Float]], nProbe: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroidsExpr.nearestN(
+      input.asInstanceOf[ArrayData].toFloatArray(), centroids, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = ctx.addReferenceObj("centroids", centroids, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.NearestCentroidsExpr.nearestN($a.toFloatArray(), $cs, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroidsExpr {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Selection kernel shared by interpreted eval and generated code:
+    * O(k·nProbe) repeated-max over the similarity row — k is the coarse
+    * quantizer size (≤ thousands), so this beats a sort. */
+  def nearestN(v: Array[Float], centroids: Array[Array[Float]],
+      nProbe: Int): ArrayData = {
+    val k = centroids.length
+    val sims = new Array[Double](k)
+    var c = 0
+    while (c < k) { sims(c) = CosineSimilarityExpr.cosine(v, centroids(c)); c += 1 }
+    val n = math.min(nProbe, k)
+    val out = new Array[Any](n)
+    val taken = new Array[Boolean](k)
+    var i = 0
+    while (i < n) {
+      var best = -1
+      var bestSim = Double.NegativeInfinity
+      var c2 = 0
+      while (c2 < k) {
+        if (!taken(c2) && sims(c2) > bestSim) { bestSim = sims(c2); best = c2 }
+        c2 += 1
+      }
+      taken(best) = true
+      out(i) = best
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def nearestCentroids(c: Column, centroids: Array[Array[Float]],
+      nProbe: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      NearestCentroidsExpr(GraftSqlBridge.expression(c), centroids, nProbe))
+  }
+}
+
 object CosineSimilarityExpr {
 
   /** Tight-loop kernel, shared by interpreted eval and generated code. */

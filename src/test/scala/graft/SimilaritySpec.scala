@@ -301,6 +301,38 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
   }
 
+  test("knnClassifyIvf: agrees with the brute-force classifier on planted clusters; candidates are list-scoped") {
+    val all = plantedClusters(4, 12)
+    val labeled = all.filter(col("vec_id") < 32)
+    val unlabeled = all.filter(col("vec_id") >= 32).drop("label")
+    val brute = Similarity.knnClassify(labeled, unlabeled, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // a fitted quantizer (2 Lloyd iterations) separates the 4 planted
+    // directions, so probing 2 of 4 lists still contains every true
+    // neighbor — the approximate path must equal the exact one here
+    val ivf = Similarity.knnClassifyIvf(labeled, unlabeled, k = 5,
+      nCentroids = 4, nProbe = 2, kmeansIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(ivf === brute)
+    // no cross join survives: the candidate stage is an equi-join on the
+    // probed centroid id
+    val p = Similarity.knnClassifyIvf(labeled, unlabeled, 5, 4, 2, 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(800))
+  }
+
+  test("nearestCentroids kernel: best-first order, lowest-id ties, nProbe clamped to k") {
+    import graft.plans.NearestCentroidsExpr
+    val cs = Array(Array(1f, 0f), Array(0f, 1f), Array(1f, 0f), Array(-1f, 0f))
+    val got = NearestCentroidsExpr.nearestN(Array(1f, 0.1f), cs, 3)
+      .toIntArray().toSeq
+    // ids 0 and 2 tie at the top (identical centroids) → lower id first
+    assert(got === Seq(0, 2, 1))
+    assert(NearestCentroidsExpr.nearestN(Array(1f, 0f), cs, 10)
+      .toIntArray().length === 4, "nProbe beyond k returns all k")
+  }
+
   private def findScan(p: org.apache.spark.sql.execution.SparkPlan)
       : Option[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
     case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
