@@ -700,9 +700,100 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("source")),
       Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.75)))
 
+  /** The end-to-end corpus-curation pipeline, composed from the family's
+    * own operators: quality filter → exact dedup (min-doc_id survivor
+    * per normalized fingerprint) → per-source mixing
+    * ([[sourceMixing]]) → deterministic training-order shuffle + shard
+    * assignment ([[shuffleShards]] over the (doc, copy) mixture). One
+    * call takes a raw corpus to its epoch-0 training order — the
+    * sequence a real ingest runs, as a single declarative plan.
+    *
+    * Scale shape: each stage keeps its own audited plan — the filter is
+    * a codegen'd projection over the scan, the dedup is one
+    * rank-limit window on the fingerprint exchange (TopKPerGroup
+    * partial top-k), mixing is a joinless projection+generator, and the
+    * shuffle is GlobalOrder's two-pass range ranking. The mixture keys
+    * the shuffle as doc_id·100+copy, so no join-back is needed to
+    * recover (doc_id, copy) from the ranked rows. */
+  def curationPipeline(docs: DataFrame, minQuality: Double,
+      factors: Map[String, Double], default: Double = 1.0,
+      seed: String = "epoch0", nShards: Int = 8): DataFrame = {
+    require(factors.values.forall(_ < 99) && default < 99,
+      "repeat factors must stay below 99 (copy index is packed base-100)")
+    val wf = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id").asc)
+    val deduped = docs
+      .filter(qualityScore(col("text")) >= minQuality)
+      .withColumn("fp", fingerprint(col("text")))
+      .withColumn("rn", row_number().over(wf)).filter(col("rn") === 1)
+      .select(col("doc_id"), col("source"))
+    val mixed = sourceMixing(deduped, factors, default)
+      .select((col("doc_id") * 100 + col("copy")).as("doc_id"))
+    shuffleShards(mixed, seed, nShards)
+      .select((col("doc_id") / 100).cast("long").as("doc_id"),
+        (col("doc_id") % 100).as("copy"), col("shuffle_pos"), col("shard_id"))
+  }
+
+  /** Curation-pipeline gate: quality ≥ 0.45, the d29 factors, seed
+    * "epoch0", 8 shards. The oracle replays all four stages in SQL. */
+  val d30CurationPipeline: Q = Q(
+    "d30_curation_pipeline",
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(text) AS n_ch,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, source, text,
+               round(least(n_tok / 100.0, 1.0) * 0.5 +
+                     least(n_ch / 500.0, 1.0) * 0.3 +
+                     least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                           1.0) * 0.2, 6) AS quality
+        FROM f),
+      dd AS (
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+                   ORDER BY doc_id ASC) AS rn
+          FROM q WHERE quality >= 0.45) t WHERE rn = 1),
+      fac AS (
+        SELECT doc_id, source,
+               CAST(CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.4
+                                WHEN 'src2' THEN 1.75 ELSE 1.0 END AS DOUBLE) AS fac,
+               CAST(concat('0x', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS hmod
+        FROM dd),
+      cc AS (
+        SELECT doc_id,
+               CAST(floor(fac) AS BIGINT) +
+               CASE WHEN hmod < CAST(round((fac - floor(fac)) * 1e6) AS BIGINT)
+                    THEN 1 ELSE 0 END AS copies
+        FROM fac),
+      mix AS (
+        SELECT doc_id * 100 + CAST(u.copy AS BIGINT) AS mix_id
+        FROM cc, unnest(generate_series(0, copies - 1)) AS u(copy)
+        WHERE copies > 0),
+      h AS (
+        SELECT mix_id,
+               CAST(concat('0x', substr(md5('epoch0:' || CAST(mix_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hh
+        FROM mix)
+      SELECT mix_id // 100 AS doc_id, mix_id % 100 AS copy,
+             row_number() OVER (ORDER BY hh, mix_id) - 1 AS shuffle_pos,
+             (row_number() OVER (ORDER BY hh, mix_id) - 1) % 8 AS shard_id
+      FROM h
+    """),
+    (s, dir) => curationPipeline(
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+      minQuality = 0.45,
+      factors = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.75),
+      seed = "epoch0", nShards = 8))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
-    d29SourceMixing)
+    d29SourceMixing, d30CurationPipeline)
 }

@@ -163,6 +163,30 @@ class TextStatsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("curationPipeline: packed (doc, copy) keys survive the round trip; stages compose") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    // long stopword-rich texts pass any reasonable quality bar; doc 2 is
+    // a whitespace-variant duplicate of doc 1 (same normalized
+    // fingerprint) and must lose to the lower id
+    val good = ("the quick brown fox is a friend of the lazy dog and " * 12).trim
+    val docs = LocalTable.of(spark, schema, Seq(
+      Row(1L, "a", good),
+      Row(2L, "a", good.replace("  ", " ") + "  "),  // normalized-equal dup
+      Row(3L, "b", good + " extra tail tokens here"),
+      Row(4L, "b", "tiny")))                          // fails the quality bar
+    val out = TextStats.curationPipeline(docs, minQuality = 0.45,
+      factors = Map("a" -> 2.0), default = 1.0, seed = "t", nShards = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // survivor set: doc 1 (dup 2 dropped), doc 3; doc 4 filtered.
+    // factors: a→2.0 ⇒ doc 1 twice; b default ⇒ doc 3 once
+    assert(out.map(t => (t._1, t._2)).sorted.toSeq ===
+      Seq((1L, 0L), (1L, 1L), (3L, 0L)))
+    assert(out.map(_._3).sorted.toSeq === Seq(0L, 1L, 2L), "global permutation")
+    assert(out.forall(t => t._4 === t._3 % 2), "round-robin shard over the order")
+  }
+
   test("shuffleShards: a reproducible seeded global permutation with balanced round-robin shards") {
     val docs = docsDf((1L to 100L).map(i => (i, s"doc $i")): _*)
     val out = TextStats.shuffleShards(docs, seed = "a", nShards = 8).collect()
