@@ -231,6 +231,39 @@ class PlanSpec extends SparkSpec {
     assert(n === 2, executed.take(1200))
   }
 
+  test("d26/d30: the training-order shuffle never funnels through a single partition") {
+    for (q <- Seq("d26_shuffle_shards", "d30_curation_pipeline")) {
+      val df = run(q)
+      df.collect() // finalize the adaptive plan
+      val executed = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(!executed.contains("Exchange SinglePartition"), s"$q:\n" + executed.take(1200))
+    }
+  }
+
+  test("d29: source mixing is a joinless, exchange-free projection + generator") {
+    val df = run("d29_source_mixing")
+    val p = physical(df)
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(1200))
+    assert(p.contains("Generate"), p.take(1200))
+  }
+
+  test("d28: the test n-gram side broadcasts; train text never sort-merges") {
+    val df = run("d28_ngram_contamination")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin"), executed.take(1200))
+    assert(!executed.contains("SortMergeJoin"), executed.take(1200))
+  }
+
+  test("s08: IVF classify probes via equi-join — no cartesian, no BNLJ") {
+    val df = run("s08_knn_classify_ivf")
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
