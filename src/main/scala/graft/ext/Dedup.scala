@@ -1434,6 +1434,136 @@ object Dedup {
       incrementalSpans(batch, index, windowTokens = 8)
     })
 
+  /** Content-defined chunking — the rolling-fingerprint boundary rule
+    * (Rabin/CDC family): a chunk boundary falls after token `i`
+    * whenever the fingerprint of the `windowTokens`-token window ENDING
+    * at `i` is ≡ 0 mod `modulus` (expected chunk length ≈ `modulus`
+    * tokens), plus a forced boundary at end-of-document. Because a
+    * boundary depends only on the window CONTENT, an insertion early in
+    * a document shifts only the chunks up to the next surviving
+    * boundary — every later chunk keeps its exact (content, fingerprint)
+    * — where fixed-size chunking would shift every subsequent chunk.
+    * That shift-resistance is what makes chunk-level exact dedup work on
+    * near-identical documents (mirrors, quoted mails, versioned pages):
+    * the shared run of chunks dedups even though the documents differ.
+    *
+    * Output: one row per chunk — (doc_id, chunk_idx, chunk_start,
+    * chunk_len, chunk_fp, n_dups) where chunk_fp is the 60-bit md5 of
+    * the chunk's token text and n_dups is the corpus-wide occurrence
+    * count of that fingerprint (≥ 2 ⇒ the chunk is duplicated; feed the
+    * fp rows to [[connectedComponents]] or a keep-first rank for the
+    * dedup action). Documents shorter than the window emit one
+    * whole-document chunk; empty documents emit nothing.
+    *
+    * Scale shape: chunking is a PER-DOCUMENT array pipeline — window
+    * fingerprints, boundary selection and chunk slicing are staged
+    * array columns inside one projection (no explode of windows, no
+    * join, no shuffle; each higher-order step references the previous
+    * MATERIALIZED array column, so nothing re-inlines quadratically),
+    * and the only exchange in the whole operator is the duplicate
+    * count on the chunk-fingerprint window — the d21 count-over-window
+    * shape, carrying ~one row per `modulus` tokens instead of one per
+    * token. */
+  def contentDefinedChunks(docs: DataFrame, windowTokens: Int,
+      modulus: Int): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    require(modulus >= 2, "modulus < 2 would cut at every token")
+    val w = windowTokens
+    val chunks = docs
+      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("n", size(col("toks")))
+      // 60-bit fingerprint of every stride-1 window (start 0-based);
+      // empty when the doc is shorter than the window
+      .withColumn("fps",
+        when(col("n") >= w,
+          transform(sequence(lit(0), col("n") - w),
+            i => conv(substring(md5(concat_ws(" ",
+              slice(col("toks"), i + 1, lit(w)))), 1, 15), 16, 10)
+              .cast("long")))
+          .otherwise(array().cast("array<long>")))
+      // boundary END positions: window starting at i ends at i + w - 1
+      .withColumn("bends",
+        filter(
+          transform(col("fps"), (fp, i) =>
+            when(fp % modulus === 0, i + w - 1).otherwise(lit(-1))),
+          e => e >= 0))
+      // chunk end positions: content boundaries plus forced end-of-doc
+      // (array_distinct keeps first-occurrence order; bends is sorted
+      // ascending and bounded by n - 1, so the result stays sorted)
+      .withColumn("ends",
+        array_distinct(concat(col("bends"), array(col("n") - 1))))
+      .select(col("doc_id"), col("toks"), col("ends"),
+        posexplode(col("ends")).as(Seq("chunk_idx", "end")))
+      .withColumn("start",
+        when(col("chunk_idx") === 0, lit(0))
+          .otherwise(element_at(col("ends"), col("chunk_idx")) + 1))
+    val shaped = chunks.select(
+      col("doc_id"),
+      col("chunk_idx").cast("long").as("chunk_idx"),
+      col("start").cast("long").as("chunk_start"),
+      (col("end") - col("start") + 1).cast("long").as("chunk_len"),
+      conv(substring(md5(concat_ws(" ",
+        slice(col("toks"), col("start") + 1, col("end") - col("start") + 1))),
+        1, 15), 16, 10).cast("long").as("chunk_fp"))
+    shaped.withColumn("n_dups",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))
+  }
+
+  /** CDC gate: 4-token windows, modulus 8 (expected ~8-token chunks)
+    * over the documents table. The oracle rebuilds the window
+    * fingerprints, the mod-boundary rule, the chunk slicing and the
+    * corpus-wide duplicate count. */
+  val d32CdcChunks: Q = Q(
+    "d32_cdc_chunks",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents
+        WHERE length(trim(text)) > 0),
+      f AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               CASE WHEN len(toks) >= 4 THEN
+                 list_transform(generate_series(0, len(toks) - 4),
+                   i -> CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+4], ' ')), 1, 15)) AS BIGINT))
+               ELSE [] END AS fps
+        FROM t),
+      bn AS (
+        SELECT doc_id, toks, n,
+               list_filter(
+                 list_transform(fps, (fp, i) ->
+                   CASE WHEN fp % 8 = 0 THEN i + 2 ELSE -1 END),
+                 e -> e >= 0) AS bends
+        FROM f),
+      e2 AS (
+        -- NOT list_distinct: DuckDB's list_distinct reorders (Spark's
+        -- array_distinct is order-preserving) — append the forced EOD
+        -- boundary only when it is not already the last content boundary
+        SELECT doc_id, toks,
+               CASE WHEN len(bends) > 0 AND bends[-1] = n - 1 THEN bends
+                    ELSE list_append(bends, n - 1) END AS ends
+        FROM bn),
+      ch AS (
+        SELECT doc_id, toks, ends,
+               unnest(list_transform(ends, (e, i) -> {'idx': i - 1, 'e': e})) AS c
+        FROM e2),
+      shaped AS (
+        SELECT doc_id,
+               CAST(c.idx AS BIGINT) AS chunk_idx,
+               CAST(CASE WHEN c.idx = 0 THEN 0 ELSE ends[c.idx] + 1 END AS BIGINT) AS chunk_start,
+               CAST(c.e - (CASE WHEN c.idx = 0 THEN 0 ELSE ends[c.idx] + 1 END) + 1 AS BIGINT) AS chunk_len,
+               CAST(concat('0x', substr(md5(array_to_string(
+                 toks[(CASE WHEN c.idx = 0 THEN 0 ELSE ends[c.idx] + 1 END) + 1 : c.e + 1], ' ')), 1, 15)) AS BIGINT) AS chunk_fp
+        FROM ch)
+      SELECT doc_id, chunk_idx, chunk_start, chunk_len, chunk_fp,
+             count(*) OVER (PARTITION BY chunk_fp) AS n_dups
+      FROM shaped
+    """),
+    (s, dir) => contentDefinedChunks(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      windowTokens = 4, modulus = 8))
+
   /** 60-bit md5 content hash of a text column — the cross-engine
     * document identity the exact-dedup incremental posture keys on. */
   private def contentHash(c: Column): Column =
@@ -1513,5 +1643,5 @@ object Dedup {
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
-    d24IncrementalSpanDedup, d27BloomNewDocs)
+    d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks)
 }

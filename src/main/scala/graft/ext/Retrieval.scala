@@ -1,0 +1,178 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+
+/** Lexical retrieval over the document corpus — the inverted-index /
+  * BM25 family a training-data pipeline uses for retrieval-based
+  * curation: pulling topical slices out of a crawl, decontamination by
+  * retrieving the training neighbors of an eval question (complements
+  * d12/d28's n-gram containment forms), and hard-negative mining for
+  * embedding models (complements the dense s01/s05 stack with the
+  * sparse half of hybrid search).
+  *
+  * Scale posture: the corpus text is scanned ONCE into the postings
+  * aggregate `(doc_id, term, tf)` — the inverted index, which production
+  * persists as a table (the d18 band-index pattern) and this module
+  * also derives document lengths and corpus stats from WITHOUT
+  * re-reading text. Everything query-dependent is query-sized: the
+  * query term set broadcasts, document frequencies are aggregated only
+  * for query terms (left-semi before the agg), and the per-term idf
+  * table broadcasts back into the postings join — so the only
+  * corpus-sized exchanges are the postings aggregate itself and the
+  * final per-(query, doc) score combine.
+  */
+object Retrieval {
+
+  /** The inverted index: one row per (document, term) with its term
+    * frequency. Lowercased whitespace tokens ([[TextStats.tokens]]) —
+    * the same tokenizer as the rest of the d-family. One corpus scan;
+    * the groupBy is partial-aggregatable (a document's exploded terms
+    * are contiguous, so map-side combine collapses them before the
+    * exchange). */
+  def postings(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(TextStats.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** BM25 top-k retrieval: for each query, the k highest-scoring
+    * documents under the Lucene BM25 formulation
+    * `idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))` (non-negative for
+    * every df) with the standard tf saturation / length normalization
+    * `tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))`.
+    *
+    * Document length and corpus stats (N, avgdl) derive from the
+    * postings aggregate (`dl = Σ tf`), not from a second text scan.
+    * Query terms absent from the corpus contribute nothing (they
+    * produce no candidate rows — exactly BM25's behavior, since their
+    * postings list is empty). Scores are rounded to 4 decimals BEFORE
+    * ranking so the rank boundary is reproducible cross-engine; ties
+    * break by ascending doc_id.
+    *
+    * Output: (query_id, doc_id, score, rank), rank 1..k per query. */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      materializeIndex: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
+    // the postings aggregate feeds THREE consumers (dl derivation, df
+    // counts, scoring) — shared lazy lineage would re-scan the corpus
+    // per consumer (AQE re-prunes each copy; ReusedExchange does not
+    // survive it). Materialize once: this is the same barrier the
+    // persisted production index pays at build time, amortized over
+    // every query batch thereafter. `materializeIndex = false` keeps
+    // the fully-lazy plan for callers that pass an already-persisted
+    // corpus slice.
+    val post =
+      if (materializeIndex) postings(docs).localCheckpoint()
+      else postings(docs)
+    val dls = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    // per-query DISTINCT terms (array_distinct inside one row, so no
+    // extra distinct exchange); evaluation queries are tiny → broadcast
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextStats.tokens(lower(col("text"))))).as("term"))
+    // document frequencies for QUERY terms only: semi-filter the
+    // postings before aggregating so the df exchange is query-sized
+    val dfT = post
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
+        "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qidf = qterms
+      .join(dfT, Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("term"),
+        log(lit(1.0) + (col("n_docs") - coalesce(col("df"), lit(0L)) + 0.5) /
+          (coalesce(col("df"), lit(0L)) + 0.5)).as("idf"))
+    val contrib = col("idf") * (col("tf") * (k1 + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    val scored = post
+      .join(broadcast(qidf), Seq("term"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(contrib), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  // ---- catalog queries -----------------------------------------------
+
+  /** BM25 gate: the md5 "qry:" bucket splits documents 95/5 — the 95%
+    * side is the corpus, each 5%-side document contributes its first
+    * six tokens as a query (a retrieval-shaped probe with guaranteed
+    * corpus vocabulary overlap). k = 5 at the standard k1=1.2, b=0.75. */
+  val s09Bm25TopK: Q = Q(
+    "s09_bm25_topk",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('qry:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      corpus AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM b WHERE bucket < 95),
+      queries AS (
+        SELECT doc_id AS query_id,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')[1:6]) AS qtoks
+        FROM b WHERE bucket >= 95 AND length(trim(text)) > 0),
+      post AS (
+        SELECT doc_id, u.term AS term, count(*) AS tf
+        FROM corpus, unnest(corpus.toks) AS u(term)
+        GROUP BY 1, 2),
+      dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+      qterms AS (
+        SELECT query_id, u.term AS term
+        FROM queries, unnest(queries.qtoks) AS u(term)),
+      dft AS (
+        SELECT term, count(*) AS df FROM post
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+      qidf AS (
+        SELECT q.query_id, q.term,
+               ln(1.0 + (s.n_docs - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5)) AS idf
+        FROM qterms q LEFT JOIN dft d USING (term) CROSS JOIN stats s),
+      scored AS (
+        SELECT qi.query_id, p.doc_id,
+               round(sum(qi.idf * (p.tf * 2.2) /
+                 (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl))), 4) AS score
+        FROM post p
+        JOIN qidf qi USING (term)
+        JOIN dls USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2)
+      SELECT query_id, doc_id, score, rank
+      FROM (SELECT query_id, doc_id, score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY score DESC, doc_id ASC) AS rank
+            FROM scored) t
+      WHERE rank <= 5
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("qry:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val queries = docs.filter(col("bucket") >= 95)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 6)).as("text"))
+        .filter(length(col("text")) > 0)
+      bm25TopK(
+        docs.filter(col("bucket") < 95).select(col("doc_id"), col("text")),
+        queries, k = 5)
+    })
+
+  val all: Seq[Q] = Seq(s09Bm25TopK)
+}

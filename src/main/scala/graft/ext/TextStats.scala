@@ -791,9 +791,135 @@ object TextStats {
       factors = Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 1.75),
       seed = "epoch0", nShards = 8))
 
+  /** Raw (multiplicity-preserving) word bigrams — [[Dedup.shingles]]
+    * deduplicates for Jaccard, which would corrupt LANGUAGE-MODEL
+    * counts, so the LM path builds its own n-grams. Empty for docs
+    * under two tokens. */
+  private def rawBigrams(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** N-gram language-model quality scoring — the CCNet/KenLM-style
+    * perplexity filter: train a smoothed bigram LM on a REFERENCE slice
+    * (a trusted corpus — wiki-like text), score every candidate
+    * document by its mean bigram log-probability, and filter/bucket on
+    * the score (fluent text scores high, gibberish and boilerplate
+    * score low). Complements the d03 heuristic score with the
+    * distribution-matched one the published pipelines actually rank by.
+    *
+    * Model: `P(w2|w1) = (c(w1 w2) + α) / (c(w1·) + α·V)` — add-α
+    * smoothing where `c(w1·)` is the CONTEXT count (Σ over following
+    * words, derived from the bigram counts — the reference text is
+    * scanned exactly once) and `V` is the context vocabulary size.
+    * A document's score is the mean `ln P` over its bigrams, rounded
+    * to 4; documents with fewer than two tokens score 0.0 with
+    * `n_bigrams = 0`.
+    *
+    * Scale shape: the model is a vocabulary-sized aggregate (bigram
+    * counts collapse map-side — a Zipf-hot bigram partial-aggregates
+    * per map task, never funneling one key through one reducer); the
+    * scoring pass is ONE candidate-corpus scan whose exploded bigrams
+    * equi-join the model tables (broadcast when the model fits, as any
+    * α-smoothed counts table from a curated reference does; hash join
+    * otherwise) and collapse back to one row per doc map-side. */
+  def ngramLmScore(reference: DataFrame, docs: DataFrame,
+      alpha: Double = 0.5, materializeModel: Boolean = true): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
+    // the bigram-count table feeds three consumers (scoring join, the
+    // context roll-up, the vocabulary scalar) — left lazy, each would
+    // re-scan the reference text (ReusedExchange does not survive AQE's
+    // per-consumer re-pruning). Materialized once by default: the model
+    // IS the persisted artifact of this operator in production.
+    val bigLazy = reference
+      .select(explode(rawBigrams(lower(col("text")))).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+    val big = if (materializeModel) bigLazy.localCheckpoint() else bigLazy
+    val ctx = big
+      .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
+      .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = ctx.agg(count(lit(1)).cast("double").as("v"))
+    val logp = when(col("bg").isNull, lit(null).cast("double"))
+      .otherwise(log(
+        (coalesce(col("c12"), lit(0L)) + alpha) /
+        (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))))
+    docs
+      .select(col("doc_id"),
+        explode_outer(rawBigrams(lower(col("text")))).as("bg"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(big, Seq("bg"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(col("bg")).as("n_bigrams"),
+        coalesce(round(avg(logp), 4), lit(0.0)).as("avg_logprob"))
+  }
+
+  /** LM-scoring gate: the md5 "lm:" bucket's low half (< 50) is the
+    * reference slice; EVERY document is scored against it (reference
+    * docs naturally score high — they are in-distribution by
+    * construction — which is itself a useful spec property). α = 0.5. */
+  val d31NgramLmScore: Q = Q(
+    "d31_ngram_lm_score",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      tok AS (
+        SELECT doc_id, bucket,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM b),
+      bg AS (
+        SELECT doc_id, bucket,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+        FROM tok),
+      refbg AS (
+        SELECT u.bg AS bg, count(*) AS c12
+        FROM (SELECT bgs FROM bg WHERE bucket < 50) r, unnest(r.bgs) AS u(bg)
+        GROUP BY 1),
+      ctx AS (
+        SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        FROM refbg GROUP BY 1),
+      voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ctx),
+      ex AS (
+        SELECT bg.doc_id, u.bg AS dbg
+        FROM bg, unnest(bg.bgs) AS u(bg)),
+      scored AS (
+        SELECT ex.doc_id,
+               count(*) AS n_bigrams,
+               round(avg(ln((coalesce(r.c12, 0) + 0.5) /
+                            (coalesce(c.c1, 0) + 0.5 * voc.v))), 4) AS avg_logprob
+        FROM ex
+        LEFT JOIN refbg r ON r.bg = ex.dbg
+        LEFT JOIN ctx c ON c.w1 = split_part(ex.dbg, ' ', 1)
+        CROSS JOIN voc
+        GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(s.n_bigrams, 0) AS n_bigrams,
+             coalesce(s.avg_logprob, 0.0) AS avg_logprob
+      FROM tok t LEFT JOIN scored s ON s.doc_id = t.doc_id
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("lm:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      ngramLmScore(
+        docs.filter(col("bucket") < 50).select(col("text")),
+        docs.select(col("doc_id"), col("text")),
+        alpha = 0.5)
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
-    d29SourceMixing, d30CurationPipeline)
+    d29SourceMixing, d30CurationPipeline, d31NgramLmScore)
 }

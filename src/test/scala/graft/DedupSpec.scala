@@ -668,4 +668,60 @@ class DedupSpec extends SparkSpec {
     assert(ham(sig(1L), sig(2L)) === 0)
     assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)))
   }
+
+  // ---- content-defined chunking (d32) --------------------------------
+
+  /** Deterministic pseudo-text: token i is a function of (seed, i), so
+    * corpora are reproducible but content-varied. */
+  private def cdcText(seed: String, n: Int): String =
+    (0 until n).map(i => s"$seed${(i * 7) % 13}t$i").mkString(" ")
+
+  test("cdc chunks partition every document exactly") {
+    val docs = strDf((1L, cdcText("a", 100)), (2L, cdcText("b", 37)),
+      (3L, "a b"), (4L, ""))
+    val out = Dedup.contentDefinedChunks(docs, windowTokens = 4, modulus = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    assert(!out.contains(4L), "empty document emits no chunks")
+    // doc 3 is shorter than the window: one whole-document chunk
+    assert(out(3L).toSeq === Seq((3L, 0L, 0L, 2L)))
+    for ((doc, n) <- Seq(1L -> 100L, 2L -> 37L)) {
+      val chunks = out(doc).sortBy(_._2)
+      assert(chunks.head._3 === 0L, "first chunk starts at token 0")
+      assert(chunks.map(_._4).sum === n, "chunk lengths cover the doc")
+      chunks.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._4, "chunks are contiguous")
+        case _ =>
+      }
+    }
+  }
+
+  test("cdc chunking is shift-resistant: a prepended token leaves later chunks intact") {
+    val base = cdcText("shift", 300)
+    val docs = strDf((1L, base), (2L, "zzz " + base))
+    val out = Dedup.contentDefinedChunks(docs, windowTokens = 4, modulus = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(4))).groupBy(_._1)
+    val fpsA = out(1L).map(_._2).toSet
+    val fpsB = out(2L).map(_._2).toSet
+    // every chunk of the original except (at most) the first survives
+    // the edit with an identical fingerprint — fixed-size chunking
+    // would shift and change every chunk after the insertion point
+    assert((fpsA -- fpsB).size <= 1, s"lost ${(fpsA -- fpsB).size} chunks")
+    assert(out(1L).length >= 10, "corpus long enough to make the property meaningful")
+  }
+
+  test("cdc duplicate counts see cross-document repeats") {
+    val shared = cdcText("dup", 80)
+    val docs = strDf((1L, shared), (2L, shared), (3L, cdcText("other", 80)))
+    val rows = Dedup.contentDefinedChunks(docs, windowTokens = 4, modulus = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).forall(_._3 >= 2L), "identical docs: every chunk duplicated")
+    assert(byDoc(1L).map(_._2).toSet === byDoc(2L).map(_._2).toSet)
+    // the unrelated doc shares no fingerprints with the duplicated pair
+    assert(byDoc(3L).map(_._2).toSet.intersect(byDoc(1L).map(_._2).toSet).isEmpty)
+    assert(byDoc(3L).forall(_._3 === 1L))
+  }
 }

@@ -264,6 +264,39 @@ class PlanSpec extends SparkSpec {
       p.take(1200))
   }
 
+  test("s09: BM25 joins are hash joins — query side broadcasts, no cartesian blow-up") {
+    val df = run("s09_bm25_topk")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("CartesianProduct"), executed.take(1200))
+    assert(executed.contains("BroadcastHashJoin"), executed.take(1200))
+    // the only nested-loop joins are the one-row corpus-stats scalars
+    val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(executed).length
+    assert(bnlj <= 2, executed.take(1200))
+  }
+
+  test("d31: LM scoring pass scans the candidate corpus once — model joins, no cartesian") {
+    val df = run("d31_ngram_lm_score")
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+    // the model is materialized (localCheckpoint) — the scoring plan
+    // reads it as scan_existing_rdd, so the only parquet scan left is
+    // the candidate corpus itself
+    assert(scans(df).length === 1, p.take(1200))
+  }
+
+  test("d32: content-defined chunking is joinless — one scan, one fingerprint exchange") {
+    val df = run("d32_cdc_chunks")
+    assert(scans(df).length === 1, physical(df).take(800))
+    assert(!physical(df).contains("Join"), physical(df).take(800))
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(executed).length
+    assert(n === 1, executed.take(1200))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ext.Retrieval
+
+/** BM25 semantics on a hand-checkable corpus: idf ordering, tf
+  * saturation, length normalization, absent-term behavior, the k cap
+  * and the deterministic rank boundary. */
+class RetrievalSpec extends SparkSpec {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+  private val qSchema = StructType(Seq(
+    StructField("query_id", LongType), StructField("text", StringType)))
+
+  // dl: 3, 2, 3, 2 → avgdl 2.5; df: apple 3, banana 1, cherry 2, durian 1
+  private def corpus = LocalTable.of(spark, docSchema, Seq(
+    Row(1L, "apple banana banana"),
+    Row(2L, "apple cherry"),
+    Row(3L, "cherry cherry cherry"),
+    Row(4L, "durian apple")))
+
+  private def queries(rows: (Long, String)*) =
+    LocalTable.of(spark, qSchema, rows.map { case (k, v) => Row(k, v) })
+
+  /** The exact scoring formula, re-derived independently of the
+    * operator's Column expressions. */
+  private def bm25(idfN: Double, df: Double, tf: Double, dl: Double,
+      avgdl: Double, k1: Double = 1.2, b: Double = 0.75): Double =
+    math.log(1.0 + (idfN - df + 0.5) / (df + 0.5)) *
+      tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+  private def results(qs: (Long, String)*) =
+    Retrieval.bm25TopK(corpus, queries(qs: _*), k = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+  test("single-posting term retrieves exactly its document") {
+    val rows = results(10L -> "banana")
+    assert(rows.toSeq === Seq(
+      (10L, 1L,
+        BigDecimal(bm25(4, 1, 2, 3, 2.5)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        1L)))
+  }
+
+  test("rare-term match outranks a saturated common-term match") {
+    // banana (df 1, tf 2 in doc 1) vs cherry (df 2, tf 3 in doc 3) —
+    // idf beats tf saturation, so doc 1 ranks first
+    val rows = results(11L -> "banana cherry")
+    assert(rows.map(_._2).toSeq === Seq(1L, 3L, 2L))
+    val expected = Seq(
+      bm25(4, 1, 2, 3, 2.5), // doc 1: banana tf 2
+      bm25(4, 2, 3, 3, 2.5), // doc 3: cherry tf 3
+      bm25(4, 2, 1, 2, 2.5)) // doc 2: cherry tf 1
+      .map(s => BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(rows.map(_._3).toSeq === expected)
+    assert(rows.map(_._4).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("length normalization: same tf, shorter document scores higher") {
+    // apple tf 1 everywhere it appears; docs 2/4 (dl 2) beat doc 1 (dl 3),
+    // and the dl-2 tie breaks by ascending doc_id
+    val rows = results(12L -> "apple")
+    assert(rows.map(_._2).toSeq === Seq(2L, 4L, 1L))
+    assert(rows.head._3 > rows.last._3)
+  }
+
+  test("terms absent from the corpus contribute nothing; fully-absent queries vanish") {
+    val present = results(13L -> "banana zzz")
+    val bare = results(14L -> "banana")
+    assert(present.map(r => (r._2, r._3)).toSeq === bare.map(r => (r._2, r._3)).toSeq)
+    assert(results(15L -> "zzz qqq").isEmpty)
+  }
+
+  test("k caps each query independently; duplicate query terms count once") {
+    val two = Retrieval.bm25TopK(corpus, queries(16L -> "apple cherry"), k = 2)
+      .collect()
+    assert(two.length === 2)
+    assert(two.map(_.getLong(3)).toSeq === Seq(1L, 2L))
+    val dup = results(17L -> "banana banana")
+    assert(dup.map(r => (r._2, r._3)).toSeq ===
+      results(18L -> "banana").map(r => (r._2, r._3)).toSeq)
+  }
+
+  test("postings: tokenization is lowercased, multiplicity-preserving counts") {
+    val p = Retrieval.postings(LocalTable.of(spark, docSchema,
+      Seq(Row(9L, "The the  THE cat"))))
+      .collect().map(r => (r.getString(1), r.getLong(2))).toMap
+    assert(p === Map("the" -> 3L, "cat" -> 1L))
+  }
+}

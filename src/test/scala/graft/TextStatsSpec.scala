@@ -201,4 +201,32 @@ class TextStatsSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet !==
       other.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
+
+  test("ngramLmScore: hand-checked smoothed bigram probabilities") {
+    // reference bigrams: "the cat"×2, "cat sat", "cat ran";
+    // contexts: the→2, cat→2; V = 2; α = 0.5
+    val ref = docsDf((1L, "the cat sat"), (2L, "the cat ran"))
+    val out = TextStats.ngramLmScore(ref,
+      docsDf((10L, "the cat sat"), (11L, "zz qq"), (12L, "the"), (13L, "")),
+      alpha = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // "the cat": (2+.5)/(2+1) = 5/6; "cat sat": (1+.5)/3 = 1/2
+    assert(out(10L) === ((2L, r4((math.log(5.0 / 6) + math.log(0.5)) / 2))))
+    // both OOV bigrams in unseen contexts: (0+.5)/(0+1) = 1/2
+    assert(out(11L) === ((1L, r4(math.log(0.5)))))
+    // under two tokens → no bigrams, score pinned to 0.0
+    assert(out(12L) === ((0L, 0.0)))
+    assert(out(13L) === ((0L, 0.0)))
+  }
+
+  test("ngramLmScore: in-distribution text outscores shuffled out-of-vocabulary text") {
+    val ref = docsDf((1L to 20L).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog")): _*)
+    val out = TextStats.ngramLmScore(ref,
+      docsDf((100L, "the quick brown fox"), (101L, "xq zv qqq wz pf")))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out(100L) > out(101L))
+  }
 }
