@@ -1455,57 +1455,30 @@ object Dedup {
     * dedup action). Documents shorter than the window emit one
     * whole-document chunk; empty documents emit nothing.
     *
-    * Scale shape: chunking is a PER-DOCUMENT array pipeline — window
-    * fingerprints, boundary selection and chunk slicing are staged
-    * array columns inside one projection (no explode of windows, no
-    * join, no shuffle; each higher-order step references the previous
-    * MATERIALIZED array column, so nothing re-inlines quadratically),
-    * and the only exchange in the whole operator is the duplicate
-    * count on the chunk-fingerprint window — the d21 count-over-window
-    * shape, carrying ~one row per `modulus` tokens instead of one per
-    * token. */
+    * Scale shape: the whole per-document pipeline — window
+    * fingerprints, boundary selection, chunk slicing — is ONE native
+    * codegen'd kernel call ([[graft.plans.CdcChunksExpr]]; the staged
+    * higher-order-function formulation was linear but interpreted, a
+    * measured 4.5 s at gate scale vs sub-second for the kernel). No
+    * join, no shuffle; the only exchange in the operator is the
+    * duplicate count on the chunk-fingerprint window — the d21
+    * count-over-window shape, carrying ~one row per `modulus` tokens
+    * instead of one per token. */
   def contentDefinedChunks(docs: DataFrame, windowTokens: Int,
       modulus: Int): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
     require(modulus >= 2, "modulus < 2 would cut at every token")
-    val w = windowTokens
-    val chunks = docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("n", size(col("toks")))
-      // 60-bit fingerprint of every stride-1 window (start 0-based);
-      // empty when the doc is shorter than the window
-      .withColumn("fps",
-        when(col("n") >= w,
-          transform(sequence(lit(0), col("n") - w),
-            i => conv(substring(md5(concat_ws(" ",
-              slice(col("toks"), i + 1, lit(w)))), 1, 15), 16, 10)
-              .cast("long")))
-          .otherwise(array().cast("array<long>")))
-      // boundary END positions: window starting at i ends at i + w - 1
-      .withColumn("bends",
-        filter(
-          transform(col("fps"), (fp, i) =>
-            when(fp % modulus === 0, i + w - 1).otherwise(lit(-1))),
-          e => e >= 0))
-      // chunk end positions: content boundaries plus forced end-of-doc
-      // (array_distinct keeps first-occurrence order; bends is sorted
-      // ascending and bounded by n - 1, so the result stays sorted)
-      .withColumn("ends",
-        array_distinct(concat(col("bends"), array(col("n") - 1))))
-      .select(col("doc_id"), col("toks"), col("ends"),
-        posexplode(col("ends")).as(Seq("chunk_idx", "end")))
-      .withColumn("start",
-        when(col("chunk_idx") === 0, lit(0))
-          .otherwise(element_at(col("ends"), col("chunk_idx")) + 1))
-    val shaped = chunks.select(
-      col("doc_id"),
-      col("chunk_idx").cast("long").as("chunk_idx"),
-      col("start").cast("long").as("chunk_start"),
-      (col("end") - col("start") + 1).cast("long").as("chunk_len"),
-      conv(substring(md5(concat_ws(" ",
-        slice(col("toks"), col("start") + 1, col("end") - col("start") + 1))),
-        1, 15), 16, 10).cast("long").as("chunk_fp"))
+    val shaped = docs
+      .select(col("doc_id"),
+        graft.plans.CdcChunksExpr.chunks(col("text"), windowTokens, modulus)
+          .as("chunks"))
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_idx", "c")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.chunk_start").cast("long").as("chunk_start"),
+        col("c.chunk_len").cast("long").as("chunk_len"),
+        col("c.fp").as("chunk_fp"))
     shaped.withColumn("n_dups",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("chunk_fp"))))

@@ -54,12 +54,24 @@ object Retrieval {
     * ranking so the rank boundary is reproducible cross-engine; ties
     * break by ascending doc_id.
     *
+    * `maxDfFrac` is the scale guard-rail every lexical engine ships
+    * (Lucene's stopword elision / WAND's upper-bound skip): a query
+    * term appearing in more than that fraction of documents is dropped
+    * before scoring. Its idf — ln(1 + (N−df+0.5)/(df+0.5)) — is near
+    * zero precisely when df ≈ N, so the dropped contribution is noise,
+    * while the candidate row count it would have generated is df × its
+    * query frequency — the entire quadratic blow-up risk of dense
+    * terms. Default 1.0 (off) keeps exact textbook BM25 (what the gate
+    * oracle replays); production at 100 TB wants ~0.2.
+    *
     * Output: (query_id, doc_id, score, rank), rank 1..k per query. */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
       k1: Double = 1.2, b: Double = 0.75,
-      materializeIndex: Boolean = true): DataFrame = {
+      materializeIndex: Boolean = true,
+      maxDfFrac: Double = 1.0): DataFrame = {
     require(k > 0, "k must be positive")
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0,1]")
     // the postings aggregate feeds THREE consumers (dl derivation, df
     // counts, scoring) — shared lazy lineage would re-scan the corpus
     // per consumer (AQE re-prunes each copy; ReusedExchange does not
@@ -84,12 +96,19 @@ object Retrieval {
       .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"),
         "left_semi")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // inner join: corpus-absent terms would never produce a candidate
+    // row anyway, and df-pruned terms are the point of the guard-rail
+    val dfKept =
+      if (maxDfFrac >= 1.0) dfT
+      else dfT.crossJoin(broadcast(stats))
+        .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+        .select(col("term"), col("df"))
     val qidf = qterms
-      .join(dfT, Seq("term"), "left")
+      .join(dfKept, Seq("term"))
       .crossJoin(broadcast(stats))
       .select(col("query_id"), col("term"),
-        log(lit(1.0) + (col("n_docs") - coalesce(col("df"), lit(0L)) + 0.5) /
-          (coalesce(col("df"), lit(0L)) + 0.5)).as("idf"))
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"))
     val contrib = col("idf") * (col("tf") * (k1 + 1.0)) /
       (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
     val scored = post

@@ -793,15 +793,12 @@ object TextStats {
 
   /** Raw (multiplicity-preserving) word bigrams — [[Dedup.shingles]]
     * deduplicates for Jaccard, which would corrupt LANGUAGE-MODEL
-    * counts, so the LM path builds its own n-grams. Empty for docs
-    * under two tokens. */
-  private def rawBigrams(c: Column): Column = {
-    val toks = tokens(c)
-    when(size(toks) >= 2,
-      transform(sequence(lit(1), size(toks) - 1),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * counts, so the LM path uses the native [[graft.plans.NgramsExpr]]
+    * kernel (the HOF formulation re-inlines the tokenizer into the
+    * lambda — O(tokens²) per row, a measured 20 s model build at gate
+    * scale). Empty for docs under two tokens. */
+  private def rawBigrams(c: Column): Column =
+    graft.plans.NgramsExpr.ngrams(c, 2)
 
   /** N-gram language-model quality scoring — the CCNet/KenLM-style
     * perplexity filter: train a smoothed bigram LM on a REFERENCE slice

@@ -39,7 +39,16 @@ object GraftFunctions {
     ("shingles",
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
       (args: Seq[Expression]) =>
-        ShinglesExpr(args(0), intArg(args(1), "shingles"))))
+        ShinglesExpr(args(0), intArg(args(1), "shingles"))),
+    ("ngrams",
+      new ExpressionInfo(classOf[NgramsExpr].getName, "ngrams"),
+      (args: Seq[Expression]) =>
+        NgramsExpr(args(0), intArg(args(1), "ngrams"))),
+    ("cdc_chunks",
+      new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
+      (args: Seq[Expression]) =>
+        CdcChunksExpr(args(0), intArg(args(1), "cdc_chunks"),
+          intArg(args(2), "cdc_chunks"))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -405,3 +405,153 @@ object HyperplaneSignatureExpr {
       HyperplaneSignatureExpr(GraftSqlBridge.expression(c), signs))
   }
 }
+
+/** Native multiplicity-preserving word n-grams — [[ShinglesExpr]] minus
+  * the distinct (whose LinkedHashSet semantics are right for Jaccard but
+  * CORRUPT language-model counts: a repeated bigram must count every
+  * occurrence). The HOF formulation (`transform(sequence(1, size-1), i =>
+  * concat_ws(" ", element_at(toks, i), element_at(toks, i+1)))`) inlines
+  * the tokenize expression into the lambda body, re-running the regex
+  * split per ELEMENT — O(tokens²) per row, measured as a 20 s model build
+  * on the 5k-doc gate corpus. This kernel tokenizes once, emits inline
+  * Java, and keeps the stage in whole-stage codegen. */
+case class NgramsExpr(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramsExpr.ngramsOf(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.NgramsExpr.ngramsOf($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NgramsExpr {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def ngramsOf(text: UTF8String, n: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    if (toks.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ngrams(c: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(NgramsExpr(GraftSqlBridge.expression(c), n))
+  }
+}
+
+/** Native content-defined chunking: the complete per-document CDC
+  * pipeline — tokenize, stride-1 window fingerprints, mod-boundary
+  * selection, chunk slicing and chunk fingerprints — in ONE pass of
+  * tight Java. The staged higher-order-function formulation is linear
+  * (each stage references the previous materialized array column) but
+  * every lambda step is interpreted and each window/chunk fingerprint
+  * allocates through the generic md5 expression — measured 4.5 s on the
+  * 5k-doc gate corpus vs sub-second for the kernel.
+  *
+  * Fingerprints are the engine's cross-engine 60-bit identity: the
+  * first 15 hex digits of md5 of the space-joined tokens, as a long —
+  * bit-identical to `conv(substr(md5(x),1,15),16,10)` and to DuckDB's
+  * `CAST('0x' || substr(md5(x),1,15) AS BIGINT)`.
+  *
+  * Output: array of (chunk_start, chunk_len, fp) structs; empty array
+  * for empty documents; one whole-document chunk when the document is
+  * shorter than the window. A chunk boundary falls after token i
+  * exactly when the fingerprint of the window ENDING at i is ≡ 0 mod
+  * `modulus`, plus the forced end-of-document boundary. */
+case class CdcChunksExpr(child: Expression, windowTokens: Int, modulus: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = CdcChunksExpr.outType
+
+  override protected def nullSafeEval(input: Any): Any =
+    CdcChunksExpr.chunksOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      windowTokens, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.plans.CdcChunksExpr.chunksOf($a, $windowTokens, $modulus)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunksExpr {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  val outType: DataType = ArrayType(StructType(Seq(
+    StructField("chunk_start", IntegerType, nullable = false),
+    StructField("chunk_len", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+
+  /** First 15 hex digits of md5(s) as a long: 8 digest bytes hold 16 hex
+    * digits; dropping the low nibble keeps exactly the leading 15. */
+  private def md560(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  private def joinRange(toks: Array[String], from: Int, to: Int): String = {
+    val sb = new java.lang.StringBuilder(toks(from))
+    var i = from + 1
+    while (i <= to) { sb.append(' ').append(toks(i)); i += 1 }
+    sb.toString
+  }
+
+  def chunksOf(text: UTF8String, w: Int, modulus: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // boundary END positions (content boundaries), then forced end-of-doc
+    val ends = new scala.collection.mutable.ArrayBuffer[Int]()
+    var i = 0
+    while (i <= n - w) {
+      if (md560(md, joinRange(toks, i, i + w - 1)) % modulus == 0)
+        ends += (i + w - 1)
+      i += 1
+    }
+    if (ends.isEmpty || ends.last != n - 1) ends += (n - 1)
+    val out = new Array[Any](ends.length)
+    var start = 0
+    var c = 0
+    while (c < ends.length) {
+      val end = ends(c)
+      out(c) = InternalRow(start, end - start + 1,
+        md560(md, joinRange(toks, start, end)))
+      start = end + 1
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def chunks(c: Column, windowTokens: Int, modulus: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      CdcChunksExpr(GraftSqlBridge.expression(c), windowTokens, modulus))
+  }
+}

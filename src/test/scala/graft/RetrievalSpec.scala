@@ -84,6 +84,26 @@ class RetrievalSpec extends SparkSpec {
       results(18L -> "banana").map(r => (r._2, r._3)).toSeq)
   }
 
+  test("maxDfFrac prunes dense terms: equal to querying without them") {
+    // "the" appears in every document (df 4/4); at maxDfFrac 0.5 a query
+    // mentioning it must score exactly as if the term were never asked
+    val dense = LocalTable.of(spark, docSchema, Seq(
+      Row(1L, "the apple banana banana"),
+      Row(2L, "the apple cherry"),
+      Row(3L, "the cherry cherry cherry"),
+      Row(4L, "the durian apple")))
+    val pruned = Retrieval.bm25TopK(dense, queries(20L -> "the banana"),
+      k = 5, maxDfFrac = 0.5).collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    val without = Retrieval.bm25TopK(dense, queries(20L -> "banana"), k = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(pruned.toSeq === without.toSeq)
+    // and untouched (default 1.0) still scores the dense term
+    val full = Retrieval.bm25TopK(dense, queries(20L -> "the banana"), k = 5)
+      .collect()
+    assert(full.length === 4, "dense term matches every doc when not pruned")
+  }
+
   test("postings: tokenization is lowercased, multiplicity-preserving counts") {
     val p = Retrieval.postings(LocalTable.of(spark, docSchema,
       Seq(Row(9L, "The the  THE cat"))))
