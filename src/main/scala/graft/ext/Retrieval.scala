@@ -125,6 +125,57 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Second retriever for hybrid search: per-query top-k documents by
+    * DISTINCT word-n-gram overlap with the query ([[Dedup.shingles]]
+    * sets on both sides — the d28 containment signal turned into a
+    * ranking). Query n-grams broadcast; only documents sharing at
+    * least one n-gram are ranked. Output: (query_id, doc_id, rank). */
+  def ngramOverlapTopK(docs: DataFrame, queries: DataFrame, n: Int,
+      k: Int): DataFrame = {
+    require(n > 0 && k > 0, "n and k must be positive")
+    val qng = queries.select(col("query_id"),
+      explode(Dedup.shingles(lower(col("text")), n)).as("ng"))
+    val dng = docs.select(col("doc_id"),
+      explode(Dedup.shingles(lower(col("text")), n)).as("ng"))
+    val ov = dng.join(broadcast(qng), Seq("ng"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("overlap").desc, col("doc_id").asc)
+    ov.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion — the standard hybrid-search combiner
+    * (sparse BM25 ⊕ dense ANN ⊕ any other ranking): each input ranking
+    * contributes `1/(kRrf + rank)` for the documents it ranked, fused
+    * scores re-rank, top-k survives. Rankings need not agree on the
+    * candidate set — a document absent from one ranking simply gets no
+    * contribution from it, which is RRF's whole point (no score
+    * calibration across heterogeneous retrievers, only ranks).
+    *
+    * Scale shape: inputs are already per-query top-k — query-set-sized,
+    * never corpus-sized — so the union + fused aggregate + re-rank all
+    * run on |queries| × k × #rankings rows. Deterministic: fused
+    * scores round to 6 before ranking; ties break by ascending doc_id. */
+  def rrfFuse(rankings: Seq[DataFrame], kRrf: Int = 60,
+      topK: Int = 10): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(kRrf >= 1 && topK >= 1, "kRrf and topK must be positive")
+    val u = rankings
+      .map(_.select(col("query_id"), col("doc_id"), col("rank")))
+      .reduce(_.unionByName(_))
+    val fused = u.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(lit(1.0) / (lit(kRrf.toDouble) + col("rank"))), 6)
+        .as("rrf_score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_score").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rrf_score"), col("rank"))
+  }
+
   // ---- catalog queries -----------------------------------------------
 
   /** BM25 gate: the md5 "qry:" bucket splits documents 95/5 — the 95%
@@ -193,5 +244,111 @@ object Retrieval {
         queries, k = 5)
     })
 
-  val all: Seq[Q] = Seq(s09Bm25TopK)
+  /** Hybrid-retrieval gate: the s09 BM25 ranking fused (RRF, k=60) with
+    * a 3-gram-overlap ranking over the same 95/5 corpus/query split —
+    * the two-retriever shape of production hybrid search with the dense
+    * leg stood in by the n-gram retriever (both are rank sources to
+    * RRF; it never sees scores). */
+  val s10RrfFusion: Q = Q(
+    "s10_rrf_fusion",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('qry:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      corpus AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM b WHERE bucket < 95),
+      queries AS (
+        SELECT doc_id AS query_id,
+               regexp_split_to_array(trim(lower(text)), '\s+')[1:6] AS qtoks
+        FROM b WHERE bucket >= 95 AND length(trim(text)) > 0),
+      post AS (
+        SELECT doc_id, u.term AS term, count(*) AS tf
+        FROM corpus, unnest(corpus.toks) AS u(term)
+        GROUP BY 1, 2),
+      dls AS (SELECT doc_id, sum(tf) AS dl FROM post GROUP BY 1),
+      stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dls),
+      qterms AS (
+        SELECT DISTINCT query_id, u.term AS term
+        FROM queries, unnest(queries.qtoks) AS u(term)),
+      dft AS (
+        SELECT term, count(*) AS df FROM post
+        WHERE term IN (SELECT term FROM qterms) GROUP BY 1),
+      qidf AS (
+        SELECT q.query_id, q.term,
+               ln(1.0 + (s.n_docs - coalesce(d.df, 0) + 0.5) / (coalesce(d.df, 0) + 0.5)) AS idf
+        FROM qterms q LEFT JOIN dft d USING (term) CROSS JOIN stats s),
+      scored AS (
+        SELECT qi.query_id, p.doc_id,
+               round(sum(qi.idf * (p.tf * 2.2) /
+                 (p.tf + 1.2 * (1.0 - 0.75 + 0.75 * dls.dl / s.avgdl))), 4) AS score
+        FROM post p
+        JOIN qidf qi USING (term)
+        JOIN dls USING (doc_id)
+        CROSS JOIN stats s
+        GROUP BY 1, 2),
+      bm25r AS (
+        SELECT query_id, doc_id, rank
+        FROM (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id ASC) AS rank
+              FROM scored) t
+        WHERE rank <= 5),
+      dng AS (
+        SELECT DISTINCT doc_id, u.ng AS ng
+        FROM (SELECT doc_id,
+                     CASE WHEN len(toks) < 3 THEN []
+                          ELSE list_transform(generate_series(1, len(toks) - 2),
+                                 i -> array_to_string(toks[i:i+2], ' ')) END AS ngs
+              FROM corpus) d, unnest(d.ngs) AS u(ng)),
+      qng AS (
+        SELECT DISTINCT query_id, u.ng AS ng
+        FROM (SELECT query_id,
+                     CASE WHEN len(qtoks) < 3 THEN []
+                          ELSE list_transform(generate_series(1, len(qtoks) - 2),
+                                 i -> array_to_string(qtoks[i:i+2], ' ')) END AS ngs
+              FROM queries) q, unnest(q.ngs) AS u(ng)),
+      ov AS (
+        SELECT q.query_id, d.doc_id, count(*) AS overlap
+        FROM dng d JOIN qng q USING (ng)
+        GROUP BY 1, 2),
+      ngr AS (
+        SELECT query_id, doc_id, rank
+        FROM (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY overlap DESC, doc_id ASC) AS rank
+              FROM ov) t
+        WHERE rank <= 5),
+      fused AS (
+        SELECT query_id, doc_id,
+               round(sum(1.0 / (60.0 + rank)), 6) AS rrf_score
+        FROM (SELECT * FROM bm25r UNION ALL SELECT * FROM ngr) u
+        GROUP BY 1, 2)
+      SELECT query_id, doc_id, rrf_score, rank
+      FROM (SELECT query_id, doc_id, rrf_score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC, doc_id ASC) AS rank
+            FROM fused) t
+      WHERE rank <= 5
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("qry:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val corpus = docs.filter(col("bucket") < 95)
+        .select(col("doc_id"), col("text"))
+      val queries = docs.filter(col("bucket") >= 95)
+        .select(col("doc_id").as("query_id"),
+          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 6)).as("text"))
+        .filter(length(col("text")) > 0)
+      rrfFuse(Seq(
+        bm25TopK(corpus, queries, k = 5),
+        ngramOverlapTopK(corpus, queries, n = 3, k = 5)), kRrf = 60, topK = 5)
+    })
+
+  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion)
 }

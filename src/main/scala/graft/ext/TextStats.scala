@@ -914,9 +914,49 @@ object TextStats {
         alpha = 0.5)
     })
 
+  /** BPE-ish pre-tokenizer regex (the GPT-2 pretokenizer family,
+    * restricted to a subset RE2 and java.util.regex count identically:
+    * no lookahead, ASCII classes): a token is an optionally
+    * space-prefixed letter run, digit run, or punctuation run.
+    * Whitespace itself is never a token. */
+  val BpeTokenRe: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** Subword-style token count under [[BpeTokenRe]] — the LLM-cost
+    * tokenizer proxy ("BPE-ish regex" counting next to d01's whitespace
+    * counting). */
+  def bpeTokenCount(c: Column): Column = regexp_count(c, lit(BpeTokenRe))
+
+  /** Tokenizer-fertility gate: whitespace words vs BPE-ish tokens per
+    * document plus their ratio — the tokens-per-word fertility metric
+    * tokenizer QA and training-cost estimates rank corpora by (digit-
+    * and punctuation-heavy text fragments; prose stays near 1.0). A
+    * pure codegen'd projection, zero exchanges before the write. */
+  val d33BpeTokenStats: Q = Q(
+    "d33_bpe_token_stats",
+    Some("""
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS INTEGER) AS n_words,
+             CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INTEGER) AS n_bpe,
+             round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+                   ELSE CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS DOUBLE)
+                        / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS fertility
+      FROM documents
+    """),
+    (s, dir) => {
+      val nWords = tokenCount(col("text"))
+      val nBpe = bpeTokenCount(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        nBpe.as("n_bpe"),
+        round(when(nWords > 0, nBpe.cast("double") / nWords.cast("double"))
+          .otherwise(lit(0.0)), 4).as("fertility"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
-    d29SourceMixing, d30CurationPipeline, d31NgramLmScore)
+    d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats)
 }

@@ -297,6 +297,11 @@ class PlanSpec extends SparkSpec {
     assert(n === 1, executed.take(1200))
   }
 
+  test("d33: tokenizer-fertility stats are a pure exchange-free projection") {
+    val p = physical(run("d33_bpe_token_stats"))
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(800))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(

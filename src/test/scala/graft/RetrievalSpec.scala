@@ -104,6 +104,45 @@ class RetrievalSpec extends SparkSpec {
     assert(full.length === 4, "dense term matches every doc when not pruned")
   }
 
+  test("rrfFuse: hand-checked fusion of overlapping and disjoint rankings") {
+    val rankSchema = StructType(Seq(
+      StructField("query_id", LongType), StructField("doc_id", LongType),
+      StructField("rank", LongType)))
+    def ranking(rows: (Long, Long, Long)*) =
+      LocalTable.of(spark, rankSchema,
+        rows.map { case (q, d, r) => Row(q, d, r) })
+    // ranking A: doc 1 first, doc 2 second; ranking B: doc 2 first, doc 3 second
+    val fused = Retrieval.rrfFuse(Seq(
+      ranking((1L, 1L, 1L), (1L, 2L, 2L)),
+      ranking((1L, 2L, 1L), (1L, 3L, 2L))), kRrf = 60, topK = 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getLong(3)))
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc 2 appears in both (ranks 2 and 1) and must fuse to the top
+    assert(fused.toSeq === Seq(
+      (2L, r6(1.0 / 62 + 1.0 / 61), 1L),
+      (1L, r6(1.0 / 61), 2L),
+      (3L, r6(1.0 / 62), 3L)))
+    // equal single contributions tie-break by ascending doc_id
+    val tie = Retrieval.rrfFuse(Seq(
+      ranking((1L, 7L, 1L), (1L, 4L, 2L)),
+      ranking((1L, 9L, 1L))), kRrf = 60, topK = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(tie.toSeq === Seq((7L, 1L), (9L, 2L)))
+  }
+
+  test("ngramOverlapTopK: distinct-n-gram overlap ranking") {
+    val docs = LocalTable.of(spark, docSchema, Seq(
+      Row(1L, "alpha beta gamma delta"),
+      Row(2L, "alpha beta gamma zzz"),
+      Row(3L, "totally unrelated words here")))
+    val out = Retrieval.ngramOverlapTopK(docs,
+      queries(1L -> "alpha beta gamma delta"), n = 3, k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // doc 1 shares both 3-grams, doc 2 one, doc 3 none (absent)
+    assert(out.toSeq === Seq((1L, 1L), (2L, 2L)))
+  }
+
   test("postings: tokenization is lowercased, multiplicity-preserving counts") {
     val p = Retrieval.postings(LocalTable.of(spark, docSchema,
       Seq(Row(9L, "The the  THE cat"))))

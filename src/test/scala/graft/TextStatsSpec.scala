@@ -202,6 +202,18 @@ class TextStatsSpec extends SparkSpec {
       other.map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("bpeTokenCount: letter/digit/punctuation runs with optional space prefix") {
+    val out = docsDf((1L, "don't stop 123 now!!"), (2L, ""), (3L, "   "),
+      (4L, "abc"))
+      .select(col("doc_id"), TextStats.bpeTokenCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // don | ' | t | " stop" | " 123" | " now" | !!
+    assert(out(1L) === 7)
+    assert(out(2L) === 0)
+    assert(out(3L) === 0)
+    assert(out(4L) === 1)
+  }
+
   test("ngramLmScore: hand-checked smoothed bigram probabilities") {
     // reference bigrams: "the cat"×2, "cat sat", "cat ran";
     // contexts: the→2, cat→2; V = 2; α = 0.5
