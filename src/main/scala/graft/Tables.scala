@@ -22,13 +22,25 @@ object Tables {
     // sessions get it without builder cooperation; idempotent per session
     graft.plans.GraftRuntime.ensure(spark)
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read it as raw nanos and re-expose micros below.
+      // Some corpus generations write events.ts as parquet TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects; others write TIMESTAMP(MICROS),
+      // which reads natively. Handle both: read nanos as raw longs and
+      // re-expose micros, pass native timestamps through untouched.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // Engine contract is session-zoned TimestampType (UTC session);
+          // NTZ wall-clock → identical epoch micros under UTC.
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts")
+              .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 }
