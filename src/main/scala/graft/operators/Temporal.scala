@@ -421,9 +421,112 @@ object Temporal {
         .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
     })
 
+  /** Ordered funnel over an event stream — greedy-earliest semantics:
+    * stage 1 completes at the user's first `steps(0)` event, stage k at
+    * the first `steps(k-1)` event STRICTLY after stage k-1's completion.
+    * Emits one row per user: each stage's completion time (NULL when
+    * never reached) plus the completed-stage count.
+    *
+    * Scale shape: ONE shuffle on the user key — each later stage's
+    * candidate timestamps ride the same aggregate as a collected array
+    * and the ordered constraint resolves with a per-user linear
+    * `filter`/`array_min` pass (bounded by that user's event count; no
+    * per-stage re-join of the corpus, which would be k shuffles). A
+    * pathological bot user concentrates its own events on one task but
+    * never another key's — the blast radius of skew is one user's array,
+    * the mitigation (pre-cap events per user per stage) composes as a
+    * filter before this operator. */
+  def funnel(events: DataFrame, steps: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      typeCol: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val base = events.filter(col(typeCol).isin(steps: _*))
+    val agged = base.groupBy(col(userCol)).agg(
+      min(when(col(typeCol) === steps.head, col(tsCol))).as("t1_us"),
+      steps.tail.zipWithIndex.map { case (st, i) =>
+        collect_list(when(col(typeCol) === st, col(tsCol))).as(s"a${i + 2}")
+      }: _*)
+    // null-safe by construction: an unreached previous stage makes the
+    // lambda predicate NULL, filter drops every element, array_min of the
+    // empty array is NULL — unreached-ness propagates down the funnel.
+    val filled = (2 to steps.size).foldLeft(agged) { (df, k) =>
+      df.withColumn(s"t${k}_us",
+        array_min(filter(col(s"a$k"), x => x > col(s"t${k - 1}_us"))))
+    }
+    val stages = (1 to steps.size)
+      .map(k => col(s"t${k}_us").isNotNull.cast("int")).reduce(_ + _)
+    filled.select(
+      col(userCol) +: (1 to steps.size).map(k => col(s"t${k}_us")) :+
+        stages.as("stages_completed"): _*)
+  }
+
+  /** view → click → purchase conversion funnel per user. */
+  val q50Funnel: Q = Q(
+    "q50_funnel",
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      u AS (SELECT DISTINCT user_id FROM e),
+      s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+             GROUP BY e.user_id)
+      SELECT u.user_id, s1.t1 AS t1_us, s2.t2 AS t2_us, s3.t3 AS t3_us,
+             CAST(CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END
+                + CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END
+               AS INTEGER) AS stages_completed
+      FROM u LEFT JOIN s1 ON s1.user_id = u.user_id
+             LEFT JOIN s2 ON s2.user_id = u.user_id
+             LEFT JOIN s3 ON s3.user_id = u.user_id
+    """),
+    (s, dir) => funnel(
+      ev(s, dir).select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_type")),
+      Seq("view", "click", "purchase")))
+
+  /** Retention cohorts — users cohorted by first-active day, activity
+    * counted at each day offset from the cohort day (the classic
+    * triangle retention matrix). Scale shape: the corpus collapses to
+    * distinct (user, day) FIRST (one exchange, map-side combine via
+    * partial-distinct), the cohort day is a min-window over the already
+    * deduplicated activity (partition by user — no corpus re-scan, no
+    * join back), and the final rollup groups the deduped rows. Every
+    * exchange after the first moves activity-days, never raw events. */
+  val q51RetentionCohorts: Q = Q(
+    "q51_retention_cohorts",
+    Some("""
+      WITH daily AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      c AS (SELECT user_id, min(day) AS cohort_day FROM daily GROUP BY 1)
+      SELECT c.cohort_day,
+             CAST(d.day - c.cohort_day AS INTEGER) AS day_offset,
+             count(*) AS active_users
+      FROM daily d JOIN c ON c.user_id = d.user_id
+      GROUP BY 1, 2
+    """),
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val wu = Window.partitionBy(col("user_id"))
+      daily
+        .withColumn("cohort_day", min(col("day")).over(wu))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("active_users"))
+    })
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
-    q46ResampleFfill, q49IntervalBucketJoin)
+    q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts)
 }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.Temporal
+
+/** Funnel + retention-cohort semantics on synthetic event streams —
+  * the oracle gate (q50/q51) proves corpus agreement with DuckDB; these
+  * pin the edge semantics the corpus may never exercise. */
+class TemporalSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("event_type", StringType)))
+
+  private def events(rows: (Long, Long, String)*) =
+    LocalTable.of(spark, schema,
+      rows.map { case (u, t, e) => Row(u, t, e) })
+
+  private def row(df: org.apache.spark.sql.DataFrame, user: Long): Row =
+    df.filter(col("user_id") === user).collect()(0)
+
+  test("funnel: greedy-earliest ordered matching per user") {
+    val f = Temporal.funnel(events(
+      // u1 completes all three in order
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2: click precedes the first view — stage 2 never completes even
+      // though a click exists; the later purchase cannot count either
+      (2L, 10L, "click"), (2L, 20L, "view"), (2L, 30L, "purchase"),
+      // u3: greedy takes the FIRST view (5) then first click AFTER it (15),
+      // not the later view/click pair
+      (3L, 5L, "view"), (3L, 15L, "click"), (3L, 40L, "view"), (3L, 50L, "click")),
+      Seq("view", "click", "purchase"))
+    val r1 = row(f, 1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3), r1.getInt(4)) === ((10L, 20L, 30L, 3)))
+    val r2 = row(f, 2L)
+    assert(r2.getLong(1) === 20L)
+    assert(r2.isNullAt(2) && r2.isNullAt(3))
+    assert(r2.getInt(4) === 1)
+    val r3 = row(f, 3L)
+    assert((r3.getLong(1), r3.getLong(2)) === ((5L, 15L)))
+    assert(r3.getInt(4) === 2)
+  }
+
+  test("funnel: strict ordering — a tie does not advance the stage") {
+    val f = Temporal.funnel(events(
+      (1L, 10L, "view"), (1L, 10L, "click"), (1L, 11L, "click")),
+      Seq("view", "click"))
+    val r = row(f, 1L)
+    // the click at ts==10 is NOT strictly after the view; the one at 11 is
+    assert(r.getLong(2) === 11L)
+  }
+
+  test("funnel: user with no first-step events still appears, zero stages") {
+    val f = Temporal.funnel(events((1L, 10L, "purchase")),
+      Seq("view", "click", "purchase"))
+    val r = row(f, 1L)
+    assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+    assert(r.getInt(4) === 0)
+  }
+
+  test("funnel: generalizes beyond three steps") {
+    val f = Temporal.funnel(events(
+      (1L, 1L, "a"), (1L, 2L, "b"), (1L, 3L, "c"), (1L, 4L, "d"),
+      (2L, 1L, "a"), (2L, 2L, "b"), (2L, 3L, "d")),
+      Seq("a", "b", "c", "d"))
+    assert(row(f, 1L).getInt(5) === 4)
+    val r2 = row(f, 2L)
+    // u2 skips c: the d at ts=3 cannot count without a completed c
+    assert(r2.getInt(5) === 2)
+    assert(r2.isNullAt(3) && r2.isNullAt(4))
+  }
+
+  test("retention cohorts: gate query shape on the corpus") {
+    val got = Temporal.q51RetentionCohorts.run(spark, "/root/testdata/sf0.001")
+      .collect()
+    // offset 0 row exists for every cohort day and counts its own cohort
+    val day0 = got.filter(_.getInt(1) == 0).map(_.getLong(2)).sum
+    val users = Tables(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id")).distinct().count()
+    assert(day0 === users, "every user is active on their own cohort day")
+    // no negative offsets by construction
+    assert(got.forall(_.getInt(1) >= 0))
+  }
+}
