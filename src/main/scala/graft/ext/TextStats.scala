@@ -954,9 +954,258 @@ object TextStats {
           .otherwise(lit(0.0)), 4).as("fertility"))
     })
 
+  /** 60-bit md5 feature-hash bucket — the cross-engine identity every
+    * dedup/sampling operator uses, here for feature hashing. */
+  private def featBucket(g: Column, buckets: Int): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Hashed uni+bigram features of a text column (the DSIR feature
+    * space): token and bigram occurrences, multiplicity-preserving,
+    * through the native n-gram kernels. Empty text → empty array. */
+  private def hashedNgramFeatures(c: Column): Column =
+    concat(graft.plans.NgramsExpr.ngrams(c, 1),
+      graft.plans.NgramsExpr.ngrams(c, 2))
+
+  /** DSIR-style importance weights (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023 — public):
+    * score every raw document by how target-like its hashed n-gram
+    * distribution is. Features are uni+bigram occurrences hashed into
+    * `buckets` cells; bucket unigram models of the target and raw
+    * corpora (add-α smoothed) give each document the log importance
+    * weight `Σ_g ln p_tgt(bucket(g)) − ln p_raw(bucket(g))`. Selecting
+    * top-weight (or Gumbel-resampling on the weight) yields the
+    * target-matched subcorpus.
+    *
+    * Scale shape: each corpus is scanned ONCE into a `buckets`-row
+    * count table (map-side combinable — hot buckets partial-aggregate
+    * per task); the two tables full-outer-merge into the model, which
+    * is materialized (three lazy consumers would re-scan text under
+    * AQE re-pruning) and broadcast into the single scoring scan; the
+    * per-doc weight collapses map-side. Nothing but the B-row model
+    * ever moves between stages. */
+  def dsirWeights(raw: DataFrame, target: DataFrame, docs: DataFrame,
+      buckets: Int = 64, alpha: Double = 0.5,
+      materializeModel: Boolean = true): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
+    def dist(df: DataFrame): DataFrame = df
+      .select(explode(hashedNgramFeatures(lower(col("text")))).as("g"))
+      .select(featBucket(col("g"), buckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+    val model0 = dist(raw).withColumnRenamed("cnt", "c_raw")
+      .join(dist(target).withColumnRenamed("cnt", "c_tgt"),
+        Seq("bucket"), "full_outer")
+      .na.fill(0L, Seq("c_raw", "c_tgt"))
+    val model = if (materializeModel) model0.localCheckpoint() else model0
+    val totals = model.agg(
+      sum(col("c_raw")).cast("double").as("n_raw"),
+      sum(col("c_tgt")).cast("double").as("n_tgt"))
+    val aB = lit(alpha) * buckets
+    // null-gram sentinel rows (explode_outer on an empty-feature doc) must
+    // not take the unseen-bucket branch — they contribute nothing
+    val lw = when(col("g").isNull, lit(null).cast("double")).otherwise(
+      log((coalesce(col("c_tgt"), lit(0L)) + alpha) / (col("n_tgt") + aB)) -
+      log((coalesce(col("c_raw"), lit(0L)) + alpha) / (col("n_raw") + aB)))
+    docs
+      .select(col("doc_id"),
+        explode_outer(hashedNgramFeatures(lower(col("text")))).as("g"))
+      .withColumn("bucket", featBucket(col("g"), buckets))
+      .join(broadcast(model), Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(count(col("g")).as("n_feats"),
+        coalesce(round(sum(lw), 4), lit(0.0)).as("log_weight"))
+  }
+
+  /** DSIR gate: target distribution = the English slice, raw = the whole
+    * corpus; every document scored. English documents score high by
+    * construction — the resampling filter this feeds would recover an
+    * English-like mixture from the multilingual corpus. */
+  val d34DsirWeights: Q = Q(
+    "d34_dsir_weights",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM documents),
+      f AS (
+        SELECT doc_id, lang,
+               toks || CASE WHEN len(toks) < 2 THEN []
+                            ELSE list_transform(generate_series(1, len(toks) - 1),
+                                                i -> toks[i] || ' ' || toks[i+1]) END AS fs
+        FROM tok),
+      ex AS (
+        SELECT doc_id, lang,
+               CAST(concat('0x', substr(md5(u.g), 1, 15)) AS BIGINT) % 64 AS bucket
+        FROM f, unnest(f.fs) AS u(g)),
+      rawd AS (SELECT bucket, count(*) AS c_raw FROM ex GROUP BY 1),
+      tgtd AS (SELECT bucket, count(*) AS c_tgt FROM ex WHERE lang = 'en' GROUP BY 1),
+      tot AS (SELECT (SELECT CAST(count(*) AS DOUBLE) FROM ex) AS n_raw,
+                     (SELECT CAST(count(*) AS DOUBLE) FROM ex WHERE lang = 'en') AS n_tgt),
+      scored AS (
+        SELECT ex.doc_id, count(*) AS n_feats,
+               round(sum(ln((coalesce(t.c_tgt, 0) + 0.5) / (tot.n_tgt + 0.5 * 64))
+                       - ln((coalesce(r.c_raw, 0) + 0.5) / (tot.n_raw + 0.5 * 64))), 4) AS log_weight
+        FROM ex LEFT JOIN rawd r USING (bucket)
+                LEFT JOIN tgtd t USING (bucket)
+        CROSS JOIN tot
+        GROUP BY 1)
+      SELECT k.doc_id, coalesce(s.n_feats, 0) AS n_feats,
+             coalesce(s.log_weight, 0.0) AS log_weight
+      FROM documents k LEFT JOIN scored s ON s.doc_id = k.doc_id
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      dsirWeights(
+        raw = docs.select(col("text")),
+        target = docs.filter(col("lang") === "en").select(col("text")),
+        docs = docs.select(col("doc_id"), col("text")))
+    })
+
+  /** Hashed-feature logistic-regression text classifier — the
+    * fastText-style quality/domain classifier of published curation
+    * pipelines (CCNet wiki-vs-crawl, Llama-style quality filters),
+    * trained IN the engine with full-batch gradient descent expressed
+    * as DataFrame aggregates. Features: hashed unigram counts
+    * (`buckets` cells, the same 60-bit md5 identity as every other
+    * operator). Each iteration is two distributed passes over the
+    * materialized feature table — score (one shuffle on doc id, the
+    * plan-literal weight vector rides into the scan like the k-means
+    * centroid matrices) and gradient (one shuffle on bucket, collapsing
+    * map-side to ≤ buckets rows). The collected gradient is a bounded
+    * model artifact (≤ buckets+1 doubles/iteration), never corpus data.
+    *
+    * Cross-engine determinism: the per-doc margin is rounded to 9
+    * decimals before the sigmoid, per-doc probabilities to 6 before the
+    * gradient, and the mean gradient to 9 before the weight update —
+    * double-summation order can therefore never leak past rounding, so
+    * the trained weights are bit-identical across engines and partition
+    * counts (the property the gate's unrolled-SQL oracle checks). */
+  def trainHashedLogReg(labeled: DataFrame, textCol: String,
+      labelCol: String, idCol: String = "doc_id", buckets: Int = 64,
+      iters: Int = 2, lr: Double = 0.1): (Array[Double], Double) = {
+    require(iters >= 1 && buckets > 0 && lr > 0)
+    val feats = labeled
+      .select(col(idCol), col(labelCol).cast("double").as("y"),
+        explode_outer(graft.plans.NgramsExpr.ngrams(lower(col(textCol)), 1)).as("g"))
+      .withColumn("bucket",
+        when(col("g").isNotNull, featBucket(col("g"), buckets)))
+      .groupBy(col(idCol), col("y"), col("bucket"))
+      .agg(count(col("g")).cast("double").as("x"))
+      .localCheckpoint() // scanned twice per iteration
+    val nDocs = feats.select(col(idCol)).distinct().count().toDouble
+    val w = Array.fill(buckets)(0.0)
+    var bias = 0.0
+    for (_ <- 1 to iters) {
+      val wLit = typedLit(w.toSeq)
+      val scored = feats
+        .withColumn("wx", when(col("bucket").isNotNull,
+          element_at(wLit, col("bucket").cast("int") + 1) * col("x"))
+          .otherwise(lit(0.0)))
+        .groupBy(col(idCol), col("y"))
+        .agg(round(sum(col("wx")), 9).as("z"))
+        .withColumn("p", round(
+          lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(bias)))), 6))
+        .withColumn("r", col("p") - col("y"))
+        .localCheckpoint() // feeds both gradient aggregates
+      val grad = feats.filter(col("bucket").isNotNull)
+        .join(scored.select(col(idCol), col("r")), Seq(idCol))
+        .groupBy(col("bucket"))
+        .agg(round(sum(col("r") * col("x")) / nDocs, 9).as("g"))
+        .collect()
+      val g0 = scored.agg(round(sum(col("r")) / nDocs, 9).as("g0"))
+        .collect()(0).getDouble(0)
+      grad.foreach { r0 =>
+        val b = r0.getLong(0).toInt
+        w(b) = w(b) - lr * r0.getDouble(1)
+      }
+      bias = bias - lr * g0
+    }
+    (w, bias)
+  }
+
+  /** Score documents under a trained hashed-LR model — one scan, the
+    * weight vector a plan literal, collapse map-side per doc. */
+  def scoreHashedLogReg(docs: DataFrame, textCol: String,
+      weights: Array[Double], bias: Double,
+      idCol: String = "doc_id"): DataFrame = {
+    val buckets = weights.length
+    val wLit = typedLit(weights.toSeq)
+    docs
+      .select(col(idCol),
+        explode_outer(graft.plans.NgramsExpr.ngrams(lower(col(textCol)), 1)).as("g"))
+      .withColumn("wx", when(col("g").isNotNull,
+        element_at(wLit, featBucket(col("g"), buckets).cast("int") + 1))
+        .otherwise(lit(0.0)))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("wx")), 9).as("z"))
+      .select(col(idCol),
+        round(lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(bias)))), 4).as("score"))
+  }
+
+  /** Classifier gate: learn "is this document English?" from hashed
+    * unigrams (2 GD iterations, lr 0.1, 64 buckets), score every doc.
+    * The oracle unrolls the identical two iterations in SQL — proving
+    * the distributed training loop, not just the scoring pass. */
+  val d35HashedLogReg: Q = Q(
+    "d35_hashed_logreg",
+    Some("""
+      WITH d AS (
+        SELECT doc_id,
+               CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+               text
+        FROM documents),
+      tok AS (
+        SELECT doc_id, y,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM d),
+      fx AS (
+        SELECT doc_id, y, bucket, CAST(count(*) AS DOUBLE) AS x
+        FROM (SELECT doc_id, y,
+                     CAST(concat('0x', substr(md5(u.t), 1, 15)) AS BIGINT) % 64 AS bucket
+              FROM tok, unnest(toks) AS u(t))
+        GROUP BY 1, 2, 3),
+      n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+      r1 AS (SELECT doc_id, y, 0.5 - y AS r FROM d),
+      g1 AS (SELECT bucket, round(sum(r1.r * fx.x) / n.n, 9) AS g
+             FROM fx JOIN r1 USING (doc_id) CROSS JOIN n GROUP BY bucket, n.n),
+      b1 AS (SELECT round(sum(r) / n.n, 9) AS g0 FROM r1 CROSS JOIN n GROUP BY n.n),
+      z2 AS (SELECT fx.doc_id, round(sum(fx.x * (-0.1 * g1.g)), 9) AS z
+             FROM fx JOIN g1 USING (bucket) GROUP BY 1),
+      p2 AS (SELECT d.doc_id, d.y,
+                    round(1.0 / (1.0 + exp(-(coalesce(z2.z, 0.0) + (-0.1 * b1.g0)))), 6) AS p
+             FROM d LEFT JOIN z2 USING (doc_id) CROSS JOIN b1),
+      r2 AS (SELECT doc_id, y, p - y AS r FROM p2),
+      g2 AS (SELECT bucket, round(sum(r2.r * fx.x) / n.n, 9) AS g
+             FROM fx JOIN r2 USING (doc_id) CROSS JOIN n GROUP BY bucket, n.n),
+      b2 AS (SELECT round(sum(r) / n.n, 9) AS g0 FROM r2 CROSS JOIN n GROUP BY n.n),
+      w2 AS (SELECT g1.bucket, (-0.1 * g1.g) - (0.1 * g2.g) AS w
+             FROM g1 JOIN g2 USING (bucket)),
+      z3 AS (SELECT fx.doc_id, round(sum(fx.x * w2.w), 9) AS z
+             FROM fx JOIN w2 USING (bucket) GROUP BY 1),
+      bias AS (SELECT (-0.1 * b1.g0) - (0.1 * b2.g0) AS bb
+               FROM b1 CROSS JOIN b2)
+      SELECT d.doc_id, d.y AS label,
+             round(1.0 / (1.0 + exp(-(coalesce(z3.z, 0.0) + bias.bb))), 4) AS score
+      FROM d LEFT JOIN z3 USING (doc_id) CROSS JOIN bias
+    """),
+    (s, dir) => {
+      val labeled = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("label"))
+      val (w, b) = trainHashedLogReg(labeled, "text", "label",
+        buckets = 64, iters = 2, lr = 0.1)
+      scoreHashedLogReg(labeled, "text", w, b)
+        .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+        .select(col("doc_id"), col("label"), col("score"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
-    d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats)
+    d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
+    d34DsirWeights, d35HashedLogReg)
 }

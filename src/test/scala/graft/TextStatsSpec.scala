@@ -241,4 +241,51 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     assert(out(100L) > out(101L))
   }
+
+  test("dsirWeights: target-like documents get positive log weight, off-target negative") {
+    // raw = even mixture of two disjoint vocabularies, target = vocab A only
+    val aDocs = (1L to 10L).map(i => (i, "alpha beta gamma delta alpha beta"))
+    val bDocs = (11L to 20L).map(i => (i, "uno dos tres cuatro uno dos"))
+    val raw = docsDf(aDocs ++ bDocs: _*)
+    val target = docsDf(aDocs: _*)
+    val out = TextStats.dsirWeights(raw, target, raw)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert((1L to 10L).forall(out(_) > 0), s"A docs must score positive: $out")
+    assert((11L to 20L).forall(out(_) < 0), s"B docs must score negative: $out")
+    // empty doc scores 0 with 0 features
+    val withEmpty = TextStats.dsirWeights(raw, target, docsDf((99L, "  ")))
+      .collect()(0)
+    assert(withEmpty.getLong(1) === 0L && withEmpty.getDouble(2) === 0.0)
+  }
+
+  private def labeledDf(rows: (Long, String, Double)*) =
+    LocalTable.of(spark,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType), StructField("label", DoubleType))),
+      rows.map { case (k, t, y) => Row(k, t, y) })
+
+  test("hashed logreg: learns a separable vocabulary split") {
+    val pos = (1L to 15L).map(i => (i, "good great fine excellent solid", 1.0))
+    val neg = (16L to 30L).map(i => (i, "bad awful broken terrible junk", 0.0))
+    val labeled = labeledDf(pos ++ neg: _*)
+    val (w, b) = TextStats.trainHashedLogReg(labeled, "text", "label",
+      buckets = 64, iters = 20, lr = 0.5)
+    val scores = TextStats.scoreHashedLogReg(labeled, "text", w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((1L to 15L).forall(scores(_) > 0.5), s"positives must score > 0.5: $scores")
+    assert((16L to 30L).forall(scores(_) < 0.5), s"negatives must score < 0.5: $scores")
+  }
+
+  test("hashed logreg: training is deterministic across runs and partitionings") {
+    val labeled = labeledDf(
+      (1L to 40L).map(i => (i,
+        if (i % 2 == 0) s"even tokens here ${i % 5}" else s"odd words there ${i % 7}",
+        (i % 2).toDouble)): _*)
+    val (w1, b1) = TextStats.trainHashedLogReg(labeled, "text", "label", iters = 3)
+    val (w2, b2) = TextStats.trainHashedLogReg(labeled.repartition(7), "text", "label", iters = 3)
+    // the rounding contract (z@9, p@6, grad@9) makes double-summation
+    // order invisible: identical weights bit-for-bit at any parallelism
+    assert(w1.toSeq === w2.toSeq)
+    assert(b1 === b2)
+  }
 }
