@@ -1202,10 +1202,45 @@ object TextStats {
         .select(col("doc_id"), col("label"), col("score"))
     })
 
+  /** Heavy-hitters gate: top-5 tokens per language through the
+    * [[graft.plans.MisraGriesAgg]] sketch. Capacity 256 covers the gate
+    * vocabulary, so the sketch is provably exact here and the DuckDB
+    * oracle is plain counting; the bounded-error regime (capacity ≪
+    * distinct — the 100 TB posture, where the shuffle moves 256
+    * counters per partition instead of the key universe) is pinned by
+    * SketchSpec's Misra-Gries bound tests. */
+  val d36HeavyHitters: Q = Q(
+    "d36_heavy_hitters",
+    Some("""
+      WITH tk AS (
+        SELECT lang, u.t AS token
+        FROM (SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents) d, unnest(d.toks) AS u(t)),
+      c AS (SELECT lang, token, count(*) AS est FROM tk GROUP BY 1, 2),
+      r AS (SELECT lang, token, est,
+                   row_number() OVER (PARTITION BY lang ORDER BY est DESC, token) AS rank
+            FROM c)
+      SELECT lang, token, est, CAST(rank AS INTEGER) AS rank
+      FROM r WHERE rank <= 5
+    """),
+    (s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          explode(graft.plans.NgramsExpr.ngrams(lower(col("text")), 1)).as("token"))
+        .groupBy(col("lang"))
+        .agg(graft.plans.MisraGriesAgg.freqItems(col("token"), 256).as("hh"))
+        .select(col("lang"), posexplode(col("hh")))
+        .select(col("lang"), col("col.item").as("token"),
+          col("col.est").as("est"), (col("pos") + 1).cast("int").as("rank"))
+        .filter(col("rank") <= 5)
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
-    d34DsirWeights, d35HashedLogReg)
+    d34DsirWeights, d35HashedLogReg, d36HeavyHitters)
 }
