@@ -302,6 +302,37 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join") && !p.contains("Exchange"), p.take(800))
   }
 
+  test("q50: the funnel is ONE shuffle on the user key — no join, no window sort") {
+    val df = run("q50_funnel")
+    val p = physical(df)
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    // sf0.001 reads as one partition, which satisfies the clustered
+    // distribution outright — at most the one user-key exchange appears
+    val n = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(n <= 1, s"$n exchanges:\n${p.take(1000)}")
+    assert(p.contains("user_id"), p.take(400))
+  }
+
+  test("d34: DSIR model broadcasts into the scoring scan — corpus text never sort-merges") {
+    val df = run("d34_dsir_weights")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin"), executed.take(800))
+    assert(!executed.contains("SortMergeJoin"), executed.take(800))
+    assert(!executed.contains("CartesianProduct"))
+  }
+
+  test("d36: the heavy-hitters sketch partial-aggregates before the shuffle") {
+    val p = physical(run("d36_heavy_hitters"))
+    // ObjectHashAggregate with a partial sketch on the map side: the
+    // exchange carries <=capacity counters per partition, not the corpus
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    assert(p.contains("partial_freq_items_sketch"), p.take(800))
+    assert(!p.contains("SortAggregate"), p.take(800))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
