@@ -100,6 +100,48 @@ object EventsStreaming {
         Encoders.product[Session], Encoders.product[Session])
   }
 
+  /** A user's funnel progress: completion timestamps of the stages
+    * reached so far (prefix of the step list), in order. */
+  final case class FunnelProgress(
+      user_id: Long, stages_completed: Int, stage_ts: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Temporal.funnel]] (q50):
+    * per-user ordered-stage matching as O(steps) state — each arriving
+    * event can only advance the NEXT incomplete stage, and only when
+    * strictly after the previous stage's completion. Under per-user
+    * event-time-ordered delivery this reproduces the batch operator's
+    * greedy-earliest matching exactly (the StreamingSpec equivalence);
+    * out-of-order arrivals within a micro-batch are repaired by the
+    * per-batch sort, cross-batch stragglers are a watermark decision the
+    * caller owns (drop = this operator; repair = re-run the batch twin).
+    * State per user is `steps.length` longs — bounded regardless of
+    * stream length, the property that lets this run on an unbounded
+    * clickstream. */
+  def funnelStream(events: Dataset[Event], steps: Seq[String])
+      : Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct == steps)
+    val fn: (Long, Iterator[Event], GroupState[FunnelProgress]) =>
+        Iterator[FunnelProgress] =
+      (userId, it, state) => {
+        val sorted = it.toSeq.filter(e => steps.contains(e.event_type))
+          .sortBy(e => (e.ts_us, e.event_type))
+        var done = state.getOption.map(_.stage_ts.toVector)
+          .getOrElse(Vector.empty[Long])
+        sorted.foreach { e =>
+          val next = done.length
+          if (next < steps.length && e.event_type == steps(next) &&
+              (done.isEmpty || e.ts_us > done.last))
+            done = done :+ e.ts_us
+        }
+        val p = FunnelProgress(userId, done.length, done)
+        state.update(p)
+        Iterator.single(p)
+      }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[FunnelProgress], Encoders.product[FunnelProgress])
+  }
+
   /** The same sessionization on Spark 4's `transformWithState` — the
     * successor API to flatMapGroupsWithState: named state variables
     * created against a handle (RocksDB-backed, TTL-capable, live

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.{Encoders, Row}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -240,6 +240,47 @@ class StreamingSpec extends SparkSpec {
     val rebuilt = Dedup.fingerprintIndex(archive, W).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(maintained === rebuilt, "maintained index ≡ rebuild over everything streamed")
+  }
+
+  test("funnelStream: stateful stage matching equals the batch funnel") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    val steps = Seq("view", "click", "purchase")
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.funnelStream(in.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("update").start()
+    // batch 1: u1 views+clicks; u2's click precedes any view (never counts)
+    val b1 = Seq(
+      Event(1L, us(1), "view", 0.0), Event(1L, us(2), "click", 0.0),
+      Event(2L, us(1), "click", 0.0), Event(2L, us(3), "view", 0.0))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    // batch 2 (later event times): u1 purchases, u2 clicks then purchases
+    val b2 = Seq(
+      Event(1L, us(9), "purchase", 0.0),
+      Event(2L, us(8), "click", 0.0), Event(2L, us(10), "purchase", 0.0),
+      Event(3L, us(4), "purchase", 0.0)) // u3 starts mid-funnel: stage 0
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("funnel_out")
+      .groupBy("user_id").agg(max("stages_completed").as("stages"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    // batch twin over everything streamed
+    val allRows = (b1 ++ b2).map(e => Row(e.user_id, e.ts_us, e.event_type))
+    val batchDf = LocalTable.of(spark, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))),
+      allRows)
+    val batch = graft.operators.Temporal.funnel(batchDf, steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(streamed === batch,
+      s"stream $streamed != batch $batch — the twins must agree under in-order delivery")
+    // u2's pre-view click never counts, but the batch-2 click (after the
+    // view) re-opens the path: view@3 → click@8 → purchase@10
+    assert(streamed === Map(1L -> 3, 2L -> 3, 3L -> 0))
   }
 
   test("mergeToLake: micro-batches MERGE into the parquet table, replays are no-ops") {
