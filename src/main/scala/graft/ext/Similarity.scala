@@ -804,6 +804,77 @@ object Similarity {
         k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 0)
     })
 
+  /** Cluster-balanced diversity sampling — the "sample uniformly across
+    * semantic clusters" curation primitive (the selection half of the
+    * SemDeDup/DiverseEvol family): quantize the embedding space, then
+    * keep a deterministic per-cluster sample, so the selected subcorpus
+    * covers every semantic region instead of over-representing the dense
+    * ones the way uniform sampling does.
+    *
+    * The per-cluster pick is a seeded md5 permutation of member ids (the
+    * engine's cross-engine RNG — RNG-free, repartition-stable,
+    * reproducible from the seed string), ranked within the cluster.
+    *
+    * Scale shape: assignment is the zero-shuffle codegen'd
+    * nearest-centroid projection; the only exchange clusters the corpus
+    * by cid for the rank-limit window, whose per-partition partial
+    * top-k keeps the shuffle payload at `perCluster` rows per map
+    * partition per cluster — never the corpus. */
+  def clusterBalancedSample(embeddings: DataFrame, k: Int, perCluster: Int,
+      seed: String, fitIters: Int = 0): DataFrame = {
+    require(k > 0 && perCluster > 0)
+    val cs = KMeans.fit(embeddings, "vec_id", "embedding", k, fitIters)
+    val h = conv(substring(md5(concat(lit(seed + ":"),
+      col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = Window.partitionBy(col("cid")).orderBy(col("h"), col("vec_id"))
+    embeddings
+      .select(col("vec_id"),
+        graft.plans.NearestCentroidExpr.nearestCentroid(col("embedding"), cs).as("cid"))
+      .withColumn("h", h)
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= perCluster)
+      .select(col("vec_id"), col("cid").cast("long").as("cluster_id"),
+        col("samp_rank"))
+  }
+
+  /** Diversity-sampling gate: 16 clusters from the md5-seeded quantizer
+    * (0 Lloyd iterations — SQL-reproducible, like d25/s06/s08), 3 picks
+    * per cluster under seed "divsamp". The oracle rebuilds quantizer,
+    * assignments, the seeded permutation and the per-cluster rank. */
+  val s11ClusterBalancedSample: Q = Q(
+    "s11_cluster_balanced_sample",
+    Some("""
+      WITH emb AS (SELECT vec_id, embedding FROM embeddings),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM emb),
+      init AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, i.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(i.c AS DOUBLE[])) DESC, i.cid ASC) AS rn
+          FROM emb e CROSS JOIN init i) t WHERE rn = 1),
+      hashed AS (
+        SELECT vec_id, cid,
+               CAST(concat('0x', substr(md5('divsamp:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM assign),
+      rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY cid ORDER BY h, vec_id) AS samp_rank
+        FROM hashed)
+      SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id,
+             CAST(samp_rank AS INTEGER) AS samp_rank
+      FROM rk WHERE samp_rank <= 3
+    """),
+    (s, dir) => clusterBalancedSample(
+      emb(s, dir).select(col("vec_id"), col("embedding")),
+      k = 16, perCluster = 3, seed = "divsamp"))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
-    s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf)
+    s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
+    s11ClusterBalancedSample)
 }

@@ -359,4 +359,28 @@ class SimilaritySpec extends SparkSpec {
       StructField("label", IntegerType)))
     LocalTable.of(spark, schema, rows)
   }
+
+  test("clusterBalancedSample: every cluster represented, caps respected, seed-deterministic") {
+    val emb = plantedClusters(nClusters = 4, perCluster = 10)
+      .select(col("vec_id"), col("embedding"))
+    val got = Similarity.clusterBalancedSample(emb, k = 4, perCluster = 3,
+      seed = "t", fitIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // planted geometry: 4 well-separated directions → all 4 clusters
+    // non-empty → exactly 4 × 3 picks, ranks 1..3 within each
+    assert(got.length === 12)
+    got.groupBy(_._2).foreach { case (_, picks) =>
+      assert(picks.map(_._3).sorted.toSeq === Seq(1, 2, 3))
+    }
+    // deterministic under repartitioning; a different seed re-deals
+    val again = Similarity.clusterBalancedSample(emb.repartition(7), k = 4,
+      perCluster = 3, seed = "t", fitIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.sorted.toSeq === again.sorted.toSeq)
+    val otherSeed = Similarity.clusterBalancedSample(emb, k = 4,
+      perCluster = 3, seed = "u", fitIters = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(otherSeed !== got.map(_._1).toSet,
+      "independent seeds must not pick the identical sample")
+  }
 }
