@@ -1097,9 +1097,9 @@ object TextStats {
     val nDocs = feats.select(col(idCol)).distinct().count().toDouble
     val w = Array.fill(buckets)(0.0)
     var bias = 0.0
-    for (_ <- 1 to iters) {
+    for (it <- 1 to iters) {
       val wLit = typedLit(w.toSeq)
-      val scored = feats
+      val scored0 = feats
         .withColumn("wx", when(col("bucket").isNotNull,
           element_at(wLit, col("bucket").cast("int") + 1) * col("x"))
           .otherwise(lit(0.0)))
@@ -1108,14 +1108,21 @@ object TextStats {
         .withColumn("p", round(
           lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(bias)))), 6))
         .withColumn("r", col("p") - col("y"))
-        .localCheckpoint() // feeds both gradient aggregates
+        // the bias gradient Σr rides the score job as an observed metric
+        // (the connectedComponents pattern) — no separate aggregate job
+        .observe(s"logreg_bias_$it", sum(col("r")).as("rsum"))
+      val scored = scored0.localCheckpoint() // feeds the weight gradient
       val grad = feats.filter(col("bucket").isNotNull)
         .join(scored.select(col(idCol), col("r")), Seq(idCol))
         .groupBy(col("bucket"))
         .agg(round(sum(col("r") * col("x")) / nDocs, 9).as("g"))
         .collect()
-      val g0 = scored.agg(round(sum(col("r")) / nDocs, 9).as("g0"))
-        .collect()(0).getDouble(0)
+      val rsum = scored0.queryExecution
+        .observedMetrics(s"logreg_bias_$it").getDouble(0)
+      // same HALF_UP@9 the in-plan round applies — the rounding contract
+      // holds whether the mean gradient is computed in-plan or here
+      val g0 = BigDecimal(rsum / nDocs)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
       grad.foreach { r0 =>
         val b = r0.getLong(0).toInt
         w(b) = w(b) - lr * r0.getDouble(1)
