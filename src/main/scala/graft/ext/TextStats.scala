@@ -1209,6 +1209,44 @@ object TextStats {
         .select(col("doc_id"), col("label"), col("score"))
     })
 
+  /** Blocklist term filtering — the C4-style "bad words" document
+    * filter: flag and count word-boundary occurrences of any blocklist
+    * term. The list compiles into ONE alternation regex evaluated by a
+    * codegen'd `regexp_count` in the scan projection — zero joins, zero
+    * exchanges, and the regex stays in the RE2 ∩ java.util.regex common
+    * subset (plain literal alternation + \b) so the oracle counts
+    * identically. For blocklists too large for one regex, the explode +
+    * broadcast-semi-join shape (d28's) composes instead — this operator
+    * is the common small-list fast path.
+    *
+    * Terms must be lowercase word-characters (enforced) — quoting
+    * arbitrary metacharacters portably across regex engines is NOT
+    * attempted. */
+  def blocklistFilter(docs: DataFrame, terms: Seq[String],
+      textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty, "empty blocklist")
+    require(terms.forall(_.matches("[a-z0-9']+")),
+      s"blocklist terms must be lowercase word characters: $terms")
+    val re = "\\b(" + terms.mkString("|") + ")\\b"
+    docs
+      .withColumn("n_blocked", regexp_count(lower(col(textCol)), lit(re)))
+      .withColumn("blocked", col("n_blocked") > 0)
+  }
+
+  /** Blocklist gate: three corpus terms, every doc scored. */
+  val d37BlocklistFilter: Q = Q(
+    "d37_blocklist_filter",
+    Some("""
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '\b(slow|dup|broken)\b')) AS INTEGER) AS n_blocked,
+             len(regexp_extract_all(lower(text), '\b(slow|dup|broken)\b')) > 0 AS blocked
+      FROM documents
+    """),
+    (s, dir) => blocklistFilter(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      Seq("slow", "dup", "broken"))
+      .select(col("doc_id"), col("n_blocked"), col("blocked")))
+
   /** Heavy-hitters gate: top-5 tokens per language through the
     * [[graft.plans.MisraGriesAgg]] sketch. Capacity 256 covers the gate
     * vocabulary, so the sketch is provably exact here and the DuckDB
@@ -1249,5 +1287,5 @@ object TextStats {
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
-    d34DsirWeights, d35HashedLogReg, d36HeavyHitters)
+    d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter)
 }

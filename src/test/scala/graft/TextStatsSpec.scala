@@ -258,6 +258,26 @@ class TextStatsSpec extends SparkSpec {
     assert(withEmpty.getLong(1) === 0L && withEmpty.getDouble(2) === 0.0)
   }
 
+  test("blocklistFilter: word-boundary matches only, occurrence counts, term validation") {
+    val out = TextStats.blocklistFilter(docsDf(
+      (1L, "a bad bad day"),          // two occurrences
+      (2L, "badge is not bad-ge"),    // substring 'bad' inside 'badge' must NOT match
+      (3L, "clean text entirely"),
+      (4L, "BAD uppercase")),         // case-insensitive via lower()
+      Seq("bad"))
+      .select(col("doc_id"), col("n_blocked"), col("blocked"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getBoolean(2)))).toMap
+    assert(out(1L) === ((2, true)))
+    // 'badge' guarded by \b; 'bad-ge' has a boundary before the hyphen
+    assert(out(2L) === ((1, true)))
+    assert(out(3L) === ((0, false)))
+    assert(out(4L) === ((1, true)))
+    intercept[IllegalArgumentException](
+      TextStats.blocklistFilter(docsDf((1L, "x")), Seq("a.b")))
+    intercept[IllegalArgumentException](
+      TextStats.blocklistFilter(docsDf((1L, "x")), Nil))
+  }
+
   private def labeledDf(rows: (Long, String, Double)*) =
     LocalTable.of(spark,
       StructType(Seq(StructField("doc_id", LongType),
