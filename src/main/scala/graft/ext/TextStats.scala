@@ -1247,6 +1247,81 @@ object TextStats {
       Seq("slow", "dup", "broken"))
       .select(col("doc_id"), col("n_blocked"), col("blocked")))
 
+  /** Rare-token scrubbing (vocabulary truncation): replace every token
+    * whose GLOBAL corpus frequency is below `minCount` with `unk` — the
+    * closed-vocabulary primitive of tokenizer pipelines, and the
+    * memorization/privacy mitigation that retires one-off strings
+    * (ids, emails, typos) from the training corpus while keeping
+    * sentence structure.
+    *
+    * Scale shape: the token count table is a map-side-combinable
+    * aggregate (Zipf-hot tokens partial-aggregate per task); the
+    * rewrite pass re-joins positions to counts on the token key and
+    * reassembles each doc with one per-doc sorted collect — the d22
+    * rebuild shape, applied to EVERY tokenized doc (unlike span
+    * scrubbing there is no cheap affected-docs prefilter: the rare set
+    * is the unbounded Zipf tail, so "contains a rare token" is the
+    * common case, and the kept-vocab membership test costs the same
+    * join either way). All output is single-spaced by construction
+    * (documented contract, same as span scrubbing).
+    * The count table is the persisted artifact at production scale
+    * (build once per corpus snapshot, reuse across scrub runs —
+    * `appendToFingerprintIndex`-style maintenance applies since
+    * counting is associative). */
+  def rareTokenScrub(docs: DataFrame, minCount: Long,
+      unk: String = "<unk>"): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val tok = docs.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+    val counts = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val rebuilt = tok
+      .join(counts, Seq("tok"))
+      .select(col("doc_id"), col("pos"),
+        when(col("cnt") >= minCount, col("tok")).otherwise(lit(unk)).as("tok2"),
+        (col("cnt") < minCount).cast("int").as("is_unk"))
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("tok2")))),
+          x => x.getField("tok2")), " ").as("scrubbed"),
+        sum(col("is_unk")).as("n_unk"))
+    docs.select(col("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("scrubbed"), lit("")).as("scrubbed"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"))
+  }
+
+  /** Rare-token gate: minCount 100 — the corpus' single sub-100 token
+    * is scrubbed everywhere it appears, everything else passes. */
+  val d38RareTokenScrub: Q = Q(
+    "d38_rare_token_scrub",
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok
+        FROM base, unnest(generate_series(1, len(toks))) AS g(i)),
+      counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
+      rebuilt AS (
+        SELECT t.doc_id,
+               string_agg(CASE WHEN c.cnt >= 100 THEN t.tok ELSE '<unk>' END,
+                          ' ' ORDER BY t.pos) AS scrubbed,
+               sum(CASE WHEN c.cnt < 100 THEN 1 ELSE 0 END) AS n_unk
+        FROM tok t JOIN counts c ON c.tok = t.tok
+        GROUP BY 1)
+      SELECT b.doc_id,
+             coalesce(r.scrubbed, '') AS scrubbed,
+             coalesce(r.n_unk, 0) AS n_unk
+      FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+    """),
+    (s, dir) => rareTokenScrub(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      minCount = 100L))
+
   /** Heavy-hitters gate: top-5 tokens per language through the
     * [[graft.plans.MisraGriesAgg]] sketch. Capacity 256 covers the gate
     * vocabulary, so the sketch is provably exact here and the DuckDB
@@ -1287,5 +1362,6 @@ object TextStats {
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
-    d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter)
+    d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
+    d38RareTokenScrub)
 }

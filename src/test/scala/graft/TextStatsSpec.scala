@@ -278,6 +278,23 @@ class TextStatsSpec extends SparkSpec {
       TextStats.blocklistFilter(docsDf((1L, "x")), Nil))
   }
 
+  test("rareTokenScrub: global threshold, order-preserving rebuild, empty-doc guard") {
+    val out = TextStats.rareTokenScrub(docsDf(
+      (1L, "the cat sat"),
+      (2L, "the cat ran zq9"),   // zq9 appears once globally
+      (3L, "the   the\tcat"),    // odd whitespace collapses to single spaces
+      (4L, "  ")),
+      minCount = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // counts: the=4, cat=3, sat=1, ran=1, zq9=1
+    assert(out(1L) === (("the cat <unk>", 1L)))
+    assert(out(2L) === (("the cat <unk> <unk>", 2L)))
+    assert(out(3L) === (("the the cat", 0L)))
+    assert(out(4L) === (("", 0L)))
+    intercept[IllegalArgumentException](
+      TextStats.rareTokenScrub(docsDf((1L, "x")), minCount = 0))
+  }
+
   private def labeledDf(rows: (Long, String, Double)*) =
     LocalTable.of(spark,
       StructType(Seq(StructField("doc_id", LongType),
