@@ -74,23 +74,8 @@ case class MisraGriesAgg(
   }
 
   override def merge(b1: mutable.HashMap[String, Long],
-      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-    b2.foreach { case (k, c) => b1(k) = b1.getOrElse(k, 0L) + c }
-    if (b1.size > capacity) {
-      // subtract the (k+1)-th largest counter from everything and drop
-      // the non-positive — the mergeable-summaries reduction
-      val vs = b1.values.toArray
-      java.util.Arrays.sort(vs)
-      val t = vs(vs.length - capacity - 1)
-      val dead = mutable.ArrayBuffer.empty[String]
-      b1.keysIterator.foreach { key =>
-        val c = b1(key) - t
-        if (c <= 0L) dead += key else b1(key) = c
-      }
-      dead.foreach(b1.remove)
-    }
-    b1
-  }
+      b2: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] =
+    MisraGriesAgg.mergeCounters(b1, b2, capacity)
 
   /** Deterministic output order: estimate descending, item ascending —
     * ties cannot reorder across partitionings. */
@@ -143,4 +128,39 @@ object MisraGriesAgg {
     GraftSqlBridge.column(
       MisraGriesAgg(GraftSqlBridge.expression(c), capacity)
         .toAggregateExpression())
+
+  /** The mergeable-summaries reduction (Agarwal et al., PODS 2012),
+    * shared by the aggregate's partial merge and ARTIFACT maintenance:
+    * merging yesterday's persisted sketch with today's batch sketch
+    * yields a sketch obeying the combined-stream bound — so a standing
+    * heavy-hitters view over a growing corpus never re-scans the
+    * archive (the d18/d24 index-maintenance posture, for sketches).
+    * Mutates and returns `b1`. */
+  def mergeCounters(b1: mutable.HashMap[String, Long],
+      b2: mutable.HashMap[String, Long],
+      capacity: Int): mutable.HashMap[String, Long] = {
+    b2.foreach { case (k, c) => b1(k) = b1.getOrElse(k, 0L) + c }
+    if (b1.size > capacity) {
+      // subtract the (k+1)-th largest counter from everything and drop
+      // the non-positive
+      val vs = b1.values.toArray
+      java.util.Arrays.sort(vs)
+      val t = vs(vs.length - capacity - 1)
+      val dead = mutable.ArrayBuffer.empty[String]
+      b1.keysIterator.foreach { key =>
+        val c = b1(key) - t
+        if (c <= 0L) dead += key else b1(key) = c
+      }
+      dead.foreach(b1.remove)
+    }
+    b1
+  }
+
+  /** Sketch-artifact form of [[mergeCounters]] over the (item, est)
+    * pairs [[freqItems]] emits / a caller persists. */
+  def mergeSketches(a: Seq[(String, Long)], b: Seq[(String, Long)],
+      capacity: Int): Seq[(String, Long)] = {
+    val m = mergeCounters(mutable.HashMap(a: _*), mutable.HashMap(b: _*), capacity)
+    m.toSeq.sortBy { case (k, c) => (-c, k) }
+  }
 }

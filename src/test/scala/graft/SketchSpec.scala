@@ -87,6 +87,27 @@ class SketchSpec extends SparkSpec {
     assert(empty === 0)
   }
 
+  test("sketch artifacts merge across snapshots: day1 ⊕ day2 obeys the combined bound") {
+    // two "daily" corpora sketched independently (the persisted-artifact
+    // posture), merged WITHOUT re-scanning day 1
+    val day1 = stream // a=50 b=30 c=20 + 40 singletons (N=140)
+    val day2 = Seq.fill(25)("a") ++ Seq.fill(35)("d") ++ (1 to 20).map(i => f"y$i%03d")
+    val k = 6
+    val s1 = sketch(day1, k).toSeq
+    val s2 = sketch(day2, k).toSeq
+    val merged = graft.plans.MisraGriesAgg.mergeSketches(s1, s2, k).toMap
+    assert(merged.size <= k)
+    val n = day1.size + day2.size // 220
+    val truth = Map("a" -> 75L, "b" -> 30L, "c" -> 20L, "d" -> 35L).withDefaultValue(1L)
+    val bound = n.toDouble / (k + 1)
+    merged.foreach { case (item, est) =>
+      assert(est <= truth(item), s"$item overestimated")
+      assert(truth(item) - est <= bound, s"$item breaks the combined bound")
+    }
+    // a (75 > 220/7≈31.4) and d (35 > 31.4) must survive the merge
+    assert(merged.contains("a") && merged.contains("d"))
+  }
+
   test("partial aggregation happens map-side: plan shows partial + final sketch") {
     val df = itemsDf(stream, parts = 8)
       .groupBy(lit(1).as("g"))
