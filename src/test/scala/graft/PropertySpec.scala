@@ -185,4 +185,31 @@ class PropertySpec extends SparkSpec {
       assert(out.schema === dest, s"subset $cols")
     }
   }
+
+  test("property: funnel matches a reference greedy matcher on random streams") {
+    val steps = Seq("a", "b", "c")
+    val rows = sample(Gen.listOfN(600, for {
+      u <- Gen.chooseNum(0L, 25L)
+      t <- Gen.chooseNum(0L, 500L)
+      e <- Gen.oneOf("a", "b", "c", "x")
+    } yield (u, t, e)))
+    // engine
+    val df = LocalTable.of(spark, StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("event_type", StringType))),
+      rows.map { case (u, t, e) => Row(u, t, e) })
+    val got = graft.operators.Temporal.funnel(df, steps)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    // reference matcher: per user, scan ts-ascending, advance the next
+    // incomplete stage only on a strictly-later matching event
+    val expect = rows.groupBy(_._1).map { case (u, es) =>
+      var done = Vector.empty[Long]
+      es.sortBy(e => (e._2, e._3)).foreach { case (_, t, e) =>
+        if (done.length < steps.length && e == steps(done.length) &&
+            (done.isEmpty || t > done.last)) done = done :+ t
+      }
+      u -> done.length
+    }
+    assert(got === expect)
+  }
 }
