@@ -438,9 +438,11 @@ object Temporal {
     * filter before this operator. */
   def funnel(events: DataFrame, steps: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts_us",
-      typeCol: String = "event_type"): DataFrame = {
+      typeCol: String = "event_type",
+      withinUs: Option[Long] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(steps.distinct == steps, "funnel steps must be distinct")
+    require(withinUs.forall(_ > 0), "conversion window must be positive")
     val base = events.filter(col(typeCol).isin(steps: _*))
     val agged = base.groupBy(col(userCol)).agg(
       min(when(col(typeCol) === steps.head, col(tsCol))).as("t1_us"),
@@ -450,9 +452,15 @@ object Temporal {
     // null-safe by construction: an unreached previous stage makes the
     // lambda predicate NULL, filter drops every element, array_min of the
     // empty array is NULL — unreached-ness propagates down the funnel.
+    // `withinUs` adds the conversion-window bound: every later stage must
+    // land within the window opened by stage 1 (the standard product-
+    // analytics semantics — a purchase months after the view is not a
+    // conversion of that view).
     val filled = (2 to steps.size).foldLeft(agged) { (df, k) =>
       df.withColumn(s"t${k}_us",
-        array_min(filter(col(s"a$k"), x => x > col(s"t${k - 1}_us"))))
+        array_min(filter(col(s"a$k"), x => withinUs
+          .map(w => x > col(s"t${k - 1}_us") && x <= col("t1_us") + lit(w))
+          .getOrElse(x > col(s"t${k - 1}_us")))))
     }
     val stages = (1 to steps.size)
       .map(k => col(s"t${k}_us").isNotNull.cast("int")).reduce(_ + _)

@@ -74,6 +74,26 @@ class TemporalSpec extends SparkSpec {
     assert(r2.isNullAt(3) && r2.isNullAt(4))
   }
 
+  test("funnel: conversion window bounds every later stage against stage 1") {
+    val es = events(
+      // u1 converts fully inside the window
+      (1L, 10L, "view"), (1L, 20L, "click"), (1L, 30L, "purchase"),
+      // u2's purchase lands past view+window — stage 3 must not count
+      (2L, 10L, "view"), (2L, 20L, "click"), (2L, 200L, "purchase"),
+      // u3's click itself is outside the window — stuck at stage 1
+      (3L, 10L, "view"), (3L, 150L, "click"), (3L, 160L, "purchase"))
+    val f = Temporal.funnel(es, Seq("view", "click", "purchase"),
+      withinUs = Some(50L))
+    assert(row(f, 1L).getInt(4) === 3)
+    assert(row(f, 2L).getInt(4) === 2)
+    assert(row(f, 3L).getInt(4) === 1)
+    // no window → all three convert eventually
+    val unbounded = Temporal.funnel(es, Seq("view", "click", "purchase"))
+    assert(Seq(1L, 2L, 3L).map(row(unbounded, _).getInt(4)) === Seq(3, 3, 3))
+    intercept[IllegalArgumentException](
+      Temporal.funnel(es, Seq("view"), withinUs = Some(0L)))
+  }
+
   test("retention cohorts: gate query shape on the corpus") {
     val got = Temporal.q51RetentionCohorts.run(spark, "/root/testdata/sf0.001")
       .collect()
