@@ -501,6 +501,51 @@ object Temporal {
         col("event_type")),
       Seq("view", "click", "purchase")))
 
+  /** Windowed-funnel drop-off — the dashboard form of q50: how many
+    * users reach each stage when conversion must complete within 48 h
+    * of stage 1. Derived from the same one-shuffle funnel; the rollup
+    * is three conditional sums unpivoted to rows (a second, tiny
+    * aggregate over per-user rows — never the corpus). */
+  val q52FunnelDropoff: Q = Q(
+    "q52_funnel_dropoff",
+    Some("""
+      WITH e AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+             WHERE event_type = 'view' GROUP BY 1),
+      s2 AS (SELECT e.user_id, min(e.ts_us) AS t2, any_value(s1.t1) AS t1 FROM e
+             JOIN s1 ON s1.user_id = e.user_id
+             WHERE e.event_type = 'click' AND e.ts_us > s1.t1
+               AND e.ts_us <= s1.t1 + 172800000000
+             GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e
+             JOIN s2 ON s2.user_id = e.user_id
+             WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2
+               AND e.ts_us <= s2.t1 + 172800000000
+             GROUP BY e.user_id)
+      SELECT CAST(1 AS INTEGER) AS stage, 'view' AS step,
+             (SELECT count(*) FROM s1) AS users
+      UNION ALL
+      SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+      UNION ALL
+      SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)
+    """),
+    (s, dir) => {
+      val steps = Seq("view", "click", "purchase")
+      val perUser = funnel(
+        ev(s, dir).select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+          col("event_type")),
+        steps, withinUs = Some(48L * 3600 * 1000000))
+      val aggs = steps.indices.map(i => sum((col("stages_completed") >= i + 1)
+        .cast("long")).as(s"u${i + 1}"))
+      val totals = perUser.agg(aggs.head, aggs.tail: _*)
+      totals.select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+        struct(lit(i + 1).as("stage"), lit(st).as("step"),
+          col(s"u${i + 1}").as("users"))
+      }: _*)).as("r")).select(col("r.stage"), col("r.step"), col("r.users"))
+    })
+
   /** Retention cohorts — users cohorted by first-active day, activity
     * counted at each day offset from the cohort day (the classic
     * triangle retention matrix). Scale shape: the corpus collapses to
@@ -536,5 +581,6 @@ object Temporal {
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
-    q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts)
+    q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
+    q52FunnelDropoff)
 }
