@@ -123,16 +123,9 @@ object EventsStreaming {
     val fn: (Long, Iterator[Event], GroupState[FunnelProgress]) =>
         Iterator[FunnelProgress] =
       (userId, it, state) => {
-        val sorted = it.toSeq.filter(e => steps.contains(e.event_type))
-          .sortBy(e => (e.ts_us, e.event_type))
-        var done = state.getOption.map(_.stage_ts.toVector)
-          .getOrElse(Vector.empty[Long])
-        sorted.foreach { e =>
-          val next = done.length
-          if (next < steps.length && e.event_type == steps(next) &&
-              (done.isEmpty || e.ts_us > done.last))
-            done = done :+ e.ts_us
-        }
+        val done = advanceFunnel(
+          state.getOption.map(_.stage_ts.toVector).getOrElse(Vector.empty),
+          steps, it)
         val p = FunnelProgress(userId, done.length, done)
         state.update(p)
         Iterator.single(p)
@@ -140,6 +133,57 @@ object EventsStreaming {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.product[FunnelProgress], Encoders.product[FunnelProgress])
+  }
+
+  /** The funnel's state transition, shared verbatim by both stateful
+    * APIs (the two twins cannot drift). */
+  private def advanceFunnel(done0: Vector[Long], steps: Seq[String],
+      rows: Iterator[Event]): Vector[Long] = {
+    var done = done0
+    rows.toSeq.filter(e => steps.contains(e.event_type))
+      .sortBy(e => (e.ts_us, e.event_type))
+      .foreach { e =>
+        val next = done.length
+        if (next < steps.length && e.event_type == steps(next) &&
+            (done.isEmpty || e.ts_us > done.last))
+          done = done :+ e.ts_us
+      }
+    done
+  }
+
+  /** [[funnelStream]] on Spark 4's `transformWithState` — the same
+    * O(steps) per-user state held in a named ValueState (RocksDB-backed,
+    * TTL-capable), kept alongside the flatMapGroupsWithState form so
+    * both stateful surfaces stay exercised (same pairing as
+    * sessionize / sessionizeTws). */
+  final class FunnelProcessor(steps: Seq[String])
+      extends StatefulProcessor[Long, Event, FunnelProgress] {
+    @transient private var prog: ValueState[FunnelProgress] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      prog = getHandle.getValueState[FunnelProgress](
+        "funnel", Encoders.product[FunnelProgress], TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timers: TimerValues): Iterator[FunnelProgress] = {
+      val done0 = if (prog.exists()) prog.get().stage_ts.toVector
+        else Vector.empty[Long]
+      val done = advanceFunnel(done0, steps, rows)
+      val p = FunnelProgress(userId, done.length, done)
+      prog.update(p)
+      Iterator.single(p)
+    }
+  }
+
+  /** Streaming funnel via transformWithState (Update mode). */
+  def funnelStreamTws(events: Dataset[Event], steps: Seq[String])
+      : Dataset[FunnelProgress] = {
+    require(steps.nonEmpty && steps.distinct == steps)
+    implicit val enc: org.apache.spark.sql.Encoder[FunnelProgress] =
+      Encoders.product[FunnelProgress]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor(steps), TimeMode.None(),
+        OutputMode.Update())
   }
 
   /** The same sessionization on Spark 4's `transformWithState` — the

@@ -324,6 +324,17 @@ class PlanSpec extends SparkSpec {
     assert(!executed.contains("CartesianProduct"))
   }
 
+  test("d35: classifier scoring is one scan with plan-literal weights — no join") {
+    val w = Array.tabulate(64)(i => i * 0.01)
+    val df = graft.ext.TextStats.scoreHashedLogReg(
+      Tables(spark, sfDir, "documents").select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")),
+      "text", w, 0.1)
+    val p = physical(df)
+    assert(!p.contains("Join"), p.take(800))
+    assert(p.contains("partial_sum"), p.take(800))
+  }
+
   test("d36: the heavy-hitters sketch partial-aggregates before the shuffle") {
     val p = physical(run("d36_heavy_hitters"))
     // ObjectHashAggregate with a partial sketch on the map side: the

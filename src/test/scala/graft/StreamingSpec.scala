@@ -283,6 +283,28 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map(1L -> 3, 2L -> 3, 3L -> 0))
   }
 
+  test("funnelStreamTws (transformWithState) matches flatMapGroupsWithState") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val steps = Seq("view", "click")
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.funnelStreamTws(in.toDS(), steps)
+      .writeStream.format("memory").queryName("funnel_tws")
+      .outputMode("update").start()
+    in.addData(Event(1L, us(1), "view", 0.0), Event(2L, us(1), "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(1L, us(5), "click", 0.0), Event(2L, us(6), "view", 0.0))
+    q.processAllAvailable()
+    val got = spark.table("funnel_tws")
+      .groupBy("user_id").agg(max("stages_completed").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    q.stop()
+    // u1: view@1 then click@5 → 2; u2: click precedes its view → 1
+    assert(got === Map(1L -> 2, 2L -> 1))
+  }
+
   test("mergeToLake: micro-batches MERGE into the parquet table, replays are no-ops") {
     implicit val sql = spark.sqlContext
     implicit val encM = Encoders.product[(Long, String, Long)]
