@@ -1209,6 +1209,85 @@ object TextStats {
         .select(col("doc_id"), col("label"), col("score"))
     })
 
+  /** Gopher quality rules (Rae et al., "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", 2021 — the
+    * published heuristic filter suite most curation stacks start from),
+    * as one exchange-free projection emitting per-rule flags plus the
+    * conjunction (the array lambdas are interpreted but strictly linear
+    * per token — no nested HOF re-inlining, the d31 kernel lesson's
+    * trap):
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10]
+    *   - fraction of words containing an alphabetic character ≥ 0.8
+    *   - symbol-to-word ratio (# and ellipsis) ≤ 0.1
+    *   - at least two distinct common-stopword hits (the "real prose"
+    *     signal)
+    * Per-rule flags (not just the verdict) are what production
+    * pipelines log — filter-rate dashboards per rule are how threshold
+    * drift is caught. */
+  def gopherRules(c: Column, minWords: Int = 5, maxWords: Int = 100000)
+      : Seq[(String, Column)] = {
+    val toks = tokens(c)
+    val nWords = size(toks)
+    val meanLen = when(nWords > 0,
+      (length(concat_ws("", toks)).cast("double")) / nWords).otherwise(lit(0.0))
+    val alphaWords = size(filter(toks, t => t.rlike("[A-Za-z]")))
+    val alphaFrac = when(nWords > 0,
+      alphaWords.cast("double") / nWords).otherwise(lit(0.0))
+    val symbols = regexp_count(c, lit("#|\\.\\.\\.")).cast("double")
+    val symbolRatio = when(nWords > 0, symbols / nWords).otherwise(lit(0.0))
+    val stopHits = size(array_intersect(
+      transform(toks, t => lower(t)),
+      typedLit(Seq("the", "be", "to", "of", "and", "that", "have", "with"))))
+    Seq(
+      "ok_word_count" -> (nWords >= minWords && nWords <= maxWords),
+      "ok_mean_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "ok_alpha_ratio" -> (alphaFrac >= 0.8),
+      "ok_symbol_ratio" -> (symbolRatio <= 0.1),
+      "ok_stopwords" -> (stopHits >= 2))
+  }
+
+  /** Gopher-rules gate: every rule flag + the conjunction per doc. */
+  val d39GopherRules: Q = Q(
+    "d39_gopher_rules",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      m AS (
+        SELECT doc_id, text, toks, len(toks) AS n,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS mean_len,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS alpha_frac,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS sym_ratio,
+               len(list_intersect(list_transform(toks, t -> lower(t)),
+                   ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        FROM tok)
+      SELECT doc_id,
+             n >= 5 AND n <= 100000 AS ok_word_count,
+             mean_len >= 3.0 AND mean_len <= 10.0 AS ok_mean_word_len,
+             alpha_frac >= 0.8 AS ok_alpha_ratio,
+             sym_ratio <= 0.1 AS ok_symbol_ratio,
+             stop_hits >= 2 AS ok_stopwords,
+             (n >= 5 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+               AND alpha_frac >= 0.8 AND sym_ratio <= 0.1 AND stop_hits >= 2 AS passed
+      FROM m
+    """),
+    (s, dir) => {
+      val rules = gopherRules(col("text"))
+      val flags = rules.map { case (n, c) => c.as(n) }
+      val passed = rules.map(_._2).reduce(_ && _).as("passed")
+      Tables(s, dir, "documents")
+        .select(col("doc_id") +: flags :+ passed: _*)
+    })
+
   /** Blocklist term filtering — the C4-style "bad words" document
     * filter: flag and count word-boundary occurrences of any blocklist
     * term. The list compiles into ONE alternation regex evaluated by a
@@ -1363,5 +1442,5 @@ object TextStats {
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
-    d38RareTokenScrub)
+    d38RareTokenScrub, d39GopherRules)
 }

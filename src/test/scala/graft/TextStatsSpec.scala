@@ -295,6 +295,31 @@ class TextStatsSpec extends SparkSpec {
       TextStats.rareTokenScrub(docsDf((1L, "x")), minCount = 0))
   }
 
+  test("gopherRules: prose passes, each rule fails on its own pathology") {
+    val out = TextStats.d39GopherRules.run(spark, "/root/testdata/sf0.001")
+    assert(out.columns.toSeq === Seq("doc_id", "ok_word_count",
+      "ok_mean_word_len", "ok_alpha_ratio", "ok_symbol_ratio",
+      "ok_stopwords", "passed"))
+    // hand cases through the rule columns directly
+    val docs = docsDf(
+      (1L, "the data and the batch have to be sorted with care today"),
+      (2L, "too short"),                                   // word count < 5
+      (3L, "the 111 222 333 444 555 666 777 888 999 000"), // digits: alpha ratio
+      (4L, "the # batch # and # scan # have # to # work"), // symbol ratio
+      (5L, "zz qq ww ee rr tt yy uu ii oo"))               // no stopwords
+    val rules = TextStats.gopherRules(col("text"))
+    val flags = docs.select(col("doc_id") +:
+      rules.map { case (n, c) => c.as(n) } :+
+      rules.map(_._2).reduce(_ && _).as("passed"): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(r.getBoolean).toSeq).toMap
+    assert(flags(1L).forall(identity), s"prose must pass all: ${flags(1L)}")
+    assert(!flags(2L)(0) && !flags(2L)(5))
+    assert(!flags(3L)(2) && !flags(3L)(5))
+    assert(!flags(4L)(3) && !flags(4L)(5))
+    assert(!flags(5L)(4) && !flags(5L)(5))
+  }
+
   private def labeledDf(rows: (Long, String, Double)*) =
     LocalTable.of(spark,
       StructType(Seq(StructField("doc_id", LongType),
