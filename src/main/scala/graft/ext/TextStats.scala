@@ -1288,6 +1288,90 @@ object TextStats {
         .select(col("doc_id") +: flags :+ passed: _*)
     })
 
+  /** Gopher repetition signals — the second half of the published
+    * heuristic suite (d39 covers the composition rules): per document,
+    *   - `top_tok_frac`: frequency of the most common token / total
+    *     tokens (a page that is 40% one word is boilerplate);
+    *   - `dup2_frac` / `dup3_frac`: fraction of n-gram-occurrence
+    *     characters belonging to n-grams that appear ≥ 2 times within
+    *     the document (char-weighted, per the paper — long repeated
+    *     phrases count more than short ones).
+    *
+    * Scale shape: ONE text scan — all three n-gram levels ride a single
+    * tagged explode (the kernel builds each level's grams; the tagging
+    * transform is a linear lambda, no nested-HOF re-inlining) — then
+    * two hash aggregations keyed by doc, both map-side combinable, and
+    * a final per-doc pivot. No joins except the keep-empty-docs left
+    * join against the doc-id spine. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def level(n: Int): Column = transform(
+      graft.plans.NgramsExpr.ngrams(lower(col("text")), n),
+      g => struct(lit(n).as("n"), g.as("gram")))
+    val exploded = docs.select(col("doc_id"),
+      explode(concat(level(1), level(2), level(3))).as("e"))
+      .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"))
+    val counts = exploded.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    val perLevel = counts.groupBy(col("doc_id"), col("n")).agg(
+      (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_frac"),
+      (sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))))
+        .cast("double") / sum(col("cnt") * length(col("gram")))).as("dup_frac"))
+    val pivoted = perLevel.groupBy(col("doc_id")).agg(
+      round(coalesce(max(when(col("n") === 1, col("top_frac"))), lit(0.0)), 4)
+        .as("top_tok_frac"),
+      round(coalesce(max(when(col("n") === 2, col("dup_frac"))), lit(0.0)), 4)
+        .as("dup2_frac"),
+      round(coalesce(max(when(col("n") === 3, col("dup_frac"))), lit(0.0)), 4)
+        .as("dup3_frac"))
+    docs.select(col("doc_id")).join(pivoted, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"),
+        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"),
+        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+  }
+
+  /** Repetition-signals gate: all three fractions per document. */
+  val d40RepetitionSignals: Q = Q(
+    "d40_repetition_signals",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM documents),
+      lv AS (
+        SELECT doc_id, 1 AS n, u.g AS gram
+        FROM tok, unnest(toks) AS u(g)
+        UNION ALL
+        SELECT doc_id, 2, toks[i] || ' ' || toks[i+1]
+        FROM tok, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+        WHERE len(toks) >= 2
+        UNION ALL
+        SELECT doc_id, 3, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        FROM tok, unnest(generate_series(1, len(toks) - 2)) AS s(i)
+        WHERE len(toks) >= 3),
+      c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM lv GROUP BY 1, 2, 3),
+      p AS (
+        SELECT doc_id, n,
+               CAST(max(cnt) AS DOUBLE) / sum(cnt) AS top_frac,
+               CAST(sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) END) AS DOUBLE)
+                 / sum(cnt * length(gram)) AS dup_frac
+        FROM c GROUP BY 1, 2),
+      piv AS (
+        SELECT doc_id,
+               round(coalesce(max(CASE WHEN n = 1 THEN top_frac END), 0.0), 4) AS top_tok_frac,
+               round(coalesce(max(CASE WHEN n = 2 THEN dup_frac END), 0.0), 4) AS dup2_frac,
+               round(coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0), 4) AS dup3_frac
+        FROM p GROUP BY 1)
+      SELECT t.doc_id,
+             coalesce(piv.top_tok_frac, 0.0) AS top_tok_frac,
+             coalesce(piv.dup2_frac, 0.0) AS dup2_frac,
+             coalesce(piv.dup3_frac, 0.0) AS dup3_frac
+      FROM tok t LEFT JOIN piv ON piv.doc_id = t.doc_id
+    """),
+    (s, dir) => repetitionSignals(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+
   /** Blocklist term filtering — the C4-style "bad words" document
     * filter: flag and count word-boundary occurrences of any blocklist
     * term. The list compiles into ONE alternation regex evaluated by a
@@ -1442,5 +1526,5 @@ object TextStats {
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
-    d38RareTokenScrub, d39GopherRules)
+    d38RareTokenScrub, d39GopherRules, d40RepetitionSignals)
 }

@@ -320,6 +320,25 @@ class TextStatsSpec extends SparkSpec {
     assert(!flags(5L)(4) && !flags(5L)(5))
   }
 
+  test("repetitionSignals: hand-checked fractions, boilerplate vs varied text") {
+    val out = TextStats.repetitionSignals(docsDf(
+      (1L, "spam spam spam spam"),       // one token 4× — maximal repetition
+      (2L, "all words here are unique"),
+      (3L, "one two one two one two"),   // "one two"(len 7) 3x, "two one"(7) 2x
+      (4L, "solo"),                      // single token: no 2/3-grams
+      (5L, " ")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L) === ((1.0, 1.0, 1.0)))
+    assert(out(2L) === ((0.2, 0.0, 0.0)))
+    // top token "one" 3/6; bigrams: all 5 occurrences belong to grams
+    // seen >=2 times -> dup2 = 1.0; trigrams "one two one"(2x of 4 occ,
+    // len 11) + "two one two"(2x, len 11) -> all 4 duplicated -> 1.0
+    assert(out(3L) === ((0.5, 1.0, 1.0)))
+    assert(out(4L) === ((1.0, 0.0, 0.0)))
+    assert(out(5L) === ((0.0, 0.0, 0.0)))
+  }
+
   private def labeledDf(rows: (Long, String, Double)*) =
     LocalTable.of(spark,
       StructType(Seq(StructField("doc_id", LongType),
