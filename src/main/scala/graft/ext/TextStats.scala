@@ -1316,12 +1316,18 @@ object TextStats {
       (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_frac"),
       (sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))))
         .cast("double") / sum(col("cnt") * length(col("gram")))).as("dup_frac"))
+    // floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): Spark's round goes
+    // through BigDecimal.valueOf (shortest decimal repr) while DuckDB
+    // rounds the raw double — a ratio landing exactly on a .xxxx5
+    // boundary rounds differently (observed once at sf0.1). The floor
+    // form is pure IEEE arithmetic, bit-identical in both engines.
+    def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
     val pivoted = perLevel.groupBy(col("doc_id")).agg(
-      round(coalesce(max(when(col("n") === 1, col("top_frac"))), lit(0.0)), 4)
+      r4(coalesce(max(when(col("n") === 1, col("top_frac"))), lit(0.0)))
         .as("top_tok_frac"),
-      round(coalesce(max(when(col("n") === 2, col("dup_frac"))), lit(0.0)), 4)
+      r4(coalesce(max(when(col("n") === 2, col("dup_frac"))), lit(0.0)))
         .as("dup2_frac"),
-      round(coalesce(max(when(col("n") === 3, col("dup_frac"))), lit(0.0)), 4)
+      r4(coalesce(max(when(col("n") === 3, col("dup_frac"))), lit(0.0)))
         .as("dup3_frac"))
     docs.select(col("doc_id")).join(pivoted, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -1359,9 +1365,9 @@ object TextStats {
         FROM c GROUP BY 1, 2),
       piv AS (
         SELECT doc_id,
-               round(coalesce(max(CASE WHEN n = 1 THEN top_frac END), 0.0), 4) AS top_tok_frac,
-               round(coalesce(max(CASE WHEN n = 2 THEN dup_frac END), 0.0), 4) AS dup2_frac,
-               round(coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0), 4) AS dup3_frac
+               floor(coalesce(max(CASE WHEN n = 1 THEN top_frac END), 0.0) * 10000 + 0.5) / 10000 AS top_tok_frac,
+               floor(coalesce(max(CASE WHEN n = 2 THEN dup_frac END), 0.0) * 10000 + 0.5) / 10000 AS dup2_frac,
+               floor(coalesce(max(CASE WHEN n = 3 THEN dup_frac END), 0.0) * 10000 + 0.5) / 10000 AS dup3_frac
         FROM p GROUP BY 1)
       SELECT t.doc_id,
              coalesce(piv.top_tok_frac, 0.0) AS top_tok_frac,
