@@ -344,6 +344,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortAggregate"), p.take(800))
   }
 
+  test("d39: the Gopher rule suite is a pure exchange-free projection") {
+    val p = physical(run("d39_gopher_rules"))
+    assert(!p.contains("Join") && !p.contains("Exchange"), p.take(800))
+  }
+
+  test("d40: repetition signals scan the corpus text once") {
+    val df = run("d40_repetition_signals")
+    // one scan carries text; the doc-id spine join reads only doc_id
+    val textScans = scans(df).count(_.metadata("ReadSchema").contains("text"))
+    assert(textScans === 1, scans(df).map(_.metadata("ReadSchema")).mkString("\n"))
+    assert(!physical(df).contains("CartesianProduct"))
+  }
+
   test("SQL surface: native kernels registered as SQL functions") {
     graft.plans.GraftFunctions.register(spark)
     val r = spark.sql(
