@@ -48,7 +48,12 @@ object GraftFunctions {
       new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
       (args: Seq[Expression]) =>
         CdcChunksExpr(args(0), intArg(args(1), "cdc_chunks"),
-          intArg(args(2), "cdc_chunks"))))
+          intArg(args(2), "cdc_chunks"))),
+    ("freq_items_sketch",
+      new ExpressionInfo(classOf[MisraGriesAgg].getName, "freq_items_sketch"),
+      (args: Seq[Expression]) =>
+        MisraGriesAgg(args(0), intArg(args(1), "freq_items_sketch"))
+          .toAggregateExpression()))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -367,5 +367,11 @@ class PlanSpec extends SparkSpec {
     assert(r.getDouble(0) === 1.0)
     assert(r.getSeq[String](1) === Seq("a b c", "b c d"))
     assert(r.getSeq[Long](2).length === 4)
+    // the sketch aggregate is on the SQL surface too
+    val hh = spark.sql(
+      "SELECT freq_items_sketch(t, 4) AS hh FROM VALUES ('a'),('a'),('b') AS v(t)")
+      .selectExpr("explode(hh)").collect()
+      .map(x => { val s0 = x.getStruct(0); (s0.getString(0), s0.getLong(1)) })
+    assert(hh.toSeq === Seq(("a", 2L), ("b", 1L)))
   }
 }
