@@ -305,6 +305,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === Map(1L -> 2, 2L -> 1))
   }
 
+  test("foreachBatch heavy-hitters maintenance: streamed sketch obeys the combined bound") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Tuple1[String]]
+    val k = 6
+    // the persisted artifact: a driver-held sketch maintained per batch —
+    // the archive stream is never re-scanned
+    var standing = Seq.empty[(String, Long)]
+    var total = 0L
+    val in = MemoryStream[Tuple1[String]]
+    val q = in.toDF().toDF("item").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val rows = batch.agg(
+          graft.plans.MisraGriesAgg.freqItems(col("item"), k).as("hh"))
+          .select(explode(col("hh"))).collect()
+          .map(r => { val s = r.getStruct(0); (s.getString(0), s.getLong(1)) })
+        standing = graft.plans.MisraGriesAgg.mergeSketches(standing, rows, k)
+        total += batch.count()
+      }.start()
+    in.addData((Seq.fill(40)("hot") ++ (1 to 30).map(i => s"a$i")).map(Tuple1(_)): _*)
+    q.processAllAvailable()
+    in.addData((Seq.fill(35)("hot") ++ (1 to 25).map(i => s"b$i")).map(Tuple1(_)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = standing.toMap
+    assert(got.size <= k)
+    val bound = total.toDouble / (k + 1) // 130/7 ≈ 18.6
+    assert(got("hot") <= 75L && 75L - got("hot") <= bound,
+      s"hot=${got.get("hot")} total=$total")
+    assert(got.contains("hot"), "the cross-batch heavy key must survive")
+  }
+
   test("mergeToLake: micro-batches MERGE into the parquet table, replays are no-ops") {
     implicit val sql = spark.sqlContext
     implicit val encM = Encoders.product[(Long, String, Long)]
