@@ -350,5 +350,70 @@ object Retrieval {
         ngramOverlapTopK(corpus, queries, n = 3, k = 5)), kRrf = 60, topK = 5)
     })
 
-  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion)
+  /** Per-document TF-IDF keyword extraction — the topic-tagging /
+    * corpus-exploration primitive (and the classic relevance weighting
+    * the BM25 stack generalizes): each document's top-k terms by
+    * `tf · idf` with the sklearn-style smoothed idf
+    * `ln((1+N)/(1+df)) + 1` (strictly positive, so even corpus-wide
+    * terms keep a usable ordering).
+    *
+    * Scale shape: ONE corpus scan into the postings aggregate (the same
+    * materialize-once decision as [[bm25TopK]] — df, N and the scoring
+    * join are three consumers that would each re-scan under AQE
+    * re-pruning); df collapses map-side; N is a one-row broadcast; the
+    * per-doc top-k is a rank-limit window PARTITIONED BY the doc key —
+    * high-cardinality, so the sort is per-doc-vocabulary-sized, never a
+    * global order (the [[graft.plans.TopKPerGroup]] rewrite deliberately
+    * does not fire here because `rank` rides in the output). Scores
+    * round to 4 BEFORE ranking and ties break on the term so the cut is
+    * cross-engine reproducible. */
+  def tfidfKeywords(docs: DataFrame, k: Int,
+      materializeIndex: Boolean = true): DataFrame = {
+    require(k > 0, "k must be positive")
+    val post0 = postings(docs)
+    val post = if (materializeIndex) post0.localCheckpoint() else post0
+    val df = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = post.agg(count_distinct(col("doc_id")).cast("double").as("n"))
+    val score = round(col("tf") *
+      (log((lit(1.0) + col("n")) / (lit(1.0) + col("df"))) + 1.0), 4)
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term").asc)
+    post
+      .join(df, Seq("term"))
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), score.as("score"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Top-3 TF-IDF keywords for every document. */
+  val d43TfidfKeywords: Q = Q(
+    "d43_tfidf_keywords",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM documents),
+      post AS (
+        SELECT doc_id, u.term AS term, count(*) AS tf
+        FROM tok, unnest(tok.toks) AS u(term)
+        GROUP BY 1, 2),
+      dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+      nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM post),
+      sc AS (
+        SELECT p.doc_id, p.term,
+               round(p.tf * (ln((1.0 + nn.n) / (1.0 + dft.df)) + 1.0), 4) AS score
+        FROM post p JOIN dft ON dft.term = p.term CROSS JOIN nn),
+      r AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS rank
+        FROM sc)
+      SELECT doc_id, term, score, rank FROM r WHERE rank <= 3
+    """),
+    (s, dir) => tfidfKeywords(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")), k = 3))
+
+  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, d43TfidfKeywords)
 }

@@ -914,6 +914,135 @@ object TextStats {
         alpha = 0.5)
     })
 
+  /** CCNet-style perplexity bucketing — the published pipelines don't
+    * just SCORE documents with the reference LM (d31), they rank the
+    * corpus by that score and split it into head/middle/tail terciles
+    * (CCNet trains on head+middle, studies tail). The split must be by
+    * GLOBAL rank, not a fixed threshold: the score distribution shifts
+    * per snapshot, the tercile boundaries don't.
+    *
+    * Scale shape: scoring is d31's one-scan pipeline; the global rank is
+    * [[graft.operators.GlobalOrder]]'s two-pass range-partitioned
+    * ranking — a naive `Window.orderBy` would Exchange the whole scored
+    * corpus into ONE partition. The tercile label is then exact-NTILE
+    * arithmetic from the row number and the driver-known total — no
+    * further shuffle. Ties break on doc_id so the bucketing is
+    * deterministic and cross-engine reproducible. */
+  val d41PerplexityBuckets: Q = Q(
+    "d41_perplexity_buckets",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      tok AS (
+        SELECT doc_id, bucket,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM b),
+      bg AS (
+        SELECT doc_id, bucket,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+        FROM tok),
+      refbg AS (
+        SELECT u.bg AS bg, count(*) AS c12
+        FROM (SELECT bgs FROM bg WHERE bucket < 50) r, unnest(r.bgs) AS u(bg)
+        GROUP BY 1),
+      ctx AS (
+        SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        FROM refbg GROUP BY 1),
+      voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ctx),
+      ex AS (
+        SELECT bg.doc_id, u.bg AS dbg
+        FROM bg, unnest(bg.bgs) AS u(bg)),
+      scored AS (
+        SELECT ex.doc_id,
+               round(avg(ln((coalesce(r.c12, 0) + 0.5) /
+                            (coalesce(c.c1, 0) + 0.5 * voc.v))), 4) AS avg_logprob
+        FROM ex
+        LEFT JOIN refbg r ON r.bg = ex.dbg
+        LEFT JOIN ctx c ON c.w1 = split_part(ex.dbg, ' ', 1)
+        CROSS JOIN voc
+        GROUP BY 1),
+      full_scored AS (
+        SELECT t.doc_id, coalesce(s.avg_logprob, 0.0) AS avg_logprob
+        FROM tok t LEFT JOIN scored s ON s.doc_id = t.doc_id)
+      SELECT doc_id, avg_logprob,
+             row_number() OVER w AS rn,
+             CASE ntile(3) OVER w WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                  ELSE 'tail' END AS ppl_bucket
+      FROM full_scored
+      WINDOW w AS (ORDER BY avg_logprob DESC, doc_id ASC)
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("lm:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val scored = ngramLmScore(
+        docs.filter(col("bucket") < 50).select(col("text")),
+        docs.select(col("doc_id"), col("text")),
+        alpha = 0.5).select(col("doc_id"), col("avg_logprob"))
+      val ranked = graft.operators.GlobalOrder.withRanks(scored,
+        Seq(col("avg_logprob").desc, col("doc_id").asc),
+        Seq(col("avg_logprob"), col("doc_id")))
+      val tile = graft.operators.GlobalOrder
+        .ntileFromRowNumber(col("rn"), 3, ranked.totalRows)
+      ranked.df.select(col("doc_id"), col("avg_logprob"), col("rn"),
+        when(tile === 1, lit("head")).when(tile === 2, lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+    })
+
+  /** Entropy quality signals — bits per character and per token via the
+    * native [[graft.plans.EntropyExpr]] kernel (see its scaladoc for why
+    * the explode/HOF formulations lose): low char entropy flags
+    * keyboard-mash/repetition spam, low token entropy flags template
+    * text whose vocabulary is a handful of words; both ride next to the
+    * d03/d39 rule signals in published quality stacks. A pure codegen'd
+    * projection — zero exchanges before the write (PlanSpec-pinned). */
+  val d42EntropySignals: Q = Q(
+    "d42_entropy_signals",
+    Some("""
+      WITH base AS (SELECT doc_id, text FROM documents),
+      ci AS (
+        SELECT doc_id, unnest(generate_series(1, length(text))) AS i, text
+        FROM base),
+      cc AS (SELECT doc_id, substr(text, i, 1) AS ch FROM ci),
+      ccnt AS (SELECT doc_id, ch, count(*) AS c FROM cc GROUP BY 1, 2),
+      ctot AS (SELECT doc_id, sum(c) AS n FROM ccnt GROUP BY 1),
+      cent AS (
+        SELECT ccnt.doc_id,
+               -sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2)) AS h
+        FROM ccnt JOIN ctot ON ccnt.doc_id = ctot.doc_id GROUP BY 1),
+      tk AS (
+        SELECT doc_id,
+               unnest(CASE WHEN length(trim(text)) = 0 THEN []
+                           ELSE regexp_split_to_array(trim(text), '\s+') END) AS tok
+        FROM base),
+      tcnt AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+      ttot AS (SELECT doc_id, sum(c) AS n FROM tcnt GROUP BY 1),
+      tent AS (
+        SELECT tcnt.doc_id,
+               -sum((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+                    ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / ln(2)) AS h
+        FROM tcnt JOIN ttot ON tcnt.doc_id = ttot.doc_id GROUP BY 1)
+      SELECT b.doc_id,
+             coalesce(abs(round(cent.h, 4)), 0.0) AS char_entropy,
+             coalesce(abs(round(tent.h, 4)), 0.0) AS token_entropy
+      FROM base b
+      LEFT JOIN cent ON cent.doc_id = b.doc_id
+      LEFT JOIN tent ON tent.doc_id = b.doc_id
+    """),
+    (s, dir) => Tables(s, dir, "documents").select(
+      col("doc_id"),
+      abs(round(graft.plans.EntropyExpr.entropy(col("text"),
+        tokenLevel = false), 4)).as("char_entropy"),
+      abs(round(graft.plans.EntropyExpr.entropy(col("text"),
+        tokenLevel = true), 4)).as("token_entropy")))
+
   /** BPE-ish pre-tokenizer regex (the GPT-2 pretokenizer family,
     * restricted to a subset RE2 and java.util.regex count identically:
     * no lookahead, ASCII classes): a token is an optionally
@@ -1531,6 +1660,7 @@ object TextStats {
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
+    d41PerplexityBuckets, d42EntropySignals,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals)
 }

@@ -577,10 +577,55 @@ object Temporal {
         .agg(count(lit(1)).as("active_users"))
     })
 
+  /** Event-transition matrix — the user-journey Markov chain the
+    * funnel/retention family reads flows from: for every consecutive
+    * event pair within a user's timeline (ordered by ts with event_id as
+    * the deterministic tiebreak), count (prev_type → next_type)
+    * transitions and the per-prev transition probability.
+    *
+    * Scale shape: ONE shuffle on the user key for the lag window (the
+    * same clustering q13/q50 use), then a partial-aggregatable groupBy
+    * that collapses the corpus to at most |event_types|² rows — the
+    * probability window runs over that tiny aggregate, never the corpus.
+    * `p` is a single IEEE division of two exact integers, so both
+    * engines compute the identical double with no rounding needed. */
+  def eventTransitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    val wu = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol))
+      .withColumn("prev_type", lag(col(typeCol), 1).over(wu))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev_type"))).cast("double"))
+  }
+
+  val q53EventTransitions: Q = Q(
+    "q53_event_transitions",
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events),
+      t AS (
+        SELECT prev_type, event_type AS next_type, count(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+      SELECT prev_type, next_type, n,
+             CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type)
+                                      AS DOUBLE) AS p
+      FROM t
+    """),
+    (s, dir) => eventTransitions(ev(s, dir)))
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
-    q52FunnelDropoff)
+    q52FunnelDropoff, q53EventTransitions)
 }

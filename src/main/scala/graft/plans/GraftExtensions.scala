@@ -49,6 +49,15 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         CdcChunksExpr(args(0), intArg(args(1), "cdc_chunks"),
           intArg(args(2), "cdc_chunks"))),
+    ("text_entropy",
+      new ExpressionInfo(classOf[EntropyExpr].getName, "text_entropy"),
+      (args: Seq[Expression]) =>
+        EntropyExpr(args(0), args.lift(1) match {
+          case None => false
+          case Some(Literal(v: Boolean, _)) => v
+          case Some(other) => throw new IllegalArgumentException(
+            s"text_entropy expects a literal boolean tokenLevel argument, got $other")
+        })),
     ("freq_items_sketch",
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "freq_items_sketch"),
       (args: Seq[Expression]) =>

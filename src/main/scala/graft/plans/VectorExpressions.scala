@@ -555,3 +555,85 @@ object CdcChunksExpr {
       CdcChunksExpr(GraftSqlBridge.expression(c), windowTokens, modulus))
   }
 }
+
+/** Native Shannon-entropy kernel over a document's character or
+  * whitespace-token distribution — the randomness half of the quality
+  * family (d03 heuristics, d39 Gopher rules, d40 repetition): machine-
+  * generated keyboard mash and template spam sit at the distribution's
+  * extremes, so published pipelines filter on "bits per character /
+  * token" next to the rule-based signals.
+  *
+  * A custom Expression for the same reason as [[NgramsExpr]]: the
+  * composable formulation (explode characters → two aggregates → join
+  * back) pays two exchanges per corpus scan for a value that is a pure
+  * per-row function of the text; the HOF formulation (`transform` over
+  * a distinct-char array probing `regexp_count` per element) is
+  * interpreted AND quadratic per row. This kernel is one frequency map
+  * + one log pass of tight Java, inline in whole-stage codegen.
+  *
+  * Numeric contract (oracle parity): entropy = −Σ (c/n)·ln(c/n)/ln 2
+  * accumulated per distinct symbol; callers round (the ±1 ulp
+  * transcendental spread is the d31 precedent) — and the sum is
+  * clamped at ≥ 0.0, so the single-symbol case cannot emit IEEE −0.0
+  * (which the two engines format differently). Empty/null-safe: 0.0
+  * for empty text; codepoint-level iteration so the contract is
+  * "characters" exactly like SQL `substr`, not UTF-16 units.
+  */
+case class EntropyExpr(child: Expression, tokenLevel: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    EntropyExpr.entropyOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], tokenLevel)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.EntropyExpr.entropyOf($a, $tokenLevel)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object EntropyExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private val Ln2 = math.log(2.0)
+
+  def entropyOf(text: UTF8String, tokenLevel: Boolean): Double = {
+    val s = text.toString
+    val counts = new java.util.HashMap[String, Long]()
+    var n = 0L
+    if (tokenLevel) {
+      val toks = s.trim.split("\\s+")
+      var i = 0
+      while (i < toks.length) {
+        if (toks(i).nonEmpty) { counts.merge(toks(i), 1L, _ + _); n += 1 }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < s.length) {
+        val cp = s.codePointAt(i)
+        counts.merge(new String(Character.toChars(cp)), 1L, _ + _)
+        n += 1
+        i += Character.charCount(cp)
+      }
+    }
+    if (n == 0L) return 0.0
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val p = it.next().toDouble / n
+      h -= p * (math.log(p) / Ln2)
+    }
+    if (h <= 0.0) 0.0 else h
+  }
+
+  def entropy(c: Column, tokenLevel: Boolean): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      EntropyExpr(GraftSqlBridge.expression(c), tokenLevel))
+  }
+}

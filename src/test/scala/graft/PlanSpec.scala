@@ -373,5 +373,33 @@ class PlanSpec extends SparkSpec {
       .selectExpr("explode(hh)").collect()
       .map(x => { val s0 = x.getStruct(0); (s0.getString(0), s0.getLong(1)) })
     assert(hh.toSeq === Seq(("a", 2L), ("b", 1L)))
+    // entropy kernel: optional tokenLevel flag defaults to characters
+    val ent = spark.sql(
+      "SELECT text_entropy('abab'), text_entropy('x y x y', true)").collect()(0)
+    assert(ent.getDouble(0) === 1.0 && ent.getDouble(1) === 1.0)
+  }
+
+  test("d42: entropy signals are a pure exchange-free projection") {
+    val p = physical(run("d42_entropy_signals"))
+    assert(!p.contains("Exchange") && !p.contains("Join"), p.take(800))
+  }
+
+  test("d41: perplexity bucketing ranks with NO single-partition Exchange") {
+    val df = run("d41_perplexity_buckets")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    assert(executed.contains("__go_pid"), executed.take(1200))
+  }
+
+  test("q53: transition matrix windows per user/prev-state — no single-partition Exchange") {
+    val df = run("q53_event_transitions")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    assert(!executed.contains("CartesianProduct"))
+    assert(executed.contains("hashpartitioning(user_id"), executed.take(1200))
   }
 }

@@ -149,4 +149,29 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(2))).toMap
     assert(p === Map("the" -> 3L, "cat" -> 1L))
   }
+
+  test("tfidfKeywords: rare terms outrank common ones, k caps per doc, ties break on term") {
+    // df: apple 3, banana 1, cherry 2, durian 1; N = 4
+    def idf(df: Double) = math.log(5.0 / (1.0 + df)) + 1.0
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = Retrieval.tfidfKeywords(corpus, k = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3).toInt))
+      .groupBy(_._1)
+    // doc 1: banana tf2·idf(1) beats apple tf1·idf(3)
+    assert(out(1L).sortBy(_._4).toSeq === Seq(
+      (1L, "banana", r4(2 * idf(1)), 1), (1L, "apple", r4(idf(3)), 2)))
+    // doc 4: durian (idf 1) vs apple (idf 3) — same tf, rarer term first
+    assert(out(4L).sortBy(_._4).map(_._2).toSeq === Seq("durian", "apple"))
+    // doc 3 has one distinct term: rank list is just cherry, no padding
+    assert(out(3L).map(_._2).toSeq === Seq("cherry"))
+    // k caps: no doc emits more than 2 rows
+    assert(out.values.forall(_.length <= 2))
+    // equal scores tie-break lexicographically by term
+    val tied = Retrieval.tfidfKeywords(LocalTable.of(spark, docSchema,
+      Seq(Row(1L, "beta alpha"))), k = 2)
+      .collect().map(r => (r.getString(1), r.getLong(3).toInt)).toSeq
+    assert(tied === Seq(("alpha", 1), ("beta", 2)))
+  }
 }

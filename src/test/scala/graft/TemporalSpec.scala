@@ -105,4 +105,42 @@ class TemporalSpec extends SparkSpec {
     // no negative offsets by construction
     assert(got.forall(_.getInt(1) >= 0))
   }
+
+  private val transSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("ts_us", LongType),
+    StructField("event_id", LongType),
+    StructField("event_type", StringType)))
+
+  private def transEvents(rows: (Long, Long, Long, String)*) =
+    LocalTable.of(spark, transSchema,
+      rows.map { case (u, t, i, e) => Row(u, t, i, e) })
+
+  test("eventTransitions: per-user consecutive pairs, probabilities per prev state") {
+    val t = Temporal.eventTransitions(
+      transEvents(
+        (1L, 10L, 1L, "v"), (1L, 20L, 2L, "c"),
+        (1L, 30L, 3L, "v"), (1L, 40L, 4L, "c"),
+        (2L, 10L, 5L, "c"), (2L, 20L, 6L, "p")),
+      tsCol = "ts_us")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(t((("v", "c"))) === ((2L, 1.0)))
+    assert(t((("c", "v"))) === ((1L, 0.5)))
+    assert(t((("c", "p"))) === ((1L, 0.5)))
+    // u1's last event and u2's first event never pair up across users
+    assert(t.size === 3)
+  }
+
+  test("eventTransitions: single-event users emit nothing; ties order by event_id") {
+    val t = Temporal.eventTransitions(
+      transEvents(
+        (1L, 10L, 2L, "a"), (1L, 10L, 1L, "b"), // same ts: order is b (id 1) → a (id 2)
+        (2L, 99L, 3L, "z")),
+      tsCol = "ts_us")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(t === Map(("b", "a") -> 1L))
+  }
 }

@@ -369,4 +369,55 @@ class TextStatsSpec extends SparkSpec {
     assert(w1.toSeq === w2.toSeq)
     assert(b1 === b2)
   }
+
+  private def entropyOf(text: String, tokenLevel: Boolean): java.lang.Double = {
+    val r = docsDf((1L, text))
+      .select(graft.plans.EntropyExpr.entropy(col("text"), tokenLevel).as("h"))
+      .collect()(0)
+    if (r.isNullAt(0)) null else java.lang.Double.valueOf(r.getDouble(0))
+  }
+
+  test("EntropyExpr: character entropy of known distributions") {
+    val h0 = entropyOf("aaaa", tokenLevel = false)
+    // single-symbol text: exactly 0.0 with a POSITIVE sign — the naive
+    // -sum form yields IEEE -0.0, which the two engines format apart
+    assert(h0.doubleValue() === 0.0 && 1.0 / h0.doubleValue() > 0)
+    assert(entropyOf("ab", tokenLevel = false) === 1.0)
+    assert(entropyOf("aabb", tokenLevel = false) === 1.0)
+    assert(entropyOf("abcd", tokenLevel = false) === 2.0)
+    assert(entropyOf("", tokenLevel = false) === 0.0)
+  }
+
+  test("EntropyExpr: token entropy over whitespace tokens") {
+    assert(entropyOf("x y x y", tokenLevel = true) === 1.0)
+    assert(entropyOf("x x x", tokenLevel = true) === 0.0)
+    assert(entropyOf("a b c d", tokenLevel = true) === 2.0)
+    assert(entropyOf("   ", tokenLevel = true) === 0.0)
+  }
+
+  test("EntropyExpr: iterates codepoints, not UTF-16 units") {
+    // a supplementary-plane char is TWO UTF-16 units but ONE character;
+    // counting units would see {high surrogate, low surrogate, 'a'} and
+    // report log2(3)-ish garbage instead of 1 bit
+    assert(entropyOf("😀a", tokenLevel = false) === 1.0)
+    assert(entropyOf("😀😀", tokenLevel = false) === 0.0)
+  }
+
+  test("d41: terciles partition the corpus by global score rank") {
+    val rows = SparkEntry.queries("d41_perplexity_buckets")(
+      spark, "/root/testdata/sf0.001").collect()
+    val n = rows.length
+    assert(n > 0)
+    // rn is a permutation of 1..n (the two-pass global rank is total)
+    assert(rows.map(_.getLong(2)).sorted.toSeq === (1L to n.toLong))
+    // tercile sizes differ by at most one, head tiles first
+    val sizes = rows.groupBy(_.getString(3)).view.mapValues(_.length).toMap
+    assert(sizes.keySet === Set("head", "middle", "tail"))
+    assert(sizes.values.max - sizes.values.min <= 1)
+    // rank ordering respects the score: every head score ≥ every middle
+    // score ≥ every tail score (ties may straddle the boundary — hence ≥)
+    def scores(b: String) = rows.filter(_.getString(3) == b).map(_.getDouble(1))
+    assert(scores("head").min >= scores("middle").max)
+    assert(scores("middle").min >= scores("tail").max)
+  }
 }
