@@ -143,6 +143,48 @@ object Multimodal {
         }
       } catch { case _: Exception => None }
 
+    /** 64-bit average-hash (aHash) perceptual image fingerprint: decode,
+      * scale to 8×8 (same bilinear Graphics2D path as [[resizeImage]]),
+      * per-pixel luminance (ITU-R BT.601 weights), bit i set iff pixel i
+      * is brighter than the image mean. Hamming distance between hashes
+      * tracks visual similarity — re-encodes, small brightness shifts
+      * and resizes move few bits, unrelated images differ in ~32 —
+      * which makes the hash a drop-in `sig` for the SimHash banding
+      * pipeline ([[graft.ext.Dedup.simhashNearDupPairs]]). None when the
+      * payload is not a decodable image. Deterministic for identical
+      * bytes within a JVM (the spec contract; cross-JVM stability rides
+      * the JDK's fixed bilinear kernel). */
+    def perceptualHash(bytes: Array[Byte]): Option[Long] =
+      try {
+        val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val dst = new java.awt.image.BufferedImage(8, 8,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, 8, 8, null)
+          g.dispose()
+          val lum = new Array[Double](64)
+          var i = 0
+          while (i < 64) {
+            val rgb = dst.getRGB(i % 8, i / 8)
+            lum(i) = 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            i += 1
+          }
+          val mean = lum.sum / 64.0
+          var sig = 0L
+          i = 0
+          while (i < 64) {
+            if (lum(i) > mean) sig |= (1L << i)
+            i += 1
+          }
+          Some(sig)
+        }
+      } catch { case _: Exception => None }
+
     /** Every `stride`-th frame of a multi-frame image container (animated
       * GIF — the JDK's only multi-frame reader), re-encoded as PNGs.
       * Single-frame formats yield their one frame when sampled. */
@@ -201,6 +243,41 @@ object Multimodal {
       val decoder = mk() // per-partition init
       it.map { case (id, kind, bytes) => decoder.decode(id, kind, bytes) }
     }(Encoders.product[MediaFeatures]).toDF()
+  }
+
+  /** Exact media dedup on the raw payload — the FIRST dedup stage of any
+    * multimodal ingest, run before a single byte is decoded (content
+    * hashing is orders cheaper than decoding, and crawl corpora are full
+    * of byte-identical re-downloads): every media row labeled with its
+    * content hash, the group's representative (min doc_id — the d04
+    * keep-one convention) and a dup flag. One partial-aggregatable
+    * exchange on the hash; the representative table is dup-group-sized
+    * and broadcasts back. */
+  def mediaExactDedup(media: DataFrame): DataFrame = {
+    val h = media.select(col("doc_id"), md5(col("media")).as("content_hash"))
+    val reps = h.groupBy(col("content_hash")).agg(min(col("doc_id")).as("rep_id"))
+    h.join(reps, Seq("content_hash"))
+      .select(col("doc_id"), col("content_hash"), col("rep_id"),
+        (col("doc_id") =!= col("rep_id")).as("is_dup"))
+  }
+
+  /** Perceptual near-dup pairs over an image corpus: decode → 64-bit
+    * aHash ([[MediaTransforms.perceptualHash]], per-partition batched
+    * like every decode stage) → the SimHash banding pipeline
+    * ([[graft.ext.Dedup.simhashNearDupPairs]]: 4×16-bit bands, count-
+    * gated hot-bucket cap, pigeonhole recall 1.0 for hamming ≤ 3) —
+    * candidate generation is an equi-join on band values, never an
+    * all-pairs hamming pass. Undecodable payloads drop out (no hash, no
+    * pairs) rather than failing the scan. */
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val ds = media.select(col("doc_id"), col("media"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    val sigs = ds.mapPartitions { it =>
+      it.flatMap { case (id, bytes) =>
+        MediaTransforms.perceptualHash(bytes).map(sig => (id, sig)) }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("doc_id", "sig")
+    graft.ext.Dedup.simhashNearDupPairs(sigs, maxHamming)
   }
 
   // ---- catalog queries -----------------------------------------------
@@ -265,5 +342,18 @@ object Multimodal {
           round(avg(col("mean_intensity")), 4).as("avg_intensity"))
     })
 
-  val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline)
+  /** Exact content dedup over the media table (decode-free half — the
+    * perceptual half is spec-proven on real PNGs, MultimodalSpec). */
+  val m03MediaDedup: Q = Q(
+    "m03_media_dedup",
+    Some("""
+      WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents),
+      g AS (SELECT content_hash, min(doc_id) AS rep_id FROM h GROUP BY 1)
+      SELECT h.doc_id, h.content_hash, g.rep_id,
+             h.doc_id <> g.rep_id AS is_dup
+      FROM h JOIN g ON g.content_hash = h.content_hash
+    """),
+    (s, dir) => mediaExactDedup(mediaTable(Tables(s, dir, "documents"))))
+
+  val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline, m03MediaDedup)
 }

@@ -1043,6 +1043,123 @@ object TextStats {
       abs(round(graft.plans.EntropyExpr.entropy(col("text"),
         tokenLevel = true), 4)).as("token_entropy")))
 
+  /** T5-style span corruption — the denoising-objective data prep
+    * (Raffel et al. 2020): deterministic seeded masking of aligned
+    * `spanLen`-token spans; each masked span is replaced by an ordered
+    * sentinel `<extra_id_k>` in the input and emitted sentinel-prefixed
+    * in the target. The mask decision is the engine's cross-engine
+    * 60-bit md5 bucket on (seed, doc_id, span) — reproducible across
+    * engines, partitionings and reruns (training-data generation must
+    * be replayable, never `rand()`).
+    *
+    * Scale shape: the d38 positional-rebuild family — one posexplode
+    * scan, every exchange on the doc key (the sentinel-numbering
+    * window, the group join, the two ordered rebuilds), span flags
+    * codegen'd per token row. `n_masked_spans` derives from max(k)+1,
+    * NOT a countDistinct, so the rebuild aggregate stays a single
+    * hash aggregate (the q40 Expand/SortAggregate trap). */
+  def spanCorruption(docs: DataFrame, spanLen: Int, ratePerMillion: Int,
+      seed: String): DataFrame = {
+    require(spanLen >= 1, "spanLen must be >= 1")
+    require(ratePerMillion >= 0 && ratePerMillion <= 1000000,
+      "ratePerMillion must be in [0, 1e6]")
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .withColumn("grp", floor(col("pos") / spanLen).cast("long"))
+    val maskedFlag = (conv(substring(md5(concat(
+      lit(seed + ":"), col("doc_id").cast("string"),
+      lit(":"), col("grp").cast("string"))), 1, 15), 16, 10)
+      .cast("long") % 1000000) < ratePerMillion
+    val fm = tok.withColumn("masked", maskedFlag)
+    // sentinel numbering: k = rank of the span among the doc's masked
+    // spans, in span order (deterministic, gap-free)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("grp"))
+    val mg = fm.filter(col("masked")).select(col("doc_id"), col("grp")).distinct()
+      .withColumn("k", row_number().over(wk).cast("long") - 1)
+    val fmk = fm.join(mg, Seq("doc_id", "grp"), "left")
+    val sentinel = concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
+    val inp = fmk
+      .filter(!col("masked") || col("pos") % spanLen === 0)
+      .select(col("doc_id"), col("pos"),
+        when(col("masked"), sentinel).otherwise(col("tok")).as("t"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("t")))),
+        x => x.getField("t")), " ").as("input_text"))
+    val tgtRows = fmk.filter(col("masked"))
+      .select(col("doc_id"), col("pos"), lit(1).as("sub"), col("tok").as("t"))
+      .unionByName(mg.select(col("doc_id"),
+        (col("grp") * spanLen).cast("int").as("pos"), lit(0).as("sub"),
+        concat(lit("<extra_id_"), col("k").cast("string"), lit(">")).as("t")))
+    val tgt = tgtRows.groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("sub"), col("t")))),
+        x => x.getField("t")), " ").as("target_text"))
+    val ks = mg.groupBy(col("doc_id")).agg((max(col("k")) + 1).as("n_masked_spans"))
+    docs.select(col("doc_id"))
+      .join(inp, Seq("doc_id"), "left")
+      .join(tgt, Seq("doc_id"), "left")
+      .join(ks, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"),
+        coalesce(col("n_masked_spans"), lit(0L)).as("n_masked_spans"))
+  }
+
+  /** Span-corruption gate: 4-token aligned spans, 30% mask rate. */
+  val d44SpanCorruption: Q = Q(
+    "d44_span_corruption",
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      tok AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        FROM base, unnest(generate_series(1, len(toks))) AS g(i)),
+      fm AS (
+        SELECT doc_id, pos, tok, pos // 4 AS grp,
+               (CAST(concat('0x', substr(md5('sc7:' || CAST(doc_id AS VARCHAR)
+                  || ':' || CAST(pos // 4 AS VARCHAR)), 1, 15)) AS BIGINT)
+                % 1000000) < 300000 AS masked
+        FROM tok),
+      mg AS (
+        SELECT doc_id, grp,
+               row_number() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k
+        FROM (SELECT DISTINCT doc_id, grp FROM fm WHERE masked)),
+      inp AS (
+        SELECT fm.doc_id,
+               string_agg(CASE WHEN fm.masked
+                 THEN '<extra_id_' || CAST(mg.k AS VARCHAR) || '>'
+                 ELSE fm.tok END, ' ' ORDER BY fm.pos) AS input_text
+        FROM fm LEFT JOIN mg ON mg.doc_id = fm.doc_id AND mg.grp = fm.grp
+        WHERE NOT fm.masked OR fm.pos % 4 = 0
+        GROUP BY 1),
+      tgtrows AS (
+        SELECT doc_id, pos, 1 AS sub, tok AS t FROM fm WHERE masked
+        UNION ALL
+        SELECT doc_id, grp * 4 AS pos, 0 AS sub,
+               '<extra_id_' || CAST(k AS VARCHAR) || '>' AS t
+        FROM mg),
+      tgt AS (
+        SELECT doc_id, string_agg(t, ' ' ORDER BY pos, sub) AS target_text
+        FROM tgtrows GROUP BY 1),
+      ks AS (SELECT doc_id, max(k) + 1 AS n_masked_spans FROM mg GROUP BY 1)
+      SELECT b.doc_id,
+             coalesce(inp.input_text, '') AS input_text,
+             coalesce(tgt.target_text, '') AS target_text,
+             CAST(coalesce(ks.n_masked_spans, 0) AS BIGINT) AS n_masked_spans
+      FROM base b
+      LEFT JOIN inp ON inp.doc_id = b.doc_id
+      LEFT JOIN tgt ON tgt.doc_id = b.doc_id
+      LEFT JOIN ks ON ks.doc_id = b.doc_id
+    """),
+    (s, dir) => spanCorruption(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      spanLen = 4, ratePerMillion = 300000, seed = "sc7"))
+
   /** BPE-ish pre-tokenizer regex (the GPT-2 pretokenizer family,
     * restricted to a subset RE2 and java.util.regex count identically:
     * no lookahead, ASCII classes): a token is an optionally
@@ -1660,7 +1777,7 @@ object TextStats {
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
-    d41PerplexityBuckets, d42EntropySignals,
+    d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals)
 }

@@ -622,10 +622,55 @@ object Temporal {
     """),
     (s, dir) => eventTransitions(ev(s, dir)))
 
+  /** Top-k most frequent 3-step user-journey paths — the sequence-mining
+    * rollup next to q53's single-step matrix (a transition matrix is
+    * memoryless; product teams read the actual multi-step flows).
+    *
+    * Scale shape: the same ONE user-key shuffle as q53 (two lags over
+    * one window), a partial-aggregatable groupBy to ≤ |types|³ rows, and
+    * a global top-k that Spark plans as TakeOrderedAndProject —
+    * per-partition heads merged on the driver, never a single-partition
+    * sort of the corpus. Ties break on the path columns so the cut is
+    * deterministic. */
+  def topPaths(events: DataFrame, k: Int, userCol: String = "user_id",
+      tsCol: String = "ts", idCol: String = "event_id",
+      typeCol: String = "event_type"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val wu = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol), col(tsCol), col(idCol), col(typeCol).as("t3"))
+      .withColumn("t1", lag(col("t3"), 2).over(wu))
+      .withColumn("t2", lag(col("t3"), 1).over(wu))
+      .filter(col("t1").isNotNull)
+      .groupBy(col("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("t1").asc, col("t2").asc, col("t3").asc)
+      .limit(k)
+  }
+
+  val q54TopPaths: Q = Q(
+    "q54_top_paths",
+    Some("""
+      WITH seq AS (
+        SELECT user_id, event_type AS t3,
+               lag(event_type, 2) OVER w AS t1,
+               lag(event_type, 1) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      p AS (
+        SELECT t1, t2, t3, count(*) AS n
+        FROM seq WHERE t1 IS NOT NULL GROUP BY 1, 2, 3)
+      SELECT t1, t2, t3, n FROM p
+      ORDER BY n DESC, t1 ASC, t2 ASC, t3 ASC
+      LIMIT 10
+    """),
+    (s, dir) => topPaths(ev(s, dir), k = 10))
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
-    q52FunnelDropoff, q53EventTransitions)
+    q52FunnelDropoff, q53EventTransitions, q54TopPaths)
 }

@@ -229,4 +229,34 @@ object EventsStreaming {
       .transformWithState(new SessionProcessor, TimeMode.None(),
         OutputMode.Update())
   }
+
+  /** One observed user-journey edge. */
+  final case class Transition(user_id: Long, prev_type: String, next_type: String)
+
+  /** Streaming twin of [[graft.operators.Temporal.eventTransitions]]
+    * (q53): each arriving event pairs with the user's PREVIOUS event to
+    * emit one journey edge; the only state is that last event — O(1) per
+    * user, bounded on an unbounded clickstream. Counting the emitted
+    * edges (a plain downstream aggregation, associative) maintains the
+    * transition matrix incrementally; under per-user in-order delivery
+    * the edge multiset equals the batch operator's lag-window pairs
+    * exactly (StreamingSpec). Out-of-order arrivals within a micro-batch
+    * are repaired by the per-batch sort; cross-batch stragglers are the
+    * caller's watermark decision, same contract as [[funnelStream]]. */
+  def transitionsStream(events: Dataset[Event]): Dataset[Transition] = {
+    val fn: (Long, Iterator[Event], GroupState[Event]) => Iterator[Transition] =
+      (userId, it, state) => {
+        var last = state.getOption.orNull
+        val out = Seq.newBuilder[Transition]
+        it.toSeq.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+          if (last != null) out += Transition(userId, last.event_type, e.event_type)
+          last = e
+        }
+        if (last != null) state.update(last)
+        out.result().iterator
+      }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[Event], Encoders.product[Transition])
+  }
 }

@@ -162,4 +162,71 @@ class MultimodalSpec extends SparkSpec {
       .collect()
     assert(joined.forall(r => r.getLong(0) === r.getLong(1)))
   }
+
+  /** Half-dark / half-bright test card; `shift` brightens uniformly,
+    * `invert` swaps the halves. */
+  private def cardPng(w: Int, h: Int, shift: Int = 0,
+      invert: Boolean = false): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach { x =>
+      (0 until h).foreach { y =>
+        val bright = (x >= w / 2) != invert
+        val v = (if (bright) 200 else 40) + shift
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  private def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  test("perceptualHash: brightness- and scale-invariant, far from a different image") {
+    val ph = Multimodal.MediaTransforms.perceptualHash _
+    val a = ph(cardPng(16, 16)).get
+    assert(ph(cardPng(16, 16)).get === a, "deterministic for identical bytes")
+    // +10 uniform brightness moves every pixel AND the mean — bits survive
+    assert(hamming(a, ph(cardPng(16, 16, shift = 10)).get) <= 2)
+    // the same card at 2x resolution hashes the same 8x8 structure
+    assert(hamming(a, ph(cardPng(32, 32)).get) <= 2)
+    // the inverted card flips the structured bits
+    assert(hamming(a, ph(cardPng(16, 16, invert = true)).get) >= 32)
+    assert(ph("not an image".getBytes).isEmpty)
+    // a uniform image has no above-mean pixel: all-zero signature
+    assert(ph(pngBytes(8, 8, 0x808080)).get === 0L)
+  }
+
+  test("mediaNearDupPairs: banded aHash pairing finds the perceptual dup only") {
+    val media = LocalTable.of(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))),
+      Seq(org.apache.spark.sql.Row(1L, cardPng(16, 16)),
+        org.apache.spark.sql.Row(2L, cardPng(16, 16, shift = 10)),
+        org.apache.spark.sql.Row(3L, cardPng(16, 16, invert = true)),
+        org.apache.spark.sql.Row(4L, "junk-not-an-image".getBytes)))
+    val pairs = Multimodal.mediaNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      "re-brightened card pairs; inverted card and undecodable junk do not")
+  }
+
+  test("mediaExactDedup: byte-identical payloads collapse to the min-id representative") {
+    val docs = LocalTable.of(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))),
+      Seq(org.apache.spark.sql.Row(5L, "payload-a".getBytes),
+        org.apache.spark.sql.Row(2L, "payload-a".getBytes),
+        org.apache.spark.sql.Row(3L, "payload-b".getBytes)))
+    val out = Multimodal.mediaExactDedup(docs)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out === Map(5L -> ((2L, true)), 2L -> ((2L, false)), 3L -> ((3L, false))))
+  }
 }

@@ -354,4 +354,44 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(t2 === Seq((1L, "a"), (2L, "b2"), (3L, "c")))
   }
+
+  test("transitionsStream: edge multiset across micro-batches equals the batch lag pairs") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.transitionsStream(in.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("append").start()
+    // batch 1: u1 v→c, u2 single event (no edge yet)
+    val b1 = Seq(
+      Event(1L, us(1), "v", 0.0), Event(1L, us(2), "c", 0.0),
+      Event(2L, us(1), "c", 0.0))
+    in.addData(b1: _*)
+    q.processAllAvailable()
+    // cross-batch edge: u1's c→v pairs batch 1's last event with batch 2's
+    // first; u2's c→p likewise — the O(1) last-event state carries over
+    val b2 = Seq(
+      Event(1L, us(5), "v", 0.0), Event(1L, us(6), "c", 0.0),
+      Event(2L, us(7), "p", 0.0))
+    in.addData(b2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("trans_out")
+      .groupBy("prev_type", "next_type").count()
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    q.stop()
+    val allRows = (b1 ++ b2).zipWithIndex.map { case (e, i) =>
+      Row(e.user_id, e.ts_us, i.toLong, e.event_type) }
+    val batchDf = LocalTable.of(spark, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType))),
+      allRows)
+    val batch = graft.operators.Temporal.eventTransitions(batchDf, tsCol = "ts_us")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(streamed === batch,
+      s"stream $streamed != batch $batch — the twins must agree under in-order delivery")
+    assert(streamed === Map(
+      ("v", "c") -> 2L, ("c", "v") -> 1L, ("c", "p") -> 1L))
+  }
 }

@@ -133,6 +133,20 @@ class TemporalSpec extends SparkSpec {
     assert(t.size === 3)
   }
 
+  test("topPaths: 3-step windows per user, counts, k cap and deterministic cut") {
+    // u1: a b c d → paths (a,b,c), (b,c,d); u2: a b c → (a,b,c); u3: x y (too short)
+    val df = transEvents(
+      (1L, 10L, 1L, "a"), (1L, 20L, 2L, "b"), (1L, 30L, 3L, "c"), (1L, 40L, 4L, "d"),
+      (2L, 10L, 5L, "a"), (2L, 20L, 6L, "b"), (2L, 30L, 7L, "c"),
+      (3L, 10L, 8L, "x"), (3L, 20L, 9L, "y"))
+    val out = Temporal.topPaths(df, k = 10, tsCol = "ts_us")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("a", "b", "c", 2L), ("b", "c", "d", 1L)))
+    // k caps the cut; the tie between the two n=1 paths breaks lexicographically
+    val top1 = Temporal.topPaths(df, k = 1, tsCol = "ts_us").collect()
+    assert(top1.length === 1 && top1(0).getString(0) === "a")
+  }
+
   test("eventTransitions: single-event users emit nothing; ties order by event_id") {
     val t = Temporal.eventTransitions(
       transEvents(

@@ -420,4 +420,54 @@ class TextStatsSpec extends SparkSpec {
     assert(scores("head").min >= scores("middle").max)
     assert(scores("middle").min >= scores("tail").max)
   }
+
+  test("spanCorruption: rate extremes, sentinel numbering, empty docs") {
+    val docs = docsDf(
+      (1L, "a b c d e f g h i j"), // 10 tokens → groups of 4: [a-d][e-h][i j]
+      (2L, ""))
+    // rate 0: input is the single-spaced original, nothing masked
+    val none = TextStats.spanCorruption(docs, spanLen = 4,
+      ratePerMillion = 0, seed = "s").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(none(1L) === (("a b c d e f g h i j", "", 0L)))
+    assert(none(2L) === (("", "", 0L)))
+    // rate 1e6: every span masked — ordered sentinels in input, full
+    // sentinel-prefixed text in target
+    val full = TextStats.spanCorruption(docs, spanLen = 4,
+      ratePerMillion = 1000000, seed = "s").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(full(1L) === (("<extra_id_0> <extra_id_1> <extra_id_2>",
+      "<extra_id_0> a b c d <extra_id_1> e f g h <extra_id_2> i j", 3L)))
+    assert(full(2L) === (("", "", 0L)))
+  }
+
+  test("spanCorruption: substituting targets back into the input reconstructs the document") {
+    val docs = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "one two three"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta"))
+    val out = TextStats.spanCorruption(docs, spanLen = 3,
+      ratePerMillion = 500000, seed = "roundtrip").collect()
+    val original = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { r =>
+      val (id, input, target) = (r.getLong(0), r.getString(1), r.getString(2))
+      // parse the target into k -> span tokens
+      val spans = scala.collection.mutable.Map.empty[Int, Vector[String]]
+      var cur = -1
+      target.split(" ").filter(_.nonEmpty).foreach { t =>
+        if (t.startsWith("<extra_id_")) { cur = t.stripPrefix("<extra_id_").stripSuffix(">").toInt; spans(cur) = Vector.empty }
+        else spans(cur) = spans(cur) :+ t
+      }
+      val rebuilt = input.split(" ").filter(_.nonEmpty).flatMap { t =>
+        if (t.startsWith("<extra_id_"))
+          spans(t.stripPrefix("<extra_id_").stripSuffix(">").toInt)
+        else Vector(t)
+      }.mkString(" ")
+      assert(rebuilt === original(id), s"doc $id did not round-trip")
+    }
+    // determinism: same seed twice is bit-identical, a different seed is not forced to be
+    val again = TextStats.spanCorruption(docs, spanLen = 3,
+      ratePerMillion = 500000, seed = "roundtrip").collect()
+    assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
 }
