@@ -874,7 +874,65 @@ object Similarity {
       emb(s, dir).select(col("vec_id"), col("embedding")),
       k = 16, perCluster = 3, seed = "divsamp"))
 
+  /** Deterministic uniform negative sampling for contrastive training —
+    * for each anchor, k candidates with a DIFFERENT label, chosen by the
+    * engine's seeded 60-bit md5 permutation (training-data generation
+    * must be replayable; `rand()` is not). The hard-negative variant
+    * composes from the retrieval stack (s02/s09 top-k minus positives);
+    * this is the uniform base every contrastive recipe starts from.
+    *
+    * Scale shape: anchors broadcast (anchor sets are query-sized, never
+    * corpus-sized), ONE corpus scan, per-anchor rank-limit that the
+    * TopKPerGroup rewrite plans with partial top-k pushdown — each map
+    * task keeps k candidates per anchor, so the exchange moves
+    * O(anchors·k) rows, not the corpus. */
+  def negativeSample(corpus: DataFrame, anchors: DataFrame, k: Int,
+      seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(lit(seed + ":"),
+      col("anchor_id").cast("string"), lit(":"),
+      col("negative_id").cast("string"))), 1, 15), 16, 10).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id")).orderBy(h.asc, col("negative_id").asc)
+    corpus
+      .select(col("vec_id").as("negative_id"), col("label").as("neg_label"))
+      .crossJoin(broadcast(anchors
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))))
+      .filter(col("neg_label") =!= col("anchor_label") &&
+        col("negative_id") =!= col("anchor_id"))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .drop("__rk", "anchor_label")
+      .select(col("anchor_id"), col("negative_id"), col("neg_label"))
+  }
+
+  /** 5 uniform negatives for each of the first 20 vectors. */
+  val s12NegativeSampling: Q = Q(
+    "s12_negative_sampling",
+    Some("""
+      WITH a AS (
+        SELECT vec_id AS anchor_id, label AS albl
+        FROM embeddings WHERE vec_id < 20),
+      j AS (
+        SELECT a.anchor_id, e.vec_id AS negative_id, e.label AS neg_label,
+               CAST(concat('0x', substr(md5('ns7:' ||
+                 CAST(a.anchor_id AS VARCHAR) || ':' ||
+                 CAST(e.vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        FROM a JOIN embeddings e
+          ON e.label <> a.albl AND e.vec_id <> a.anchor_id),
+      r AS (
+        SELECT anchor_id, negative_id, neg_label,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY h ASC, negative_id ASC) AS rk
+        FROM j)
+      SELECT anchor_id, negative_id, neg_label FROM r WHERE rk <= 5
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      negativeSample(e, e.filter(col("vec_id") < 20), k = 5, seed = "ns7")
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
-    s11ClusterBalancedSample)
+    s11ClusterBalancedSample, s12NegativeSampling)
 }

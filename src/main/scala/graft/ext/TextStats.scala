@@ -1160,6 +1160,54 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       spanLen = 4, ratePerMillion = 300000, seed = "sc7"))
 
+  /** Per-source corpus length profile with EXACT percentiles — the
+    * distribution dashboard a curation run reads before picking filter
+    * thresholds (d39's word-count bounds, d15's chunk length, d16's
+    * seqLen are all chosen off this profile). q40's sketches are the
+    * approximate mergeable path; this is the exact complement, and the
+    * interpolation (R-7, `pos = q·(n−1)`) is the one both Spark's
+    * `percentile` and DuckDB's `quantile_cont` implement, which is what
+    * makes an exact-percentile gate cross-engine checkable at all.
+    *
+    * Scale shape: one scan, one exchange on the source key; the
+    * percentile aggregate holds ONE source's token counts per reducer —
+    * group-bounded, not corpus-bounded (for corpus-wide percentiles at
+    * 100 TB prefer the q40 sketch path). */
+  val d45LengthProfile: Q = Q(
+    "d45_length_profile",
+    Some("""
+      WITH tc AS (
+        SELECT source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                    END AS DOUBLE) AS t
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+             round(avg(t), 4) AS mean_tokens,
+             round(quantile_cont(t, 0.5), 4) AS p50_tokens,
+             round(quantile_cont(t, 0.9), 4) AS p90_tokens,
+             round(quantile_cont(t, 0.99), 4) AS p99_tokens,
+             min(t) AS min_tokens, max(t) AS max_tokens
+      FROM tc GROUP BY source
+    """),
+    (s, dir) => lengthProfile(
+      Tables(s, dir, "documents").select(col("source"), col("text"))))
+
+  /** See [[d45LengthProfile]]: per-`source` token-length distribution
+    * with exact R-7 percentiles. */
+  def lengthProfile(docs: DataFrame): DataFrame = {
+    val t = tokenCount(col("text")).cast("double")
+    docs
+      .select(col("source"), t.as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("t")), 4).as("mean_tokens"),
+        round(percentile(col("t"), lit(0.5)), 4).as("p50_tokens"),
+        round(percentile(col("t"), lit(0.9)), 4).as("p90_tokens"),
+        round(percentile(col("t"), lit(0.99)), 4).as("p99_tokens"),
+        min(col("t")).as("min_tokens"), max(col("t")).as("max_tokens"))
+  }
+
   /** BPE-ish pre-tokenizer regex (the GPT-2 pretokenizer family,
     * restricted to a subset RE2 and java.util.regex count identically:
     * no lookahead, ASCII classes): a token is an optionally
@@ -1778,6 +1826,7 @@ object TextStats {
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
+    d45LengthProfile,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals)
 }

@@ -667,10 +667,117 @@ object Temporal {
     """),
     (s, dir) => topPaths(ev(s, dir), k = 10))
 
+  /** Value-based RANGE window frame — the trailing-24 h running sum per
+    * user (fraud velocity checks, rate limits, rolling spend). Distinct
+    * from q13's ROWS frame (count-based) and q41's window() buckets
+    * (fixed grid): the frame bound is an EVENT-TIME interval around each
+    * row, and peers at the same timestamp share one frame on both
+    * engines by SQL RANGE semantics (no tiebreak needed — which is what
+    * makes the value-based frame deterministic where a ROWS frame over
+    * tied timestamps would not be).
+    *
+    * Scale shape: one user-key exchange; the frame scan is the
+    * per-partition sliding-window pass over each user's sorted events. */
+  val q55TrailingRangeSum: Q = Q(
+    "q55_trailing_range_sum",
+    Some("""
+      SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+             round(sum(value) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW), 2)
+               AS trailing_24h
+      FROM events
+    """),
+    (s, dir) => trailingRangeSum(
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value")),
+      windowUs = 86400000000L).withColumnRenamed("trailing", "trailing_24h"))
+
+  def trailingRangeSum(events: DataFrame, windowUs: Long,
+      userCol: String = "user_id", tsCol: String = "ts_us",
+      valueCol: String = "value"): DataFrame = {
+    require(windowUs > 0, "windowUs must be positive")
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+      .rangeBetween(-windowUs, Window.currentRow)
+    events.select(
+      events.columns.filter(c => c != valueCol).map(col).toIndexedSeq :+
+        round(sum(col(valueCol)).over(w), 2).as("trailing"): _*)
+  }
+
+  /** percent_rank + cume_dist over a GLOBAL ordering — completing the
+    * q33 rank family with the two distribution functions, still with NO
+    * single-partition exchange: both are pure arithmetic over the
+    * two-pass range-partitioned rank (`pr = (rank-1)/(n-1)`) plus a
+    * peer-count join for cume_dist (`cd = (rank-1+peers)/n`) — the peer
+    * table is value-distinct-sized and hash-partitions freely. The
+    * ordering deliberately has NO tiebreak so tied totals exercise real
+    * peer-group semantics (both functions are defined over peers). Both
+    * outputs are ratios of exact integers — one IEEE division each, no
+    * cross-engine rounding needed. */
+  val q56RankDistributions: Q = Q(
+    "q56_rank_distributions",
+    Some("""
+      WITH spend AS (
+        SELECT o_custkey, round(sum(o_totalprice), 2) AS total
+        FROM orders GROUP BY o_custkey)
+      SELECT o_custkey, total,
+             percent_rank() OVER (ORDER BY total DESC) AS pr,
+             cume_dist() OVER (ORDER BY total DESC) AS cd
+      FROM spend
+    """),
+    (s, dir) => rankDistributions(
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total")),
+      keyCol = "o_custkey", valueCol = "total"))
+
+  /** See [[q56RankDistributions]]: percent_rank + cume_dist over a
+    * global DESC ordering of `valueCol`, no single-partition exchange. */
+  def rankDistributions(df: DataFrame, keyCol: String,
+      valueCol: String): DataFrame = {
+    val ranked = GlobalOrder.withRanks(df,
+      Seq(col(valueCol).desc), Seq(col(valueCol)))
+    val peers = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__peers"))
+    val n = ranked.totalRows
+    ranked.df.join(peers, Seq(valueCol))
+      .select(col(keyCol), col(valueCol),
+        (when(lit(n) > 1, (col("rnk") - 1).cast("double") / (n - 1).toDouble)
+          .otherwise(lit(0.0))).as("pr"),
+        ((col("rnk") - 1 + col("__peers")).cast("double") / n.toDouble).as("cd"))
+  }
+
+  /** Statistical-aggregate family — sample stddev/variance, covariance
+    * and Pearson correlation per event type (value vs hour-of-day, the
+    * intraday-pattern screen). All four are single-pass partial-
+    * aggregatable moments (sum/sum-of-squares/cross-products collapse
+    * map-side); both engines implement the identical textbook
+    * estimators, with round(4) absorbing the summation-order ulps. */
+  val q57StatMoments: Q = Q(
+    "q57_stat_moments",
+    Some("""
+      SELECT event_type, count(*) AS n,
+             round(stddev_samp(value), 4) AS sd,
+             round(var_samp(value), 4) AS vr,
+             round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS cv,
+             round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS cr
+      FROM events
+      GROUP BY event_type
+    """),
+    (s, dir) => ev(s, dir)
+      .select(col("event_type"), col("value"),
+        hour(col("ts")).cast("double").as("h"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(stddev_samp(col("value")), 4).as("sd"),
+        round(var_samp(col("value")), 4).as("vr"),
+        round(covar_samp(col("value"), col("h")), 4).as("cv"),
+        round(corr(col("value"), col("h")), 4).as("cr")))
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
-    q52FunnelDropoff, q53EventTransitions, q54TopPaths)
+    q52FunnelDropoff, q53EventTransitions, q54TopPaths,
+    q55TrailingRangeSum, q56RankDistributions, q57StatMoments)
 }

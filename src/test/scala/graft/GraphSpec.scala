@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ext.Graph
+
+/** PageRank semantics on hand-checkable graphs — the oracle gate (d46)
+  * proves corpus agreement with DuckDB's unrolled SQL; these pin the
+  * per-iteration math and the invariants. */
+class GraphSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("src", StringType), StructField("dst", StringType)))
+
+  private def edges(rows: (String, String)*) =
+    LocalTable.of(spark, schema, rows.map { case (a, b) => Row(a, b) })
+
+  private def ranks(df: org.apache.spark.sql.DataFrame): Map[String, Double] =
+    df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  test("pageRank: symmetric pair is a fixed point at uniform rank") {
+    val r = ranks(Graph.pageRank(edges(("a", "b"), ("b", "a")), iters = 3))
+    assert(r === Map("a" -> 0.5, "b" -> 0.5))
+  }
+
+  test("pageRank: one iteration of the star matches the hand computation") {
+    // center c ↔ leaves l1..l3; N=4, uniform 0.25 start, damping 0.85:
+    // c  = 0.15/4 + 0.85·(3·(0.25/1)) = 0.675
+    // li = 0.15/4 + 0.85·(0.25/3)     = 0.108333333
+    val star = edges(
+      ("c", "l1"), ("c", "l2"), ("c", "l3"),
+      ("l1", "c"), ("l2", "c"), ("l3", "c"))
+    val r = ranks(Graph.pageRank(star, iters = 1))
+    assert(r("c") === 0.675)
+    assert(r("l1") === 0.108333 && r("l2") === 0.108333 && r("l3") === 0.108333)
+  }
+
+  test("pageRank: mass is conserved and hubs outrank leaves after convergence steps") {
+    val g = edges(
+      ("hub", "x"), ("x", "hub"), ("hub", "y"), ("y", "hub"),
+      ("hub", "z"), ("z", "hub"), ("x", "y"), ("y", "x"))
+    val r = ranks(Graph.pageRank(g, iters = 5))
+    assert(math.abs(r.values.sum - 1.0) < 1e-4,
+      s"rank mass must stay ~1, got ${r.values.sum}")
+    assert(r("hub") > r("z"), r.toString)
+  }
+
+  test("pageRank: bit-identical under repartitioning (the round-9 contract)") {
+    val g = edges(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("a", "d"))
+    val r1 = ranks(Graph.pageRank(g, iters = 3))
+    val r2 = ranks(Graph.pageRank(g.repartition(7), iters = 3))
+    assert(r1 === r2)
+    intercept[IllegalArgumentException](Graph.pageRank(g, iters = 0))
+    intercept[IllegalArgumentException](Graph.pageRank(g, iters = 1, damping = 1.0))
+  }
+}

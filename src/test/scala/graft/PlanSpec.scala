@@ -393,6 +393,26 @@ class PlanSpec extends SparkSpec {
     assert(executed.contains("__go_pid"), executed.take(1200))
   }
 
+  test("q55: RANGE-frame window shuffles once on the user key") {
+    val df = run("q55_trailing_range_sum")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val n = "Exchange hashpartitioning".r.findAllIn(executed).length
+    assert(n === 1, executed.take(800))
+    assert(executed.contains("hashpartitioning(user_id"), executed.take(800))
+    assert(!executed.contains("Exchange SinglePartition"))
+  }
+
+  test("q56: global rank distributions plan with NO single-partition Exchange") {
+    val df = run("q56_rank_distributions")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    assert(executed.contains("__go_pid"), executed.take(1200))
+  }
+
   test("q53: transition matrix windows per user/prev-state — no single-partition Exchange") {
     val df = run("q53_event_transitions")
     df.collect()

@@ -383,4 +383,32 @@ class SimilaritySpec extends SparkSpec {
     assert(otherSeed !== got.map(_._1).toSet,
       "independent seeds must not pick the identical sample")
   }
+
+  test("negativeSample: label exclusion, self exclusion, k cap, replayability") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("label", IntegerType)))
+    val corpus = LocalTable.of(spark, schema,
+      (0L until 30L).map(i => Row(i, (i % 3).toInt)))
+    val anchors = corpus.filter(col("vec_id") < 3)
+    val got = Similarity.negativeSample(corpus, anchors, k = 4, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // every anchor gets exactly k negatives (plenty of candidates)
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ===
+      Map(0L -> 4, 1L -> 4, 2L -> 4))
+    // a negative never shares the anchor's label and is never the anchor
+    got.foreach { case (a, n, nl) =>
+      assert(n !== a)
+      assert(nl !== (a % 3).toInt, s"anchor $a drew same-label negative $n")
+    }
+    // replayable: the same seed draws the identical sample
+    val again = Similarity.negativeSample(corpus, anchors, k = 4, seed = "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet === again.toSet)
+    // fewer candidates than k: emits what exists, never pads
+    val tiny = LocalTable.of(spark, schema,
+      Seq(Row(0L, 0), Row(1L, 1), Row(2L, 1)))
+    val few = Similarity.negativeSample(tiny, tiny.filter(col("vec_id") === 0),
+      k = 5, seed = "t").collect()
+    assert(few.length === 2)
+  }
 }

@@ -147,6 +147,44 @@ class TemporalSpec extends SparkSpec {
     assert(top1.length === 1 && top1(0).getString(0) === "a")
   }
 
+  test("trailingRangeSum: value-based frame includes peers, excludes out-of-window rows") {
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("ts_us", LongType),
+      StructField("value", DoubleType)))
+    val df = LocalTable.of(spark, schema, Seq(
+      Row(1L, 0L, 1.0), Row(1L, 50L, 2.0), Row(1L, 50L, 4.0), // peers at 50
+      Row(1L, 100L, 8.0),  // window 100: includes ts 0 (boundary inclusive)
+      Row(1L, 201L, 16.0), // 201-100=101: ts-100 rows out, only itself
+      Row(2L, 60L, 32.0))) // other user isolated
+    val got = graft.operators.Temporal
+      .trailingRangeSum(df, windowUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2))
+    // SQL RANGE semantics: peers (same ts) share one frame — BOTH ts=50
+    // rows see 1+2+4=7
+    assert(got.toSeq === Seq(
+      (1L, 0L, 1.0), (1L, 50L, 7.0), (1L, 50L, 7.0),
+      (1L, 100L, 15.0), (1L, 201L, 16.0), (2L, 60L, 32.0)))
+  }
+
+  test("rankDistributions: peer groups share percent_rank and cume_dist") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", DoubleType)))
+    val df = LocalTable.of(spark, schema, Seq(
+      Row(1L, 10.0), Row(2L, 10.0), Row(3L, 5.0)))
+    val got = graft.operators.Temporal.rankDistributions(df, "k", "v")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3)))).toMap
+    // DESC order: the two 10s are peers (rank 1, 2 of them), 5 is rank 3
+    assert(got(1L) === ((0.0, 2.0 / 3.0)))
+    assert(got(2L) === ((0.0, 2.0 / 3.0)))
+    assert(got(3L) === ((1.0, 1.0)))
+    // single row: percent_rank is defined as 0, cume_dist as 1
+    val one = graft.operators.Temporal.rankDistributions(
+      LocalTable.of(spark, schema, Seq(Row(9L, 1.0))), "k", "v")
+      .collect()(0)
+    assert((one.getDouble(2), one.getDouble(3)) === ((0.0, 1.0)))
+  }
+
   test("eventTransitions: single-event users emit nothing; ties order by event_id") {
     val t = Temporal.eventTransitions(
       transEvents(

@@ -421,6 +421,21 @@ class TextStatsSpec extends SparkSpec {
     assert(scores("middle").min >= scores("tail").max)
   }
 
+  test("lengthProfile: exact R-7 percentiles per source") {
+    val df = LocalTable.of(spark,
+      StructType(Seq(StructField("source", StringType),
+        StructField("text", StringType))),
+      Seq(Row("a", "t"), Row("a", "t t"), Row("a", "t t t"), Row("a", "t t t t"),
+        Row("b", ""), Row("b", "x y z")))
+    val got = TextStats.lengthProfile(df).collect()
+      .map(r => r.getString(0) -> r.toSeq.tail).toMap
+    // source a: counts [1,2,3,4] — p50 = 2.5, p90 = 1+0.9*3 = 3.7,
+    // p99 = 1+0.99*3 = 3.97 (linear interpolation on pos = q*(n-1))
+    assert(got("a") === Seq(4L, 2.5, 2.5, 3.7, 3.97, 1.0, 4.0))
+    // source b: [0, 3] — empty text counts 0 tokens
+    assert(got("b") === Seq(2L, 1.5, 1.5, 2.7, 2.97, 0.0, 3.0))
+  }
+
   test("spanCorruption: rate extremes, sentinel numbering, empty docs") {
     val docs = docsDf(
       (1L, "a b c d e f g h i j"), // 10 tokens → groups of 4: [a-d][e-h][i j]
