@@ -185,6 +185,50 @@ object Multimodal {
         }
       } catch { case _: Exception => None }
 
+    /** 64-bit energy-envelope audio fingerprint — [[perceptualHash]]'s
+      * audio sibling: decode 16-bit PCM (same javax.sound path as the
+      * feature decoder), split the sample stream into 64 equal chunks,
+      * bit i set iff chunk i's mean |amplitude| is above the whole
+      * clip's mean. The envelope shape — not the level — carries the
+      * bits, so uniform gain changes (re-encodes, normalization) leave
+      * the hash intact while a different loudness CONTOUR flips ~half
+      * the bits. Drop-in `sig` for the SimHash band pairing. None for
+      * undecodable or sub-64-sample payloads. */
+    def audioEnergyHash(bytes: Array[Byte]): Option[Long] =
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        in.close()
+        val n = data.length / 2
+        if (fmt.getSampleSizeInBits != 16 || n < 64) None
+        else {
+          val buf = java.nio.ByteBuffer.wrap(data).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val energy = new Array[Double](64)
+          var c = 0
+          while (c < 64) {
+            val from = (c.toLong * n / 64).toInt
+            val until = ((c + 1).toLong * n / 64).toInt
+            var s = 0.0
+            var i = from
+            while (i < until) { s += math.abs(buf.getShort(i * 2).toDouble); i += 1 }
+            energy(c) = s / math.max(1, until - from)
+            c += 1
+          }
+          val mean = energy.sum / 64.0
+          var sig = 0L
+          c = 0
+          while (c < 64) {
+            if (energy(c) > mean) sig |= (1L << c)
+            c += 1
+          }
+          Some(sig)
+        }
+      } catch { case _: Exception => None }
+
     /** Every `stride`-th frame of a multi-frame image container (animated
       * GIF — the JDK's only multi-frame reader), re-encoded as PNGs.
       * Single-frame formats yield their one frame when sampled. */
@@ -269,12 +313,21 @@ object Multimodal {
     * candidate generation is an equi-join on band values, never an
     * all-pairs hamming pass. Undecodable payloads drop out (no hash, no
     * pairs) rather than failing the scan. */
-  def mediaNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+  def mediaNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
+    hashedNearDupPairs(media, maxHamming, MediaTransforms.perceptualHash)
+
+  /** [[mediaNearDupPairs]] for audio payloads: the 64-bit energy-envelope
+    * fingerprint ([[MediaTransforms.audioEnergyHash]]) through the same
+    * banded pairing. */
+  def audioNearDupPairs(media: DataFrame, maxHamming: Int): DataFrame =
+    hashedNearDupPairs(media, maxHamming, MediaTransforms.audioEnergyHash)
+
+  private def hashedNearDupPairs(media: DataFrame, maxHamming: Int,
+      hash: Array[Byte] => Option[Long]): DataFrame = {
     val ds = media.select(col("doc_id"), col("media"))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     val sigs = ds.mapPartitions { it =>
-      it.flatMap { case (id, bytes) =>
-        MediaTransforms.perceptualHash(bytes).map(sig => (id, sig)) }
+      it.flatMap { case (id, bytes) => hash(bytes).map(sig => (id, sig)) }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
       .toDF("doc_id", "sig")
     graft.ext.Dedup.simhashNearDupPairs(sigs, maxHamming)

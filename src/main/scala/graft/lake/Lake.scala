@@ -73,6 +73,56 @@ object Lake {
     joined.select(outCols.toIndexedSeq: _*)
   }
 
+  /** SCD Type-2 dimension merge — the slowly-changing-dimension verb the
+    * reference's MERGE family stops short of (its upsert overwrites
+    * history; SCD2 KEEPS it): each update whose tracked attributes
+    * differ from the key's current open row closes that row
+    * (`eff_to = effTs`, `is_current = false`) and opens a new version;
+    * unchanged updates are no-ops; unknown keys open new rows; closed
+    * history passes through untouched.
+    *
+    * `current` carries `keys ++ trackedCols ++ (eff_from, eff_to,
+    * is_current)`; `updates` carries `keys ++ trackedCols`. Change
+    * detection is null-safe (`<=>`). Scale shape: ONE full-outer
+    * key-equi shuffle between the open slice and the batch (the
+    * mergeUpsert shape) — history never joins anything, and the three
+    * output slices are projections of that one join, unioned. */
+  def scdType2Merge(current: DataFrame, updates: DataFrame, keys: Seq[String],
+      trackedCols: Seq[String], effTs: Column): DataFrame = {
+    val metaCols = Seq("eff_from", "eff_to", "is_current")
+    require(metaCols.forall(current.columns.contains),
+      s"current must carry ${metaCols.mkString(", ")}")
+    val hist = current.filter(!col("is_current"))
+    val open = current.filter(col("is_current"))
+    val pfx = "__u_"
+    val u = trackedCols.foldLeft(
+      updates.select((keys ++ trackedCols).map(col): _*)
+        .withColumn(pfx + "present", lit(true)))(
+      (df, c) => df.withColumnRenamed(c, pfx + c))
+    val joined = open.join(u, keys, "full_outer")
+    val hasOpen = col("is_current").isNotNull
+    val hasUpd = col(pfx + "present").isNotNull
+    val changed = trackedCols
+      .map(c => !(col(c) <=> col(pfx + c))).reduce(_ || _)
+    val openCols = (keys ++ trackedCols ++ metaCols).map(col)
+    val keepOpen = joined
+      .filter(hasOpen && (!hasUpd || !changed))
+      .select(openCols: _*)
+    val closedOld = joined
+      .filter(hasOpen && hasUpd && changed)
+      .select((keys ++ trackedCols).map(col) ++ Seq(col("eff_from"),
+        effTs.cast(current.schema("eff_to").dataType).as("eff_to"),
+        lit(false).as("is_current")): _*)
+    val newOpen = joined
+      .filter(hasUpd && (!hasOpen || changed))
+      .select(keys.map(col) ++ trackedCols.map(c => col(pfx + c).as(c)) ++ Seq(
+        effTs.cast(current.schema("eff_from").dataType).as("eff_from"),
+        lit(null).cast(current.schema("eff_to").dataType).as("eff_to"),
+        lit(true).as("is_current")): _*)
+    hist.select(openCols: _*)
+      .unionByName(keepOpen).unionByName(closedOld).unionByName(newOpen)
+  }
+
   /** I2 — idempotent per-source-file reload (forms_main.py:401-423):
     * DELETE FROM t WHERE lineage = key, then append the fresh parse. */
   def deleteByKeyAppend(table: DataFrame, fresh: DataFrame,

@@ -234,6 +234,80 @@ object LakeQ {
       s.read.parquet(target).select("o_orderkey", "total", "segment")
     })
 
+  /** SCD Type-2 dimension lifecycle over the customer dim: day-0 load,
+    * then a batch where a deterministic md5 slice of customers changes
+    * segment/balance (buckets 0-2), another slice arrives UNCHANGED
+    * (proving the no-op path), and one brand-new key appears. The gate
+    * output is the full versioned dimension — closed rows with their
+    * validity interval, survivors, and the new open versions. */
+  val q59Scd2Dimension: Q = Q(
+    "q59_scd2_dimension",
+    Some("""
+      WITH day0 AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               DATE '2024-01-01' AS eff_from, CAST(NULL AS DATE) AS eff_to,
+               true AS is_current
+        FROM customer),
+      b AS (
+        SELECT c_custkey, c_mktsegment, c_acctbal,
+               CAST(concat('0x', substr(md5('scd:' || CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT) % 10 AS bk
+        FROM customer),
+      upd AS (
+        SELECT c_custkey, 'MOVED' AS c_mktsegment,
+               c_acctbal + 100.0 AS c_acctbal
+        FROM b WHERE bk < 3
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_acctbal FROM b WHERE bk IN (3, 4)
+        UNION ALL
+        SELECT CAST(-1 AS BIGINT), 'NEWSEG', CAST(0.0 AS DOUBLE)),
+      openrows AS (SELECT * FROM day0 WHERE is_current),
+      changed AS (
+        SELECT o.c_custkey
+        FROM openrows o JOIN upd u ON u.c_custkey = o.c_custkey
+        WHERE o.c_mktsegment IS DISTINCT FROM u.c_mktsegment
+           OR o.c_acctbal IS DISTINCT FROM u.c_acctbal)
+      SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal, o.eff_from, o.eff_to,
+             o.is_current
+      FROM openrows o
+      WHERE o.c_custkey NOT IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT o.c_custkey, o.c_mktsegment, o.c_acctbal, o.eff_from,
+             DATE '2024-02-01' AS eff_to, false AS is_current
+      FROM openrows o
+      WHERE o.c_custkey IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT u.c_custkey, u.c_mktsegment, u.c_acctbal,
+             DATE '2024-02-01' AS eff_from, CAST(NULL AS DATE) AS eff_to,
+             true AS is_current
+      FROM upd u
+      WHERE u.c_custkey IN (SELECT c_custkey FROM changed)
+         OR u.c_custkey NOT IN (SELECT c_custkey FROM openrows)
+    """),
+    (s, dir) => {
+      val cust = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+      val day0 = cust
+        .withColumn("eff_from", lit(java.sql.Date.valueOf("2024-01-01")))
+        .withColumn("eff_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val bk = conv(substring(md5(concat(lit("scd:"),
+        col("c_custkey").cast("string"))), 1, 15), 16, 10).cast("long") % 10
+      val bucketed = cust.withColumn("bk", bk)
+      val updates = bucketed.filter(col("bk") < 3)
+        .select(col("c_custkey"), lit("MOVED").as("c_mktsegment"),
+          (col("c_acctbal") + 100.0).as("c_acctbal"))
+        .unionByName(bucketed.filter(col("bk").isin(3, 4))
+          .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal")))
+        .unionByName(LocalTable.of(s,
+          StructType(Seq(StructField("c_custkey", LongType),
+            StructField("c_mktsegment", StringType),
+            StructField("c_acctbal", DoubleType))),
+          Seq(Row(-1L, "NEWSEG", 0.0))))
+      Lake.scdType2Merge(day0, updates, Seq("c_custkey"),
+        Seq("c_mktsegment", "c_acctbal"),
+        lit(java.sql.Date.valueOf("2024-02-01")))
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
-    q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle)
+    q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension)
 }

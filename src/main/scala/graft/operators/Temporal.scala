@@ -194,6 +194,46 @@ object Temporal {
       """)
     })
 
+  /** Subquery family on the SQL surface — correlated EXISTS, NOT IN and
+    * a scalar subquery in one statement (q34 covers join/agg/HAVING SQL;
+    * this covers the subquery rewrites: Catalyst plans EXISTS as a left
+    * semi join, NOT IN as a null-aware anti join, and the scalar
+    * subquery as a one-row broadcast — all shuffle-safe shapes, nothing
+    * driver-side). The scalar threshold is rounded on both sides so the
+    * boundary cannot flip on summation-order ulps of avg(). */
+  val q58SubqueryFamily: Q = Q(
+    "q58_subquery_family",
+    Some("""
+      SELECT c_custkey, c_name
+      FROM customer c
+      WHERE EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > (SELECT round(avg(o_totalprice), 2)
+                                      FROM orders))
+        AND c_custkey NOT IN (
+              SELECT o_custkey FROM orders
+              WHERE o_orderpriority = '1-URGENT')
+      ORDER BY c_custkey
+    """),
+    (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("v_customer")
+      Tables(s, dir, "orders").createOrReplaceTempView("v_orders")
+      s.sql("""
+        SELECT c_custkey, c_name
+        FROM v_customer c
+        WHERE EXISTS (
+                SELECT 1 FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > (SELECT round(avg(o_totalprice), 2)
+                                        FROM v_orders))
+          AND c_custkey NOT IN (
+                SELECT o_custkey FROM v_orders
+                WHERE o_orderpriority = '1-URGENT')
+        ORDER BY c_custkey
+      """)
+    })
+
   /** As-of join — the canonical "operator Spark lacks" (builder preference
     * (a): compose built-ins). For each purchase, the most recent click of
     * the same user at or before it. Implemented with the scalable
@@ -779,5 +819,6 @@ object Temporal {
     q37SessionizeBatch, q41SlidingWindow, q43SessionWindowNative,
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
-    q55TrailingRangeSum, q56RankDistributions, q57StatMoments)
+    q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
+    q58SubqueryFamily)
 }

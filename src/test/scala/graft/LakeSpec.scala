@@ -87,4 +87,51 @@ class LakeSpec extends SparkSpec {
     assert(r.get(0).toString === "2026-08-12" && r.getInt(1) === 2026 &&
       r.getInt(2) === 8 && r.getInt(3) === 12)
   }
+
+  private val scdSchema = StructType(Seq(
+    StructField("k", LongType), StructField("attr", StringType),
+    StructField("eff_from", DateType), StructField("eff_to", DateType),
+    StructField("is_current", BooleanType)))
+
+  private val updSchema = StructType(Seq(
+    StructField("k", LongType), StructField("attr", StringType)))
+
+  test("scdType2Merge: close-and-version lifecycle across two batches") {
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val day0 = LocalTable.of(spark, scdSchema, Seq(
+      Row(1L, "a", d("2024-01-01"), null, true),
+      Row(2L, "b", d("2024-01-01"), null, true),
+      Row(3L, null, d("2024-01-01"), null, true))) // null attr: null-safe diff
+    // batch 1: k=1 changes, k=2 arrives unchanged (no-op), k=3 null→"c",
+    // k=4 is brand new
+    val b1 = LocalTable.of(spark, updSchema, Seq(
+      Row(1L, "a2"), Row(2L, "b"), Row(3L, "c"), Row(4L, "d")))
+    val after1 = Lake.scdType2Merge(day0, b1, Seq("k"), Seq("attr"),
+      lit(d("2024-02-01")))
+    val rows1 = after1.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)).orNull,
+        r.getDate(2).toString, Option(r.getDate(3)).map(_.toString).orNull,
+        r.getBoolean(4))).toSet
+    assert(rows1 === Set(
+      (1L, "a", "2024-01-01", "2024-02-01", false), // closed
+      (1L, "a2", "2024-02-01", null, true),          // new version
+      (2L, "b", "2024-01-01", null, true),           // unchanged no-op
+      (3L, null, "2024-01-01", "2024-02-01", false), // null attr closed
+      (3L, "c", "2024-02-01", null, true),
+      (4L, "d", "2024-02-01", null, true)))          // new key
+    // batch 2 on the merged result: k=1 changes AGAIN — history chains
+    val b2 = LocalTable.of(spark, updSchema, Seq(Row(1L, "a3")))
+    val after2 = Lake.scdType2Merge(after1, b2, Seq("k"), Seq("attr"),
+      lit(d("2024-03-01")))
+    val k1 = after2.filter(col("k") === 1L).collect()
+      .map(r => (Option(r.getString(1)).orNull,
+        Option(r.getDate(3)).map(_.toString).orNull, r.getBoolean(4))).toSet
+    assert(k1 === Set(
+      ("a", "2024-02-01", false), ("a2", "2024-03-01", false),
+      ("a3", null, true)))
+    // exactly one open row per key, intervals abut
+    val openCount = after2.filter(col("is_current"))
+      .groupBy(col("k")).count().collect().map(_.getLong(1))
+    assert(openCount.forall(_ === 1L))
+  }
 }

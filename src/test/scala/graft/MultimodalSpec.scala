@@ -215,6 +215,56 @@ class MultimodalSpec extends SparkSpec {
       "re-brightened card pairs; inverted card and undecodable junk do not")
   }
 
+  /** Mono 16-bit PCM WAV from a sample generator (sample index → value). */
+  private def wavBytes(n: Int, gen: Int => Short): Array[Byte] = {
+    val pcm = java.nio.ByteBuffer.allocate(n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => pcm.putShort(gen(i)))
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm.array()), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioEnergyHash: gain-invariant envelope bits; contour changes flip them") {
+    val ah = Multimodal.MediaTransforms.audioEnergyHash _
+    // loud first half, quiet second half — a clean envelope
+    def halfLoud(scale: Double)(i: Int): Short =
+      (if (i < 640) 16000 * scale else 800 * scale).toShort
+    val a = ah(wavBytes(1280, halfLoud(1.0))).get
+    assert(ah(wavBytes(1280, halfLoud(1.0))).get === a, "deterministic")
+    // uniform gain change: same envelope shape → same hash
+    assert(ah(wavBytes(1280, halfLoud(0.5))).get === a)
+    // reversed contour (quiet then loud) flips the structured bits
+    val rev = ah(wavBytes(1280, i => halfLoud(1.0)(1279 - i))).get
+    assert(java.lang.Long.bitCount(a ^ rev) >= 32)
+    // undecodable and too-short payloads yield no hash
+    assert(ah("junk".getBytes).isEmpty)
+    assert(ah(wavBytes(32, _ => 100)).isEmpty)
+  }
+
+  test("audioNearDupPairs: banded pairing finds the re-gained clip only") {
+    def halfLoud(scale: Double)(i: Int): Short =
+      (if (i < 640) 16000 * scale else 800 * scale).toShort
+    val media = LocalTable.of(spark,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("media",
+          org.apache.spark.sql.types.BinaryType))),
+      Seq(org.apache.spark.sql.Row(1L, wavBytes(1280, halfLoud(1.0))),
+        org.apache.spark.sql.Row(2L, wavBytes(1280, halfLoud(0.25))),
+        org.apache.spark.sql.Row(3L, wavBytes(1280, i => halfLoud(1.0)(1279 - i))),
+        org.apache.spark.sql.Row(4L, "not-audio".getBytes)))
+    val pairs = Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      "re-gained clip pairs; reversed contour and undecodable junk do not")
+  }
+
   test("mediaExactDedup: byte-identical payloads collapse to the min-id representative") {
     val docs = LocalTable.of(spark,
       org.apache.spark.sql.types.StructType(Seq(
