@@ -160,6 +160,52 @@ object Lake {
       .withColumn("ingestao_day", dayofmonth(t))
   }
 
+  /** Snapshot diff — the audit/CDC primitive the reference's Iceberg
+    * snapshots imply but never materialize (datatrack_spark_utils.py keeps
+    * snapshot history via expire_snapshots; diffing two of them is how a
+    * lake answers "what changed between loads"). Emits one row per key
+    * that was `added`, `removed` or `changed` between `oldDf` and `newDf`
+    * (identical rows emit nothing — the 100 TB common case, so the output
+    * is O(churn), not O(table)); `changed_cols` is the comma-joined list
+    * of differing non-key columns in schema order, NULL-safely compared
+    * (`<=>`, so NULL→value and value→NULL count as changes and NULL==NULL
+    * does not).
+    *
+    * Scale shape: one full-outer sort-merge join on the key — both sides
+    * are table-sized so neither broadcasts, and with both snapshots
+    * bucketed on the key the exchange disappears entirely. The comparison
+    * itself is a codegen'd projection; nothing collects.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    require(oldDf.columns.sameElements(newDf.columns),
+      "snapshotDiff expects schema-aligned snapshots; run conformToSchema first")
+    require(keys.nonEmpty && keys.forall(oldDf.columns.contains),
+      s"keys ${keys.mkString(",")} must exist in the snapshots")
+    val nonKey = oldDf.columns.filterNot(keys.contains).toIndexedSeq
+    val o = oldDf.select(
+      (keys.map(col) ++ nonKey.map(c => col(c).as(s"__old_$c")) :+
+        lit(true).as("__old_present")).toIndexedSeq: _*)
+    val n = newDf.select(
+      (keys.map(col) ++ nonKey.map(c => col(c).as(s"__new_$c")) :+
+        lit(true).as("__new_present")).toIndexedSeq: _*)
+    val joined = o.join(n, keys, "full_outer")
+    val anyDiff = nonKey.map(c => !(col(s"__old_$c") <=> col(s"__new_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val changedCols = concat_ws(",", nonKey.map(c =>
+      when(!(col(s"__old_$c") <=> col(s"__new_$c")), lit(c))): _*)
+    joined
+      .withColumn("change",
+        when(col("__old_present").isNull, lit("added"))
+          .when(col("__new_present").isNull, lit("removed"))
+          .when(anyDiff, lit("changed")))
+      .filter(col("change").isNotNull)
+      .withColumn("changed_cols",
+        when(col("change") === "changed", changedCols))
+      .select((keys.map(col) :+ col("change") :+ col("changed_cols"))
+        .toIndexedSeq: _*)
+  }
+
   /** I1 — high-watermark incremental filter (datatrack_spark_utils.py:
     * 118-188): rows strictly newer than the last watermark; partition- and
     * pushdown-prunable because it is a plain range predicate. */

@@ -308,6 +308,71 @@ object LakeQ {
         lit(java.sql.Date.valueOf("2024-02-01")))
     })
 
+  /** Snapshot diff between two lake states of the orders table: keys
+    * divisible by 17 were removed, keys divisible by 10 changed status
+    * and price, and every key divisible by 23 gained a shifted-key new
+    * row. The diff emits only the churn — added/removed/changed keys plus
+    * the NULL-safe per-column change list — never the unchanged bulk.
+    * The %17 ∩ %10 overlap (e.g. 170) lands on `removed` (the new
+    * snapshot excludes the key entirely), exercising precedence. */
+  val q60SnapshotDiff: Q = Q(
+    "q60_snapshot_diff",
+    Some("""
+      WITH newt AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 100.0
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 17 <> 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'A',
+               CAST(1.0 AS DOUBLE), o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 23 = 0)
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  ELSE 'changed' END AS change,
+             CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                  THEN concat_ws(',',
+                    CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                         THEN 'o_custkey' END,
+                    CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                         THEN 'o_orderstatus' END,
+                    CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                         THEN 'o_totalprice' END,
+                    CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                         THEN 'o_orderdate' END,
+                    CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                         THEN 'o_orderpriority' END)
+             END AS changed_cols
+      FROM orders o FULL OUTER JOIN newt n ON o.o_orderkey = n.o_orderkey
+      WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+         OR o.o_custkey IS DISTINCT FROM n.o_custkey
+         OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+         OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+         OR o.o_orderdate IS DISTINCT FROM n.o_orderdate
+         OR o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+    """),
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val changedPred = col("o_orderkey") % 10 === 0
+      val newSnap = orders.filter(col("o_orderkey") % 17 =!= 0)
+        .withColumn("o_orderstatus",
+          when(changedPred, lit("U")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(changedPred, col("o_totalprice") + 100.0)
+            .otherwise(col("o_totalprice")))
+        .unionByName(orders.filter(col("o_orderkey") % 23 === 0)
+          .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+            col("o_custkey"), lit("A").as("o_orderstatus"),
+            lit(1.0).as("o_totalprice"), col("o_orderdate"),
+            col("o_orderpriority")))
+      Lake.snapshotDiff(orders, newSnap, Seq("o_orderkey"))
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
-    q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension)
+    q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension,
+    q60SnapshotDiff)
 }

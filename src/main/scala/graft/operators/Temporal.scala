@@ -813,6 +813,86 @@ object Temporal {
         round(covar_samp(col("value"), col("h")), 4).as("cv"),
         round(corr(col("value"), col("h")), 4).as("cr")))
 
+  /** Trailing-window anomaly detection over the daily event-volume series
+    * — the data-quality screen a 100 TB ingest runs on every load ("did a
+    * source double overnight?"). Each (event_type, day) count is z-scored
+    * against the `lookback` PRECEDING days (the frame excludes the
+    * current row, so the point under test never contaminates its own
+    * baseline); days with fewer than `minObs` history rows or zero
+    * variance are skipped rather than scored.
+    *
+    * Cross-engine determinism is by construction, not rounding: the frame
+    * aggregates are INTEGER sums (count, Σv, Σv²) — exact and
+    * summation-order-free — and mean/variance/z derive from them with
+    * single IEEE divisions/sqrt, so both engines produce bit-identical
+    * doubles. (Summing doubles over a window frame would NOT be safe:
+    * DuckDB's segment-tree frame aggregation and Spark's running
+    * accumulation order the additions differently.)
+    *
+    * Scale: the series aggregate collapses the corpus to |keys|×|days|
+    * rows map-side; the window shuffles only that aggregate on the key. */
+  val q61AnomalyZscore: Q = Q(
+    "q61_anomaly_zscore",
+    Some("""
+      WITH daily AS (
+        SELECT event_type, epoch_us(ts) // 86400000000 AS day_no,
+               count(*) AS cnt
+        FROM events GROUP BY 1, 2),
+      stats AS (
+        SELECT event_type, day_no, cnt,
+               count(cnt) OVER w AS n,
+               sum(cnt) OVER w AS s,
+               sum(cnt * cnt) OVER w AS ss
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
+      scored AS (
+        SELECT event_type, day_no, cnt, n,
+               (CAST(ss AS DOUBLE) -
+                CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) AS v,
+               CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n AS dev
+        FROM stats WHERE n >= 3)
+      SELECT event_type, day_no, cnt,
+             dev / sqrt(v) AS z,
+             abs(dev / sqrt(v)) > 2.0 AS is_anomaly
+      FROM scored WHERE v > 0
+    """),
+    (s, dir) => anomalyZScores(
+      ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("day_no"))
+        .agg(count(lit(1)).as("cnt")),
+      keyCol = "event_type", timeCol = "day_no", valueCol = "cnt"))
+
+  /** See [[q61AnomalyZscore]]: z-score each point of an integer-valued
+    * keyed series against its trailing `lookback` points (exclusive of
+    * the point itself). `valueCol` should be integral for cross-engine
+    * bit-exactness; the math is still correct for doubles. */
+  def anomalyZScores(series: DataFrame, keyCol: String, timeCol: String,
+      valueCol: String, lookback: Int = 7, minObs: Int = 3,
+      threshold: Double = 2.0): DataFrame = {
+    require(lookback >= minObs && minObs >= 2,
+      "need lookback >= minObs >= 2 for a sample variance")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol))
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    series
+      .select(col(keyCol), col(timeCol), v,
+        count(v).over(w).as("__n"),
+        sum(v).over(w).as("__s"),
+        sum(v * v).over(w).as("__ss"))
+      .filter(col("__n") >= minObs)
+      .withColumn("__v",
+        (col("__ss").cast("double") -
+          col("__s").cast("double") * col("__s").cast("double") / col("__n"))
+          / (col("__n") - 1))
+      .withColumn("__dev", v.cast("double") - col("__s").cast("double") / col("__n"))
+      .filter(col("__v") > 0)
+      .withColumn("z", col("__dev") / sqrt(col("__v")))
+      .select(col(keyCol), col(timeCol), v, col("z"),
+        (abs(col("z")) > threshold).as("is_anomaly"))
+  }
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
@@ -820,5 +900,5 @@ object Temporal {
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
-    q58SubqueryFamily)
+    q58SubqueryFamily, q61AnomalyZscore)
 }

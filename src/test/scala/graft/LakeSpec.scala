@@ -134,4 +134,35 @@ class LakeSpec extends SparkSpec {
       .groupBy(col("k")).count().collect().map(_.getLong(1))
     assert(openCount.forall(_ === 1L))
   }
+
+  test("snapshotDiff: added/removed/changed with NULL-safe column lists") {
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("a", StringType),
+      StructField("b", DoubleType)))
+    def snap(rows: (Long, String, java.lang.Double)*) =
+      LocalTable.of(spark, schema, rows.map { case (k, a, b) => Row(k, a, b) })
+    val old = snap((1L, "same", 1.0), (2L, "gone", 2.0),
+      (3L, "was", 3.0), (4L, null, null), (5L, null, 5.0))
+    val neu = snap((1L, "same", 1.0), (3L, "now", 3.5),
+      (4L, null, null), (5L, "filled", 5.0), (6L, "new", 6.0))
+    val got = Lake.snapshotDiff(old, neu, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(2)))).toSeq
+    assert(got === Seq(
+      (2L, "removed", None),          // only in old
+      (3L, "changed", Some("a,b")),   // both columns differ
+      (5L, "changed", Some("a")),     // NULL -> value is a change
+      (6L, "added", None)))           // only in new
+    // k=1 identical and k=4 NULL==NULL emit nothing
+  }
+
+  test("snapshotDiff rejects misaligned schemas and missing keys") {
+    val d = df((1L, "x", 1L))
+    intercept[IllegalArgumentException] {
+      Lake.snapshotDiff(d, d.select("k", "v"), Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      Lake.snapshotDiff(d, d, Seq("nope"))
+    }
+  }
 }

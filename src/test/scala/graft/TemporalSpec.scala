@@ -195,4 +195,33 @@ class TemporalSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(t === Map(("b", "a") -> 1L))
   }
+
+  test("anomalyZScores: exclusive trailing frame, minObs/zero-variance skips, per-key isolation") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("day", LongType),
+      StructField("cnt", LongType)))
+    val a = Seq(10L, 12L, 11L, 10L, 13L, 11L, 12L, 100L, 11L)
+    val rows =
+      a.zipWithIndex.map { case (v, i) => Row("a", (i + 1).toLong, v) } ++
+        // key b: constant baseline -> zero variance everywhere -> no rows
+        (1 to 6).map(d => Row("b", d.toLong, 7L)) ++
+        // key c: too little history -> below minObs everywhere
+        Seq(Row("c", 1L, 1L), Row("c", 2L, 2L), Row("c", 3L, 3L))
+    val got = Temporal.anomalyZScores(
+      LocalTable.of(spark, schema, rows), "k", "day", "cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet.forall(_._1 == "a"), "b (var=0) and c (minObs) emit nothing")
+    // days 1-3 lack history; day 4 is the first scored point
+    assert(got.keySet.map(_._2) === Set(4L, 5L, 6L, 7L, 8L, 9L))
+    assert(got(("a", 4L))._1 === -1.0) // frame [10,12,11]: mu=11, var=1
+    val (z8, flag8) = got(("a", 8L))
+    assert(z8 > 70 && flag8, "the 100-count spike z-scores far past the threshold")
+    val (z9, flag9) = got(("a", 9L))
+    // day 9's frame CONTAINS the spike (inflating sd) but isn't one itself
+    assert(math.abs(z9) < 1 && !flag9)
+    val (z5, flag5) = got(("a", 5L))
+    assert(z5 > 2.0 && flag5, "13 vs tight [10,12,11,10] baseline crosses 2 sigma")
+  }
 }
