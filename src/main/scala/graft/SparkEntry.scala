@@ -16,7 +16,7 @@ object SparkEntry {
     operators.Scalars.all ++ operators.RulesQ.all ++ operators.LakeQ.all ++
     operators.FinTrackQ.all ++
     ext.TextStats.all ++ ext.Dedup.all ++ ext.Similarity.all ++
-    ext.Retrieval.all ++ ext.Graph.all ++
+    ext.Retrieval.all ++ ext.Graph.all ++ ext.DataQuality.all ++
     parse.ParsePipeline.all ++ ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+import graft.ext.DataQuality
+
+/** Data-quality profiling semantics: heavy-key shares/cumulative shares
+  * with deterministic tiebreaks, and per-column null/distinct/range
+  * profiles including all-NULL and non-numeric columns. */
+class DataQualitySpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", StringType), StructField("v", LongType)))
+
+  private def tbl(rows: (String, java.lang.Long)*) =
+    LocalTable.of(spark, schema, rows.map { case (k, v) => Row(k, v) })
+
+  test("keySkewProfile: exact shares, integer cumulative sums, key tiebreak, topK cut") {
+    val d = tbl(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 5L),
+      ("b", 1L), ("b", 2L), ("b", 3L),
+      ("c", 1L), ("d", 1L))
+    val got = DataQuality.keySkewProfile(d, "k", topK = 3)
+      .orderBy("rnk").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got === Seq(
+      ("a", 5L, 1, 0.5, 0.5),
+      ("b", 3L, 2, 0.3, 0.8),
+      ("c", 1L, 3, 0.1, 0.9))) // c before d: count tie broken by key
+  }
+
+  test("keySkewProfile: topK larger than key count returns every key") {
+    val d = tbl(("x", 1L), ("y", 1L))
+    val got = DataQuality.keySkewProfile(d, "k", topK = 10).collect()
+    assert(got.length === 2)
+    assert(got.map(_.getDouble(3)).sum === 1.0)
+  }
+
+  test("profile: nulls, distincts (NULLs excluded), numeric ranges, non-numeric NULL ranges") {
+    val s2 = StructType(Seq(
+      StructField("name", StringType), StructField("score", DoubleType),
+      StructField("n", LongType)))
+    val d = LocalTable.of(spark, s2, Seq(
+      Row("x", 1.5, 10L), Row("x", -2.0, 20L), Row(null, null, 30L),
+      Row("y", 1.5, null)))
+    val got = DataQuality.profile(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(got("name") === ((1L, 2L, None, None)))
+    assert(got("score") === ((1L, 2L, Some(-2.0), Some(1.5)))) // 1.5 twice -> 2 distinct
+    assert(got("n") === ((1L, 3L, Some(10.0), Some(30.0))))
+    assert(got.keySet === Set("name", "score", "n"))
+  }
+}

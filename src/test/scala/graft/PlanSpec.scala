@@ -422,4 +422,28 @@ class PlanSpec extends SparkSpec {
     assert(!executed.contains("CartesianProduct"))
     assert(executed.contains("hashpartitioning(user_id"), executed.take(1200))
   }
+
+  test("q61: anomaly series aggregates partially and windows on the series key") {
+    val df = run("q61_anomaly_zscore")
+    val p = physical(df)
+    // corpus collapses map-side before any exchange
+    assert(p.contains("partial_count") || p.contains("partial count"), p.take(1200))
+    assert(!p.contains("Exchange SinglePartition"), p.take(1200))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("d47: key-skew top-K cut is TakeOrderedAndProject, never a global sort of all keys") {
+    val df = run("d47_key_skew_profile")
+    val p = physical(df)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // the only single-partition stage is the bounded topK-row window/total
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q60: snapshot diff joins once on the key — no broadcast of a table-sized side") {
+    val df = run("q60_snapshot_diff")
+    val p = physical(df)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
