@@ -932,7 +932,53 @@ object Similarity {
       negativeSample(e, e.filter(col("vec_id") < 20), k = 5, seed = "ns7")
     })
 
+  /** Seeded Johnson–Lindenstrauss random projection of the embedding
+    * column to `dOut` dimensions — the dimensionality-reduction front of
+    * the ANN family (project once, then index/search in the cheap space;
+    * a 1024-d corpus probed at 64-d cuts every downstream dot product
+    * 16×). The ±1/√k sign matrix derives from seeded md5
+    * ([[graft.plans.HyperplaneSignatureExpr.md5Signs]] scaled by
+    * 1/√dOut), so it is a reproducible model artifact, and the kernel
+    * ([[graft.plans.MatrixProjectExpr]]) runs the p×d loop inside
+    * whole-stage codegen — a pure exchange-free projection over the
+    * corpus. Returns long form (vec_id, dim_out, value). */
+  def randomProject(embeddings: DataFrame, dim: Int, dOut: Int,
+      seed: String): DataFrame = {
+    require(dOut > 0 && dim > 0, "dimensions must be positive")
+    val scale = (1.0 / math.sqrt(dOut.toDouble)).toFloat
+    val m = graft.plans.HyperplaneSignatureExpr.md5Signs(dOut, dim, seed)
+      .map(_.map(_ * scale))
+    embeddings
+      .select(col("vec_id"),
+        posexplode(graft.plans.MatrixProjectExpr.matrixProject(
+          col("embedding"), m)).as(Seq("dim_out", "value")))
+  }
+
+  /** s13 — JL projection of the gate embeddings to 16 dims. The oracle
+    * rebuilds the identical md5 sign matrix in SQL (s04's hp CTE shape)
+    * and recomputes every projection; 1/√16 = 0.25 is a power of two, so
+    * the per-term products are exact and the floor-rounding only absorbs
+    * summation-order ulps. */
+  val s13RandomProjection: Q = Q(
+    "s13_random_projection",
+    Some("""
+      WITH m AS (
+        SELECT p, d,
+               CASE WHEN CAST(concat('0x', substr(md5('jl:' || p || ':' || d), 1, 1)) AS INT) % 2 = 1
+                    THEN 0.25 ELSE -0.25 END AS w
+        FROM generate_series(0, 15) g1(p), generate_series(0, 63) g2(d)),
+      proj AS (
+        SELECT e.vec_id, m.p AS dim_out,
+               sum(CAST(e.embedding[m.d + 1] AS DOUBLE) * m.w) AS pr
+        FROM embeddings e, m
+        GROUP BY 1, 2)
+      SELECT vec_id, dim_out, floor(pr * 1e4 + 0.5) / 1e4 AS value
+      FROM proj
+    """),
+    (s, dir) => randomProject(emb(s, dir), dim = 64, dOut = 16, seed = "jl")
+      .withColumn("value", floor(col("value") * 1e4 + 0.5) / 1e4))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
-    s11ClusterBalancedSample, s12NegativeSampling)
+    s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection)
 }

@@ -637,3 +637,62 @@ object EntropyExpr {
       EntropyExpr(GraftSqlBridge.expression(c), tokenLevel))
   }
 }
+
+/** Native dense matrix–vector projection: out[p] = Σ_d m[p][d]·v[d].
+  * The matrix is a data-independent MODEL (e.g. a seeded ±1/√k
+  * Johnson–Lindenstrauss sign matrix from
+  * [[HyperplaneSignatureExpr.md5Signs]]) built once driver-side and
+  * carried into generated code as a reference object — the same pattern
+  * as the IVF centroids and the hyperplane planes. This is
+  * [[HyperplaneSignatureExpr]] keeping the projection VALUES instead of
+  * their signs, which is what dimensionality reduction needs and LSH
+  * discards. Per-row cost is one tight p×d float loop inside
+  * whole-stage codegen; summation runs in coordinate order so the
+  * result is a deterministic IEEE double independent of partitioning.
+  */
+case class MatrixProjectExpr(child: Expression, matrix: Array[Array[Float]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    MatrixProjectExpr.project(
+      input.asInstanceOf[ArrayData].toFloatArray(), matrix)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("projMatrix", matrix, "float[][]")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.MatrixProjectExpr.project($a.toFloatArray(), $m)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MatrixProjectExpr {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+  /** Tight-loop kernel shared by interpreted eval and generated code. */
+  def project(v: Array[Float], m: Array[Array[Float]]): ArrayData = {
+    val out = new Array[Any](m.length)
+    var p = 0
+    while (p < m.length) {
+      val row = m(p)
+      val n = math.min(v.length, row.length)
+      var acc = 0.0
+      var d = 0
+      while (d < n) { acc += v(d).toDouble * row(d); d += 1 }
+      out(p) = acc
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def matrixProject(c: Column, matrix: Array[Array[Float]]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      MatrixProjectExpr(GraftSqlBridge.expression(c), matrix))
+  }
+}

@@ -411,4 +411,45 @@ class SimilaritySpec extends SparkSpec {
       k = 5, seed = "t").collect()
     assert(few.length === 2)
   }
+
+  test("randomProject: kernel matches a driver-side recomputation; linear; deterministic") {
+    val dim = 8
+    val dOut = 4
+    val scale = (1.0 / math.sqrt(dOut.toDouble)).toFloat
+    val m = graft.plans.HyperplaneSignatureExpr.md5Signs(dOut, dim, "spec")
+      .map(_.map(_ * scale))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // exactly-representable values so a+b carries no float rounding
+    val a = Array(1.0f, -0.5f, 0.25f, 2.0f, 0.0f, -1.0f, 4.0f, 0.5f)
+    val b = Array(0.5f, 0.5f, -0.25f, 1.0f, 2.0f, 1.0f, -2.0f, 0.25f)
+    val ab = a.zip(b).map { case (x, y) => x + y }
+    val e = LocalTable.of(spark, schema, Seq(
+      Row(0L, a.toSeq), Row(1L, b.toSeq), Row(2L, ab.toSeq)))
+    val got = Similarity.randomProject(e, dim, dOut, "spec")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // kernel vs naive driver-side dot product
+    (0 until dOut).foreach { p =>
+      val naive = (0 until dim).map(d => a(d).toDouble * m(p)(d)).sum
+      assert(got((0L, p)) === naive, s"dim $p")
+    }
+    // linearity: project(a) + project(b) == project(a + b)
+    (0 until dOut).foreach { p =>
+      assert(math.abs(got((0L, p)) + got((1L, p)) - got((2L, p))) < 1e-12)
+    }
+    // deterministic across plans/partitionings
+    val again = Similarity.randomProject(e.repartition(3), dim, dOut, "spec")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(again === got)
+  }
+
+  test("randomProject plan: exchange-free codegen projection") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val df = Similarity.randomProject(e, 64, 16, "jl")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange"), p.take(800))
+    // the *(n) prefix marks whole-stage-codegen stages in the executed plan
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
 }
