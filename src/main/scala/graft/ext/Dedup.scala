@@ -1613,8 +1613,97 @@ object Dedup {
       newDocsViaBloom(batch, index, expectedItems = 1000L, fpp = 0.01)
     })
 
+  /** Directed shingle-containment pairs: emit (doc_a, doc_b) where
+    * |sh(a) ∩ sh(b)| / |sh(a)| ≥ threshold — the ASYMMETRIC near-dup
+    * relation Jaccard cannot see. A 100-token passage quoted verbatim
+    * inside a 10k-token page has Jaccard ≈ 0.01 (invisible to d06/d07)
+    * but containment ≈ 1.0; quote-inclusion and boilerplate-wrapping
+    * dedup need this directed score.
+    *
+    * Candidate generation is a bottom-`sketchK` MinHash sketch of the
+    * CONTAINED side: doc_a's k smallest shingle hashes equi-join any doc
+    * that contains one of them. Under MinHash uniformity each of a's
+    * bottom-k hashes lands in a∩b with probability ≥ containment, so
+    * per-pair recall is ≥ 1−(1−c)^k (≥ 94% at c = 0.5, k = 4; → 1 as
+    * c → 1); the DuckDB oracle replays the identical sketch rule, so the
+    * gate checks engine == rule exactly, and the recall bound is the
+    * analytical property of the rule (the d06 prefix-blocking pattern).
+    *
+    * Scale shape: corpus text is scanned + shingled + hashed ONCE; the
+    * sketch is one partial-aggregatable exchange; the candidate join
+    * fans out Σ_h |sketch(h)|·df(h) — sketch side is ≤ k rows per doc,
+    * so fan-out is candidate-, not corpus-quadratic. Exact verification
+    * touches candidate pairs only. Hot-shingle guard: a shingle that is
+    * the bottom-sketch member of MANY docs (boilerplate corpus) inflates
+    * df(h) — compose with [[lshCandidatePairs]]'s hot/cold cap or
+    * pre-filter stop-shingles when that regime appears. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      nGram: Int = 3, sketchK: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(sketchK > 0 && threshold > 0.0 && threshold <= 1.0,
+      "need sketchK > 0 and threshold in (0, 1]")
+    val s = docs.select(col(idCol).as("doc_id"),
+      shingles(col(textCol), nGram).as("sh"))
+    val h = s.select(col("doc_id"), explode(col("sh")).as("u"))
+      .withColumn("hh",
+        conv(substring(md5(col("u")), 1, 15), 16, 10).cast("long"))
+      .select("doc_id", "hh")
+    val mins = h.groupBy(col("doc_id"))
+      .agg(slice(sort_array(collect_set(col("hh"))), 1, sketchK).as("mins"))
+    val aexp = mins.select(col("doc_id").as("doc_a"), explode(col("mins")).as("hh"))
+    val cand = aexp
+      .join(h.select(col("doc_id").as("doc_b"), col("hh")), Seq("hh"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val sa = s.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val sb = s.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    cand.join(sa, Seq("doc_a")).join(sb, Seq("doc_b"))
+      .filter(size(col("sh_a")) > 0)
+      .select(col("doc_a"), col("doc_b"),
+        (floor(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+          / size(col("sh_a")) * 1e4 + 0.5) / 1e4).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** d49 — directed containment pairs on the documents corpus. */
+  val d49ContainmentPairs: Q = Q(
+    "d49_containment_pairs",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      h AS (
+        SELECT doc_id, CAST(concat('0x', substr(md5(u), 1, 15)) AS BIGINT) AS hh
+        FROM (SELECT doc_id, unnest(sh) AS u FROM s)),
+      mins AS (
+        SELECT doc_id, list_sort(list_distinct(list(hh)))[1:4] AS mins
+        FROM h GROUP BY 1),
+      aexp AS (SELECT doc_id AS doc_a, unnest(mins) AS hh FROM mins),
+      cand AS (
+        SELECT DISTINCT a.doc_a, b.doc_id AS doc_b
+        FROM aexp a JOIN h b ON a.hh = b.hh AND a.doc_a <> b.doc_id),
+      v AS (
+        SELECT c.doc_a, c.doc_b,
+               floor(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                     / len(sa.sh) * 1e4 + 0.5) / 1e4 AS containment
+        FROM cand c
+        JOIN s sa ON sa.doc_id = c.doc_a
+        JOIN s sb ON sb.doc_id = c.doc_b
+        WHERE len(sa.sh) > 0)
+      SELECT doc_a, doc_b, containment FROM v WHERE containment >= 0.5
+    """),
+    (s, dir) => containmentPairs(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text"))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
-    d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks)
+    d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
+    d49ContainmentPairs)
 }

@@ -1820,6 +1820,61 @@ object TextStats {
         .filter(col("rank") <= 5)
     })
 
+  /** Per-source token-distribution divergence: KL(source ‖ corpus) over
+    * the unigram distributions, plus token/type totals — the
+    * data-mixing diagnostic that tells you which source is an outlier
+    * before you pick d29's repeat factors (a source whose distribution
+    * diverges hard from the mixture needs down-weighting or its own
+    * curriculum stage; CCNet/DSIR weight by exactly this kind of ratio).
+    * No smoothing is needed: every source token is a corpus token, so
+    * q(t) > 0 wherever p(t) > 0 and the sum is finite by construction.
+    *
+    * Scale shape: corpus text explodes ONCE into (source, token) counts
+    * (partial-aggregatable); everything downstream operates on the
+    * vocabulary-sized count table — the per-source totals broadcast, the
+    * final KL is one more partial-aggregatable sum. round(4) absorbs the
+    * cross-engine summation-order ulps of the double term sum. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val tok = docs.select(col("source"), explode(tokens(col("text"))).as("token"))
+    val sc = tok.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val st = sc.groupBy(col("source"))
+      .agg(sum(col("c_st")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val tt = sc.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val n = sc.agg(sum(col("c_st")).as("n_total"))
+    val p = col("c_st").cast("double") / col("n_tokens")
+    val q = col("c_t").cast("double") / col("n_total")
+    sc.join(tt, Seq("token"))
+      .join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(n))
+      .groupBy(col("source"), col("n_tokens"), col("n_types"))
+      .agg(round(sum(p * log(p / q)), 4).as("kl"))
+  }
+
+  /** d50 — source divergence over the documents corpus. */
+  val d50SourceDivergence: Q = Q(
+    "d50_source_divergence",
+    Some("""
+      WITH tok AS (
+        SELECT source, unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t <> '')) AS token
+        FROM documents),
+      sc AS (SELECT source, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+      st AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+                    count(*) AS n_types
+             FROM sc GROUP BY 1),
+      tt AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM sc GROUP BY 1),
+      n AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_total FROM sc)
+      SELECT sc.source, st.n_tokens, st.n_types,
+             round(sum((CAST(sc.c_st AS DOUBLE) / st.n_tokens) *
+                       ln((CAST(sc.c_st AS DOUBLE) / st.n_tokens) /
+                          (CAST(tt.c_t AS DOUBLE) / n.n_total))), 4) AS kl
+      FROM sc JOIN tt USING (token) JOIN st USING (source) CROSS JOIN n
+      GROUP BY 1, 2, 3
+    """),
+    (s, dir) => sourceDivergence(
+      Tables(s, dir, "documents").select(col("source"), col("text"))))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -1828,5 +1883,6 @@ object TextStats {
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
-    d38RareTokenScrub, d39GopherRules, d40RepetitionSignals)
+    d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
+    d50SourceDivergence)
 }

@@ -724,4 +724,36 @@ class DedupSpec extends SparkSpec {
     assert(byDoc(3L).map(_._2).toSet.intersect(byDoc(1L).map(_._2).toSet).isEmpty)
     assert(byDoc(3L).forall(_._3 === 1L))
   }
+
+  test("containmentPairs: directed quote-inclusion invisible to Jaccard; no symmetric false positive") {
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val page = ((1 to 80).map(i => s"w$i") ++ (1 to 12).map(i => s"q$i") ++
+      (81 to 160).map(i => s"w$i")).mkString(" ")
+    val other = (1 to 40).map(i => s"z$i").mkString(" ")
+    val docs = strDf((1L, quote), (2L, page), (3L, other))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // quote ⊂ page: containment(1 → 2) = 1.0 (all 10 of quote's 3-grams in page)
+    assert(got((1L, 2L)) === 1.0)
+    // page ⊄ quote: the reverse direction is far below threshold and absent
+    assert(!got.contains((2L, 1L)))
+    // Jaccard of the same pair is tiny — this is the relation d06 cannot emit
+    val j = docs.filter(col("doc_id").isin(1L, 2L))
+      .agg(collect_list(Dedup.shingles(col("text"), 3)).as("s"))
+      .select(Dedup.jaccardDistinct(element_at(col("s"), 1), element_at(col("s"), 2)))
+      .collect()(0).getDouble(0)
+    assert(j < 0.1, s"jaccard was $j")
+    assert(!got.keySet.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc stays out")
+  }
+
+  test("containmentPairs: identical docs contain each other both ways; partitioning-invariant") {
+    val t = (1 to 30).map(i => s"t$i").mkString(" ")
+    val docs = strDf((10L, t), (11L, t), (12L, "lone " + (1 to 5).map("u" + _).mkString(" ")))
+    val got = Dedup.containmentPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got((10L, 11L)) === 1.0 && got((11L, 10L)) === 1.0)
+    val re = Dedup.containmentPairs(docs.repartition(5), "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(re === got)
+  }
 }

@@ -485,4 +485,26 @@ class TextStatsSpec extends SparkSpec {
       ratePerMillion = 500000, seed = "roundtrip").collect()
     assert(out.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
+
+  test("sourceDivergence: hand-computed KL, zero for a lone source, empty text ignored") {
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    val docs = LocalTable.of(spark, schema, Seq(
+      Row("a", "x x y"), Row("b", "x y y"), Row("b", "y"), Row("b", "")))
+    val got = graft.ext.TextStats.sourceDivergence(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // corpus: x3 y4, N=7; a: x2 y1 n=3; b: x1 y3 n=4
+    def kl(ps: Seq[(Double, Double)]): Double =
+      math.floor(ps.map { case (p, q) => p * math.log(p / q) }.sum * 1e4 + 0.5) / 1e4
+    val klA = kl(Seq((2.0 / 3, 3.0 / 7), (1.0 / 3, 4.0 / 7)))
+    val klB = kl(Seq((1.0 / 4, 3.0 / 7), (3.0 / 4, 4.0 / 7)))
+    assert(got("a") === ((3L, 2L, klA)))
+    assert(got("b") === ((4L, 2L, klB)))
+    // a source alone IS the corpus: divergence exactly zero
+    val lone = graft.ext.TextStats.sourceDivergence(
+      LocalTable.of(spark, schema, Seq(Row("only", "p q r p"))))
+      .collect()(0)
+    assert(lone.getDouble(3) === 0.0)
+  }
 }
