@@ -259,4 +259,48 @@ object EventsStreaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.product[Event], Encoders.product[Transition])
   }
+
+  /** One keyed upsert/tombstone arriving on the CDC input stream. `seq`
+    * orders rows within a micro-batch (arrival order is not guaranteed
+    * after the shuffle); `tombstone = true` deletes the key. */
+  final case class Upsert(k: Long, seq: Long, payload: String, tombstone: Boolean)
+
+  /** One emitted change. `old_payload`/`new_payload` are null for
+    * added/removed respectively — same contract as
+    * [[graft.lake.Lake.snapshotDiff]]'s change rows. */
+  final case class Change(k: Long, change: String,
+      old_payload: String, new_payload: String)
+
+  /** Streaming twin of [[graft.lake.Lake.snapshotDiff]] (q60): where the
+    * batch operator diffs two materialized snapshots, this maintains the
+    * "previous snapshot" as per-key state and emits each change the
+    * moment its upsert arrives — added / changed / removed (tombstone),
+    * with no-op upserts suppressed exactly like the batch diff's
+    * unchanged rows. State is one payload per live key (removed keys
+    * clear their state), so the memory bound is the LIVE key set — the
+    * streaming analogue of the batch operator's O(churn) output. After
+    * any prefix of batches, replaying the emitted changes reconstructs
+    * the table; StreamingSpec proves each batch's emissions equal
+    * `snapshotDiff(state before, state after)`. */
+  def changeCaptureStream(rows: Dataset[Upsert]): Dataset[Change] = {
+    val fn: (Long, Iterator[Upsert], GroupState[String]) => Iterator[Change] =
+      (k, it, state) => {
+        var cur = state.getOption.orNull
+        val out = Seq.newBuilder[Change]
+        it.toSeq.sortBy(_.seq).foreach { r =>
+          if (r.tombstone) {
+            if (cur != null) { out += Change(k, "removed", cur, null); cur = null }
+          } else if (cur == null) {
+            out += Change(k, "added", null, r.payload); cur = r.payload
+          } else if (cur != r.payload) {
+            out += Change(k, "changed", cur, r.payload); cur = r.payload
+          } // identical payload: no-op, nothing emitted
+        }
+        if (cur == null) state.remove() else state.update(cur)
+        out.result().iterator
+      }
+    rows.groupByKey(_.k)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.STRING, Encoders.product[Change])
+  }
 }

@@ -394,4 +394,53 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === Map(
       ("v", "c") -> 2L, ("c", "v") -> 1L, ("c", "p") -> 1L))
   }
+
+  test("changeCaptureStream: emissions match the batch snapshotDiff; state survives batches") {
+    import EventsStreaming.Upsert
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Upsert]
+    val in = MemoryStream[Upsert]
+    val q = EventsStreaming.changeCaptureStream(in.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("append").start()
+    def emitted(): Seq[(Long, String, Option[String], Option[String])] =
+      spark.table("cdc_out").collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2)), Option(r.getString(3)))).toSeq
+    // batch 1: an empty table sees three inserts
+    in.addData(Upsert(1, 0, "a", false), Upsert(2, 1, "b", false),
+      Upsert(3, 2, "c", false))
+    q.processAllAvailable()
+    assert(emitted().toSet === Set(
+      (1L, "added", None, Some("a")), (2L, "added", None, Some("b")),
+      (3L, "added", None, Some("c"))))
+    val afterB1 = emitted().size
+    // batch 2: no-op on 2 (suppressed), change 3, add 4, tombstone 1
+    in.addData(Upsert(2, 0, "b", false), Upsert(3, 1, "c2", false),
+      Upsert(4, 2, "d", false), Upsert(1, 3, "", true))
+    q.processAllAvailable()
+    val batch2 = emitted().drop(afterB1).toSet
+    assert(batch2 === Set(
+      (1L, "removed", Some("a"), None), (3L, "changed", Some("c"), Some("c2")),
+      (4L, "added", None, Some("d"))))
+    // the stream's batch-2 emissions equal the BATCH diff of the two snapshots
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("payload", org.apache.spark.sql.types.StringType)))
+    val snap1 = LocalTable.of(spark, schema,
+      Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c")))
+    val snap2 = LocalTable.of(spark, schema,
+      Seq(Row(2L, "b"), Row(3L, "c2"), Row(4L, "d")))
+    val diff = graft.lake.Lake.snapshotDiff(snap1, snap2, Seq("k"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(batch2.map(c => (c._1, c._2)) === diff)
+    // batch 3: intra-batch add→change sequences in seq order; removed key re-adds
+    in.addData(Upsert(5, 0, "e", false), Upsert(5, 1, "e2", false),
+      Upsert(1, 2, "back", false))
+    q.processAllAvailable()
+    val batch3 = emitted().drop(afterB1 + batch2.size)
+    assert(batch3.filter(_._1 == 5L) === Seq(
+      (5L, "added", None, Some("e")), (5L, "changed", Some("e"), Some("e2"))))
+    assert(batch3.filter(_._1 == 1L) === Seq((1L, "added", None, Some("back"))))
+    q.stop()
+  }
 }
