@@ -978,7 +978,61 @@ object Similarity {
     (s, dir) => randomProject(emb(s, dir), dim = 64, dOut = 16, seed = "jl")
       .withColumn("value", floor(col("value") * 1e4 + 0.5) / 1e4))
 
+  /** Hard-negative mining — s12's uniform negatives are the cheap
+    * baseline; contrastive training quality comes from HARD negatives:
+    * for each labeled anchor, the k most cosine-similar vectors carrying
+    * a DIFFERENT label (near the decision boundary, so the gradient
+    * actually moves it). Anchor side broadcasts (a seed set, like
+    * s07's), one corpus scan scores through the codegen'd cosine kernel,
+    * and the per-anchor cut is a rank-limit window on the anchor key —
+    * O(anchors·k) rows move. At IVF scale, swap the broadcast NLJ for
+    * [[knnClassifyIvf]]'s list-probe shape; the mining semantics
+    * (different-label filter + top-k) compose unchanged. */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor_id"))
+      .orderBy(col("cos_sim").desc, col("negative_id").asc)
+    corpus
+      .select(col("vec_id").as("negative_id"), col("label").as("neg_label"),
+        col("embedding").as("__ne"))
+      .crossJoin(broadcast(anchors.select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"), col("embedding").as("__ae"))))
+      .filter(col("neg_label") =!= col("anchor_label"))
+      .withColumn("cos_sim", round(cosine(col("__ae"), col("__ne")), 6))
+      .withColumn("neg_rank", row_number().over(w))
+      .filter(col("neg_rank") <= k)
+      .select(col("anchor_id"), col("negative_id"), col("neg_label"),
+        col("cos_sim"), col("neg_rank"))
+  }
+
+  /** s14 — 5 hard negatives for each of the first 10 vectors. */
+  val s14HardNegatives: Q = Q(
+    "s14_hard_negatives",
+    Some("""
+      WITH a AS (
+        SELECT vec_id AS anchor_id, label AS albl, embedding AS ae
+        FROM embeddings WHERE vec_id < 10),
+      j AS (
+        SELECT a.anchor_id, e.vec_id AS negative_id, e.label AS neg_label,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                            CAST(a.ae AS DOUBLE[])), 6) AS cos_sim
+        FROM a JOIN embeddings e ON e.label <> a.albl),
+      r AS (
+        SELECT anchor_id, negative_id, neg_label, cos_sim,
+               row_number() OVER (PARTITION BY anchor_id
+                 ORDER BY cos_sim DESC, negative_id ASC) AS neg_rank
+        FROM j)
+      SELECT anchor_id, negative_id, neg_label, cos_sim, neg_rank
+      FROM r WHERE neg_rank <= 5
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
-    s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection)
+    s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
+    s14HardNegatives)
 }

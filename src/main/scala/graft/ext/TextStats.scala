@@ -1875,6 +1875,56 @@ object TextStats {
     (s, dir) => sourceDivergence(
       Tables(s, dir, "documents").select(col("source"), col("text"))))
 
+  /** Deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-ES): each row draws u ∈ (0,1] from the
+    * seeded 60-bit md5 of its id (the corpus RNG — replayable, never
+    * rand()) and scores skey = −ln(u)/w; the k SMALLEST keys are a
+    * weighted sample without replacement, exactly (the classic
+    * exponential-race argument). This is the importance-sampling member
+    * of the sampling family: d14 stratifies by group, s11 balances by
+    * cluster, s12/s14 mine negatives — this one biases by a per-row
+    * weight (length, quality score, d34's DSIR weight) in one pass.
+    *
+    * Scale shape: a pure projection (hash + ln per row) and a
+    * TakeOrderedAndProject top-k — per-partition heads merge on the
+    * driver, no global sort, no shuffle of the corpus. Cross-engine:
+    * u is exact ((h AS DOUBLE + 1) / 2^60 — IEEE-identical rounding,
+    * exact power-of-two division); ln carries ≤ 1 ulp libm variance,
+    * absorbed by the floor@9 rounding of the emitted key and
+    * vanishingly unlikely to flip a rank boundary. */
+  def weightedSample(rows: DataFrame, idCol: String, weightCol: String,
+      k: Int, seed: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(concat(lit(seed + ":"),
+      col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
+    val u = (h.cast("double") + 1.0) / 1.152921504606846976e18
+    val skey = -log(u) / col(weightCol)
+    rows.filter(col(weightCol) > 0)
+      .select(col(idCol), col(weightCol), skey.as("__skey"))
+      .orderBy(col("__skey").asc, col(idCol).asc)
+      .limit(k)
+      .select(col(idCol), col(weightCol),
+        (floor(col("__skey") * 1e9 + 0.5) / 1e9).as("skey"))
+  }
+
+  /** d51 — 100 length-weighted documents (longer docs proportionally
+    * likelier, the token-budget-aware sampling prior). */
+  val d51WeightedSample: Q = Q(
+    "d51_weighted_sample",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, n_chars,
+               -ln((CAST(CAST(concat('0x', substr(md5('ws7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                   / 1152921504606846976.0) / n_chars AS skey
+        FROM documents WHERE n_chars > 0),
+      top AS (SELECT * FROM s ORDER BY skey ASC, doc_id ASC LIMIT 100)
+      SELECT doc_id, n_chars, floor(skey * 1e9 + 0.5) / 1e9 AS skey
+      FROM top
+    """),
+    (s, dir) => weightedSample(
+      Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+      "doc_id", "n_chars", k = 100, seed = "ws7"))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -1884,5 +1934,5 @@ object TextStats {
     d45LengthProfile,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
-    d50SourceDivergence)
+    d50SourceDivergence, d51WeightedSample)
 }

@@ -452,4 +452,27 @@ class SimilaritySpec extends SparkSpec {
     // the *(n) prefix marks whole-stage-codegen stages in the executed plan
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
+
+  test("hardNegatives: picks the nearest DIFFERENT-label vector, same-label neighbors excluded") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val corpus = LocalTable.of(spark, schema, Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f), 0),      // anchor, label 0, +x
+      Row(1L, Seq(0.99f, 0.14f, 0.0f), 0),    // same label, nearest — must be excluded
+      Row(2L, Seq(0.95f, 0.3f, 0.0f), 1),     // hard negative (cos ≈ 0.95)
+      Row(3L, Seq(0.0f, 1.0f, 0.0f), 1),      // easy negative (cos 0)
+      Row(4L, Seq(-1.0f, 0.0f, 0.0f), 2)))    // opposite (cos -1)
+    val got = Similarity.hardNegatives(corpus,
+      corpus.filter(col("vec_id") === 0L), k = 2)
+      .orderBy("neg_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    assert(got.toSeq === Seq((2L, 1, 1), (3L, 1, 2)),
+      "hard negative first, easy second, same-label id 1 never emitted")
+    // k beyond the different-label population: no padding
+    val allNeg = Similarity.hardNegatives(corpus,
+      corpus.filter(col("vec_id") === 0L), k = 10).collect()
+    assert(allNeg.length === 3)
+  }
 }

@@ -507,4 +507,29 @@ class TextStatsSpec extends SparkSpec {
       .collect()(0)
     assert(lone.getDouble(3) === 0.0)
   }
+
+  test("weightedSample: heavy weights dominate, without replacement, seeded determinism, guards") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("w", LongType)))
+    val rows = Row(0L, 1000000000000L) +:
+      (1L to 30L).map(i => Row(i, 1L)) :+ Row(99L, 0L) :+ Row(98L, -5L)
+    val d = LocalTable.of(spark, schema, rows)
+    val got = graft.ext.TextStats.weightedSample(d, "id", "w", k = 5, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length === 5)
+    assert(got.map(_._1).distinct.length === 5, "without replacement")
+    // skey = -ln(u)/w: the 1e12-weight row's key is ~12 orders smaller
+    assert(got.head._1 === 0L, "the dominant weight must win rank 1")
+    assert(!got.map(_._1).contains(99L) && !got.map(_._1).contains(98L),
+      "non-positive weights are excluded")
+    assert(got.map(_._3).toSeq === got.map(_._3).sortBy(identity).toSeq,
+      "output arrives in key order")
+    val again = graft.ext.TextStats.weightedSample(
+      d.repartition(7), "id", "w", k = 5, seed = "s")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(again.toSeq === got.toSeq, "seeded + partitioning-invariant")
+    // k larger than the eligible population returns everyone once
+    val all = graft.ext.TextStats.weightedSample(d, "id", "w", k = 100, seed = "s")
+    assert(all.count() === 31)
+  }
 }
