@@ -1907,6 +1907,62 @@ object TextStats {
         (floor(col("__skey") * 1e9 + 0.5) / 1e9).as("skey"))
   }
 
+  /** Zipf-fit vocabulary diagnostics: least-squares slope/intercept of
+    * ln(freq) vs ln(rank) over the unigram rank–frequency curve — a
+    * natural-language corpus sits near slope −1; a slope far off flags
+    * machine-generated/boilerplate-heavy or truncated-vocabulary data
+    * before training. One token explode into vocabulary-sized counts;
+    * ranks come from GlobalOrder's two-pass range-partitioned ranking
+    * (never a single-partition window over the vocabulary — at 100 TB
+    * the vocabulary is itself huge); the fit is one partial-aggregatable
+    * moment sum. round(4) absorbs summation-order ulps. */
+  def zipfFit(docs: DataFrame): DataFrame = {
+    val counts = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val ranked = graft.operators.GlobalOrder.withRanks(counts,
+      Seq(col("freq").desc, col("tok").asc), Seq(col("freq"), col("tok"))).df
+    val xy = ranked.select(log(col("rn").cast("double")).as("x"),
+      log(col("freq").cast("double")).as("y"), col("freq"))
+    val slope = (col("n_types") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_types") * col("sxx") - col("sx") * col("sx"))
+    xy.agg(count(lit(1)).as("n_types"), sum(col("freq")).as("n_tokens"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+      .select(col("n_types"), col("n_tokens"),
+        round(slope, 4).as("zipf_slope"),
+        round(col("sy") / col("n_types") - slope * col("sx") / col("n_types"), 4)
+          .as("zipf_intercept"))
+  }
+
+  /** d52 — Zipf fit of the documents corpus vocabulary. */
+  val d52ZipfFit: Q = Q(
+    "d52_zipf_fit",
+    Some("""
+      WITH toks AS (
+        SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+               t -> t <> '')) AS tok
+        FROM documents),
+      c AS (SELECT tok, count(*) AS freq FROM toks GROUP BY 1),
+      r AS (SELECT tok, freq,
+                   row_number() OVER (ORDER BY freq DESC, tok ASC) AS rn
+            FROM c),
+      xy AS (SELECT ln(CAST(rn AS DOUBLE)) AS x,
+                    ln(CAST(freq AS DOUBLE)) AS y, freq
+             FROM r),
+      s AS (SELECT count(*) AS n_types, CAST(sum(freq) AS BIGINT) AS n_tokens,
+                   sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy)
+      SELECT n_types, n_tokens,
+             round((n_types * sxy - sx * sy) / (n_types * sxx - sx * sx), 4)
+               AS zipf_slope,
+             round(sy / n_types -
+                   (n_types * sxy - sx * sy) / (n_types * sxx - sx * sx)
+                   * sx / n_types, 4) AS zipf_intercept
+      FROM s
+    """),
+    (s, dir) => zipfFit(Tables(s, dir, "documents").select(col("text"))))
+
   /** d51 — 100 length-weighted documents (longer docs proportionally
     * likelier, the token-budget-aware sampling prior). */
   val d51WeightedSample: Q = Q(
@@ -1934,5 +1990,5 @@ object TextStats {
     d45LengthProfile,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
-    d50SourceDivergence, d51WeightedSample)
+    d50SourceDivergence, d51WeightedSample, d52ZipfFit)
 }

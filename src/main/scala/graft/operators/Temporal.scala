@@ -893,6 +893,47 @@ object Temporal {
         (abs(col("z")) > threshold).as("is_anomaly"))
   }
 
+  /** Winsorized (percentile-clipped) robust statistics per event type —
+    * the outlier-tamed twin of q57's raw moments: values clip at the
+    * group's EXACT p05/p95 (both engines implement R-7 interpolation —
+    * the d45 parity) before aggregating, so a single fat-finger event
+    * cannot swing the sum. Two passes by necessity (percentiles are
+    * holistic): the percentile aggregate collapses the corpus to
+    * |types| rows and broadcasts back into one clipping scan — the
+    * second pass is map-side only. */
+  val q62WinsorizedStats: Q = Q(
+    "q62_winsorized_stats",
+    Some("""
+      WITH pct AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS p05,
+               quantile_cont(value, 0.95) AS p95
+        FROM events GROUP BY 1)
+      SELECT e.event_type, count(*) AS n,
+             count(CASE WHEN e.value < pct.p05 OR e.value > pct.p95
+                        THEN 1 END) AS n_clipped,
+             round(min(pct.p05), 6) AS p05, round(min(pct.p95), 6) AS p95,
+             round(sum(greatest(pct.p05, least(pct.p95, e.value))), 2)
+               AS sum_winsorized
+      FROM events e JOIN pct USING (event_type)
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      val ev0 = ev(s, dir).select(col("event_type"), col("value"))
+      val pct = ev0.groupBy(col("event_type")).agg(
+        percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+      ev0.join(broadcast(pct), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("value") < col("p05") ||
+            col("value") > col("p95"), lit(1))).as("n_clipped"),
+          round(min(col("p05")), 6).as("p05"),
+          round(min(col("p95")), 6).as("p95"),
+          round(sum(greatest(col("p05"), least(col("p95"), col("value")))), 2)
+            .as("sum_winsorized"))
+    })
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
@@ -900,5 +941,5 @@ object Temporal {
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
-    q58SubqueryFamily, q61AnomalyZscore)
+    q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats)
 }

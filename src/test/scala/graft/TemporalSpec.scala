@@ -224,4 +224,30 @@ class TemporalSpec extends SparkSpec {
     val (z5, flag5) = got(("a", 5L))
     assert(z5 > 2.0 && flag5, "13 vs tight [10,12,11,10] baseline crosses 2 sigma")
   }
+
+  test("q62 winsorize shape: R-7 percentile clipping on a hand series") {
+    import org.apache.spark.sql.types._
+    // replicate the q62 pipeline on a known series: 1..19 plus outlier 1000
+    val schema = StructType(Seq(
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val rows = ((1 to 19).map(_.toDouble) :+ 1000.0).map(v => Row("A", v))
+    val ev0 = LocalTable.of(spark, schema, rows)
+    val pct = ev0.groupBy(col("event_type")).agg(
+      percentile(col("value"), lit(0.05)).as("p05"),
+      percentile(col("value"), lit(0.95)).as("p95"))
+    val got = ev0.join(broadcast(pct), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(when(col("value") < col("p05") ||
+          col("value") > col("p95"), lit(1))).as("n_clipped"),
+        round(min(col("p05")), 6).as("p05"),
+        round(min(col("p95")), 6).as("p95"),
+        round(sum(greatest(col("p05"), least(col("p95"), col("value")))), 2)
+          .as("sum_winsorized"))
+      .collect()(0)
+    // R-7 on 20 values: p05 → 1.95, p95 → 19 + 0.05·(1000−19) = 68.05
+    assert(got.getLong(1) === 2L)        // the 1 (below p05) and the 1000
+    assert(got.getDouble(2) === 1.95)
+    assert(got.getDouble(3) === 68.05)
+    assert(got.getDouble(4) === 259.0)   // 1.95 + Σ(2..19) + 68.05
+  }
 }

@@ -532,4 +532,26 @@ class TextStatsSpec extends SparkSpec {
     val all = graft.ext.TextStats.weightedSample(d, "id", "w", k = 100, seed = "s")
     assert(all.count() === 31)
   }
+
+  test("zipfFit: hand-computed least squares on a tiny vocabulary; no single-partition exchange") {
+    val docs = docsDf((1L, "a a a a b b c"))
+    val df = graft.ext.TextStats.zipfFit(docs)
+    val got = df.collect()(0)
+    // freqs a:4 b:2 c:1 → ranks 1,2,3; x=ln(rank), y=ln(freq)
+    val x = Seq(1.0, 2.0, 3.0).map(math.log)
+    val y = Seq(4.0, 2.0, 1.0).map(math.log)
+    val n = 3.0
+    val (sx, sy) = (x.sum, y.sum)
+    val sxy = x.zip(y).map { case (a, b) => a * b }.sum
+    val sxx = x.map(v => v * v).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.getLong(0) === 3L)
+    assert(got.getLong(1) === 7L)
+    assert(got.getDouble(2) === r4(slope))
+    assert(got.getDouble(3) === r4(sy / n - slope * sx / n))
+    assert(slope < 0, "frequency decays with rank")
+    val p = df.queryExecution.sparkPlan.toString
+    assert(!p.contains("Exchange SinglePartition"), p.take(1000))
+  }
 }
