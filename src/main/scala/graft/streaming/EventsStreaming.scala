@@ -303,4 +303,55 @@ object EventsStreaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.STRING, Encoders.product[Change])
   }
+
+  /** One aggregated series point arriving on the stream (e.g. a daily
+    * count emitted by an upstream windowed aggregation). */
+  final case class SeriesPoint(k: String, day: Long, cnt: Long)
+
+  /** One scored point — identical contract to the batch operator. */
+  final case class Anomaly(k: String, day: Long, cnt: Long,
+      z: Double, is_anomaly: Boolean)
+
+  /** Ring buffer of the trailing counts, newest last. */
+  final case class TailState(vals: Seq[Long])
+
+  /** Streaming twin of [[graft.operators.Temporal.anomalyZScores]]
+    * (q61): each arriving point z-scores against the key's trailing
+    * `lookback` points held as O(lookback) state, then joins the buffer
+    * — the point never contaminates its own baseline, exactly like the
+    * batch frame's `1 PRECEDING` bound. The arithmetic is the batch
+    * operator's to the bit: integer sums first, then single IEEE
+    * divisions/sqrt — so under per-key in-order delivery the emitted
+    * rows equal the batch output exactly (StreamingSpec proves it
+    * across micro-batch boundaries). Points below `minObs` history or
+    * with a zero-variance baseline are absorbed into state but emit
+    * nothing, same as the batch skips. */
+  def anomalyStream(points: Dataset[SeriesPoint], lookback: Int = 7,
+      minObs: Int = 3, threshold: Double = 2.0): Dataset[Anomaly] = {
+    require(lookback >= minObs && minObs >= 2,
+      "need lookback >= minObs >= 2 for a sample variance")
+    val fn: (String, Iterator[SeriesPoint], GroupState[TailState]) => Iterator[Anomaly] =
+      (k, it, state) => {
+        var tail = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
+        val out = Seq.newBuilder[Anomaly]
+        it.toSeq.sortBy(_.day).foreach { p =>
+          val n = tail.length
+          if (n >= minObs) {
+            val s = tail.sum
+            val ss = tail.map(v => v * v).sum
+            val v = (ss.toDouble - s.toDouble * s.toDouble / n) / (n - 1)
+            if (v > 0) {
+              val z = (p.cnt.toDouble - s.toDouble / n) / math.sqrt(v)
+              out += Anomaly(k, p.day, p.cnt, z, math.abs(z) > threshold)
+            }
+          }
+          tail = (tail :+ p.cnt).takeRight(lookback)
+        }
+        state.update(TailState(tail))
+        out.result().iterator
+      }
+    points.groupByKey(_.k)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[TailState], Encoders.product[Anomaly])
+  }
 }

@@ -443,4 +443,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch3.filter(_._1 == 1L) === Seq((1L, "added", None, Some("back"))))
     q.stop()
   }
+
+  test("anomalyStream: emissions are bit-identical to the batch z-scores across micro-batches") {
+    import EventsStreaming.SeriesPoint
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[SeriesPoint]
+    val in = MemoryStream[SeriesPoint]
+    val q = EventsStreaming.anomalyStream(in.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("append").start()
+    val series = Seq(10L, 12L, 11L, 10L, 13L, 11L, 12L, 100L, 11L)
+      .zipWithIndex.map { case (v, i) => SeriesPoint("a", (i + 1).toLong, v) } ++
+      (1 to 6).map(d => SeriesPoint("b", d.toLong, 7L)) // constant → never emits
+    // split mid-series so state (the trailing buffer) must cross batches
+    val (b1, b2) = series.partition(_.day <= 5)
+    in.addData(b1: _*); q.processAllAvailable()
+    in.addData(b2: _*); q.processAllAvailable()
+    val streamed = spark.table("anom_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    q.stop()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("day", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("cnt", org.apache.spark.sql.types.LongType)))
+    val batch = graft.operators.Temporal.anomalyZScores(
+      LocalTable.of(spark, schema, series.map(p => Row(p.k, p.day, p.cnt))),
+      "k", "day", "cnt")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(streamed === batch, "twins must agree to the bit under in-order delivery")
+    assert(streamed.keySet.forall(_._1 == "a") && streamed.nonEmpty)
+  }
 }
