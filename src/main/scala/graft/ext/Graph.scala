@@ -120,5 +120,79 @@ object Graph {
       tradeEdges(Tables(s, dir, "orders"), Tables(s, dir, "lineitem")),
       iters = 3))
 
-  val all: Seq[Q] = Seq(d46PageRank)
+  /** Synchronous label propagation, `iters` rounds — the community-
+    * detection member of the Pregel family (connectedComponents finds
+    * REACHABILITY classes; LPA finds DENSITY classes — near-dup cluster
+    * grouping, host/domain communities in a crawl graph, supplier
+    * cliques). Every node starts as its own label; each round a node
+    * adopts the majority label among its in-neighbors, ties broken by
+    * the smallest label — fully deterministic, so the DuckDB oracle
+    * unrolls the rounds and matches exactly (votes are integer counts;
+    * no floating point anywhere).
+    *
+    * Per round: one ranks⋈edges shuffle + one (node, label) count
+    * aggregate + a per-node rank-limit window — all key-partitioned,
+    * lineage cut per round. Synchronous LPA can oscillate on bipartite
+    * structure (labels swap sides); the operator is the fixed-iteration
+    * kernel — production picks iters or composes with a convergence
+    * check exactly like connectedComponents' observed metric.
+    * Requires every node to appear as a destination (symmetric edge
+    * lists satisfy this by construction, as in [[pageRank]]). */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    var labels = nodes.withColumn("label", col("node"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("node"))
+        .orderBy(col("votes").desc, col("label").asc)
+      labels = votes
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** d53 — 2 rounds of label propagation over the trade graph. */
+  val d53LabelPropagation: Q = Q(
+    "d53_label_propagation",
+    Some("""
+      WITH pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs),
+      nodes AS (SELECT DISTINCT src AS node FROM e
+                UNION SELECT DISTINCT dst FROM e),
+      l0 AS (SELECT node, node AS label FROM nodes),
+      v1 AS (SELECT e.dst AS node, l0.label, count(*) AS votes
+             FROM e JOIN l0 ON l0.node = e.src GROUP BY 1, 2),
+      l1 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+               FROM v1) WHERE rn = 1),
+      v2 AS (SELECT e.dst AS node, l1.label, count(*) AS votes
+             FROM e JOIN l1 ON l1.node = e.src GROUP BY 1, 2),
+      l2 AS (SELECT node, label FROM (
+               SELECT node, label, row_number() OVER (
+                 PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+               FROM v2) WHERE rn = 1)
+      SELECT node, label AS community FROM l2
+    """),
+    (s, dir) => labelPropagation(
+      tradeEdges(Tables(s, dir, "orders"), Tables(s, dir, "lineitem")),
+      iters = 2))
+
+  val all: Seq[Q] = Seq(d46PageRank, d53LabelPropagation)
 }

@@ -56,4 +56,26 @@ class GraphSpec extends SparkSpec {
     intercept[IllegalArgumentException](Graph.pageRank(g, iters = 0))
     intercept[IllegalArgumentException](Graph.pageRank(g, iters = 1, damping = 1.0))
   }
+
+  test("labelPropagation: two bridged cliques collapse to one community each") {
+    def clique(ns: Seq[String]) =
+      for { a <- ns; b <- ns if a != b } yield (a, b)
+    val g = edges((clique(Seq("a1", "a2", "a3", "a4")) ++
+      clique(Seq("b1", "b2", "b3", "b4")) ++
+      Seq(("a1", "b1"), ("b1", "a1"))): _*)
+    val got = Graph.labelPropagation(g, iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // hand-traced 2 rounds with the smallest-label tiebreak:
+    // round 1 sends every a-node to a1/a2 ties → a-side converges on a1's
+    // clique label; round 2 leaves each clique unanimous
+    assert(Set("a1", "a2", "a3", "a4").map(got).size === 1,
+      s"clique A fragmented: $got")
+    assert(Set("b1", "b2", "b3", "b4").map(got).size === 1,
+      s"clique B fragmented: $got")
+    // deterministic under repartitioning
+    val again = Graph.labelPropagation(g.repartition(7), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(again === got)
+    intercept[IllegalArgumentException](Graph.labelPropagation(g, iters = 0))
+  }
 }
