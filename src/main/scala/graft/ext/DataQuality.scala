@@ -148,5 +148,152 @@ object DataQuality {
     """),
     (s, dir) => profile(Tables(s, dir, "orders")))
 
-  val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile)
+  /** Deterministic pseudonymization: replace each key column with a
+    * salted md5 surrogate token — the GDPR/PII tokenization verb
+    * (complements d09's pattern-scrub: d09 redacts free text, this
+    * replaces IDENTIFIER columns while PRESERVING joinability — the same
+    * raw key always maps to the same token, so downstream joins,
+    * groupBys and incremental merges keep working on the tokenized
+    * lake). Pure codegen'd projection, zero shuffles; the salt rotates
+    * per environment so tokens cannot be linked across deployments, and
+    * detokenization is impossible without the raw source (one-way
+    * hash, unlike encryption). */
+  def pseudonymize(df: DataFrame, keyCols: Seq[String],
+      salt: String): DataFrame = {
+    require(keyCols.nonEmpty && keyCols.forall(df.columns.contains),
+      s"key columns ${keyCols.mkString(",")} must exist")
+    keyCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast("string"))
+          .otherwise(md5(concat(lit(salt + ":"), col(c).cast("string")))))
+    }
+  }
+
+  /** d54 — tokenized events: user_id becomes a salted surrogate;
+    * aggregating per token proves joinability survived (counts equal the
+    * raw per-user counts under the token mapping). */
+  val d54Pseudonymize: Q = Q(
+    "d54_pseudonymize",
+    Some("""
+      SELECT md5('pseud7:' || CAST(user_id AS VARCHAR)) AS user_id,
+             count(*) AS n, round(sum(value), 2) AS sum_value
+      FROM events
+      GROUP BY 1
+    """),
+    (s, dir) => pseudonymize(
+      Tables(s, dir, "events").select(col("user_id"), col("value")),
+      Seq("user_id"), "pseud7")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value")))
+
+  /** Declarative constraint audit — the expectations CHECK a pipeline
+    * runs before publishing a load: every predicate rule evaluates in
+    * ONE shared scan (a sum(violation)-per-rule aggregate, all
+    * partial-aggregatable, unpivoted to long form), uniqueness is
+    * count−countDistinct on the same scan, and referential integrity is
+    * a key-equi LEFT ANTI join against the parent (broadcastable when
+    * the parent key set is dimension-sized). Returns (rule, violations)
+    * — a publish gate blocks when any count is non-zero. */
+  def constraintAudit(df: DataFrame, rules: Seq[(String, Column)],
+      uniqueKey: Option[Seq[String]] = None): DataFrame = {
+    require(rules.nonEmpty || uniqueKey.nonEmpty, "no constraints given")
+    val ruleAggs = rules.map { case (name, violationCond) =>
+      sum(when(violationCond, 1L).otherwise(0L)).as(s"__v_$name")
+    } ++ uniqueKey.map { k =>
+      // single-key path uses count_distinct(col) directly: a NULL key is
+      // NOT a distinct value (SQL COUNT(DISTINCT) semantics, matching
+      // the oracle); a multi-key struct would count a (NULL,…) tuple
+      val distinctKeys =
+        if (k.size == 1) count_distinct(col(k.head))
+        else count_distinct(struct(k.map(col): _*))
+      (count(lit(1)) - distinctKeys).as("__v_duplicate_key")
+    }.toSeq
+    val wide = df.agg(ruleAggs.head, ruleAggs.tail: _*)
+    val names = rules.map(_._1) ++ uniqueKey.map(_ => "duplicate_key").toSeq
+    val stackArgs = names.flatMap(n => Seq(s"'$n'", s"__v_$n"))
+    wide.select(expr(
+      s"stack(${names.size}, ${stackArgs.mkString(", ")}) AS (rule, violations)"))
+  }
+
+  /** Child rows whose key has no parent — the referential-integrity
+    * half of the audit, as a count row composable with
+    * [[constraintAudit]]'s output. */
+  def referentialViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, rule: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(rule).as("rule"), col("violations"))
+
+  /** d55 — the audit run against a deliberately corrupted orders
+    * snapshot (the q60 pattern: plant deterministic violations so every
+    * rule exercises its non-zero path): keys divisible by 97 nulled,
+    * prices by 89 negated, statuses by 79 invalidated, custkeys by 73
+    * orphaned, and keys divisible by 83 duplicated. */
+  val d55ConstraintAudit: Q = Q(
+    "d55_constraint_audit",
+    Some("""
+      WITH corrupted AS (
+        SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_orderkey END
+                 AS o_orderkey,
+               CASE WHEN o_custkey % 73 = 0 THEN -1 ELSE o_custkey END
+                 AS o_custkey,
+               CASE WHEN o_orderkey % 79 = 0 THEN 'X' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 89 = 0 THEN -o_totalprice
+                    ELSE o_totalprice END AS o_totalprice
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 83 = 0)
+      SELECT 'null_key' AS rule,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS violations
+      FROM corrupted
+      UNION ALL
+      SELECT 'negative_price',
+             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM corrupted
+      UNION ALL
+      SELECT 'bad_status',
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM corrupted
+      UNION ALL
+      SELECT 'duplicate_key',
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+      FROM corrupted
+      UNION ALL
+      SELECT 'orphan_custkey', CAST(count(*) AS BIGINT)
+      FROM corrupted o
+      WHERE NOT EXISTS (SELECT 1 FROM customer c
+                        WHERE c.c_custkey = o.o_custkey)
+    """),
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"))
+      val corrupted = orders
+        .withColumn("o_custkey",
+          when(col("o_custkey") % 73 === 0, lit(-1L)).otherwise(col("o_custkey")))
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 79 === 0, lit("X")).otherwise(col("o_orderstatus")))
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 89 === 0, -col("o_totalprice"))
+            .otherwise(col("o_totalprice")))
+        .withColumn("o_orderkey",
+          when(col("o_orderkey") % 97 === 0, lit(null).cast("long"))
+            .otherwise(col("o_orderkey")))
+        .unionByName(orders.filter(col("o_orderkey") % 83 === 0))
+      constraintAudit(corrupted, Seq(
+        "null_key" -> col("o_orderkey").isNull,
+        "negative_price" -> (col("o_totalprice") < 0),
+        "bad_status" -> !col("o_orderstatus").isin("O", "F", "P")),
+        uniqueKey = Some(Seq("o_orderkey")))
+        .unionByName(referentialViolations(corrupted, "o_custkey",
+          Tables(s, dir, "customer"), "c_custkey", "orphan_custkey"))
+    })
+
+  val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
+    d55ConstraintAudit)
 }

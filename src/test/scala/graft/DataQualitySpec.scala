@@ -54,4 +54,53 @@ class DataQualitySpec extends SparkSpec {
     assert(got("n") === ((1L, 3L, Some(10.0), Some(30.0))))
     assert(got.keySet === Set("name", "score", "n"))
   }
+
+  test("pseudonymize: joinability preserved, NULL passthrough, salt changes tokens") {
+    val d = tbl(("u1", 1L), ("u1", 2L), ("u2", 3L), (null, 4L))
+    val tok = DataQuality.pseudonymize(d, Seq("k"), "s1")
+    val rawCounts = d.groupBy("k").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val tokCounts = tok.groupBy("k").count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    // same multiset of group sizes (the token mapping is a bijection on keys)
+    assert(tokCounts.values.toSeq.sorted === rawCounts.values.toSeq.sorted)
+    assert(tokCounts(None) === 1L, "NULL keys stay NULL")
+    val tokens = tok.select("k").distinct().collect().map(r => Option(r.getString(0)))
+    assert(!tokens.flatten.exists(t => t == "u1" || t == "u2"), "raw ids never leak")
+    // deterministic under the same salt; different under another salt
+    val again = DataQuality.pseudonymize(d, Seq("k"), "s1")
+      .collect().map(_.toSeq).toSet
+    assert(again === tok.collect().map(_.toSeq).toSet)
+    val other = DataQuality.pseudonymize(d, Seq("k"), "s2")
+      .select("k").collect().flatMap(r => Option(r.getString(0))).toSet
+    assert(other.intersect(tokens.flatten.toSet).isEmpty, "salts must not share tokens")
+  }
+
+  test("constraintAudit: per-rule counts, NULL-excluding uniqueness, referential orphans, clean table zeros") {
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("ref", LongType),
+      StructField("v", LongType)))
+    val child = LocalTable.of(spark, schema, Seq(
+      Row(1L, 10L, 5L), Row(1L, 10L, 5L),         // duplicate id
+      Row(null, 10L, -1L),                        // null id + negative v
+      Row(3L, 99L, 2L)))                          // orphan ref
+    val parent = LocalTable.of(spark,
+      StructType(Seq(StructField("pid", LongType))), Seq(Row(10L)))
+    val audit = DataQuality.constraintAudit(child, Seq(
+      "null_id" -> col("id").isNull,
+      "negative_v" -> (col("v") < 0)),
+      uniqueKey = Some(Seq("id")))
+      .unionByName(DataQuality.referentialViolations(
+        child, "ref", parent, "pid", "orphan_ref"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 4 rows, 2 distinct non-null ids -> 2 "duplicates" (the extra copy AND the null row)
+    assert(audit === Map("null_id" -> 1L, "negative_v" -> 1L,
+      "duplicate_key" -> 2L, "orphan_ref" -> 1L))
+    val clean = LocalTable.of(spark, schema, Seq(Row(1L, 10L, 5L), Row(2L, 10L, 6L)))
+    val zeros = DataQuality.constraintAudit(clean, Seq(
+      "null_id" -> col("id").isNull), uniqueKey = Some(Seq("id")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(zeros.values.forall(_ === 0L))
+  }
 }
