@@ -372,7 +372,35 @@ object LakeQ {
       Lake.snapshotDiff(orders, newSnap, Seq("o_orderkey"))
     })
 
+  /** ORC round-trip: the second columnar format the environment ships
+    * (orc-core is on the Spark classpath; Iceberg/Delta jars remain
+    * absent — the TableFormat seam stays parked). The gate writes the
+    * orders table as ORC, reads it back through the native vectorized
+    * ORC reader with a pushable predicate, and aggregates; the oracle
+    * computes the identical aggregate straight from parquet — so the
+    * ORC write+scan provably preserves every row and type. PlanSpec
+    * separately pins that the predicate reaches the ORC scan as a
+    * PushedFilter (the format keeps min/max stripes like parquet). */
+  val q63OrcRoundtrip: Q = Q(
+    "q63_orc_roundtrip",
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_custkey % 10 <> 0
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_orc").toString + "/orders_orc"
+      Tables(s, dir, "orders").write.mode("overwrite").orc(dest)
+      s.read.orc(dest)
+        .filter(col("o_custkey") % 10 =!= 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
     q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension,
-    q60SnapshotDiff)
+    q60SnapshotDiff, q63OrcRoundtrip)
 }

@@ -440,6 +440,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q63: the predicate pushes into the ORC scan like parquet") {
+    val df = run("q63_orc_roundtrip")
+    val orcScans = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+        if f.relation.fileFormat.toString.toLowerCase.contains("orc") => f
+    }
+    assert(orcScans.nonEmpty, "expected a native ORC scan")
+    val meta = orcScans.head.metadata
+    assert(meta("PushedFilters").contains("IsNotNull"), meta("PushedFilters"))
+    // projection pruning: only the 3 referenced columns come off disk
+    assert(!meta("ReadSchema").contains("o_orderdate"), meta("ReadSchema"))
+  }
+
   test("q60: snapshot diff joins once on the key — no broadcast of a table-sized side") {
     val df = run("q60_snapshot_diff")
     val p = physical(df)
