@@ -294,6 +294,109 @@ object DataQuality {
           Tables(s, dir, "customer"), "c_custkey", "orphan_custkey"))
     })
 
+  /** Mergeable profile artifact — the cross-snapshot maintenance story
+    * [[profile]] cannot have: exact distinct counts are holistic (every
+    * new load forces a full historical re-scan), so the persisted form
+    * keeps per-column Datasketches HLL sketches next to the additive
+    * metrics (null counts, min/max). A day's load profiles ONCE; every
+    * rollup after that is [[mergeProfileSketches]] — a cheap
+    * vocabulary-free union, the q42 pattern applied to table
+    * observability. Values sketch through their canonical string form so
+    * one artifact schema covers every column type. */
+  def profileSketch(df: DataFrame): DataFrame = {
+    val cols = df.schema.fields.toIndexedSeq
+    def isNumeric(f: StructField): Boolean = f.dataType match {
+      case _: NumericType => true
+      case _ => false
+    }
+    val aggs: IndexedSeq[Column] = cols.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        sum(when(c.isNull, 1L).otherwise(0L)).as(s"__nulls_${f.name}"),
+        expr(s"hll_sketch_agg(CAST(${f.name} AS STRING), 12)")
+          .as(s"__sk_${f.name}")) ++
+        (if (isNumeric(f))
+          Seq(min(c).cast("double").as(s"__min_${f.name}"),
+            max(c).cast("double").as(s"__max_${f.name}"))
+        else Nil)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cols.flatMap { f =>
+      val minMax =
+        if (isNumeric(f)) Seq(s"__min_${f.name}", s"__max_${f.name}")
+        else Seq("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)")
+      Seq(s"'${f.name}'", s"__nulls_${f.name}", s"__sk_${f.name}") ++ minMax
+    }
+    wide.select(expr(
+      s"stack(${cols.size}, ${stackArgs.mkString(", ")}) AS " +
+        "(col_name, n_nulls, sk, min_num, max_num)"))
+  }
+
+  /** Merge two profile artifacts: additive metrics add, ranges widen,
+    * sketches union — associative and commutative, so snapshots merge
+    * in any grouping (a month is a fold of days). */
+  def mergeProfileSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("col_name"), col("n_nulls").as("__n_a"), col("sk").as("__sk_a"),
+        col("min_num").as("__min_a"), col("max_num").as("__max_a"))
+      .join(b.select(col("col_name"), col("n_nulls").as("__n_b"),
+        col("sk").as("__sk_b"), col("min_num").as("__min_b"),
+        col("max_num").as("__max_b")), Seq("col_name"))
+      .select(col("col_name"),
+        (col("__n_a") + col("__n_b")).as("n_nulls"),
+        expr("hll_union(__sk_a, __sk_b)").as("sk"),
+        least(col("__min_a"), col("__min_b")).as("min_num"),
+        greatest(col("__max_a"), col("__max_b")).as("max_num"))
+
+  /** Resolve a profile artifact to readable numbers. */
+  def finalizeProfile(p: DataFrame): DataFrame =
+    p.select(col("col_name"), col("n_nulls"),
+      expr("hll_sketch_estimate(sk)").as("n_distinct_est"),
+      col("min_num"), col("max_num"))
+
+  /** d56 — two half-snapshots of orders profile independently, merge,
+    * and the merged estimate must sit within 5% of the exact distinct
+    * count per column (the q40/q42 bounds gate — additive metrics are
+    * compared exactly). */
+  val d56MergeableProfile: Q = Q(
+    "d56_mergeable_profile",
+    Some("""
+      SELECT 'o_orderkey' AS col_name,
+             CAST(0 AS BIGINT) AS n_nulls, TRUE AS sketch_ok,
+             CAST(min(o_orderkey) AS DOUBLE) AS min_num,
+             CAST(max(o_orderkey) AS DOUBLE) AS max_num
+      FROM orders
+      UNION ALL
+      SELECT 'o_custkey', CAST(0 AS BIGINT), TRUE,
+             CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(0 AS BIGINT), TRUE,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'o_totalprice', CAST(0 AS BIGINT), TRUE,
+             CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderdate', CAST(0 AS BIGINT), TRUE,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+      UNION ALL
+      SELECT 'o_orderpriority', CAST(0 AS BIGINT), TRUE,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE)
+    """),
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val merged = finalizeProfile(mergeProfileSketches(
+        profileSketch(orders.filter(col("o_orderkey") % 2 === 0)),
+        profileSketch(orders.filter(col("o_orderkey") % 2 =!= 0))))
+      val exact = profile(orders).select(col("col_name"),
+        col("n_distinct").as("__nd_exact"))
+      merged.join(exact, Seq("col_name"))
+        .select(col("col_name"), col("n_nulls"),
+          (abs(col("n_distinct_est") - col("__nd_exact")) <=
+            greatest(col("__nd_exact") * 0.05, lit(0.5))).as("sketch_ok"),
+          col("min_num"), col("max_num"))
+    })
+
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
-    d55ConstraintAudit)
+    d55ConstraintAudit, d56MergeableProfile)
 }

@@ -103,4 +103,32 @@ class DataQualitySpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(zeros.values.forall(_ === 0L))
   }
+
+  test("mergeable profile: merged halves equal the whole-table profile; merge order free") {
+    import org.apache.spark.sql.functions._
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val rows = (1L to 30L).map(i => Row(s"k${i % 7}", i)) :+ Row(null, null)
+    val d = LocalTable.of(spark, schema, rows)
+    def prof(df: org.apache.spark.sql.DataFrame) = DataQuality.profileSketch(df)
+    val p1 = prof(d.filter(col("v") <= 10))
+    val p2 = prof(d.filter(col("v") > 10 && col("v") <= 20))
+    val p3 = prof(d.filter(col("v") > 20 || col("v").isNull))
+    def fin(p: org.apache.spark.sql.DataFrame) =
+      DataQuality.finalizeProfile(p).collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getLong(2),
+          Option(r.get(3)).map(_.asInstanceOf[Double]),
+          Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    val mergedLtoR = fin(DataQuality.mergeProfileSketches(
+      DataQuality.mergeProfileSketches(p1, p2), p3))
+    val mergedRtoL = fin(DataQuality.mergeProfileSketches(p1,
+      DataQuality.mergeProfileSketches(p2, p3)))
+    assert(mergedLtoR === mergedRtoL, "merge must be association-free")
+    // at this cardinality the HLL estimate is exact: whole == merged
+    val whole = fin(prof(d))
+    assert(mergedLtoR === whole)
+    assert(whole("v") === ((1L, 30L, Some(1.0), Some(30.0))))
+    assert(whole("k")._1 === 1L) // the one NULL key
+    assert(whole("k")._2 === 7L) // k0..k6
+  }
 }
