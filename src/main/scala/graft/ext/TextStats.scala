@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 import graft.{Q, Tables}
 
@@ -1907,6 +1908,146 @@ object TextStats {
         (floor(col("__skey") * 1e9 + 0.5) / 1e9).as("skey"))
   }
 
+  /** BPE tokenizer training IN the engine — the vocabulary-learning
+    * step every published pipeline runs beside curation (GPT-2/RoBERTa
+    * BPE, SentencePiece): learn the top-`k` byte-pair merges from the
+    * corpus. The corpus collapses ONCE into a (word, freq) vocabulary
+    * (corpus-sized work ends there — BPE training is vocabulary-sized,
+    * the whole reason it scales); each round then
+    *   (1) counts adjacent symbol pairs weighted by word frequency
+    *       (one explode+sum over the vocab through the codegen'd
+    *       [[graft.plans.NgramsExpr]] bigram kernel),
+    *   (2) takes the global argmax (count desc, pair asc — a 1-row
+    *       TakeOrdered model artifact, the KMeans-centroid collect
+    *       pattern), and
+    *   (3) rewrites every word's symbol string through the greedy
+    *       left-to-right [[graft.plans.BpeApplyExpr]] kernel (a run of
+    *       three A's under merge (A,A) yields [AA, A] — cursor skips
+    *       both consumed symbols).
+    * Deterministic end-to-end (integer counts, lexicographic ties), so
+    * the DuckDB oracle UNROLLS the training loop — the merge
+    * application replays relationally as position explode +
+    * gaps-and-islands parity selection (greedy non-overlap ≡ every
+    * other position within each consecutive-occurrence run), the d35
+    * unrolled-training pattern. Words are restricted to [a-z0-9]+ so
+    * char splitting is byte-safe across engines.
+    *
+    * Returns the learned merge table (rank, a, b, pair_count) — the
+    * tokenizer model artifact a 100 TB run persists and ships. */
+  def bpeMerges(docs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    val spark = docs.sparkSession
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    var state = vocab.select(col("freq"),
+      concat_ws(" ", filter(split(col("w"), ""), x => x =!= "")).as("sym"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[Row]
+    for (r <- 1 to k) {
+      val top = state
+        .select(explode(graft.plans.NgramsExpr.ngrams(col("sym"), 2)).as("pair"),
+          col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val cnt = top(0).getLong(1)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += Row(r, a, b, cnt)
+        state = state.select(col("freq"),
+          graft.plans.BpeApplyExpr.bpeApply(col("sym"), lit(pair)).as("sym"))
+          .localCheckpoint()
+      }
+    }
+    graft.LocalTable.of(spark, StructType(Seq(
+      StructField("rank", IntegerType), StructField("a", StringType),
+      StructField("b", StringType), StructField("pair_count", LongType))),
+      merges.result())
+  }
+
+  /** d57 — the first 3 BPE merges learned from the documents corpus.
+    * The oracle unrolls all three training rounds in SQL. */
+  val d57BpeMerges: Q = Q(
+    "d57_bpe_merges",
+    Some("""
+      WITH vocab AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1),
+      s0 AS (SELECT w, freq, string_split(w, '') AS sy FROM vocab),
+      p1 AS (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+               i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+        FROM s0),
+      m1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p1
+             GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      e1 AS (SELECT w, freq, sy, unnest(generate_series(1, len(sy))) AS i FROM s0),
+      hit1 AS (SELECT e1.w, e1.i FROM e1, m1
+               WHERE e1.i < len(e1.sy)
+                 AND e1.sy[e1.i] || ' ' || e1.sy[e1.i+1] = m1.pair),
+      isl1 AS (SELECT w, i,
+                      i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+               FROM hit1),
+      sel1 AS (SELECT w, i FROM (
+                 SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS s FROM isl1)
+               WHERE (i - s) % 2 = 0),
+      s1 AS (SELECT e.w, any_value(e.freq) AS freq,
+                    list(CASE WHEN sel.i IS NOT NULL
+                              THEN e.sy[e.i] || e.sy[e.i+1]
+                              ELSE e.sy[e.i] END ORDER BY e.i) AS sy
+             FROM e1 e
+             LEFT JOIN sel1 sel ON sel.w = e.w AND sel.i = e.i
+             LEFT JOIN sel1 prv ON prv.w = e.w AND prv.i = e.i - 1
+             WHERE prv.i IS NULL
+             GROUP BY e.w),
+      p2 AS (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+               i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+        FROM s1),
+      m2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p2
+             GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      e2 AS (SELECT w, freq, sy, unnest(generate_series(1, len(sy))) AS i FROM s1),
+      hit2 AS (SELECT e2.w, e2.i FROM e2, m2
+               WHERE e2.i < len(e2.sy)
+                 AND e2.sy[e2.i] || ' ' || e2.sy[e2.i+1] = m2.pair),
+      isl2 AS (SELECT w, i,
+                      i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+               FROM hit2),
+      sel2 AS (SELECT w, i FROM (
+                 SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS s FROM isl2)
+               WHERE (i - s) % 2 = 0),
+      s2 AS (SELECT e.w, any_value(e.freq) AS freq,
+                    list(CASE WHEN sel.i IS NOT NULL
+                              THEN e.sy[e.i] || e.sy[e.i+1]
+                              ELSE e.sy[e.i] END ORDER BY e.i) AS sy
+             FROM e2 e
+             LEFT JOIN sel2 sel ON sel.w = e.w AND sel.i = e.i
+             LEFT JOIN sel2 prv ON prv.w = e.w AND prv.i = e.i - 1
+             WHERE prv.i IS NULL
+             GROUP BY e.w),
+      p3 AS (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+               i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+        FROM s2),
+      m3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p3
+             GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1)
+      SELECT CAST(1 AS INT) AS rank, string_split(pair, ' ')[1] AS a,
+             string_split(pair, ' ')[2] AS b, cnt AS pair_count FROM m1
+      UNION ALL
+      SELECT CAST(2 AS INT), string_split(pair, ' ')[1],
+             string_split(pair, ' ')[2], cnt FROM m2
+      UNION ALL
+      SELECT CAST(3 AS INT), string_split(pair, ' ')[1],
+             string_split(pair, ' ')[2], cnt FROM m3
+    """),
+    (s, dir) => bpeMerges(
+      Tables(s, dir, "documents").select(col("text")), k = 3))
+
   /** Zipf-fit vocabulary diagnostics: least-squares slope/intercept of
     * ln(freq) vs ln(rank) over the unigram rank–frequency curve — a
     * natural-language corpus sits near slope −1; a slope far off flags
@@ -1990,5 +2131,5 @@ object TextStats {
     d45LengthProfile,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
-    d50SourceDivergence, d51WeightedSample, d52ZipfFit)
+    d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges)
 }

@@ -696,3 +696,61 @@ object MatrixProjectExpr {
       MatrixProjectExpr(GraftSqlBridge.expression(c), matrix))
   }
 }
+
+/** Native greedy BPE merge application: both children are space-joined
+  * symbol strings — `left` the word's current symbol sequence, `right`
+  * the merge pair "A B". One left-to-right non-overlapping pass
+  * replaces each A B occurrence with the fused symbol AB (the standard
+  * BPE scan: after a merge the cursor advances past BOTH consumed
+  * symbols, so a run of three A's under the merge (A,A) yields
+  * [AA, A]). The relational equivalent (position explode +
+  * gaps-and-islands parity selection) is what the DuckDB oracle
+  * replays; this kernel keeps the engine side a single codegen'd pass
+  * over the vocabulary-sized state table. */
+case class BpeApplyExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override protected def nullSafeEval(sym: Any, pair: Any): Any =
+    BpeApplyExpr.applyMerge(
+      sym.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      pair.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.BpeApplyExpr.applyMerge($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object BpeApplyExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def applyMerge(sym: UTF8String, pair: UTF8String): UTF8String = {
+    val toks = sym.toString.split(" ")
+    val p = pair.toString.split(" ", 2)
+    if (p.length != 2) return sym
+    val a = p(0)
+    val b = p(1)
+    val out = new java.lang.StringBuilder
+    var i = 0
+    var first = true
+    while (i < toks.length) {
+      val merged = i + 1 < toks.length && toks(i) == a && toks(i + 1) == b
+      if (!first) out.append(' ')
+      if (merged) { out.append(a).append(b); i += 2 }
+      else { out.append(toks(i)); i += 1 }
+      first = false
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  def bpeApply(sym: Column, pair: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(BpeApplyExpr(
+      GraftSqlBridge.expression(sym), GraftSqlBridge.expression(pair)))
+  }
+}

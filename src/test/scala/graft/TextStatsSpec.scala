@@ -533,6 +533,37 @@ class TextStatsSpec extends SparkSpec {
     assert(all.count() === 31)
   }
 
+  test("BpeApplyExpr kernel: greedy left-to-right non-overlapping merges") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def ap(sym: String, pair: String): String =
+      graft.plans.BpeApplyExpr.applyMerge(
+        UTF8String.fromString(sym), UTF8String.fromString(pair)).toString
+    assert(ap("a a a a", "a a") === "aa aa")   // even run: both pairs merge
+    assert(ap("a a a", "a a") === "aa a")      // odd run: trailing singleton
+    assert(ap("x a b y", "a b") === "x ab y")
+    assert(ap("a b a b", "a b") === "ab ab")
+    assert(ap("q r s", "a b") === "q r s")     // no occurrence
+    assert(ap("aa ab", "aa ab") === "aaab")    // multi-char symbols fuse
+    assert(ap("a ab", "a a") === "a ab")       // prefix of a symbol is NOT a match
+  }
+
+  test("bpeMerges: hand-traced 3-round training; partitioning invariant") {
+    val docs = docsDf((1L, "aaab aaab aaab ab ab"))
+    val got = graft.ext.TextStats.bpeMerges(docs, k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) 6 occurrences beats (a,b) 5; round 2: after [aa,a,b]
+    // the pair (a,b) totals 3+2=5 vs (aa,a) 3; round 3: (aa,ab) remains
+    assert(got.toSeq === Seq((1, "a", "a", 6L), (2, "a", "b", 5L), (3, "aa", "ab", 3L)))
+    val again = graft.ext.TextStats.bpeMerges(docs.repartition(5), k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(again.toSeq === got.toSeq)
+    // non-[a-z0-9] words are excluded from the vocabulary entirely
+    val filtered = graft.ext.TextStats.bpeMerges(
+      docsDf((1L, "zz zz Zz !! zz")), k = 1).collect()
+    assert(filtered.map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq ===
+      Seq(("z", "z", 3L)))
+  }
+
   test("zipfFit: hand-computed least squares on a tiny vocabulary; no single-partition exchange") {
     val docs = docsDf((1L, "a a a a b b c"))
     val df = graft.ext.TextStats.zipfFit(docs)
