@@ -2048,6 +2048,128 @@ object TextStats {
     (s, dir) => bpeMerges(
       Tables(s, dir, "documents").select(col("text")), k = 3))
 
+  /** The ENCODE half of BPE: segment a vocabulary with an already-
+    * learned merge list (apply merges in rank order — the standard
+    * tokenizer inference rule). Each merge is one pass of the
+    * [[graft.plans.BpeApplyExpr]] kernel over the vocabulary-sized
+    * state, so encoding cost is O(|vocab| · |merges|) symbol scans,
+    * never corpus-sized; the corpus maps onto the segmented vocabulary
+    * by the same word key. Returns (w, freq, n_symbols, segmented). */
+  def bpeSegment(docs: DataFrame, merges: Seq[String]): DataFrame = {
+    val vocab = docs.select(explode(tokens(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val init = vocab.select(col("w"), col("freq"),
+      concat_ws(" ", filter(split(col("w"), ""), x => x =!= "")).as("segmented"))
+    val segmented = merges.foldLeft(init) { (st, pair) =>
+      st.withColumn("segmented",
+        graft.plans.BpeApplyExpr.bpeApply(col("segmented"), lit(pair)))
+    }
+    segmented.select(col("w"), col("freq"),
+      (size(split(col("segmented"), " "))).as("n_symbols"), col("segmented"))
+  }
+
+  /** d58 — segment the corpus vocabulary with the 3 merges d57 learns
+    * (train → encode, end to end in one plan). The oracle extends the
+    * d57 unrolled chain by the third application round and emits the
+    * final segmentation. */
+  val d58BpeSegment: Q = Q(
+    "d58_bpe_segment",
+    Some("""
+      WITH vocab AS (
+        SELECT w, count(*) AS freq FROM (
+          SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '')) AS w
+          FROM documents)
+        WHERE regexp_matches(w, '^[a-z0-9]+$')
+        GROUP BY 1),
+      s0 AS (SELECT w, freq, string_split(w, '') AS sy FROM vocab),
+      p1 AS (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+               i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+        FROM s0),
+      m1 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p1
+             GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      e1 AS (SELECT w, freq, sy, unnest(generate_series(1, len(sy))) AS i FROM s0),
+      hit1 AS (SELECT e1.w, e1.i FROM e1, m1
+               WHERE e1.i < len(e1.sy)
+                 AND e1.sy[e1.i] || ' ' || e1.sy[e1.i+1] = m1.pair),
+      isl1 AS (SELECT w, i,
+                      i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+               FROM hit1),
+      sel1 AS (SELECT w, i FROM (
+                 SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS s FROM isl1)
+               WHERE (i - s) % 2 = 0),
+      s1 AS (SELECT e.w, any_value(e.freq) AS freq,
+                    list(CASE WHEN sel.i IS NOT NULL
+                              THEN e.sy[e.i] || e.sy[e.i+1]
+                              ELSE e.sy[e.i] END ORDER BY e.i) AS sy
+             FROM e1 e
+             LEFT JOIN sel1 sel ON sel.w = e.w AND sel.i = e.i
+             LEFT JOIN sel1 prv ON prv.w = e.w AND prv.i = e.i - 1
+             WHERE prv.i IS NULL
+             GROUP BY e.w),
+      p2 AS (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+               i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+        FROM s1),
+      m2 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p2
+             GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      e2 AS (SELECT w, freq, sy, unnest(generate_series(1, len(sy))) AS i FROM s1),
+      hit2 AS (SELECT e2.w, e2.i FROM e2, m2
+               WHERE e2.i < len(e2.sy)
+                 AND e2.sy[e2.i] || ' ' || e2.sy[e2.i+1] = m2.pair),
+      isl2 AS (SELECT w, i,
+                      i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+               FROM hit2),
+      sel2 AS (SELECT w, i FROM (
+                 SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS s FROM isl2)
+               WHERE (i - s) % 2 = 0),
+      s2 AS (SELECT e.w, any_value(e.freq) AS freq,
+                    list(CASE WHEN sel.i IS NOT NULL
+                              THEN e.sy[e.i] || e.sy[e.i+1]
+                              ELSE e.sy[e.i] END ORDER BY e.i) AS sy
+             FROM e2 e
+             LEFT JOIN sel2 sel ON sel.w = e.w AND sel.i = e.i
+             LEFT JOIN sel2 prv ON prv.w = e.w AND prv.i = e.i - 1
+             WHERE prv.i IS NULL
+             GROUP BY e.w),
+      p3 AS (
+        SELECT unnest(list_transform(generate_series(1, len(sy) - 1),
+               i -> sy[i] || ' ' || sy[i+1])) AS pair, freq
+        FROM s2),
+      m3 AS (SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM p3
+             GROUP BY 1 ORDER BY cnt DESC, pair ASC LIMIT 1),
+      e3 AS (SELECT w, freq, sy, unnest(generate_series(1, len(sy))) AS i FROM s2),
+      hit3 AS (SELECT e3.w, e3.i FROM e3, m3
+               WHERE e3.i < len(e3.sy)
+                 AND e3.sy[e3.i] || ' ' || e3.sy[e3.i+1] = m3.pair),
+      isl3 AS (SELECT w, i,
+                      i - row_number() OVER (PARTITION BY w ORDER BY i) AS grp
+               FROM hit3),
+      sel3 AS (SELECT w, i FROM (
+                 SELECT w, i, min(i) OVER (PARTITION BY w, grp) AS s FROM isl3)
+               WHERE (i - s) % 2 = 0),
+      s3 AS (SELECT e.w, any_value(e.freq) AS freq,
+                    list(CASE WHEN sel.i IS NOT NULL
+                              THEN e.sy[e.i] || e.sy[e.i+1]
+                              ELSE e.sy[e.i] END ORDER BY e.i) AS sy
+             FROM e3 e
+             LEFT JOIN sel3 sel ON sel.w = e.w AND sel.i = e.i
+             LEFT JOIN sel3 prv ON prv.w = e.w AND prv.i = e.i - 1
+             WHERE prv.i IS NULL
+             GROUP BY e.w)
+      SELECT w, freq, CAST(len(sy) AS INT) AS n_symbols,
+             array_to_string(sy, ' ') AS segmented
+      FROM s3
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("text"))
+      val merges = bpeMerges(docs, k = 3).collect()
+        .sortBy(_.getInt(0)).map(r => r.getString(1) + " " + r.getString(2)).toSeq
+      bpeSegment(docs, merges)
+    })
+
   /** Zipf-fit vocabulary diagnostics: least-squares slope/intercept of
     * ln(freq) vs ln(rank) over the unigram rank–frequency curve — a
     * natural-language corpus sits near slope −1; a slope far off flags
@@ -2131,5 +2253,6 @@ object TextStats {
     d45LengthProfile,
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
-    d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges)
+    d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
+    d58BpeSegment)
 }

@@ -564,6 +564,18 @@ class TextStatsSpec extends SparkSpec {
       Seq(("z", "z", 3L)))
   }
 
+  test("bpeSegment: merges apply in rank order; symbols concatenate back to the word") {
+    val docs = docsDf((1L, "aaab aaab aaab ab ab cd"))
+    val got = graft.ext.TextStats.bpeSegment(docs, Seq("a a", "a b", "aa ab"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getString(3))).toMap
+    assert(got("aaab") === ((3L, 1, "aaab"))) // a a a b → aa a b → aa ab → aaab
+    assert(got("ab") === ((2L, 1, "ab")))
+    assert(got("cd") === ((1L, 2, "c d")))    // untouched by these merges
+    // round-trip: removing spaces reconstructs every word
+    got.foreach { case (w, (_, _, seg)) => assert(seg.replace(" ", "") === w) }
+  }
+
   test("zipfFit: hand-computed least squares on a tiny vocabulary; no single-partition exchange") {
     val docs = docsDf((1L, "a a a a b b c"))
     val df = graft.ext.TextStats.zipfFit(docs)
