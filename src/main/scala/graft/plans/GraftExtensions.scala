@@ -62,7 +62,10 @@ object GraftFunctions {
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "freq_items_sketch"),
       (args: Seq[Expression]) =>
         MisraGriesAgg(args(0), intArg(args(1), "freq_items_sketch"))
-          .toAggregateExpression()))
+          .toAggregateExpression()),
+    ("bpe_apply",
+      new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
+      (args: Seq[Expression]) => BpeApplyExpr(args(0), args(1))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -377,6 +377,9 @@ class PlanSpec extends SparkSpec {
     val ent = spark.sql(
       "SELECT text_entropy('abab'), text_entropy('x y x y', true)").collect()(0)
     assert(ent.getDouble(0) === 1.0 && ent.getDouble(1) === 1.0)
+    // BPE merge application joins the SQL surface
+    val bpe = spark.sql("SELECT bpe_apply('a a a b', 'a a')").collect()(0)
+    assert(bpe.getString(0) === "aa a b")
   }
 
   test("d42: entropy signals are a pure exchange-free projection") {
