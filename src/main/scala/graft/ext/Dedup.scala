@@ -1701,9 +1701,74 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       "doc_id", "text"))
 
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD'03 — the MOSS algorithm): from the stride-1 k-token window
+    * fingerprints, keep in each sliding window of `w` consecutive
+    * positions the RIGHTMOST MINIMAL fingerprint. The selected set is
+    * ~2/(w+1) of all windows yet carries the winnowing guarantee: any
+    * match of length ≥ w+k−1 tokens between two documents shares at
+    * least one SELECTED fingerprint — so near-dup/plagiarism candidate
+    * generation can equi-join the winnowed set (w+1 times smaller)
+    * instead of every window, with zero recall loss above the
+    * guarantee threshold. This is the local-selection companion to
+    * d21's global count test and d07's MinHash: same shared
+    * window-fingerprint scan, a different downstream contract.
+    *
+    * Shape: one corpus scan (the span-family window projection), one
+    * doc-key exchange, a bounded ROWS frame min, distinct. The
+    * rightmost-minimal rule (min over (fp, −pos)) makes selection
+    * deterministic and position-stable under content edits (the
+    * robustness property the paper proves). */
+  def winnowFingerprints(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "window sizes must be positive")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("start"))
+      .rowsBetween(0, w - 1)
+    spanWindows(docs, k)
+      .withColumn("__sel",
+        min(struct(col("fp"), (-col("start")).as("ns"))).over(byDoc))
+      .withColumn("__n", count(lit(1)).over(byDoc))
+      .filter(col("__n") === w) // only FULL winnow windows select
+      .select(col("doc_id"), (-col("__sel.ns")).cast("long").as("pos"),
+        col("__sel.fp").as("fp"))
+      .distinct()
+  }
+
+  /** d59 — winnowed fingerprints of the documents corpus (k=4, w=4). */
+  val d59Winnowing: Q = Q(
+    "d59_winnowing",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents),
+      wins AS (
+        SELECT doc_id,
+               unnest(generate_series(0, len(toks) - 4)) AS start, toks
+        FROM t WHERE len(toks) >= 4),
+      fps AS (
+        SELECT doc_id, start,
+               CAST(concat('0x', substr(md5(array_to_string(
+                 toks[start + 1 : start + 4], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM wins),
+      sel AS (
+        SELECT doc_id,
+               min({'fp': fp, 'ns': -start}) OVER wd AS s,
+               count(*) OVER wd AS n
+        FROM fps
+        WINDOW wd AS (PARTITION BY doc_id ORDER BY start
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING))
+      SELECT DISTINCT doc_id, -s.ns AS pos, s.fp AS fp
+      FROM sel WHERE n = 4
+    """),
+    (s, dir) => winnowFingerprints(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      k = 4, w = 4))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
-    d49ContainmentPairs)
+    d49ContainmentPairs, d59Winnowing)
 }

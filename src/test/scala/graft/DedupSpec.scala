@@ -756,4 +756,41 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(re === got)
   }
+
+  test("winnowing: shared blocks above the guarantee length share a selected fingerprint") {
+    val shared = (10 to 25).map(i => s"t$i") // 16 tokens >= w+k-1 = 7
+    val docA = ((1 to 9).map(i => s"t$i") ++ shared ++ (26 to 40).map(i => s"t$i")).mkString(" ")
+    val docB = ((1 to 10).map(i => s"u$i") ++ shared ++ (11 to 20).map(i => s"u$i")).mkString(" ")
+    val docC = (1 to 30).map(i => s"z$i").mkString(" ")
+    val docs = strDf((1L, docA), (2L, docB), (3L, docC))
+    val sel = Dedup.winnowFingerprints(docs, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    val byDoc = sel.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // the winnowing theorem: the 16-token shared block must surface in both
+    assert(byDoc(1L).intersect(byDoc(2L)).nonEmpty)
+    // the unrelated doc shares nothing with either
+    assert(byDoc(3L).intersect(byDoc(1L) ++ byDoc(2L)).isEmpty)
+    // density: expected 2/(w+1) = 0.4 of windows selected; assert well under 1
+    val windowsA = 40 - 4 + 1
+    assert(byDoc(1L).size <= (windowsA * 0.6).toInt, s"density too high: ${byDoc(1L).size}")
+    // deterministic under repartitioning
+    val again = Dedup.winnowFingerprints(docs.repartition(5), k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted
+    assert(again.toSeq === sel.sorted.toSeq)
+  }
+
+  test("winnowing: selection is edit-robust away from the edit") {
+    val base = (1 to 30).map(i => s"w$i")
+    val edited = base.updated(2, "EDIT") // token 3 changes
+    val docs = strDf((1L, base.mkString(" ")), (2L, edited.mkString(" ")))
+    val sel = Dedup.winnowFingerprints(docs, k = 4, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val a = sel.filter(_._1 == 1L).map(t => (t._2, t._3)).toSet
+    val b = sel.filter(_._1 == 2L).map(t => (t._2, t._3)).toSet
+    // windows not touching position 2 fingerprint identically; selections
+    // in the untouched tail must coincide exactly
+    val tailA = a.filter(_._1 > 6)
+    val tailB = b.filter(_._1 > 6)
+    assert(tailA === tailB, "selection differs in the untouched region")
+  }
 }
