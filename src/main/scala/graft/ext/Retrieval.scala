@@ -415,5 +415,80 @@ object Retrieval {
     (s, dir) => tfidfKeywords(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")), k = 3))
 
-  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, d43TfidfKeywords)
+  /** PMI collocation mining — the classic statistical phrase detector
+    * (Church & Hanks; word2vec's phrase pass uses the same score):
+    * pmi(a,b) = ln( p(a,b) / (p(a)·p(b)) ) over adjacent-bigram vs
+    * unigram frequencies. High-PMI pairs are multiword expressions
+    * ("new york") the tokenizer/phrase stage should fuse — the
+    * statistical cousin of d57's frequency-greedy BPE merges.
+    *
+    * Scale shape: one corpus scan through the codegen'd bigram kernel
+    * + one through the tokenizer, both collapsing to vocabulary-sized
+    * count tables map-side; the scoring join runs on |bigrams| rows
+    * with unigram counts joined by key and the totals broadcast. PMI is
+    * rounded BEFORE ranking (round-then-rank, the s09 contract) so the
+    * top-k boundary cannot flip on libm ulps. */
+  def pmiCollocations(docs: DataFrame, minCount: Long = 2L,
+      topK: Int = 20): DataFrame = {
+    require(topK > 0 && minCount >= 1, "need topK > 0 and minCount >= 1")
+    val allBig = docs
+      .select(explode(graft.plans.NgramsExpr.ngrams(col("text"), 2)).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("c_ab"))
+    val big = allBig.filter(col("c_ab") >= minCount)
+    val uni = docs
+      .select(explode(TextStats.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val nUni = uni.agg(sum(col("c")).as("n_uni"))
+    // the bigram total is over ALL bigram occurrences (p(a,b) is a real
+    // probability), not just the pairs surviving the min-count cut
+    val nBig = allBig.agg(sum(col("c_ab")).as("n_big"))
+    val scored = big
+      .withColumn("a", split(col("pair"), " ").getItem(0))
+      .withColumn("b", split(col("pair"), " ").getItem(1))
+      .join(uni.select(col("tok").as("a"), col("c").as("c_a")), Seq("a"))
+      .join(uni.select(col("tok").as("b"), col("c").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(nUni)).crossJoin(broadcast(nBig))
+      .select(col("a"), col("b"), col("c_ab"),
+        round(log((col("c_ab").cast("double") / col("n_big")) /
+          ((col("c_a").cast("double") / col("n_uni")) *
+            (col("c_b").cast("double") / col("n_uni")))), 4).as("pmi"))
+    scored.orderBy(col("pmi").desc, col("a").asc, col("b").asc).limit(topK)
+  }
+
+  /** d60 — top-20 PMI collocations of the documents corpus. */
+  val d60PmiCollocations: Q = Q(
+    "d60_pmi_collocations",
+    Some("""
+      WITH toks AS (
+        SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           t -> t <> '') AS ts
+        FROM documents),
+      uni AS (SELECT unnest(ts) AS tok FROM toks),
+      uc AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+      nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+      big AS (
+        SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+               i -> ts[i] || ' ' || ts[i+1])) AS pair
+        FROM toks WHERE len(ts) >= 2),
+      abc AS (SELECT pair, count(*) AS c_ab FROM big GROUP BY 1),
+      bc AS (SELECT pair, c_ab FROM abc WHERE c_ab >= 2),
+      nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_big FROM abc),
+      scored AS (
+        SELECT string_split(bc.pair, ' ')[1] AS a,
+               string_split(bc.pair, ' ')[2] AS b, bc.c_ab,
+               round(ln((CAST(bc.c_ab AS DOUBLE) / nb.n_big) /
+                        ((CAST(ua.c AS DOUBLE) / nu.n_uni) *
+                         (CAST(ub.c AS DOUBLE) / nu.n_uni))), 4) AS pmi
+        FROM bc
+        JOIN uc ua ON ua.tok = string_split(bc.pair, ' ')[1]
+        JOIN uc ub ON ub.tok = string_split(bc.pair, ' ')[2]
+        CROSS JOIN nu CROSS JOIN nb)
+      SELECT a, b, c_ab, pmi FROM scored
+      ORDER BY pmi DESC, a ASC, b ASC LIMIT 20
+    """),
+    (s, dir) => pmiCollocations(
+      Tables(s, dir, "documents").select(col("text"))))
+
+  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, d43TfidfKeywords,
+    d60PmiCollocations)
 }

@@ -174,4 +174,24 @@ class RetrievalSpec extends SparkSpec {
       .collect().map(r => (r.getString(1), r.getLong(3).toInt)).toSeq
     assert(tied === Seq(("alpha", 1), ("beta", 2)))
   }
+
+  test("pmiCollocations: hand-computed PMI, bound phrases outrank free co-occurrence") {
+    val docs = LocalTable.of(spark, docSchema, Seq(
+      Row(1L, "new york is big"), Row(2L, "new york is old")))
+    val got = graft.ext.Retrieval.pmiCollocations(docs)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    // N_uni=8, N_big=6; (new,york) and (york,is): ln((2/6)/((2/8)·(2/8))) = ln(16/3)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected = r4(math.log(16.0 / 3.0))
+    assert(got.toSeq === Seq(
+      ("new", "york", 2L, expected), ("york", "is", 2L, expected)))
+    // a phrase always bound beats tokens that also occur apart
+    val mixed = LocalTable.of(spark, docSchema, Seq(
+      Row(1L, "san francisco the cat"), Row(2L, "san francisco the dog"),
+      Row(3L, "the end the start")))
+    val ranked = graft.ext.Retrieval.pmiCollocations(mixed)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(ranked.head === (("san", "francisco")),
+      s"bound phrase must rank first: ${ranked.toSeq}")
+  }
 }
