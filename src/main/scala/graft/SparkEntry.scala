@@ -17,6 +17,7 @@ object SparkEntry {
     operators.FinTrackQ.all ++
     ext.TextStats.all ++ ext.Dedup.all ++ ext.Similarity.all ++
     ext.Retrieval.all ++ ext.Graph.all ++ ext.DataQuality.all ++
+    ext.EntityResolution.all ++
     parse.ParsePipeline.all ++ ext.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
