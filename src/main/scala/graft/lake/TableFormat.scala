@@ -128,6 +128,23 @@ object ParquetTableFormat extends TableFormat {
       .foreach(p => fs.delete(p, true))
   }
 
+  /** Time-travel read — the Iceberg `VERSION AS OF` analogue over the
+    * archived snapshot chain: `stepsBack = 1` is the table as it was
+    * before the most recent rewrite (merge/delete/compact), 2 the state
+    * before that, and so on. Fails loudly past the retention horizon
+    * rather than silently serving the live table — a time-travel read
+    * that falls back to "now" corrupts whatever audit asked for it. */
+  def readSnapshot(spark: SparkSession, path: String,
+      stepsBack: Int): DataFrame = {
+    require(stepsBack >= 1, "stepsBack must be >= 1 (0 is the live table)")
+    val snaps = listSnapshots(path)
+    if (snaps.size < stepsBack)
+      throw new IllegalArgumentException(
+        s"readSnapshot: only ${snaps.size} snapshots retained at $path, " +
+          s"cannot travel $stepsBack back — raise autoRetainSnapshots")
+    spark.read.parquet(snaps(snaps.size - stepsBack).toString)
+  }
+
   /** Small-file compaction: one rewrite that co-locates each partition's
     * rows into one writer task (unpartitioned tables use the optimizer's
     * size estimate for a ~targetMb shard count). At cluster scale the

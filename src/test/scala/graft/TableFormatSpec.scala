@@ -93,6 +93,24 @@ class TableFormatSpec extends SparkSpec {
     assert(fmt.read(spark, path).count() === 2)
   }
 
+  test("readSnapshot time-travels the archived chain and fails loudly past retention") {
+    val path = Files.createTempDirectory("graft-tt-").toString + "/table"
+    fmt.createOrAppend(df((1L, "a", 1L), (2L, "b", 1L)), path, Nil)
+    fmt.merge(spark, path, df((2L, "b2", 2L)), Seq("k"), "ver", Nil)   // snapshot 0
+    fmt.deleteWhere(spark, path, "v", "a", Nil)                        // snapshot 1
+    // stepsBack=1: before the delete (post-merge, 2 rows incl. b2)
+    val oneBack = fmt.readSnapshot(spark, path, 1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(oneBack === Set((1L, "a"), (2L, "b2")))
+    // stepsBack=2: the original table before the merge
+    val twoBack = fmt.readSnapshot(spark, path, 2)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(twoBack === Set((1L, "a"), (2L, "b")))
+    // past the horizon: loud failure, never the live table
+    intercept[IllegalArgumentException](fmt.readSnapshot(spark, path, 3))
+    intercept[IllegalArgumentException](fmt.readSnapshot(spark, path, 0))
+  }
+
   test("compact rewrites a fragmented partitioned table to one file per partition") {
     val path = Files.createTempDirectory("graft-compact-").toString + "/table"
     // 6 appends × 2 partitions → ≥12 small files
