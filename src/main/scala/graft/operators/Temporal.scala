@@ -934,6 +934,44 @@ object Temporal {
             .as("sum_winsorized"))
     })
 
+  /** Inter-arrival (latency) distribution per event type: the gap from
+    * each event to the SAME USER's previous event, summarized with
+    * exact R-7 percentiles (the d45 parity) — the latency/engagement
+    * profile behind session-timeout and anomaly thresholds (q37's 30-min
+    * gap and q61's baselines are downstream consumers of exactly these
+    * distributions). One user-key window for the lag, then a
+    * group-bounded percentile aggregate over |types| groups. */
+  val q66InterarrivalStats: Q = Q(
+    "q66_interarrival_stats",
+    Some("""
+      WITH d AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                 AS delta_us
+        FROM events)
+      SELECT event_type, count(delta_us) AS n,
+             quantile_cont(delta_us, 0.5) AS p50_us,
+             quantile_cont(delta_us, 0.9) AS p90_us,
+             CAST(max(delta_us) AS BIGINT) AS max_us
+      FROM d WHERE delta_us IS NOT NULL
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      ev(s, dir)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("delta_us"))
+        .filter(col("delta_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(col("delta_us")).as("n"),
+          percentile(col("delta_us"), lit(0.5)).as("p50_us"),
+          percentile(col("delta_us"), lit(0.9)).as("p90_us"),
+          max(col("delta_us")).as("max_us"))
+    })
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
@@ -941,5 +979,6 @@ object Temporal {
     q46ResampleFfill, q49IntervalBucketJoin, q50Funnel, q51RetentionCohorts,
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
-    q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats)
+    q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats,
+    q66InterarrivalStats)
 }
