@@ -191,7 +191,50 @@ object Scalars {
             col("n_exact") * 0.05).as("sketch_ok"))
     })
 
-  val all: Seq[Q] = Seq(
+  /** Equi-width histogram per event type — the distribution snapshot
+    * behind every data-viz/monitoring panel, without DuckDB's missing
+    * width_bucket: bucket = clamp(floor((v − min)/width)) with min/max
+    * from a first group-bounded aggregate broadcast back into one
+    * bucketing scan. Pure IEEE arithmetic on both engines — exact
+    * min/max, one subtraction, one division, one floor — so bucket
+    * assignment is bit-identical; a degenerate min==max group collapses
+    * to bucket 0 by the explicit width-0 guard on BOTH sides. */
+  val q67Histogram: Q = Q(
+    "q67_histogram",
+    Some("""
+      WITH bounds AS (
+        SELECT event_type, min(value) AS lo, max(value) AS hi
+        FROM events GROUP BY 1),
+      b AS (
+        SELECT e.event_type,
+               CASE WHEN bounds.hi = bounds.lo THEN 0
+                    ELSE least(7, CAST(floor((e.value - bounds.lo) /
+                      ((bounds.hi - bounds.lo) / 8)) AS INT)) END AS bucket,
+               bounds.lo, bounds.hi
+        FROM events e JOIN bounds USING (event_type))
+      SELECT event_type, bucket, count(*) AS n,
+             round(min(lo) + bucket * ((min(hi) - min(lo)) / 8), 6)
+               AS bucket_lo
+      FROM b
+      GROUP BY 1, 2
+    """),
+    (s, dir) => {
+      val ev = graft.Tables(s, dir, "events").select(col("event_type"), col("value"))
+      val bounds = ev.groupBy(col("event_type"))
+        .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      val width = (col("hi") - col("lo")) / 8
+      ev.join(broadcast(bounds), Seq("event_type"))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(lit(7),
+              floor((col("value") - col("lo")) / width).cast("int"))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("lo")) + col("bucket") * ((min(col("hi")) - min(col("lo"))) / 8), 6)
+            .as("bucket_lo"))
+    })
+
+  val all: Seq[Q] = Seq(q67Histogram,
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
     q40ApproxSketches, q42HllMergeable)
 }
