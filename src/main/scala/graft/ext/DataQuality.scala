@@ -397,6 +397,120 @@ object DataQuality {
           col("min_num"), col("max_num"))
     })
 
+  /** Population-Stability-Index drift between a reference and a current
+    * snapshot of one numeric column — the standard production screen for
+    * "did this feed's distribution move" (credit-scoring lineage; the
+    * same statistic ML-observability stacks emit per feature), sitting
+    * next to [[profile]]'s per-load snapshot and d50's vocabulary KL:
+    * PSI = Σ_bins (p_i − q_i) · ln(p_i / q_i).
+    *
+    * Bin design is the q67 equi-width mechanism, but bounds come from
+    * the REFERENCE side only (the published-baseline contract: bins are
+    * frozen with the baseline, so a drifted current snapshot lands in
+    * the clamped edge bins instead of silently re-binning itself), and
+    * EMPTY bins are kept — a vacated bin is precisely the drift signal,
+    * so the bin spine is generated from the bounds row, not from
+    * observed data. Add-half smoothing ((2c+1)/(2n+B), integer-only
+    * arithmetic until one IEEE division) keeps ln finite on empty bins
+    * and is bit-identical cross-engine; the single ln carries ≤1 ulp of
+    * libm variance, absorbed by the floor@6 emitted form.
+    *
+    * Scale: two corpus scans (one per snapshot), each collapsing
+    * map-side to ≤ `bins` rows; the bounds row broadcasts into the
+    * bucketing scans; everything after the two partial aggregates is
+    * bins-sized. No shuffle moves row-level data.
+    *
+    * Output: (bucket, ref_share, cur_share, psi) — Σ psi is the
+    * headline PSI (>0.2 = action in the industry rule of thumb). */
+  def psiDrift(ref: DataFrame, cur: DataFrame, valueCol: String,
+      bins: Int): DataFrame = {
+    require(bins >= 2, "bins must be >= 2")
+    val v = col(valueCol)
+    val bounds = ref.agg(min(v).as("lo"), max(v).as("hi"),
+      count(v).as("n_ref"))
+    val nCur = cur.agg(count(v).as("n_cur"))
+    val width = (col("hi") - col("lo")) / bins
+    def bucketCounts(df: DataFrame, cName: String): DataFrame =
+      df.select(v.as("__v")).filter(col("__v").isNotNull)
+        .crossJoin(broadcast(bounds.select(col("lo"), col("hi"))))
+        .select(when(col("hi") === col("lo"), lit(0))
+          .otherwise(greatest(lit(0), least(lit(bins - 1),
+            floor((col("__v") - col("lo")) / width).cast("int")))).as("bucket"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as(cName))
+    val spine = bounds.select(col("n_ref"),
+        explode(sequence(lit(0), lit(bins - 1))).as("bucket"))
+      .crossJoin(broadcast(nCur))
+    val refShare = (col("__c_ref") * 2 + 1).cast("double") /
+      (col("n_ref") * 2 + bins)
+    val curShare = (col("__c_cur") * 2 + 1).cast("double") /
+      (col("n_cur") * 2 + bins)
+    spine
+      .join(bucketCounts(ref, "__c0"), Seq("bucket"), "left")
+      .join(bucketCounts(cur, "__c1"), Seq("bucket"), "left")
+      .select(col("bucket"), col("n_ref"), col("n_cur"),
+        coalesce(col("__c0"), lit(0L)).as("__c_ref"),
+        coalesce(col("__c1"), lit(0L)).as("__c_cur"))
+      .select(col("bucket"),
+        refShare.as("ref_share"), curShare.as("cur_share"),
+        (floor((refShare - curShare) * log(refShare / curShare) * 1e6 + 0.5) / 1e6)
+          .as("psi"))
+  }
+
+  /** d61 — order-value distribution drift across the 1995 boundary:
+    * pre-1995 orders freeze the baseline bins, the rest of the corpus is
+    * the current snapshot. TPC-H prices are stationary by construction,
+    * so the gate's real work is proving the bin algebra, the smoothing
+    * and the clamped edge bins match an independent engine exactly —
+    * DataQualitySpec carries the planted-drift cases. */
+  val d61PsiDrift: Q = Q(
+    "d61_psi_drift",
+    Some("""
+      WITH ref AS (
+        SELECT o_totalprice AS v FROM orders
+        WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+      cur AS (
+        SELECT o_totalprice AS v FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'),
+      bounds AS (SELECT min(v) AS lo, max(v) AS hi,
+                        count(*) AS n_ref FROM ref),
+      nc AS (SELECT count(*) AS n_cur FROM cur),
+      rb AS (
+        SELECT CASE WHEN b.hi = b.lo THEN 0
+               ELSE greatest(0, least(9, CAST(floor((v - b.lo) /
+                 ((b.hi - b.lo) / 10)) AS INT))) END AS bucket
+        FROM ref CROSS JOIN bounds b),
+      cb AS (
+        SELECT CASE WHEN b.hi = b.lo THEN 0
+               ELSE greatest(0, least(9, CAST(floor((v - b.lo) /
+                 ((b.hi - b.lo) / 10)) AS INT))) END AS bucket
+        FROM cur CROSS JOIN bounds b),
+      spine AS (SELECT unnest(generate_series(0, 9)) AS bucket),
+      rc AS (SELECT bucket, count(*) AS c FROM rb GROUP BY 1),
+      cc AS (SELECT bucket, count(*) AS c FROM cb GROUP BY 1),
+      shares AS (
+        SELECT s.bucket,
+               CAST(coalesce(rc.c, 0) * 2 + 1 AS DOUBLE)
+                 / (b.n_ref * 2 + 10) AS ref_share,
+               CAST(coalesce(cc.c, 0) * 2 + 1 AS DOUBLE)
+                 / (nc.n_cur * 2 + 10) AS cur_share
+        FROM spine s
+        CROSS JOIN bounds b CROSS JOIN nc
+        LEFT JOIN rc ON rc.bucket = s.bucket
+        LEFT JOIN cc ON cc.bucket = s.bucket)
+      SELECT bucket, ref_share, cur_share,
+             floor((ref_share - cur_share) * ln(ref_share / cur_share)
+               * 1e6 + 0.5) / 1e6 AS psi
+      FROM shares
+    """),
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val cutoff = to_timestamp(lit("1995-01-01"))
+      psiDrift(
+        orders.filter(col("o_orderdate") < cutoff),
+        orders.filter(col("o_orderdate") >= cutoff),
+        "o_totalprice", bins = 10)
+    })
+
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
-    d55ConstraintAudit, d56MergeableProfile)
+    d55ConstraintAudit, d56MergeableProfile, d61PsiDrift)
 }

@@ -131,4 +131,68 @@ class DataQualitySpec extends SparkSpec {
     assert(whole("k")._1 === 1L) // the one NULL key
     assert(whole("k")._2 === 7L) // k0..k6
   }
+
+  private val vSchema = StructType(Seq(StructField("x", DoubleType)))
+  private def vals(xs: Double*) =
+    LocalTable.of(spark, vSchema, xs.map(Row(_)))
+
+  test("psiDrift: identical distributions give exactly zero psi per bin") {
+    val d = vals(1.0, 2.0, 3.0, 4.0, 5.0)
+    val got = DataQuality.psiDrift(d, vals(1.0, 2.0, 3.0, 4.0, 5.0), "x", 4)
+      .collect()
+    assert(got.length === 4)
+    assert(got.forall(_.getAs[Double]("psi") === 0.0),
+      "p == q per bin must emit psi exactly 0.0")
+  }
+
+  test("psiDrift: hand-computed two-bin drift") {
+    // ref buckets [3, 1], cur buckets [1, 3]; add-half shares 0.7/0.3
+    val got = DataQuality.psiDrift(
+      vals(0.0, 0.0, 0.0, 10.0), vals(10.0, 10.0, 10.0, 0.0), "x", 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(0)._1 === 0.7)
+    assert(got(0)._2 === 0.3)
+    // (0.7-0.3)*ln(0.7/0.3) = 0.338919... , floor@6 both bins
+    assert(got(0)._3 === 0.338919)
+    assert(got(1)._3 === 0.338919)
+  }
+
+  test("psiDrift: out-of-range current values clamp into the edge bins") {
+    val got = DataQuality.psiDrift(
+      vals(0.0, 2.5, 5.0, 7.5, 10.0), vals(-100.0, 100.0), "x", 4)
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    // 2 current values; edge bins hold one each: share (2*1+1)/(2*2+4) = 0.375
+    assert(got(0) === 0.375)
+    assert(got(3) === 0.375)
+    assert(got(1) === 0.125) // (0+0.5)/4 smoothed empty
+    assert(got(2) === 0.125)
+  }
+
+  test("psiDrift: degenerate reference (min == max) collapses to bucket 0, finite psi") {
+    val got = DataQuality.psiDrift(
+      vals(5.0, 5.0, 5.0), vals(5.0, 7.0), "x", 3).collect()
+    assert(got.length === 3)
+    assert(got.forall(r => !r.getAs[Double]("psi").isNaN &&
+      !r.getAs[Double]("psi").isInfinite))
+    val byBucket = got.map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // all three ref rows in bucket 0: (2*3+1)/(2*3+3) = 7/9
+    assert(byBucket(0) === 7.0 / 9.0)
+  }
+
+  test("psiDrift: empty bins stay on the spine with smoothed finite shares") {
+    val got = DataQuality.psiDrift(
+      vals(0.0, 10.0), vals(0.0, 10.0), "x", 5).collect()
+    assert(got.length === 5, "empty interior bins must not drop off the spine")
+    assert(got.forall(r => r.getDouble(1) > 0.0 && r.getDouble(2) > 0.0))
+  }
+
+  test("psiDrift: NULL values are excluded from both sides") {
+    val d = LocalTable.of(spark, vSchema,
+      Seq(Row(1.0), Row(3.0), Row(null)))
+    val got = DataQuality.psiDrift(d, d, "x", 2).collect()
+    assert(got.forall(_.getAs[Double]("psi") === 0.0))
+    // shares reflect n=2, not n=3: bin share (2*1+1)/(2*2+2) = 0.5
+    assert(got.forall(_.getAs[Double]("ref_share") === 0.5))
+  }
 }
