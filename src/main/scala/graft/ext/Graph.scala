@@ -194,5 +194,105 @@ object Graph {
       tradeEdges(Tables(s, dir, "orders"), Tables(s, dir, "lineitem")),
       iters = 2))
 
-  val all: Seq[Q] = Seq(d46PageRank, d53LabelPropagation)
+  /** Per-node triangle participation counts over an undirected edge
+    * list — the local-clustering signal (link-farm/boilerplate detection
+    * in a crawl graph, community density next to [[labelPropagation]]'s
+    * labels).
+    *
+    * Scale design is the classic DEGREE ORIENTATION: normalize and
+    * deduplicate edges, then orient every edge from its lower-(degree,
+    * node) endpoint to the higher one. The orientation is acyclic and
+    * bounds every node's out-degree by O(√E) regardless of skew — a
+    * celebrity node of degree millions contributes wedges only through
+    * its (few) higher-degree neighbors, so the wedge expansion
+    * Σ outdeg² stays near-linear where the naive neighbor-pair expansion
+    * is quadratic in the hottest degree. Each triangle materializes
+    * exactly once (at its orientation-minimal vertex, closed by the
+    * single oriented (v,w) edge), so no post-hoc de-duplication pass is
+    * needed. Three equi-joins on node keys; nothing is ever cartesian.
+    *
+    * Output: (node, triangles) for nodes in ≥1 triangle. */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.select(col("node").as("a"), col("deg").as("__da")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("__db")), Seq("b"))
+    val toB = col("__da") < col("__db") ||
+      (col("__da") === col("__db") && col("a") < col("b"))
+    // lazy shared-RDD cut: the oriented list feeds the wedge join twice
+    // and the closing semi-join — without it each consumer re-derives
+    // the dedup + degree joins (the minhashNearDupPairs lesson: AQE's
+    // broadcast conversions defeat ReusedExchange on shared subtrees)
+    val oriented = withDeg.select(
+        when(toB, struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint(false)
+    val wedges = oriented.alias("x")
+      .join(oriented.select(col("u"), col("v").as("w")).alias("y"), Seq("u"))
+      .filter(col("v") =!= col("w"))
+    val tris = wedges.join(
+      oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"), "left_semi")
+    tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+  }
+
+  /** The co-purchase graph: parts appearing together in an order, over a
+    * deterministic orderkey sample (both engines replay `% mod`). Pair
+    * expansion happens INSIDE a per-order aggregate (orders carry ≤ 7
+    * lines, so the collect_list buffer and the pair fan-out are both
+    * constant-bounded) — never a lineitem self-join. */
+  def copurchaseEdges(lineitem: DataFrame, sampleMod: Int): DataFrame =
+    lineitem.filter(col("l_orderkey") % sampleMod === 0)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(col("p.src"), col("p.dst"))
+      .distinct()
+
+  /** d62 — triangle counts over the part co-purchase graph (5% order
+    * sample keeps the brute-force oracle honest while leaving thousands
+    * of triangles at both gate scales). */
+  val d62TriangleCounts: Q = Q(
+    "d62_triangle_counts",
+    Some("""
+      WITH sel AS (
+        SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 20 = 0),
+      pairs AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM sel a JOIN sel b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      deg AS (
+        SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM pairs UNION ALL SELECT b FROM pairs)
+        GROUP BY 1),
+      o AS (
+        SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                    THEN p.a ELSE p.b END AS u,
+               CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND p.a < p.b)
+                    THEN p.b ELSE p.a END AS v
+        FROM pairs p
+        JOIN deg da ON da.node = p.a JOIN deg db ON db.node = p.b),
+      tri AS (
+        SELECT x.u, x.v, y.v AS w
+        FROM o x JOIN o y ON x.u = y.u AND x.v <> y.v
+        WHERE EXISTS (SELECT 1 FROM o z WHERE z.u = x.v AND z.v = y.v))
+      SELECT node, count(*) AS triangles FROM (
+        SELECT u AS node FROM tri
+        UNION ALL SELECT v FROM tri
+        UNION ALL SELECT w FROM tri)
+      GROUP BY 1
+    """),
+    (s, dir) => triangleCounts(
+      copurchaseEdges(Tables(s, dir, "lineitem"), sampleMod = 20)))
+
+  val all: Seq[Q] = Seq(d46PageRank, d53LabelPropagation, d62TriangleCounts)
 }

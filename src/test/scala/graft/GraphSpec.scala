@@ -78,4 +78,64 @@ class GraphSpec extends SparkSpec {
     assert(again === got)
     intercept[IllegalArgumentException](Graph.labelPropagation(g, iters = 0))
   }
+
+  private def triangles(df: org.apache.spark.sql.DataFrame): Map[String, Long] =
+    df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts: K4 has 4 triangles, every node in 3") {
+    val ns = Seq("a", "b", "c", "d")
+    val k4 = edges((for { x <- ns; y <- ns if x < y } yield (x, y)): _*)
+    val got = triangles(Graph.triangleCounts(k4))
+    assert(got === Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+  }
+
+  test("triangleCounts: bipartite square has none; closing one diagonal makes two") {
+    val square = edges(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    assert(Graph.triangleCounts(square).isEmpty)
+    val withDiag = edges(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"))
+    val got = triangles(Graph.triangleCounts(withDiag))
+    // abc and acd: a and c in both, b and d in one each
+    assert(got === Map("a" -> 2L, "c" -> 2L, "b" -> 1L, "d" -> 1L))
+  }
+
+  test("triangleCounts: duplicate, reversed and self-loop edges don't change counts") {
+    val messy = edges(("a", "b"), ("b", "a"), ("a", "b"),
+      ("b", "c"), ("c", "a"), ("a", "a"))
+    val got = triangles(Graph.triangleCounts(messy))
+    assert(got === Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
+
+  test("triangleCounts: hot-node star only counts closed wedges (orientation bound)") {
+    // hub connected to 5 leaves; only l1-l2 closed -> exactly 1 triangle
+    val star = edges(("hub", "l1"), ("hub", "l2"), ("hub", "l3"),
+      ("hub", "l4"), ("hub", "l5"), ("l1", "l2"))
+    val got = triangles(Graph.triangleCounts(star))
+    assert(got === Map("hub" -> 1L, "l1" -> 1L, "l2" -> 1L))
+  }
+
+  test("triangleCounts: deterministic under repartitioning") {
+    val ns = Seq("a", "b", "c", "d", "e", "f")
+    val g = edges((for { x <- ns; y <- ns if x < y; if (x + y).hashCode % 3 != 0 }
+      yield (x, y)): _*)
+    val a = triangles(Graph.triangleCounts(g))
+    val b = triangles(Graph.triangleCounts(g.repartition(7)))
+    assert(a === b)
+  }
+
+  test("copurchaseEdges: per-order pairs, cross-order dedup, deterministic sample") {
+    import org.apache.spark.sql.functions._
+    val li = StructType(Seq(
+      StructField("l_orderkey", LongType), StructField("l_partkey", LongType)))
+    val rows = Seq(
+      Row(20L, 1L), Row(20L, 2L), Row(20L, 3L), // order in sample: 3 pairs
+      Row(40L, 1L), Row(40L, 2L),               // repeats pair (1,2): dedup
+      Row(40L, 2L),                             // duplicate line: no self pair
+      Row(21L, 7L), Row(21L, 8L),               // orderkey % 20 != 0: dropped
+      Row(60L, 9L))                             // single-line order: no pairs
+    val d = LocalTable.of(spark, li, rows)
+    val got = Graph.copurchaseEdges(d, sampleMod = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
 }
