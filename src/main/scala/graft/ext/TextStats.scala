@@ -2244,6 +2244,60 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("n_chars")),
       "doc_id", "n_chars", k = 100, seed = "ws7"))
 
+  /** KMV cross-source vocabulary overlap: per-(source, lang) bounded
+    * sketches rolled up per source through the pure-Column merge, then
+    * every source pair's distinct/union/INTERSECTION estimated from the
+    * artifacts alone — the overlap analytics HLL cannot provide (q42
+    * unions; KMV also intersects). Capacity 256 covers the gate
+    * vocabulary, so every estimator runs in its provably-exact branch
+    * and the oracle is plain distinct counting; SketchSpec pins the
+    * bounded-error regime and the merge algebra. Scale: the corpus
+    * collapses map-side to ≤ 256 longs per (source, lang) partition;
+    * everything after the first aggregate is sources-sized. */
+  val d63KmvOverlap: Q = Q(
+    "d63_kmv_overlap",
+    Some("""
+      WITH tk AS (
+        SELECT DISTINCT source,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '')) AS tok
+        FROM documents),
+      n AS (SELECT source, count(*) AS n FROM tk GROUP BY 1),
+      inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS i
+        FROM tk a JOIN tk b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT na.source AS source_a, nb.source AS source_b,
+             na.n AS n_a, nb.n AS n_b,
+             na.n + nb.n - coalesce(i.i, 0) AS union_n,
+             coalesce(i.i, 0) AS inter_n
+      FROM n na JOIN n nb ON na.source < nb.source
+      LEFT JOIN inter i
+        ON i.source_a = na.source AND i.source_b = nb.source
+    """),
+    (s, dir) => {
+      import graft.plans.KmvAgg._
+      val k = 256
+      val sketches = Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("source"), col("lang"))
+        .agg(kmvSketch(col("tok"), k).as("sk"))
+        .groupBy(col("source"))
+        .agg(collect_list(col("sk")).as("sks"))
+        .select(col("source"), kmvMergeAll(col("sks"), k).as("sk"))
+      val a = sketches.select(col("source").as("source_a"), col("sk").as("ska"))
+      val b = sketches.select(col("source").as("source_b"), col("sk").as("skb"))
+      a.join(b, col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          kmvDistinctEstimate(col("ska"), k).cast("long").as("n_a"),
+          kmvDistinctEstimate(col("skb"), k).cast("long").as("n_b"),
+          kmvDistinctEstimate(kmvMerge(col("ska"), col("skb"), k), k)
+            .cast("long").as("union_n"),
+          kmvIntersectEstimate(col("ska"), col("skb"), k)
+            .cast("long").as("inter_n"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -2254,5 +2308,5 @@ object TextStats {
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
-    d58BpeSegment)
+    d58BpeSegment, d63KmvOverlap)
 }

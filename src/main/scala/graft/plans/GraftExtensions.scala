@@ -63,6 +63,11 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         MisraGriesAgg(args(0), intArg(args(1), "freq_items_sketch"))
           .toAggregateExpression()),
+    ("kmv_sketch",
+      new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
+      (args: Seq[Expression]) =>
+        KmvAgg(args(0), intArg(args(1), "kmv_sketch"))
+          .toAggregateExpression()),
     ("bpe_apply",
       new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
       (args: Seq[Expression]) => BpeApplyExpr(args(0), args(1))))

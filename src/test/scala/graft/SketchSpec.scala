@@ -117,4 +117,101 @@ class SketchSpec extends SparkSpec {
       .findFirstIn(plan).isDefined || plan.contains("freq_items_sketch"),
       s"sketch aggregate missing from plan:\n${plan.take(800)}")
   }
+
+  // ---- KMV distinct/intersection sketch --------------------------------
+
+  import graft.plans.KmvAgg
+
+  private def kmvOf(items: Seq[String], k: Int, parts: Int = 4): Seq[Long] =
+    itemsDf(items, parts)
+      .agg(KmvAgg.kmvSketch(col("item"), k).as("sk"))
+      .collect().head.getSeq[Long](0)
+
+  test("kmv: exact regime — under capacity the sketch holds the whole distinct set") {
+    val items = (1 to 100).map(i => s"u$i") ++ (1 to 100).map(i => s"u$i")
+    val sk = kmvOf(items, k = 256)
+    assert(sk.length === 100, "duplicates must collapse; all 100 hashes kept")
+    assert(sk === sk.sorted, "artifact must be ascending")
+    val est = itemsDf(items).agg(KmvAgg.kmvSketch(col("item"), 256).as("sk"))
+      .select(KmvAgg.kmvDistinctEstimate(col("sk"), 256).as("e"))
+      .collect().head.getDouble(0)
+    assert(est === 100.0)
+  }
+
+  test("kmv: capacity regime — 5000 distinct estimated within 20% by 256 mins") {
+    val items = (1 to 5000).map(i => s"v$i")
+    val est = itemsDf(items, parts = 8)
+      .agg(KmvAgg.kmvSketch(col("item"), 256).as("sk"))
+      .select(KmvAgg.kmvDistinctEstimate(col("sk"), 256).as("e"))
+      .collect().head.getDouble(0)
+    assert(math.abs(est - 5000.0) <= 1000.0, s"estimate $est too far from 5000")
+  }
+
+  test("kmv: merge of two sketches equals the sketch of the concatenated stream") {
+    val a = (1 to 400).map(i => s"a$i")
+    val b = (200 to 600).map(i => s"a$i") // overlap 200..400
+    val k = 64
+    val skA = kmvOf(a, k)
+    val skB = kmvOf(b, k)
+    val whole = kmvOf(a ++ b, k)
+    val merged = itemsDf(Seq("x")).select(
+      KmvAgg.kmvMerge(
+        typedLit(skA), typedLit(skB), k).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(merged === whole, "k-min of union must equal union of k-mins")
+  }
+
+  test("kmv: intersection estimator — exact under capacity, bounded above it") {
+    val shared = (1 to 80).map(i => s"s$i")
+    val a = shared ++ (1 to 60).map(i => s"a$i")
+    val b = shared ++ (1 to 50).map(i => s"b$i")
+    val k = 512 // union 190 < k -> exact branch
+    val inter = itemsDf(Seq("x")).select(
+      KmvAgg.kmvIntersectEstimate(
+        typedLit(kmvOf(a, k)), typedLit(kmvOf(b, k)), k).as("i"))
+      .collect().head.getDouble(0)
+    assert(inter === 80.0)
+    // capacity regime: 3000-item sets sharing 1000
+    val bigShared = (1 to 1000).map(i => s"S$i")
+    val bigA = bigShared ++ (1 to 2000).map(i => s"A$i")
+    val bigB = bigShared ++ (1 to 2000).map(i => s"B$i")
+    val k2 = 256
+    val interBig = itemsDf(Seq("x")).select(
+      KmvAgg.kmvIntersectEstimate(
+        typedLit(kmvOf(bigA, k2)), typedLit(kmvOf(bigB, k2)), k2).as("i"))
+      .collect().head.getDouble(0)
+    assert(math.abs(interBig - 1000.0) <= 400.0,
+      s"intersection estimate $interBig too far from 1000")
+  }
+
+  test("kmv: partitioning-invariant, nulls ignored, mergeAll == pairwise merge") {
+    val items = (1 to 500).map(i => s"p$i")
+    assert(kmvOf(items, 64, parts = 2) === kmvOf(items, 64, parts = 13))
+    val withNull = LocalTable.of(spark,
+      StructType(Seq(StructField("item", StringType))),
+      Seq(Row("a"), Row(null), Row("b")))
+    val sk = withNull.agg(KmvAgg.kmvSketch(col("item"), 8).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk.length === 2)
+    val s1 = kmvOf((1 to 100).map(i => s"m$i"), 32)
+    val s2 = kmvOf((50 to 150).map(i => s"m$i"), 32)
+    val s3 = kmvOf((120 to 220).map(i => s"m$i"), 32)
+    val viaAll = itemsDf(Seq("x")).select(
+      KmvAgg.kmvMergeAll(typedLit(Seq(s1, s2, s3)), 32).as("m"))
+      .collect().head.getSeq[Long](0)
+    val viaPairs = itemsDf(Seq("x")).select(
+      KmvAgg.kmvMerge(KmvAgg.kmvMerge(typedLit(s1), typedLit(s2), 32),
+        typedLit(s3), 32).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(viaAll === viaPairs)
+  }
+
+  test("kmv: SQL surface — kmv_sketch registered") {
+    graft.plans.GraftFunctions.register(spark)
+    itemsDf((1 to 20).map(i => s"q$i")).createOrReplaceTempView("kmv_in")
+    val n = spark.sql(
+      "SELECT size(kmv_sketch(item, 64)) AS n FROM kmv_in")
+      .collect().head.getInt(0)
+    assert(n === 20)
+  }
 }
