@@ -400,7 +400,36 @@ object LakeQ {
         .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
     })
 
+  /** Z-order layout round-trip: orders re-written clustered by
+    * (o_custkey, o_totalprice), then a 2-D range query over the
+    * clustered copy must equal the same query over the original table —
+    * proving the layout rewrite moves bytes, never values. The
+    * file-skipping property itself (z-layout reads a fraction of what a
+    * single-key sort layout reads for the same predicate) is pinned by
+    * LakeSpec's per-file min/max audit and scan-metric comparison —
+    * selectivity is a physical property an SQL oracle can't see. */
+  val q68ZorderLayout: Q = Q(
+    "q68_zorder_layout",
+    Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total
+      FROM orders
+      WHERE o_custkey <= 500 AND o_totalprice <= 150000
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString + "/orders_z"
+      graft.lake.Lake.zorderWrite(Tables(s, dir, "orders"), dest,
+        "o_custkey", "o_totalprice", numFiles = 16)
+      s.read.parquet(dest)
+        .filter(col("o_custkey") <= 500 && col("o_totalprice") <= 150000)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
     q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension,
-    q60SnapshotDiff, q63OrcRoundtrip)
+    q60SnapshotDiff, q63OrcRoundtrip, q68ZorderLayout)
 }

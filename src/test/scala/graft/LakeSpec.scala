@@ -165,4 +165,91 @@ class LakeSpec extends SparkSpec {
       Lake.snapshotDiff(d, d, Seq("nope"))
     }
   }
+
+  // ---- z-order layout --------------------------------------------------
+
+  private val xy = StructType(Seq(
+    StructField("x", LongType), StructField("y", LongType)))
+
+  /** 4096 rows over a 1000×1000 grid, deterministic pseudo-random. */
+  private def grid(): org.apache.spark.sql.DataFrame =
+    LocalTable.of(spark, xy, (0 until 4096).map { i =>
+      Row(((i * 2654435761L) % 1000 + 1000) % 1000,
+        ((i * 40503L + 7919) % 1000 + 1000) % 1000)
+    })
+
+  test("zorderBy: z-values respect 2-D locality and bit interleave") {
+    val d = LocalTable.of(spark, xy, Seq(
+      Row(0L, 0L), Row(999L, 0L), Row(0L, 999L), Row(999L, 999L)))
+    val z = Lake.zorderBy(d, "x", "y", bits = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(z((0L, 0L)) === 0L)
+    // x=max -> cell 15 = 1111 -> even bit positions: 0b01010101 = 85
+    assert(z((999L, 0L)) === 85L)
+    // y=max -> odd bit positions: 0b10101010 = 170
+    assert(z((0L, 999L)) === 170L)
+    assert(z((999L, 999L)) === 255L)
+  }
+
+  test("zorderWrite: contents round-trip unchanged; layout clusters BOTH dims") {
+    val d = grid()
+    val base = java.nio.file.Files.createTempDirectory("graft_zspec").toString
+    Lake.zorderWrite(d, s"$base/z", "x", "y", numFiles = 16)
+    // single-key comparison layout: range-sorted by x only
+    d.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/xsort")
+    val zBack = spark.read.parquet(s"$base/z")
+    assert(zBack.count() === 4096)
+    assert(zBack.exceptAll(d).isEmpty && d.exceptAll(zBack).isEmpty,
+      "z-order rewrite must not change the row multiset")
+    def filesAdmitting(path: String, colName: String, lo: Long, hi: Long): Long =
+      spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg(min(col(colName)).as("mn"), max(col(colName)).as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    // a 5% y-band: z-layout tiles y into bands, so only a fraction of the
+    // 16 files can contain it; the x-sorted layout spreads every y value
+    // across every file
+    val zFiles = filesAdmitting(s"$base/z", "y", 0L, 50L)
+    val xFiles = filesAdmitting(s"$base/xsort", "y", 0L, 50L)
+    assert(xFiles === 16L, s"x-sorted layout should admit all files, got $xFiles")
+    assert(zFiles <= 8L, s"z-layout should confine a 5% y-band, got $zFiles files")
+    // and the z-layout still clusters x as well (both dims, not one)
+    val zFilesX = filesAdmitting(s"$base/z", "x", 0L, 50L)
+    assert(zFilesX <= 8L, s"z-layout should also confine a 5% x-band, got $zFilesX")
+  }
+
+  test("zorderWrite: parquet row-group stats actually skip at scan time") {
+    val d = grid()
+    val base = java.nio.file.Files.createTempDirectory("graft_zskip").toString
+    Lake.zorderWrite(d, s"$base/z", "x", "y", numFiles = 16)
+    d.repartitionByRange(16, col("x")).sortWithinPartitions(col("x"))
+      .write.parquet(s"$base/xsort")
+    def scanRows(path: String): Long = {
+      val q = spark.read.parquet(path).filter(col("y") <= 50)
+      q.collect()
+      val scans = q.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.nonEmpty, q.queryExecution.executedPlan.toString.take(500))
+      scans.map(_.metrics("numOutputRows").value).sum
+    }
+    val zRows = scanRows(s"$base/z")
+    val xRows = scanRows(s"$base/xsort")
+    assert(xRows === 4096L,
+      s"x-sorted layout has no y locality; expected full scan, got $xRows")
+    assert(zRows <= 2048L,
+      s"z-layout scan should skip most row groups, got $zRows rows out of 4096")
+  }
+
+  test("zorderBy: NULL dims get NULL z and cluster together; arg guards") {
+    val d = LocalTable.of(spark, xy,
+      Seq(Row(1L, 2L), Row(null, 5L), Row(3L, null)))
+    val z = Lake.zorderBy(d, "x", "y", bits = 4).collect()
+      .map(r => Option(r.get(0)).map(_.toString).getOrElse("null") -> r.isNullAt(2)).toMap
+    assert(z("null") === true && z("3") === true && z("1") === false)
+    intercept[IllegalArgumentException](Lake.zorderBy(d, "x", "y", bits = 0))
+    intercept[IllegalArgumentException](Lake.zorderBy(d, "x", "y", bits = 21))
+  }
 }
