@@ -354,4 +354,42 @@ object EventsStreaming {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.product[TailState], Encoders.product[Anomaly])
   }
+
+  /** Stream-STREAM event-time interval join — the attribution primitive
+    * (purchase within N minutes of a click, per user) and the one
+    * Structured Streaming join mode the twins above don't cover. Both
+    * sides carry watermarks and the join condition bounds purchase time
+    * to [click, click + within]; together those two facts are what let
+    * Spark EVICT join state (a click older than watermark + within can
+    * never match again, a purchase older than watermark can never find a
+    * new click) — without the time bound a stream-stream join buffers
+    * both streams forever. `joinType` "left_outer" additionally emits
+    * unmatched clicks (with NULL purchase columns) once the watermark
+    * proves no purchase can still arrive — outer emission timing is
+    * exactly the state-eviction boundary.
+    *
+    * The SAME DataFrame program runs over batch inputs (withWatermark is
+    * a no-op there), which is how StreamingSpec proves stream ≡ batch on
+    * identical data — the module's standing twin contract. */
+  def attributionJoinStream(clicks: Dataset[Event], purchases: Dataset[Event],
+      withinMinutes: Int, watermark: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
+    require(withinMinutes >= 1, "withinMinutes must be positive")
+    val l = clicks
+      .select(col("user_id"), timestamp_micros(col("ts_us")).as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    val r = purchases
+      .select(col("user_id").as("__ru"),
+        timestamp_micros(col("ts_us")).as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", watermark)
+    l.join(r,
+        col("user_id") === col("__ru") &&
+          col("purchase_ts") >= col("click_ts") &&
+          col("purchase_ts") <= col("click_ts") +
+            expr(s"INTERVAL '$withinMinutes' MINUTE"),
+        joinType)
+      .select(col("user_id"), col("click_ts"), col("purchase_ts"),
+        col("purchase_value"))
+  }
 }

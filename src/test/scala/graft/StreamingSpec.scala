@@ -475,4 +475,68 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch, "twins must agree to the bit under in-order delivery")
     assert(streamed.keySet.forall(_._1 == "a") && streamed.nonEmpty)
   }
+
+  test("attributionJoinStream: stream-stream interval join matches the batch twin") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventsStreaming.attributionJoinStream(
+        clicks.toDS(), purchases.toDS(), withinMinutes = 30)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    // batch 1: u1 clicks at t=10; in-window purchase at t=20 (same batch)
+    val c1 = Seq(Event(1L, us(10), "click", 0.0), Event(2L, us(12), "click", 0.0))
+    val p1 = Seq(Event(1L, us(20), "purchase", 9.99))
+    clicks.addData(c1: _*); purchases.addData(p1: _*)
+    q.processAllAvailable()
+    // batch 2: CROSS-batch match (u2's purchase lands against the batch-1
+    // click held in join state); u1's second purchase is OUT of window
+    val p2 = Seq(Event(2L, us(35), "purchase", 5.0),
+      Event(1L, us(50), "purchase", 1.0))
+    purchases.addData(p2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("attr_out")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getDouble(3))).toSet
+    q.stop()
+    // the SAME program over batch datasets must agree
+    val allC = spark.createDataset(c1)(enc)
+    val allP = spark.createDataset(p1 ++ p2)(enc)
+    val batch = EventsStreaming.attributionJoinStream(allC, allP, 30)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime,
+        r.getTimestamp(2).getTime, r.getDouble(3))).toSet
+    assert(streamed === batch, s"stream $streamed != batch $batch")
+    assert(streamed === Set(
+      (1L, us(10) / 1000, us(20) / 1000, 9.99),
+      (2L, us(12) / 1000, us(35) / 1000, 5.0)))
+  }
+
+  test("attributionJoinStream left_outer: unmatched clicks emit NULLs after the watermark") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventsStreaming.attributionJoinStream(
+        clicks.toDS(), purchases.toDS(), withinMinutes = 30,
+        watermark = "10 minutes", joinType = "left_outer")
+      .writeStream.format("memory").queryName("attr_outer")
+      .outputMode("append").start()
+    // u1 matched; u3 clicks and never purchases
+    clicks.addData(Event(1L, us(10), "click", 0.0), Event(3L, us(11), "click", 0.0))
+    purchases.addData(Event(1L, us(15), "purchase", 2.0))
+    q.processAllAvailable()
+    // advance BOTH watermarks far past click + within + watermark so the
+    // unmatched u3 click is provably unmatched and must emit with NULLs
+    clicks.addData(Event(9L, us(500), "click", 0.0))
+    purchases.addData(Event(9L, us(500), "purchase", 0.0))
+    q.processAllAvailable()
+    val rows = spark.table("attr_outer")
+      .filter(col("user_id").isin(1L, 3L))
+      .collect().map(r => r.getLong(0) -> Option(r.get(2))).toMap
+    q.stop()
+    assert(rows(1L).isDefined, "matched click must carry its purchase")
+    assert(rows.contains(3L), "unmatched click must emit after watermark passes")
+    assert(rows(3L).isEmpty, "unmatched click's purchase columns must be NULL")
+  }
 }
