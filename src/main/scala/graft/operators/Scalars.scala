@@ -234,7 +234,56 @@ object Scalars {
             .as("bucket_lo"))
     })
 
-  val all: Seq[Q] = Seq(q67Histogram,
+  /** Equi-DEPTH histogram per event type — q67's equi-width sibling and
+    * the form optimizers and drift monitors actually want (equal-mass
+    * bins track the distribution's shape; equi-width wastes bins on
+    * empty tails): quartile boundaries from the exact R-7 percentile
+    * (Spark `percentile` ≡ DuckDB `quantile_cont` — the d45 parity),
+    * broadcast back into one conditional-count scan. Boundary doubles
+    * are emitted raw: an interpolated boundary either equals a data
+    * value exactly (frac 0 — identical on both engines) or lies strictly
+    * between two adjacent data values, where a ulp of interpolation
+    * noise cannot flip any row's bin. At 100 TB swap the exact
+    * percentile for q40's `approx_percentile` sketch — same shape, the
+    * group-bounded object agg becomes mergeable. */
+  val q70EquidepthHistogram: Q = Q(
+    "q70_equidepth_histogram",
+    Some("""
+      WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.5)  AS p50,
+               quantile_cont(value, 0.75) AS p75
+        FROM events GROUP BY 1)
+      SELECT e.event_type, b.p25, b.p50, b.p75,
+             CAST(sum(CASE WHEN e.value <= b.p25 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+             CAST(sum(CASE WHEN e.value > b.p25 AND e.value <= b.p50
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN e.value > b.p50 AND e.value <= b.p75
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN e.value > b.p75 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+      FROM events e JOIN b USING (event_type)
+      GROUP BY 1, 2, 3, 4
+    """),
+    (s, dir) => {
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+      val b = ev.groupBy(col("event_type")).agg(
+        expr("percentile(value, 0.25)").as("p25"),
+        expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.75)").as("p75"))
+      ev.join(broadcast(b), Seq("event_type"))
+        .groupBy(col("event_type"), col("p25"), col("p50"), col("p75"))
+        .agg(
+          sum(when(col("value") <= col("p25"), 1L).otherwise(0L)).as("n0"),
+          sum(when(col("value") > col("p25") && col("value") <= col("p50"), 1L)
+            .otherwise(0L)).as("n1"),
+          sum(when(col("value") > col("p50") && col("value") <= col("p75"), 1L)
+            .otherwise(0L)).as("n2"),
+          sum(when(col("value") > col("p75"), 1L).otherwise(0L)).as("n3"))
+    })
+
+  val all: Seq[Q] = Seq(q67Histogram, q70EquidepthHistogram,
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
     q40ApproxSketches, q42HllMergeable)
 }

@@ -234,6 +234,49 @@ object Temporal {
       """)
     })
 
+  /** Recursive CTE on the SQL surface (Spark 4's WITH RECURSIVE,
+    * SPARK-24497): per-seed ancestor walk up the binary key hierarchy
+    * (parent = custkey DIV 2 — the same halving chain both engines can
+    * replay), JOINING the dimension at every step and accumulating the
+    * path balance. Exercises the recursion features that matter: a join
+    * inside the recursive branch, natural termination (customer 0 does
+    * not exist), and a driver-free iterative plan — the BOM/org-chart
+    * reachability verb the d17/d19 Pregel operators provide
+    * programmatically, now on plain SQL. path_bal needs NO rounding:
+    * each path's additions run in the same chain order on both engines,
+    * so the IEEE result is bit-identical. */
+  val q69RecursiveReachability: Q = Q(
+    "q69_recursive_reachability",
+    Some("""
+      WITH RECURSIVE chain AS (
+        SELECT c_custkey AS custkey, c_custkey AS cur, 0 AS hops,
+               c_acctbal AS path_bal
+        FROM customer WHERE c_custkey <= 100
+        UNION ALL
+        SELECT ch.custkey, c.c_custkey, ch.hops + 1,
+               ch.path_bal + c.c_acctbal
+        FROM chain ch JOIN customer c ON c.c_custkey = ch.cur // 2
+        WHERE ch.cur > 1)
+      SELECT custkey, hops AS depth, path_bal
+      FROM chain WHERE cur = 1
+    """),
+    (s, dir) => {
+      Tables(s, dir, "customer").createOrReplaceTempView("v_customer_rec")
+      s.sql("""
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS custkey, c_custkey AS cur, 0 AS hops,
+                 c_acctbal AS path_bal
+          FROM v_customer_rec WHERE c_custkey <= 100
+          UNION ALL
+          SELECT ch.custkey, c.c_custkey, ch.hops + 1,
+                 ch.path_bal + c.c_acctbal
+          FROM chain ch JOIN v_customer_rec c ON c.c_custkey = ch.cur DIV 2
+          WHERE ch.cur > 1)
+        SELECT custkey, hops AS depth, path_bal
+        FROM chain WHERE cur = 1
+      """)
+    })
+
   /** As-of join — the canonical "operator Spark lacks" (builder preference
     * (a): compose built-ins). For each purchase, the most recent click of
     * the same user at or before it. Implemented with the scalable
@@ -980,5 +1023,5 @@ object Temporal {
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
     q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats,
-    q66InterarrivalStats)
+    q66InterarrivalStats, q69RecursiveReachability)
 }
