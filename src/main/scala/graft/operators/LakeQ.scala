@@ -429,7 +429,38 @@ object LakeQ {
           round(sum(col("o_totalprice")), 2).as("total"))
     })
 
+  /** XML source/sink round-trip (the datasource Spark 4 absorbed from
+    * spark-xml): orders' stable-typed columns written as <order> rows
+    * and read back through the native XML reader, then aggregated —
+    * the third columnar-or-not format gate next to parquet and q63's
+    * ORC. Columns are restricted to long/string/double so schema
+    * inference is deterministic; timestamps stay format-free. */
+  val q72XmlRoundtrip: Q = Q(
+    "q72_xml_roundtrip",
+    Some("""
+      SELECT o_orderpriority, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total,
+             min(o_orderkey) AS min_key
+      FROM orders
+      WHERE o_custkey % 7 <> 0
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_xml").toString + "/orders_xml"
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .write.mode("overwrite").option("rowTag", "order").xml(dest)
+      s.read.option("rowTag", "order").xml(dest)
+        .filter(col("o_custkey") % 7 =!= 0)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"),
+          min(col("o_orderkey")).as("min_key"))
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
     q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension,
-    q60SnapshotDiff, q63OrcRoundtrip, q68ZorderLayout)
+    q60SnapshotDiff, q63OrcRoundtrip, q68ZorderLayout, q72XmlRoundtrip)
 }

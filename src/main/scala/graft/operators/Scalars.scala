@@ -283,7 +283,40 @@ object Scalars {
           sum(when(col("value") > col("p75"), 1L).otherwise(0L)).as("n3"))
     })
 
-  val all: Seq[Q] = Seq(q67Histogram, q70EquidepthHistogram,
+  /** Spark 4 VARIANT semi-structured path (parse_json → variant_get):
+    * the open-schema JSON ingestion type — parse once into the binary
+    * variant encoding, extract typed paths lazily, absent paths are
+    * NULL (not errors) under try_variant_get. The gate round-trips
+    * order rows through a nested JSON payload and must reproduce the
+    * direct relational aggregate — if any typed extraction were wrong,
+    * the totals diverge. Scale note: variant parse+extract is a pure
+    * codegen projection (no shuffle), and variant columns store the
+    * parsed binary form so repeated path access never re-parses text. */
+  val q71VariantJson: Q = Q(
+    "q71_variant_json",
+    Some("""
+      SELECT o_orderpriority AS prio, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total,
+             CAST(count(*) AS BIGINT) AS n_missing_null
+      FROM orders
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      graft.Tables(s, dir, "orders")
+        .select(to_json(struct(col("o_orderkey"),
+          struct(col("o_totalprice"), col("o_orderpriority")).as("meta")))
+          .as("payload"))
+        .select(parse_json(col("payload")).as("v"))
+        .select(
+          expr("variant_get(v, '$.meta.o_orderpriority', 'string')").as("prio"),
+          expr("variant_get(v, '$.meta.o_totalprice', 'double')").as("price"),
+          expr("try_variant_get(v, '$.meta.no_such_field', 'double')").as("missing"))
+        .groupBy(col("prio"))
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"),
+          sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing_null"))
+    })
+
+  val all: Seq[Q] = Seq(q67Histogram, q70EquidepthHistogram, q71VariantJson,
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
     q40ApproxSketches, q42HllMergeable)
 }
