@@ -462,4 +462,66 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p.take(1500))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("dynamic partition pruning: a dim filter prunes fact partitions at runtime") {
+    import org.apache.spark.sql.functions._
+    // fact partitioned on the join key's column — the 100 TB layout where
+    // DPP turns a selective dim filter into a fact partition skip
+    val base = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables(spark, sfDir, "orders")
+      .write.partitionBy("o_orderpriority").parquet(s"$base/fact")
+    val fact = spark.read.parquet(s"$base/fact")
+    // the dim filter sits on a NON-join column, so the qualifying
+    // partition values are only known at runtime — a statically
+    // transposable filter (e.g. on the join key itself) would be pushed
+    // as a constant partition filter and never need DPP
+    val dim = graft.Tables(spark, sfDir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(min(col("o_custkey")).as("rep"))
+      .filter(col("rep") >= 0) // runtime-opaque, never empty
+    val q = fact.join(broadcast(dim), Seq("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"expected a DynamicPruning partition filter on the fact scan:\n${p.take(1200)}")
+    // and it must compute the right answer through the pruned scan
+    val n = q.collect()(0).getLong(0)
+    val keep = dim.collect().map(_.getString(0)).toSet
+    val direct = graft.Tables(spark, sfDir, "orders")
+      .filter(col("o_orderpriority").isin(keep.toSeq: _*)).count()
+    assert(n === direct && n > 0)
+  }
+
+  test("runtime bloom filter: a selective dim join injects a row-level filter") {
+    import org.apache.spark.sql.functions._
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // production thresholds assume TB-sized scans; at spec scale let
+      // any creation side qualify and any application scan be "big
+      // enough", and force the shuffle join the filter is designed for
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1B")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val base = java.nio.file.Files.createTempDirectory("graft_rbf").toString
+      graft.Tables(spark, sfDir, "lineitem").write.parquet(s"$base/fact")
+      graft.Tables(spark, sfDir, "orders").write.parquet(s"$base/dim")
+      val fact = spark.read.parquet(s"$base/fact")
+      val dim = spark.read.parquet(s"$base/dim")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val q = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .agg(round(sum(col("l_quantity")), 2).as("qty"))
+      val p = q.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg") && p.contains("might_contain"),
+        s"expected an injected runtime bloom filter:\n${p.take(1200)}")
+      q.collect() // and the filtered plan still executes correctly
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }
