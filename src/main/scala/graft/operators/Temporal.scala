@@ -446,6 +446,85 @@ object Temporal {
           col("day_value").isNull.as("is_gap"))
     })
 
+  /** Daily resample with LINEAR interpolation — q46's ffill sibling and
+    * the one metric dashboards actually chart for continuous series
+    * (ffill steps; interpolation draws the line): each in-range gap day
+    * gets prev + (next − prev) · elapsed/gap_span. The spine bounds are
+    * per-user min/max OBSERVED days, so every gap provably has both
+    * anchors and the arithmetic never sees a NULL. Two windows per user
+    * key (one forward for the previous anchor, one backward for the
+    * next) over the same single exchange. Cross-engine exactness by
+    * construction: anchors are round(2) day aggregates, day distances
+    * are integers, and the interpolation is the same three IEEE ops in
+    * the same order on both engines — no output rounding needed. */
+  val q73ResampleInterpolate: Q = Q(
+    "q73_resample_interpolate",
+    Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               round(sum(value), 2) AS day_value
+        FROM events GROUP BY 1, 2),
+      bounds AS (SELECT user_id, min(day) AS d0, max(day) AS d1
+                 FROM daily GROUP BY 1),
+      spine AS (SELECT user_id,
+                       CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP),
+                                                   CAST(d1 AS TIMESTAMP),
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM bounds),
+      j AS (SELECT s.user_id, s.day, d.day_value
+            FROM spine s LEFT JOIN daily d USING (user_id, day)),
+      a AS (
+        SELECT user_id, day, day_value,
+               last_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+               last_value(CASE WHEN day_value IS NOT NULL THEN day END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+               first_value(day_value IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+               first_value(CASE WHEN day_value IS NOT NULL THEN day END
+                 IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+        FROM j)
+      SELECT user_id, day,
+             CASE WHEN day_value IS NOT NULL THEN day_value
+                  ELSE pv + (nv - pv) *
+                       (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS BIGINT)) END
+               AS value_interp,
+             day_value IS NULL AS is_gap
+      FROM a
+    """),
+    (s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(round(sum(col("value")), 2).as("day_value"))
+      val spine = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val back = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val obsDay = when(col("day_value").isNotNull, col("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(back).as("pv"),
+          last(obsDay, ignoreNulls = true).over(back).as("pd"),
+          first(col("day_value"), ignoreNulls = true).over(fwd).as("nv"),
+          first(obsDay, ignoreNulls = true).over(fwd).as("nd"))
+        .select(col("user_id"), col("day"),
+          when(col("day_value").isNotNull, col("day_value"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("long")))
+            .as("value_interp"),
+          col("day_value").isNull.as("is_gap"))
+    })
+
   /** Interval (range) join via time-bucketing — the join family Spark
     * has no native strategy for: a raw `ts BETWEEN t_start AND t_end`
     * condition plans as a nested-loop join (every event against every
@@ -1023,5 +1102,5 @@ object Temporal {
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
     q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats,
-    q66InterarrivalStats, q69RecursiveReachability)
+    q66InterarrivalStats, q69RecursiveReachability, q73ResampleInterpolate)
 }
