@@ -420,8 +420,10 @@ object LakeQ {
     (s, dir) => {
       val dest = java.nio.file.Files
         .createTempDirectory("graft_zorder").toString + "/orders_z"
-      graft.lake.Lake.zorderWrite(Tables(s, dir, "orders"), dest,
-        "o_custkey", "o_totalprice", numFiles = 16)
+      graft.lake.Lake.zorderWrite(
+        Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+        dest, "o_custkey", "o_totalprice", numFiles = 16)
       s.read.parquet(dest)
         .filter(col("o_custkey") <= 500 && col("o_totalprice") <= 150000)
         .groupBy(col("o_orderstatus"))
