@@ -489,6 +489,160 @@ object Retrieval {
     (s, dir) => pmiCollocations(
       Tables(s, dir, "documents").select(col("text"))))
 
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein 1998)
+    * — DIVERSIFIED top-k selection over a per-query candidate pool:
+    * greedily pick argmax of λ·relevance − (1−λ)·max-similarity-to-
+    * already-selected, so a pool full of near-duplicates yields k
+    * DISTINCT results instead of k copies (the retrieval-side face of
+    * the dedup family: s01/s09 rank, d07 dedups, MMR does both at
+    * selection time).
+    *
+    * `candidates` is (qid, vec_id, rel, embedding) — a per-query pool
+    * from any retriever (s02's kNN, s09's BM25 fused by s10). The loop
+    * is the Pregel shape: k DISTRIBUTED rounds, each one bounded join
+    * (remaining × selected, both per-query-pool-sized — NEVER
+    * corpus-sized) + a rank-limit argmax per query; lineage cut per
+    * round. k and the pool bound are what make this scale-free: work is
+    * O(queries · pool · k), independent of corpus size.
+    *
+    * Determinism contract: `rel` must arrive rounded (round@6, the
+    * s01/s02 parity) and pairwise sims are rounded@6 the same way; the
+    * score is then two IEEE multiplies + a subtract of identical
+    * doubles on any engine, and the argmax tiebreaks by vec_id — fully
+    * replayable, which is how the DuckDB oracle can UNROLL the greedy
+    * loop (the d46/d35 unrolled-iteration pattern).
+    *
+    * Output: (qid, step, vec_id, score), step 1..k selection order. */
+  def mmrRerank(candidates: DataFrame, k: Int, lambda: Double): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(lambda >= 0.0 && lambda <= 1.0, "lambda must be in [0,1]")
+    val cols = Seq("qid", "vec_id", "rel", "embedding")
+    require(cols.forall(candidates.columns.contains),
+      s"candidates must carry ${cols.mkString(", ")}")
+    var remaining = candidates.select(cols.map(col): _*).localCheckpoint(false)
+    var selected: DataFrame = null
+    var out: DataFrame = null
+    for (step <- 1 to k) {
+      val maxSim =
+        if (selected == null)
+          remaining.withColumn("__max_sim", lit(0.0))
+        else {
+          val sims = remaining.alias("r")
+            .join(selected.alias("s"), col("r.qid") === col("s.qid"))
+            .groupBy(col("r.qid").as("qid"), col("r.vec_id").as("vec_id"))
+            .agg(max(round(Similarity.cosine(col("r.embedding"),
+              col("s.embedding")), 6)).as("__ms"))
+          remaining.join(sims, Seq("qid", "vec_id"), "left")
+            .withColumn("__max_sim", coalesce(col("__ms"), lit(0.0)))
+            .drop("__ms")
+        }
+      val scored = maxSim.withColumn("score",
+        col("rel") * lambda - col("__max_sim") * (1.0 - lambda))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("vec_id").asc)
+      val pick = scored.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .drop("__rn", "__max_sim")
+        .withColumn("step", lit(step))
+        .localCheckpoint(false)
+      selected =
+        if (selected == null) pick else selected.unionByName(pick)
+      val stepOut = pick.select(col("qid"), col("step"), col("vec_id"),
+        col("score"))
+      out = if (out == null) stepOut else out.unionByName(stepOut)
+      remaining = remaining.join(
+        pick.select(col("qid"), col("vec_id")), Seq("qid", "vec_id"),
+        "left_anti").localCheckpoint(false)
+    }
+    out
+  }
+
+  /** s15 — MMR over per-query cosine-kNN pools: 10 query vectors, 20
+    * candidates each, 3 diversified picks at λ = 0.7. The oracle
+    * unrolls the greedy loop. */
+  val s15MmrRerank: Q = Q(
+    "s15_mmr_rerank",
+    Some("""
+      WITH cand AS (
+        SELECT qid, vec_id, rel, e FROM (
+          SELECT q.vec_id AS qid, e.vec_id,
+                 round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                       CAST(q.embedding AS DOUBLE[])), 6) AS rel,
+                 e.embedding AS e,
+                 row_number() OVER (PARTITION BY q.vec_id
+                   ORDER BY round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                            CAST(q.embedding AS DOUBLE[])), 6) DESC,
+                            e.vec_id ASC) AS rk
+          FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+          WHERE q.vec_id < 10) x
+        WHERE rk <= 20),
+      s1 AS (
+        SELECT qid, vec_id, rel, e,
+               rel * CAST(0.7 AS DOUBLE) - CAST(0.0 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) AS score
+        FROM (
+          SELECT qid, vec_id, rel, e, row_number() OVER (PARTITION BY qid
+                   ORDER BY rel * CAST(0.7 AS DOUBLE) DESC, vec_id ASC) AS rn
+          FROM cand) y
+        WHERE rn = 1),
+      r1 AS (SELECT c.qid, c.vec_id, c.rel, c.e FROM cand c
+             LEFT JOIN s1 ON s1.qid = c.qid AND s1.vec_id = c.vec_id
+             WHERE s1.qid IS NULL),
+      sc2 AS (
+        SELECT r.qid, r.vec_id, r.rel, r.e,
+               round(list_cosine_similarity(CAST(r.e AS DOUBLE[]),
+                     CAST(s1.e AS DOUBLE[])), 6) AS ms
+        FROM r1 r JOIN s1 ON s1.qid = r.qid),
+      s2 AS (
+        SELECT qid, vec_id, rel, e,
+               rel * CAST(0.7 AS DOUBLE) - ms * (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) AS score
+        FROM (
+          SELECT qid, vec_id, rel, e, ms, row_number() OVER (PARTITION BY qid
+                   ORDER BY rel * CAST(0.7 AS DOUBLE) - ms * (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) DESC,
+                            vec_id ASC) AS rn
+          FROM sc2) y
+        WHERE rn = 1),
+      r2 AS (SELECT r.qid, r.vec_id, r.rel, r.e FROM r1 r
+             LEFT JOIN s2 ON s2.qid = r.qid AND s2.vec_id = r.vec_id
+             WHERE s2.qid IS NULL),
+      sc3 AS (
+        SELECT r.qid, r.vec_id, r.rel, r.e,
+               greatest(
+                 round(list_cosine_similarity(CAST(r.e AS DOUBLE[]),
+                       CAST(s1.e AS DOUBLE[])), 6),
+                 round(list_cosine_similarity(CAST(r.e AS DOUBLE[]),
+                       CAST(s2.e AS DOUBLE[])), 6)) AS ms
+        FROM r2 r
+        JOIN s1 ON s1.qid = r.qid
+        JOIN s2 ON s2.qid = r.qid),
+      s3 AS (
+        SELECT qid, vec_id, rel, e,
+               rel * CAST(0.7 AS DOUBLE) - ms * (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) AS score
+        FROM (
+          SELECT qid, vec_id, rel, e, ms, row_number() OVER (PARTITION BY qid
+                   ORDER BY rel * CAST(0.7 AS DOUBLE) - ms * (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE)) DESC,
+                            vec_id ASC) AS rn
+          FROM sc3) y
+        WHERE rn = 1)
+      SELECT qid, 1 AS step, vec_id, score FROM s1
+      UNION ALL SELECT qid, 2, vec_id, score FROM s2
+      UNION ALL SELECT qid, 3, vec_id, score FROM s3
+    """),
+    (s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rel").desc, col("vec_id").asc)
+      val pool = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          round(Similarity.cosine(col("embedding"), col("qe")), 6).as("rel"),
+          col("embedding"))
+        .withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= 20).drop("__rk")
+      mmrRerank(pool, k = 3, lambda = 0.7)
+    })
+
   val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, d43TfidfKeywords,
-    d60PmiCollocations)
+    d60PmiCollocations, s15MmrRerank)
 }

@@ -194,4 +194,69 @@ class RetrievalSpec extends SparkSpec {
     assert(ranked.head === (("san", "francisco")),
       s"bound phrase must rank first: ${ranked.toSeq}")
   }
+
+  // ---- MMR diversified re-ranking --------------------------------------
+
+  private val mmrSchema = StructType(Seq(
+    StructField("qid", LongType), StructField("vec_id", LongType),
+    StructField("rel", DoubleType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  private def mmrPool(rows: (Long, Long, Double, Seq[Float])*) =
+    LocalTable.of(spark, mmrSchema,
+      rows.map { case (q, v, r, e) => Row(q, v, r, e) })
+
+  test("mmrRerank: diversity beats relevance — the near-duplicate is skipped") {
+    // A (rel .99) and B (rel .98) are identical directions; C (rel .5)
+    // is orthogonal. Step 1 takes A; step 2 must take C, because B's
+    // redundancy penalty (max-sim 1.0) sinks it below C at lambda 0.5.
+    val pool = mmrPool(
+      (1L, 10L, 0.99, Seq(1f, 0f)),
+      (1L, 11L, 0.98, Seq(1f, 0f)),
+      (1L, 12L, 0.5, Seq(0f, 1f)))
+    val got = Retrieval.mmrRerank(pool, k = 2, lambda = 0.5)
+      .orderBy("step").collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(got === Seq((1, 10L), (2, 12L)))
+  }
+
+  test("mmrRerank: lambda 1 degrades to pure relevance order") {
+    val pool = mmrPool(
+      (1L, 10L, 0.9, Seq(1f, 0f)),
+      (1L, 11L, 0.8, Seq(1f, 0f)),
+      (1L, 12L, 0.7, Seq(0f, 1f)))
+    val got = Retrieval.mmrRerank(pool, k = 3, lambda = 1.0)
+      .orderBy("step").collect().map(_.getLong(2)).toSeq
+    assert(got === Seq(10L, 11L, 12L))
+  }
+
+  test("mmrRerank: per-query isolation and vec_id tiebreak") {
+    val pool = mmrPool(
+      (1L, 20L, 0.9, Seq(1f, 0f)), (1L, 21L, 0.9, Seq(0f, 1f)), // tie -> 20
+      (2L, 30L, 0.4, Seq(1f, 0f)))
+    val got = Retrieval.mmrRerank(pool, k = 1, lambda = 0.7)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 20L, 2L -> 30L))
+  }
+
+  test("mmrRerank: k beyond the pool emits the whole pool once; arg guards") {
+    val pool = mmrPool((1L, 10L, 0.9, Seq(1f, 0f)), (1L, 11L, 0.5, Seq(0f, 1f)))
+    val got = Retrieval.mmrRerank(pool, k = 5, lambda = 0.7).collect()
+    // steps 3..5 have an empty remaining set -> no rows, no failure
+    assert(got.map(_.getLong(2)).toSet === Set(10L, 11L))
+    assert(got.length === 2)
+    intercept[IllegalArgumentException](Retrieval.mmrRerank(pool, 0, 0.5))
+    intercept[IllegalArgumentException](Retrieval.mmrRerank(pool, 1, 1.5))
+    intercept[IllegalArgumentException](
+      Retrieval.mmrRerank(pool.drop("embedding"), 1, 0.5))
+  }
+
+  test("mmrRerank: deterministic under repartitioning") {
+    val pool = mmrPool((1 to 12).map(i =>
+      (1L, i.toLong, 1.0 - i * 0.05, Seq(math.cos(i * 0.5).toFloat,
+        math.sin(i * 0.5).toFloat))): _*)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Retrieval.mmrRerank(df, k = 4, lambda = 0.6)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(run(pool) === run(pool.repartition(7)))
+  }
 }
