@@ -294,5 +294,76 @@ object Graph {
     (s, dir) => triangleCounts(
       copurchaseEdges(Tables(s, dir, "lineitem"), sampleMod = 20)))
 
-  val all: Seq[Q] = Seq(d46PageRank, d53LabelPropagation, d62TriangleCounts)
+  /** Market-basket association rules (support / confidence / lift) —
+    * the co-occurrence analytics verb next to [[triangleCounts]]'
+    * structure and d60's text-side PMI: for every part pair sharing a
+    * basket (order) at least `minPairCount` times, confidence
+    * P(b|a) = c_ab/c_a and lift c_ab·N/(c_a·c_b).
+    *
+    * Scale shape: baskets collapse to DISTINCT (order, item) rows once;
+    * pair expansion happens inside the per-order aggregate (basket
+    * sizes are small and bounded — never an item-table self-join); item
+    * and pair counts are partial-aggregatable; the final ranking is a
+    * TakeOrdered, not a global sort. Confidence and lift are single
+    * IEEE divisions of exact counts — bit-identical cross-engine, no
+    * rounding anywhere. */
+  def associationRules(lineitem: DataFrame, minPairCount: Long,
+      topK: Int): DataFrame = {
+    require(minPairCount >= 1 && topK >= 1, "minPairCount and topK must be positive")
+    val baskets = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val n = baskets.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n"))
+    val itemCounts = baskets.groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("c_item"))
+    val pairCounts = baskets
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
+      .filter(size(col("ps")) >= 2)
+      .select(explode(flatten(transform(col("ps"), (x, i) =>
+        transform(slice(col("ps"), i + 2, size(col("ps"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minPairCount)
+    pairCounts
+      .join(itemCounts.select(col("l_partkey").as("a"), col("c_item").as("c_a")), Seq("a"))
+      .join(itemCounts.select(col("l_partkey").as("b"), col("c_item").as("c_b")), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("c_ab"),
+        (col("c_ab").cast("double") / col("c_a")).as("confidence"),
+        (col("c_ab").cast("double") * col("n") / (col("c_a") * col("c_b")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("a").asc, col("b").asc)
+      .limit(topK)
+  }
+
+  /** q75 — top-20 co-purchase rules by lift over the full lineitem. */
+  val q75AssociationRules: Q = Q(
+    "q75_association_rules",
+    Some("""
+      WITH bk AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      nn AS (SELECT count(DISTINCT l_orderkey) AS n FROM bk),
+      ic AS (SELECT l_partkey, count(*) AS c FROM bk GROUP BY 1),
+      pc AS (
+        SELECT x.l_partkey AS a, y.l_partkey AS b, count(*) AS c_ab
+        FROM bk x JOIN bk y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+        GROUP BY 1, 2)
+      SELECT a, b, c_ab,
+             CAST(c_ab AS DOUBLE) / ia.c AS confidence,
+             CAST(c_ab AS DOUBLE) * nn.n / (ia.c * ib.c) AS lift
+      FROM pc
+      JOIN ic ia ON ia.l_partkey = pc.a
+      JOIN ic ib ON ib.l_partkey = pc.b
+      CROSS JOIN nn
+      WHERE c_ab >= 2
+      ORDER BY lift DESC, a ASC, b ASC
+      LIMIT 20
+    """),
+    (s, dir) => associationRules(Tables(s, dir, "lineitem"),
+      minPairCount = 2, topK = 20))
+
+  val all: Seq[Q] = Seq(d46PageRank, d53LabelPropagation, d62TriangleCounts,
+    q75AssociationRules)
 }

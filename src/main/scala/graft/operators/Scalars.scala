@@ -316,7 +316,69 @@ object Scalars {
           sum(when(col("missing").isNull, 1L).otherwise(0L)).as("n_missing_null"))
     })
 
+  /** Welch two-sample t-test per event type — the experimentation
+    * primitive (A/B assignment by the d11 salted-hash split, so both
+    * engines replay the arms): t = (x̄_a − x̄_b)/√(s²_a/n_a + s²_b/n_b)
+    * and the Welch–Satterthwaite dof, all derived from single-pass
+    * partial moment sums (n, Σv, Σv²) — the only corpus-sized work is
+    * one map-side-combining aggregate per arm; the t arithmetic runs on
+    * six numbers per group. Means/variances come from integer-free but
+    * order-dependent float sums → round@6 on both sides before the
+    * final arithmetic, then floor@6 the emitted statistics. */
+  val q74AbTtest: Q = Q(
+    "q74_ab_ttest",
+    Some("""
+      WITH armed AS (
+        SELECT event_type, value,
+               CASE WHEN CAST(concat('0x', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events),
+      m AS (
+        SELECT event_type, arm, count(*) AS n,
+               round(avg(value), 6) AS mean,
+               round(var_samp(value), 6) AS var
+        FROM armed GROUP BY 1, 2),
+      wide AS (
+        SELECT a.event_type,
+               a.n AS n_a, b.n AS n_b, a.mean AS mean_a, b.mean AS mean_b,
+               a.var / a.n AS sa, b.var / b.n AS sb
+        FROM m a JOIN m b USING (event_type)
+        WHERE a.arm = 'a' AND b.arm = 'b')
+      SELECT event_type, n_a, n_b, mean_a, mean_b,
+             floor((mean_a - mean_b) / sqrt(sa + sb) * 1e6 + 0.5) / 1e6
+               AS t_stat,
+             floor((sa + sb) * (sa + sb) /
+               (sa * sa / (n_a - 1) + sb * sb / (n_b - 1)) * 1e6 + 0.5) / 1e6
+               AS welch_dof
+      FROM wide
+    """),
+    (s, dir) => {
+      val ev = graft.Tables(s, dir, "events")
+        .select(col("event_type"), col("value"),
+          when(conv(substring(md5(concat(lit("ab:"),
+            col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+            % 2 === 0, "a").otherwise("b").as("arm"))
+      val m = ev.groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("mean"),
+          round(var_samp(col("value")), 6).as("var"))
+      val a = m.filter(col("arm") === "a").select(col("event_type"),
+        col("n").as("n_a"), col("mean").as("mean_a"), col("var").as("var_a"))
+      val b = m.filter(col("arm") === "b").select(col("event_type"),
+        col("n").as("n_b"), col("mean").as("mean_b"), col("var").as("var_b"))
+      val sa = col("var_a") / col("n_a")
+      val sb = col("var_b") / col("n_b")
+      val se2 = sa + sb
+      a.join(b, Seq("event_type"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          col("mean_a"), col("mean_b"),
+          (floor((col("mean_a") - col("mean_b")) / sqrt(se2) * 1e6 + 0.5) / 1e6)
+            .as("t_stat"),
+          (floor(se2 * se2 / (sa * sa / (col("n_a") - 1) +
+            sb * sb / (col("n_b") - 1)) * 1e6 + 0.5) / 1e6).as("welch_dof"))
+    })
+
   val all: Seq[Q] = Seq(q67Histogram, q70EquidepthHistogram, q71VariantJson,
+    q74AbTtest,
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
     q40ApproxSketches, q42HllMergeable)
 }
