@@ -377,8 +377,56 @@ object Scalars {
             sb * sb / (col("n_b") - 1)) * 1e6 + 0.5) / 1e6).as("welch_dof"))
     })
 
+  /** Chi-square independence cells for the event_type × A/B-arm
+    * contingency table (q74's categorical sibling): per cell the
+    * observed count, the independence-expected count
+    * row_total·col_total/N, and the (o−e)²/e contribution. Cells are
+    * emitted UNSUMMED — each contribution is a fixed chain of IEEE ops
+    * over exact integers (bit-identical cross-engine, no rounding),
+    * where a summed statistic would inherit summation-order ulps; the
+    * caller folds Σ contrib against a χ² table with (R−1)(C−1) dof.
+    * One partial-aggregatable count per cell; everything after is
+    * cells-sized. */
+  val q76ChiSquareCells: Q = Q(
+    "q76_chi_square_cells",
+    Some("""
+      WITH armed AS (
+        SELECT event_type,
+               CASE WHEN CAST(concat('0x', substr(md5('ab:' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+                    THEN 'a' ELSE 'b' END AS arm
+        FROM events),
+      cells AS (SELECT event_type, arm, count(*) AS o FROM armed GROUP BY 1, 2),
+      rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r_tot FROM cells GROUP BY 1),
+      ct AS (SELECT arm, CAST(sum(o) AS BIGINT) AS c_tot FROM cells GROUP BY 1),
+      nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells)
+      SELECT c.event_type, c.arm, c.o,
+             CAST(rt.r_tot AS DOUBLE) * ct.c_tot / nn.n AS e,
+             (c.o - CAST(rt.r_tot AS DOUBLE) * ct.c_tot / nn.n)
+               * (c.o - CAST(rt.r_tot AS DOUBLE) * ct.c_tot / nn.n)
+               / (CAST(rt.r_tot AS DOUBLE) * ct.c_tot / nn.n) AS contrib
+      FROM cells c JOIN rt USING (event_type) JOIN ct USING (arm) CROSS JOIN nn
+    """),
+    (s, dir) => {
+      val cells = graft.Tables(s, dir, "events")
+        .select(col("event_type"),
+          when(conv(substring(md5(concat(lit("ab:"),
+            col("event_id").cast("string"))), 1, 15), 16, 10).cast("long")
+            % 2 === 0, "a").otherwise("b").as("arm"))
+        .groupBy(col("event_type"), col("arm"))
+        .agg(count(lit(1)).as("o"))
+      val rt = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r_tot"))
+      val ct = cells.groupBy(col("arm")).agg(sum(col("o")).as("c_tot"))
+      val nn = cells.agg(sum(col("o")).as("n"))
+      val e = col("r_tot").cast("double") * col("c_tot") / col("n")
+      cells.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("arm"))
+        .crossJoin(broadcast(nn))
+        .select(col("event_type"), col("arm"), col("o"), e.as("e"),
+          ((col("o") - e) * (col("o") - e) / e).as("contrib"))
+    })
+
   val all: Seq[Q] = Seq(q67Histogram, q70EquidepthHistogram, q71VariantJson,
-    q74AbTtest,
+    q74AbTtest, q76ChiSquareCells,
     q16MultiformatDates, q17BrlRoundtrip, q21SummaryStats, q22DistinctCounts,
     q40ApproxSketches, q42HllMergeable)
 }

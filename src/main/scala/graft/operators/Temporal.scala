@@ -525,6 +525,47 @@ object Temporal {
           col("day_value").isNull.as("is_gap"))
     })
 
+  /** Gaps-and-islands: per-user consecutive-day activity STREAKS — the
+    * classic islands decomposition (day_number − per-user row_number is
+    * constant within an island), the engagement metric behind "7-day
+    * streak" product features and churn screens. Distinct (user, day)
+    * first (one exchange), a per-user row_number window on the same
+    * key, then islands collapse to one row each — output is
+    * streak-count-sized, all arithmetic integer/date. Emits each user's
+    * longest streak, streak count and total active days. */
+  val q77Streaks: Q = Q(
+    "q77_streaks",
+    Some("""
+      WITH days AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      isl AS (
+        SELECT user_id, day,
+               CAST(day AS DATE) - CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+        FROM days),
+      streaks AS (
+        SELECT user_id, grp, count(*) AS len
+        FROM isl GROUP BY 1, 2)
+      SELECT user_id,
+             max(len) AS longest_streak,
+             count(*) AS n_streaks,
+             CAST(sum(len) AS BIGINT) AS active_days
+      FROM streaks GROUP BY 1
+    """),
+    (s, dir) => {
+      val days = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val streaks = days
+        .withColumn("grp", date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+      streaks.groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("active_days"))
+    })
+
   /** Interval (range) join via time-bucketing — the join family Spark
     * has no native strategy for: a raw `ts BETWEEN t_start AND t_end`
     * condition plans as a nested-loop join (every event against every
@@ -1102,5 +1143,6 @@ object Temporal {
     q52FunnelDropoff, q53EventTransitions, q54TopPaths,
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
     q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats,
-    q66InterarrivalStats, q69RecursiveReachability, q73ResampleInterpolate)
+    q66InterarrivalStats, q69RecursiveReachability, q73ResampleInterpolate,
+    q77Streaks)
 }
