@@ -42,6 +42,9 @@ SPECS = {
              user_id + k.k * 10000000 AS user_id,
              event_type, value, props
       FROM '{src}/events.parquet', range(10) AS k(k)""",
+    "embeddings": """
+      SELECT vec_id + k.k * 10000000 AS vec_id, embedding, label
+      FROM '{src}/embeddings.parquet', range(10) AS k(k)""",
 }
 
 for name, sql in SPECS.items():
