@@ -426,8 +426,16 @@ object DataQuality {
       bins: Int): DataFrame = {
     require(bins >= 2, "bins must be >= 2")
     val v = col(valueCol)
+    // materialized once (1 row): three consumers — the two bucketing
+    // scans and the spine — would each re-derive the aggregate (and its
+    // ref scan) otherwise; the cut also lets the empty-baseline guard
+    // below fail LOUDLY instead of the NULL bounds silently clamping
+    // every current row into the top bin (greatest/least skip NULLs)
     val bounds = ref.agg(min(v).as("lo"), max(v).as("hi"),
-      count(v).as("n_ref"))
+      count(v).as("n_ref")).localCheckpoint()
+    require(bounds.head().getAs[Long]("n_ref") > 0,
+      s"psiDrift: reference snapshot has no non-null $valueCol — " +
+        "a PSI against an empty baseline would report fake extreme drift")
     val nCur = cur.agg(count(v).as("n_cur"))
     val width = (col("hi") - col("lo")) / bins
     def bucketCounts(df: DataFrame, cName: String): DataFrame =
@@ -456,21 +464,24 @@ object DataQuality {
           .as("psi"))
   }
 
-  /** d61 — order-value distribution drift across the 1995 boundary:
-    * pre-1995 orders freeze the baseline bins, the rest of the corpus is
-    * the current snapshot. TPC-H prices are stationary by construction,
-    * so the gate's real work is proving the bin algebra, the smoothing
-    * and the clamped edge bins match an independent engine exactly —
-    * DataQualitySpec carries the planted-drift cases. */
+  /** d61 — order-value distribution drift across the 1998 boundary
+    * (the corpus' o_orderdate span is 1995-01-01..2001-08-01, so the
+    * cutoff splits it ~45/55 — an earlier draft used 1995 and silently
+    * selected an EMPTY baseline, which is exactly the failure mode the
+    * operator's n_ref guard now rejects). Prices are stationary by
+    * construction, so the gate's real work is proving the bin algebra,
+    * the smoothing and the clamped edge bins match an independent
+    * engine exactly — DataQualitySpec carries the planted-drift
+    * cases. */
   val d61PsiDrift: Q = Q(
     "d61_psi_drift",
     Some("""
       WITH ref AS (
         SELECT o_totalprice AS v FROM orders
-        WHERE o_orderdate < TIMESTAMP '1995-01-01'),
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'),
       cur AS (
         SELECT o_totalprice AS v FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1995-01-01'),
+        WHERE o_orderdate >= TIMESTAMP '1998-01-01'),
       bounds AS (SELECT min(v) AS lo, max(v) AS hi,
                         count(*) AS n_ref FROM ref),
       nc AS (SELECT count(*) AS n_cur FROM cur),
@@ -504,7 +515,7 @@ object DataQuality {
     """),
     (s, dir) => {
       val orders = Tables(s, dir, "orders")
-      val cutoff = to_timestamp(lit("1995-01-01"))
+      val cutoff = to_timestamp(lit("1998-01-01"))
       psiDrift(
         orders.filter(col("o_orderdate") < cutoff),
         orders.filter(col("o_orderdate") >= cutoff),

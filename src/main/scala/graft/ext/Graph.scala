@@ -242,6 +242,16 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
   }
 
+  /** Ordered-pair expansion of a sorted array column: all (ps[i], ps[j])
+    * with i < j, as structs named (`aName`, `bName`). The slice offset is
+    * i + 2 because Catalyst's transform index is 0-based while slice
+    * positions are 1-based — a subtlety that must live in exactly one
+    * place. Shared by [[copurchaseEdges]] and [[associationRules]]. */
+  private def orderedPairs(ps: Column, aName: String, bName: String): Column =
+    explode(flatten(transform(ps, (x, i) =>
+      transform(slice(ps, i + 2, size(ps)),
+        y => struct(x.as(aName), y.as(bName))))))
+
   /** The co-purchase graph: parts appearing together in an order, over a
     * deterministic orderkey sample (both engines replay `% mod`). Pair
     * expansion happens INSIDE a per-order aggregate (orders carry ≤ 7
@@ -252,9 +262,7 @@ object Graph {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(array_distinct(collect_list(col("l_partkey")))).as("ps"))
       .filter(size(col("ps")) >= 2)
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))),
-          y => struct(x.as("src"), y.as("dst")))))).as("p"))
+      .select(orderedPairs(col("ps"), "src", "dst").as("p"))
       .select(col("p.src"), col("p.dst"))
       .distinct()
 
@@ -310,8 +318,13 @@ object Graph {
   def associationRules(lineitem: DataFrame, minPairCount: Long,
       topK: Int): DataFrame = {
     require(minPairCount >= 1 && topK >= 1, "minPairCount and topK must be positive")
+    // lazy shared-RDD cut: three consumers (basket count, item counts,
+    // pair counts) would each re-run the corpus scan + distinct shuffle
+    // otherwise — the triangleCounts/minhashNearDupPairs lesson (AQE
+    // re-prunes each copy; ReusedExchange does not survive it)
     val baskets = lineitem
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .localCheckpoint(false)
     val n = baskets.select(col("l_orderkey")).distinct()
       .agg(count(lit(1)).as("n"))
     val itemCounts = baskets.groupBy(col("l_partkey"))
@@ -320,9 +333,7 @@ object Graph {
       .groupBy(col("l_orderkey"))
       .agg(sort_array(collect_list(col("l_partkey"))).as("ps"))
       .filter(size(col("ps")) >= 2)
-      .select(explode(flatten(transform(col("ps"), (x, i) =>
-        transform(slice(col("ps"), i + 2, size(col("ps"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(orderedPairs(col("ps"), "a", "b").as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minPairCount)

@@ -187,6 +187,18 @@ class DataQualitySpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(1) > 0.0 && r.getDouble(2) > 0.0))
   }
 
+  test("psiDrift: an empty reference baseline fails loudly, not as fake drift") {
+    val ex = intercept[IllegalArgumentException] {
+      DataQuality.psiDrift(vals(), vals(1.0, 2.0), "x", 4)
+    }
+    assert(ex.getMessage.contains("empty baseline"))
+    // all-NULL reference is the same failure
+    val allNull = LocalTable.of(spark, vSchema, Seq(Row(null), Row(null)))
+    intercept[IllegalArgumentException] {
+      DataQuality.psiDrift(allNull, vals(1.0), "x", 4)
+    }
+  }
+
   test("psiDrift: NULL values are excluded from both sides") {
     val d = LocalTable.of(spark, vSchema,
       Seq(Row(1.0), Row(3.0), Row(null)))
