@@ -187,6 +187,40 @@ class DataQualitySpec extends SparkSpec {
     assert(got.forall(r => r.getDouble(1) > 0.0 && r.getDouble(2) > 0.0))
   }
 
+  test("persisted sketch artifacts: profile + KMV survive a parquet round-trip and merge") {
+    import org.apache.spark.sql.functions._
+    import graft.plans.KmvAgg
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val d = LocalTable.of(spark, schema,
+      (1L to 40L).map(i => Row(s"k${i % 11}", i)))
+    val base = java.nio.file.Files.createTempDirectory("graft_sketch").toString
+    // day-1 and day-2 profile artifacts persisted as parquet tables (the
+    // d56 maintenance posture THROUGH the artifact table, not in-memory)
+    DataQuality.profileSketch(d.filter(col("v") <= 20))
+      .write.parquet(s"$base/p1")
+    DataQuality.profileSketch(d.filter(col("v") > 20))
+      .write.parquet(s"$base/p2")
+    val merged = DataQuality.finalizeProfile(DataQuality.mergeProfileSketches(
+      spark.read.parquet(s"$base/p1"), spark.read.parquet(s"$base/p2")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(merged("k") === 11L, s"persisted+merged distinct estimate: $merged")
+    assert(merged("v") === 40L)
+    // KMV artifact: persisted per-half sketches merge to the whole's sketch
+    d.filter(col("v") <= 20)
+      .agg(KmvAgg.kmvSketch(col("k"), 64).as("sk")).write.parquet(s"$base/k1")
+    d.filter(col("v") > 20)
+      .agg(KmvAgg.kmvSketch(col("k"), 64).as("sk")).write.parquet(s"$base/k2")
+    val a = spark.read.parquet(s"$base/k1").collect().head.getSeq[Long](0)
+    val b = spark.read.parquet(s"$base/k2").collect().head.getSeq[Long](0)
+    val whole = d.agg(KmvAgg.kmvSketch(col("k"), 64).as("sk"))
+      .collect().head.getSeq[Long](0)
+    val mergedSk = d.limit(1).select(KmvAgg.kmvMerge(
+      typedLit(a), typedLit(b), 64).as("m")).collect().head.getSeq[Long](0)
+    assert(mergedSk === whole)
+    assert(whole.length === 11)
+  }
+
   test("psiDrift: an empty reference baseline fails loudly, not as fake drift") {
     val ex = intercept[IllegalArgumentException] {
       DataQuality.psiDrift(vals(), vals(1.0, 2.0), "x", 4)
