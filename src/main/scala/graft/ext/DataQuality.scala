@@ -522,6 +522,49 @@ object DataQuality {
         "o_totalprice", bins = 10)
     })
 
+  /** Per-group quantile profile through the mergeable sketch
+    * ([[graft.plans.QuantileSketchAgg]] — the deterministic MRL/KLL
+    * ladder completing the sketch trio: Misra-Gries frequencies, KMV
+    * cardinality, now quantiles). The corpus collapses map-side to
+    * ≤ capacity·levels doubles per partition; every estimator below the
+    * aggregate is artifact-sized. Capacity 32768 covers the largest gate
+    * group (30,076 rows at sf0.1), so every quantile runs in the sketch's
+    * provably-exact regime and the oracle is the plain discrete-quantile
+    * rank rule; SketchSpec pins the compaction-regime rank bound, the
+    * merge algebra, and the artifact-rollup aggregate. Values pass
+    * through the sketch UNTOUCHED (no arithmetic), so the gate emits raw
+    * doubles — the only computed numbers are integer target ranks, with
+    * q·n forced to DOUBLE on the oracle side (a bare 0.25 literal is
+    * DECIMAL in DuckDB and its exact arithmetic diverges from IEEE at
+    * integer boundaries). */
+  val d64QuantileProfile: Q = Q(
+    "d64_quantile_profile",
+    Some("""
+      WITH r AS (
+        SELECT o_orderpriority AS pri, o_totalprice AS v,
+               row_number() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY o_totalprice) AS rn,
+               count(*) OVER (PARTITION BY o_orderpriority) AS n
+        FROM orders)
+      SELECT pri, max(n) AS n_rows,
+             min(CASE WHEN rn >= ceil(CAST(0.25 AS DOUBLE) * n) THEN v END) AS p25,
+             min(CASE WHEN rn >= ceil(CAST(0.50 AS DOUBLE) * n) THEN v END) AS p50,
+             min(CASE WHEN rn >= ceil(CAST(0.75 AS DOUBLE) * n) THEN v END) AS p75,
+             min(CASE WHEN rn >= ceil(CAST(0.95 AS DOUBLE) * n) THEN v END) AS p95
+      FROM r GROUP BY 1
+    """),
+    (s, dir) => {
+      import graft.plans.QuantileSketchOps._
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri"))
+        .agg(quantileSketch(col("o_totalprice"), 32768).as("sk"))
+        .select(col("pri"), qskTotal(col("sk")).as("n_rows"),
+          qskQuantile(col("sk"), 0.25).as("p25"),
+          qskQuantile(col("sk"), 0.50).as("p50"),
+          qskQuantile(col("sk"), 0.75).as("p75"),
+          qskQuantile(col("sk"), 0.95).as("p95"))
+    })
+
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
-    d55ConstraintAudit, d56MergeableProfile, d61PsiDrift)
+    d55ConstraintAudit, d56MergeableProfile, d61PsiDrift, d64QuantileProfile)
 }

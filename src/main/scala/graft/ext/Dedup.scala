@@ -1766,9 +1766,74 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       k = 4, w = 4))
 
+  /** Cross-split leakage report: near-dup `pairs` (doc_a, doc_b, ...)
+    * whose endpoints landed in DIFFERENT splits of `splits` (doc_id,
+    * split) — the evaluation-integrity check d12's exact-prefix
+    * decontamination cannot make: a paraphrased test document leaks
+    * into train at Jaccard 0.4 with a different prefix, and every
+    * benchmark number trained on it is quietly inflated. Two equi-joins
+    * of the O(duplicate rate) pair list against the (small, id→split)
+    * assignment — never a corpus-sized shuffle; composes with ANY pair
+    * generator (d06 blocked exact, d07 LSH, d08 simhash, d18 probe). */
+  def crossSplitLeakage(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")),
+        Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")),
+        Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+
+  /** d65 — near-dup leakage across the d11 train/val/test assignment,
+    * pairs from the d06 deterministic prefix-blocked exact-Jaccard
+    * miner (linear oracle at every gate scale, unlike the d07 wide-band
+    * oracle). Detail rows, not counts: a leakage report's consumer is
+    * the scrub job that drops one endpoint of each pair. */
+  val d65SplitLeakage: Q = Q(
+    "d65_split_leakage",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      sp AS (
+        SELECT doc_id, blk, sh,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split
+        FROM s),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.split AS split_a, b.split AS split_b,
+               round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(a.sh || b.sh))
+                     ELSE 0.0 END, 4) AS jaccard
+        FROM sp a JOIN sp b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+      SELECT doc_a, doc_b, split_a, split_b, jaccard
+      FROM pairs
+      WHERE jaccard >= 0.35 AND split_a <> split_b
+    """),
+    (s, dir) => {
+      val pairs = d06NgramJaccardPairs.run(s, dir)
+      val splits = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .select(col("doc_id"),
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test").as("split"))
+      crossSplitLeakage(pairs, splits)
+    })
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
-    d49ContainmentPairs, d59Winnowing)
+    d49ContainmentPairs, d59Winnowing, d65SplitLeakage)
 }

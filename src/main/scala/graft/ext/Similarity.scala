@@ -1031,8 +1031,112 @@ object Similarity {
       hardNegatives(e, e.filter(col("vec_id") < 10), k = 5)
     })
 
+  /** Margin-based bitext/parallel-pair mining (Artetxe & Schwenk, ACL
+    * 2019 "Margin-based Parallel Corpus Mining"; the CCMatrix/LASER
+    * curation operator): absolute cosine is uncalibrated across corpus
+    * regions (hubness), so the mined score is the RATIO margin —
+    * cos(x,y) normalized by the mean cosine of each side's k nearest
+    * neighbors in the OTHER side:
+    *
+    *   margin(x,y) = cos(x,y) / (avgNNk(x)/2 + avgNNk(y)/2)
+    *
+    * A pair scores > 1 only when it beats both endpoints' neighborhood
+    * background — which is what separates true translation pairs from
+    * generic topical similarity. Forward mining: the best margin target
+    * per source, thresholded.
+    *
+    * Plan shape: the cross-scoring matrix is computed ONCE (broadcast
+    * the target side, one codegen'd cosine scan) and lazily
+    * lineage-cut, because THREE consumers read it — the source-side kNN
+    * average, the target-side kNN average, and the margin join — and
+    * under AQE each would otherwise re-derive the scan (the d07
+    * lesson). Both kNN averages are window-rank + group aggregates on
+    * their own key; the margin join broadcasts the two (side-sized)
+    * average tables back onto the matrix. At 100 TB the dense matrix is
+    * the oracle regime only — candidate generation swaps to the IVF
+    * probe (s05/s08's list-probe shape) with kNN averages taken over
+    * probed candidates; the margin algebra composes unchanged. */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int, tau: Double): DataFrame = {
+    require(k > 0, "k must be positive")
+    val scores = src
+      .select(col("vec_id").as("src_id"), col("embedding").as("__se"))
+      .crossJoin(broadcast(tgt.select(col("vec_id").as("tgt_id"),
+        col("embedding").as("__te"))))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosine(col("__se"), col("__te")), 6).as("cos_sim"))
+      .localCheckpoint(false)
+    def knnAvg(key: String, other: String, outCol: String): DataFrame = {
+      val w = Window.partitionBy(col(key))
+        .orderBy(col("cos_sim").desc, col(other).asc)
+      scores.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .groupBy(col(key))
+        .agg((floor(avg(col("cos_sim")) * 1e6 + 0.5) / 1e6).as(outCol))
+    }
+    val srcKnn = knnAvg("src_id", "tgt_id", "src_knn")
+    val tgtKnn = knnAvg("tgt_id", "src_id", "tgt_knn")
+    val denom = col("src_knn") / 2 + col("tgt_knn") / 2
+    val w = Window.partitionBy(col("src_id"))
+      .orderBy(col("margin").desc, col("tgt_id").asc)
+    scores
+      .join(broadcast(srcKnn), Seq("src_id"))
+      .join(broadcast(tgtKnn), Seq("tgt_id"))
+      .filter(denom > 0)
+      .withColumn("margin",
+        floor(col("cos_sim") / denom * 1e6 + 0.5) / 1e6)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1 && col("margin") >= tau)
+      .select(col("src_id"), col("tgt_id"), col("cos_sim"), col("margin"))
+  }
+
+  /** s16 — forward margin mining with the corpus split by vec_id parity
+    * into a pseudo-bilingual pair (even = source side, odd = target
+    * side), k = 4 neighborhood, ratio-margin threshold 1.02. Every
+    * number the oracle compares is either a round@6 cosine or a floor@6
+    * of a single IEEE division over floor'd operands — summation-order
+    * ulps are absorbed before every derived step. */
+  val s16BitextMargin: Q = Q(
+    "s16_bitext_margin",
+    Some("""
+      WITH a AS (SELECT vec_id AS src_id, embedding AS ae
+                 FROM embeddings WHERE vec_id % 2 = 0),
+      b AS (SELECT vec_id AS tgt_id, embedding AS be
+            FROM embeddings WHERE vec_id % 2 = 1),
+      s AS (SELECT src_id, tgt_id,
+              round(list_cosine_similarity(CAST(ae AS DOUBLE[]),
+                                           CAST(be AS DOUBLE[])), 6) AS cos_sim
+            FROM a CROSS JOIN b),
+      sa AS (SELECT src_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS src_knn
+             FROM (SELECT src_id, cos_sim,
+                     row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_sim DESC, tgt_id ASC) AS rk
+                   FROM s) WHERE rk <= 4 GROUP BY 1),
+      ta AS (SELECT tgt_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS tgt_knn
+             FROM (SELECT tgt_id, cos_sim,
+                     row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY cos_sim DESC, src_id ASC) AS rk
+                   FROM s) WHERE rk <= 4 GROUP BY 1),
+      m AS (SELECT s.src_id, s.tgt_id, s.cos_sim,
+              floor(s.cos_sim / (sa.src_knn / 2 + ta.tgt_knn / 2) * 1e6 + 0.5)
+                / 1e6 AS margin
+            FROM s JOIN sa ON sa.src_id = s.src_id
+                   JOIN ta ON ta.tgt_id = s.tgt_id
+            WHERE sa.src_knn / 2 + ta.tgt_knn / 2 > 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY margin DESC, tgt_id ASC) AS rk FROM m)
+      SELECT src_id, tgt_id, cos_sim, margin
+      FROM r WHERE rk = 1 AND margin >= 1.02
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      marginMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        k = 4, tau = 1.02)
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
-    s14HardNegatives)
+    s14HardNegatives, s16BitextMargin)
 }

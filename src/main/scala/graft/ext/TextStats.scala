@@ -25,6 +25,14 @@ object TextStats {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Unicode canonicalization (NFD → strip combining marks → NFC →
+    * ROOT-locale lowercase → collapse ASCII whitespace → trim) as the
+    * codegen'd kernel [[graft.plans.NormalizeTextExpr]] — the cleaning
+    * pass run before dedup/fingerprinting so 'Crème  Brûlée' and
+    * 'creme brulee' canonicalize identically. */
+  def normalizeText(c: Column): Column =
+    graft.plans.NormalizeTextExpr.normalizeText(c)
+
   /** Per-language stopword regexes for the n-gram language heuristic.
     * Deliberately tiny — the heuristic is argmax of hit counts with a
     * deterministic preference order on ties. */
@@ -2298,6 +2306,39 @@ object TextStats {
             .cast("long").as("inter_n"))
     })
 
+  /** d66 — unicode canonicalization parity with an independent engine:
+    * accents/case/whitespace are INJECTED deterministically (the corpus
+    * is lowercase single-spaced ASCII, so an un-injected gate would be
+    * vacuous), then the kernel's normalization must hash-match DuckDB's
+    * own nfc_normalize/strip_accents/lower/regexp chain per document.
+    * Pure exchange-free projection — the cleaning pass adds ZERO shuffle
+    * at any scale. */
+  val d66NormalizeText: Q = Q(
+    "d66_normalize_text",
+    Some("""
+      WITH inj AS (
+        SELECT doc_id,
+               upper(translate(regexp_replace(text, ' ', chr(9) || '  ', 'g'),
+                               'aeio', 'áéíó')) AS t
+        FROM documents),
+      n AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(strip_accents(nfc_normalize(t))),
+                                   '\s+', ' ', 'g')) AS nt
+        FROM inj)
+      SELECT doc_id, md5(nt) AS norm_md5,
+             CAST(length(nt) AS BIGINT) AS n_norm_chars
+      FROM n
+    """),
+    (s, dir) => {
+      val injected = upper(translate(
+        regexp_replace(col("text"), " ", "\t  "), "aeio", "áéíó"))
+      val norm = normalizeText(injected)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(norm).as("norm_md5"),
+          length(norm).cast("long").as("n_norm_chars"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -2308,5 +2349,5 @@ object TextStats {
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
-    d58BpeSegment, d63KmvOverlap)
+    d58BpeSegment, d63KmvOverlap, d66NormalizeText)
 }

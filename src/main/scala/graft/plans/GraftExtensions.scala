@@ -68,9 +68,22 @@ object GraftFunctions {
       (args: Seq[Expression]) =>
         KmvAgg(args(0), intArg(args(1), "kmv_sketch"))
           .toAggregateExpression()),
+    ("quantile_sketch",
+      new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
+      (args: Seq[Expression]) =>
+        QuantileSketchAgg(args(0), intArg(args(1), "quantile_sketch"))
+          .toAggregateExpression()),
+    ("quantile_sketch_merge",
+      new ExpressionInfo(classOf[QuantileSketchMergeAgg].getName, "quantile_sketch_merge"),
+      (args: Seq[Expression]) =>
+        QuantileSketchMergeAgg(args(0), intArg(args(1), "quantile_sketch_merge"))
+          .toAggregateExpression()),
     ("bpe_apply",
       new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
-      (args: Seq[Expression]) => BpeApplyExpr(args(0), args(1))))
+      (args: Seq[Expression]) => BpeApplyExpr(args(0), args(1))),
+    ("normalize_text",
+      new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
+      (args: Seq[Expression]) => NormalizeTextExpr(args(0))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

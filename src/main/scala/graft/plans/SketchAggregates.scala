@@ -262,6 +262,315 @@ case class KmvAgg(
   override def prettyName: String = "kmv_sketch"
 }
 
+/** Deterministic MRL/KLL-family quantile sketch (Manku–Rajagopalan–
+  * Lindsay, SIGMOD 1998; Karnin–Lang–Liberty, FOCS 2016 — both public):
+  * the bounded-memory mergeable quantile summary completing the sketch
+  * trio next to [[MisraGriesAgg]] (frequencies) and [[KmvAgg]]
+  * (cardinality/overlap) — per-group percentile profiles over a 100 TB
+  * corpus where an exact sort-based percentile would shuffle the whole
+  * group.
+  *
+  * State is a ladder of levels: level i holds items of weight 2^i, at
+  * most `capacity` of them. A full level compacts: sort, pair adjacent
+  * items, promote one survivor per pair to the next level at doubled
+  * weight. Survivor choice ALTERNATES between the pair's lower and upper
+  * member per level (the MRL deterministic schedule, no RNG — replayable
+  * and retry-safe like every operator here); adjacent compactions cancel
+  * rank drift, giving the classic O(log²(N/c)/c)·N rank-error bound. An
+  * odd leftover stays at its level, so TOTAL WEIGHT IS PRESERVED EXACTLY
+  * — the sketch's total weight equals the group's row count, always.
+  *
+  * Below `capacity` rows nothing ever compacts and the sketch IS the
+  * sorted group: every quantile is exact (what the oracle gate pins; the
+  * spec pins the compaction-regime rank bound and the merge algebra).
+  * Merging concatenates level-wise and re-compacts — partial aggregation
+  * ships ≤ capacity·levels doubles per partition, never the group.
+  */
+case class QuantileSketchAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketchOps.Buf]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 4, "capacity must be >= 4")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = QuantileSketchOps.artifactType
+
+  override def createAggregationBuffer(): QuantileSketchOps.Buf =
+    QuantileSketchOps.newBuf()
+
+  override def update(buf: QuantileSketchOps.Buf,
+      input: InternalRow): QuantileSketchOps.Buf = {
+    val v = child.eval(input)
+    if (v != null) QuantileSketchOps.add(buf, v.asInstanceOf[Double], 0, capacity)
+    buf
+  }
+
+  override def merge(b1: QuantileSketchOps.Buf,
+      b2: QuantileSketchOps.Buf): QuantileSketchOps.Buf =
+    QuantileSketchOps.mergeBufs(b1, b2, capacity)
+
+  override def eval(buf: QuantileSketchOps.Buf): Any =
+    QuantileSketchOps.evalBuf(buf)
+
+  override def serialize(buf: QuantileSketchOps.Buf): Array[Byte] =
+    QuantileSketchOps.serializeBuf(buf)
+  override def deserialize(storage: Array[Byte]): QuantileSketchOps.Buf =
+    QuantileSketchOps.deserializeBuf(storage)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchAgg =
+    copy(child = newChild)
+  override def prettyName: String = "quantile_sketch"
+}
+
+/** Artifact-merge twin of [[QuantileSketchAgg]]: aggregates PERSISTED
+  * sketch artifacts (the (value, weight) arrays a per-load profile job
+  * wrote) into the combined sketch — the d56 rollup posture for
+  * quantiles, so percentile history over a growing corpus never re-scans
+  * the archive. Weights are powers of two by construction (compaction
+  * only doubles); a foreign artifact with an arbitrary weight is folded
+  * in by binary decomposition, so any non-negative-weight input is
+  * accepted exactly. */
+case class QuantileSketchMergeAgg(
+    child: Expression,
+    capacity: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[QuantileSketchOps.Buf]
+  with UnaryLike[Expression] {
+
+  require(capacity >= 4, "capacity must be >= 4")
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = QuantileSketchOps.artifactType
+
+  override def createAggregationBuffer(): QuantileSketchOps.Buf =
+    QuantileSketchOps.newBuf()
+
+  override def update(buf: QuantileSketchOps.Buf,
+      input: InternalRow): QuantileSketchOps.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val row = arr.getStruct(i, 2)
+        QuantileSketchOps.addWeighted(buf, row.getDouble(0), row.getLong(1), capacity)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: QuantileSketchOps.Buf,
+      b2: QuantileSketchOps.Buf): QuantileSketchOps.Buf =
+    QuantileSketchOps.mergeBufs(b1, b2, capacity)
+
+  override def eval(buf: QuantileSketchOps.Buf): Any =
+    QuantileSketchOps.evalBuf(buf)
+
+  override def serialize(buf: QuantileSketchOps.Buf): Array[Byte] =
+    QuantileSketchOps.serializeBuf(buf)
+  override def deserialize(storage: Array[Byte]): QuantileSketchOps.Buf =
+    QuantileSketchOps.deserializeBuf(storage)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): QuantileSketchMergeAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): QuantileSketchMergeAgg =
+    copy(child = newChild)
+  override def prettyName: String = "quantile_sketch_merge"
+}
+
+/** Shared buffer mechanics + the Column-algebra estimators over the
+  * emitted artifact (ascending (value, weight) pairs). All estimator
+  * work is artifact-sized (≤ capacity · levels elements), never
+  * data-sized. */
+object QuantileSketchOps {
+
+  import org.apache.spark.sql.functions._
+
+  /** levels(i) holds weight-2^i items; flips(i) is the level's MRL
+    * survivor-parity bit (alternates per compaction for drift
+    * cancellation). */
+  final class Buf(
+      val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Double]],
+      val flips: mutable.ArrayBuffer[Boolean])
+
+  val artifactType: DataType = ArrayType(StructType(Seq(
+    StructField("value", DoubleType), StructField("weight", LongType))))
+
+  def newBuf(): Buf =
+    new Buf(mutable.ArrayBuffer(mutable.ArrayBuffer.empty[Double]),
+      mutable.ArrayBuffer(false))
+
+  private def ensureLevel(buf: Buf, level: Int): Unit =
+    while (buf.levels.size <= level) {
+      buf.levels += mutable.ArrayBuffer.empty[Double]
+      buf.flips += false
+    }
+
+  def add(buf: Buf, v: Double, level: Int, capacity: Int): Unit = {
+    ensureLevel(buf, level)
+    buf.levels(level) += v
+    compactFrom(buf, level, capacity)
+  }
+
+  /** Fold a (value, weight) artifact pair in by binary decomposition of
+    * the weight — exact for any weight ≥ 1 (weights from our own
+    * compaction are single powers of two, so the loop runs once). */
+  def addWeighted(buf: Buf, v: Double, weight: Long, capacity: Int): Unit = {
+    require(weight >= 1, s"artifact weight must be >= 1, got $weight")
+    var w = weight
+    var level = 0
+    while (w != 0) {
+      if ((w & 1L) == 1L) add(buf, v, level, capacity)
+      w >>>= 1
+      level += 1
+    }
+  }
+
+  /** Compaction cascade: sort the over-full level, promote one survivor
+    * per adjacent pair at doubled weight (parity alternating per level —
+    * the deterministic MRL schedule), leave an odd leftover in place so
+    * total weight is exact. */
+  private def compactFrom(buf: Buf, from: Int, capacity: Int): Unit = {
+    var i = from
+    while (i < buf.levels.size && buf.levels(i).size > capacity) {
+      val lvl = buf.levels(i)
+      val sorted = lvl.toArray
+      java.util.Arrays.sort(sorted)
+      val pairs = sorted.length / 2
+      val offset = if (buf.flips(i)) 0 else 1
+      buf.flips(i) = !buf.flips(i)
+      ensureLevel(buf, i + 1)
+      val next = buf.levels(i + 1)
+      var j = 0
+      while (j < pairs) { next += sorted(2 * j + offset); j += 1 }
+      lvl.clear()
+      if (sorted.length % 2 == 1) lvl += sorted(sorted.length - 1)
+      i += 1
+    }
+  }
+
+  def mergeBufs(b1: Buf, b2: Buf, capacity: Int): Buf = {
+    var i = 0
+    while (i < b2.levels.size) {
+      if (b2.levels(i).nonEmpty) {
+        ensureLevel(b1, i)
+        b1.levels(i) ++= b2.levels(i)
+        compactFrom(b1, i, capacity)
+      }
+      i += 1
+    }
+    b1
+  }
+
+  /** Ascending (value, weight) artifact — (value, weight) ordering makes
+    * the emission deterministic given the retained multiset. */
+  def evalBuf(buf: Buf): Any = {
+    val out = mutable.ArrayBuffer.empty[(Double, Long)]
+    var i = 0
+    while (i < buf.levels.size) {
+      val w = 1L << i
+      buf.levels(i).foreach(v => out += ((v, w)))
+      i += 1
+    }
+    val sorted = out.toArray.sortBy(identity)
+    new GenericArrayData(sorted.map { case (v, w) =>
+      new GenericInternalRow(Array[Any](v, w))
+    }.asInstanceOf[Array[Any]])
+  }
+
+  def serializeBuf(buf: Buf): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.levels.size)
+    var i = 0
+    while (i < buf.levels.size) {
+      out.writeBoolean(buf.flips(i))
+      out.writeInt(buf.levels(i).size)
+      buf.levels(i).foreach(out.writeDouble)
+      i += 1
+    }
+    out.flush(); bos.toByteArray
+  }
+
+  def deserializeBuf(storage: Array[Byte]): Buf = {
+    val in = new DataInputStream(new ByteArrayInputStream(storage))
+    val n = in.readInt()
+    val levels = mutable.ArrayBuffer.empty[mutable.ArrayBuffer[Double]]
+    val flips = mutable.ArrayBuffer.empty[Boolean]
+    var i = 0
+    while (i < n) {
+      flips += in.readBoolean()
+      val m = in.readInt()
+      val lvl = new mutable.ArrayBuffer[Double](m)
+      var j = 0
+      while (j < m) { lvl += in.readDouble(); j += 1 }
+      levels += lvl
+      i += 1
+    }
+    new Buf(levels, flips)
+  }
+
+  // ---- Column API ----------------------------------------------------
+
+  /** Aggregate Column: the sketch artifact of a double column. */
+  def quantileSketch(c: Column, capacity: Int): Column =
+    GraftSqlBridge.column(
+      QuantileSketchAgg(GraftSqlBridge.expression(c), capacity)
+        .toAggregateExpression())
+
+  /** Aggregate Column: merge persisted sketch ARTIFACTS (rollup). */
+  def quantileSketchMerge(c: Column, capacity: Int): Column =
+    GraftSqlBridge.column(
+      QuantileSketchMergeAgg(GraftSqlBridge.expression(c), capacity)
+        .toAggregateExpression())
+
+  /** Total weight of the artifact — the group's exact row count (the
+    * odd-leftover rule preserves weight through every compaction). */
+  def qskTotal(sk: Column): Column =
+    aggregate(sk, lit(0L), (acc, x) => acc + x.getField("weight"))
+
+  /** Quantile estimate: the smallest retained value whose cumulative
+    * weight reaches ceil(q · total) — the lower discrete quantile, exact
+    * below capacity, rank-bounded above. TWO artifact-sized linear
+    * scans in pure Column algebra; `q` must be a literal double in
+    * (0, 1].
+    *
+    * The total is bound ONCE through a single-element `transform` lambda
+    * before the scan references it: interpreted HOF lambdas re-evaluate
+    * their whole expression tree per element, so embedding qskTotal (an
+    * O(artifact) aggregate) directly in the scan's condition is
+    * O(artifact²) — measured 13+ minutes on the 30k-element exact-regime
+    * gate artifacts vs seconds with the binding (the d31/d32 nested-HOF
+    * lesson, at estimator scale). */
+  def qskQuantile(sk: Column, q: Double): Column = {
+    require(q > 0.0 && q <= 1.0, "q must be in (0, 1]")
+    element_at(
+      transform(array(qskTotal(sk)), t => {
+        val target = greatest(ceil(lit(q) * t).cast("long"), lit(1L))
+        aggregate(sk,
+          struct(lit(0L).as("cum"), lit(null).cast("double").as("ans")),
+          (acc, x) => {
+            val cum = acc.getField("cum") + x.getField("weight")
+            struct(cum.as("cum"),
+              coalesce(acc.getField("ans"),
+                when(cum >= target, x.getField("value"))).as("ans"))
+          }).getField("ans")
+      }), 1)
+  }
+}
+
 object KmvAgg {
 
   import org.apache.spark.sql.functions._

@@ -754,3 +754,77 @@ object BpeApplyExpr {
       GraftSqlBridge.expression(sym), GraftSqlBridge.expression(pair)))
   }
 }
+
+/** Unicode text canonicalization kernel — the cleaning front of every
+  * text-dedup/quality operator: NFD-decompose, strip combining marks
+  * (accent removal — verified char-for-char against DuckDB's
+  * `strip_accents` utf8proc behavior: ø/ß/œ/ł survive, á/ç/ñ/ș/İ fold),
+  * NFC-recompose, ROOT-locale lowercase, collapse ASCII whitespace runs
+  * to one space, trim. One pass per row in a static JVM method invoked
+  * from whole-stage codegen — a regex/HOF chain would pay an interpreted
+  * pass per step (the d31/d32 kernel lesson).
+  *
+  * Cross-engine contract: equals DuckDB
+  * `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))), '\s+', ' ', 'g'))`
+  * for Latin-script text (the gate injects accents deterministically to
+  * make that non-vacuous). Contextual case mappings outside Latin (the
+  * Greek final sigma) follow the JVM rule and may differ from utf8proc —
+  * documented, spec-pinned on the JVM side.
+  */
+case class NormalizeTextExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    NormalizeTextExpr.normalize(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.NormalizeTextExpr.normalize($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NormalizeTextExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def isAsciiSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u000B'
+
+  def normalize(text: UTF8String): UTF8String = {
+    val s = text.toString
+    val decomposed = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(decomposed.length)
+    var i = 0
+    while (i < decomposed.length) {
+      val cp = decomposed.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK)
+        sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    val recomposed = java.text.Normalizer
+      .normalize(sb, java.text.Normalizer.Form.NFC)
+      .toLowerCase(java.util.Locale.ROOT)
+    // collapse ASCII whitespace runs to single spaces, trim ends
+    val out = new java.lang.StringBuilder(recomposed.length)
+    var j = 0
+    var pendingSpace = false
+    while (j < recomposed.length) {
+      val c = recomposed.charAt(j)
+      if (isAsciiSpace(c)) { if (out.length() > 0) pendingSpace = true }
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(c)
+      }
+      j += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  def normalizeText(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(NormalizeTextExpr(GraftSqlBridge.expression(c)))
+  }
+}

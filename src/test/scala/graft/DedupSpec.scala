@@ -793,4 +793,23 @@ class DedupSpec extends SparkSpec {
     val tailB = b.filter(_._1 > 6)
     assert(tailA === tailB, "selection differs in the untouched region")
   }
+
+  test("crossSplitLeakage: keeps only pairs straddling splits, any pair generator composes") {
+    val pairs = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType),
+        StructField("jaccard", DoubleType))),
+      Seq(Row(1L, 2L, 0.9), Row(1L, 3L, 0.8), Row(2L, 4L, 0.7), Row(3L, 4L, 0.6)))
+    val splits = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_id", LongType), StructField("split", StringType))),
+      Seq(Row(1L, "train"), Row(2L, "train"), Row(3L, "test"), Row(4L, "val")))
+    val got = Dedup.crossSplitLeakage(pairs, splits)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[String]("split_a"), r.getAs[String]("split_b"))).sorted
+    // (1,2) same split dropped; the three crossing pairs survive with
+    // their endpoint splits attached
+    assert(got.toSeq === Seq(
+      (1L, 3L, "train", "test"),
+      (2L, 4L, "train", "val"),
+      (3L, 4L, "test", "val")))
+  }
 }

@@ -475,4 +475,50 @@ class SimilaritySpec extends SparkSpec {
       corpus.filter(col("vec_id") === 0L), k = 10).collect()
     assert(allNeg.length === 3)
   }
+
+  test("marginMine: a true pair beats neighborhood background; uniform corpus is margin exactly 1") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // src 0 has a genuine match (tgt 100, near-identical) amid weak
+    // background — the ratio margin must clear 1 comfortably.
+    val src = LocalTable.of(spark, schema, Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f, 0.0f))))
+    val tgt = LocalTable.of(spark, schema, Seq(
+      Row(100L, Seq(0.99f, 0.1f, 0.0f, 0.0f)),   // true pair for src 0
+      Row(101L, Seq(0.2f, 0.9f, 0.0f, 0.8f)),
+      Row(102L, Seq(0.1f, 0.0f, 0.9f, 0.8f)),
+      Row(103L, Seq(0.0f, 0.6f, 0.7f, 0.8f))))
+    val got = Similarity.marginMine(src, tgt, k = 3, tau = 1.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(got.contains(0L), "the true pair must be mined")
+    assert(got(0L)._1 === 100L)
+    assert(got(0L)._2 > 1.3, s"true-pair margin should clear background: $got")
+    // degenerate hub corpus: every vector identical → every cosine is 1,
+    // every kNN average is 1, so every ratio margin is EXACTLY 1 — the
+    // calibration property that makes margin mining reject uniformly
+    // high-cosine regions an absolute threshold would admit wholesale.
+    val e = Seq(1.0f, 0.0f, 0.0f, 0.0f)
+    val uSrc = LocalTable.of(spark, schema, Seq(Row(0L, e), Row(1L, e)))
+    val uTgt = LocalTable.of(spark, schema, Seq(Row(10L, e), Row(11L, e)))
+    assert(Similarity.marginMine(uSrc, uTgt, k = 2, tau = 1.05).count() === 0,
+      "uniform corpus must mine nothing above margin 1")
+    val uniform = Similarity.marginMine(uSrc, uTgt, k = 2, tau = 1.0)
+      .collect().map(_.getDouble(3))
+    assert(uniform.length === 2 && uniform.forall(_ === 1.0),
+      "uniform corpus margins must be exactly 1")
+  }
+
+  test("marginMine: forward mining emits at most one target per source; partitioning-invariant") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    val mined = Similarity.marginMine(src, tgt, k = 4, tau = 1.0).collect()
+    assert(mined.nonEmpty)
+    val bySrc = mined.groupBy(_.getLong(0))
+    assert(bySrc.values.forall(_.length === 1), "one best target per source")
+    val again = Similarity.marginMine(src.repartition(13), tgt.repartition(3),
+      k = 4, tau = 1.0).collect()
+    assert(mined.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
+  }
 }

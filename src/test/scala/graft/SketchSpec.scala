@@ -214,4 +214,149 @@ class SketchSpec extends SparkSpec {
       .collect().head.getInt(0)
     assert(n === 20)
   }
+
+  // ---- quantile sketch -----------------------------------------------
+
+  import graft.plans.QuantileSketchOps
+
+  private def valuesDf(vs: Seq[Double], parts: Int = 4) =
+    LocalTable.of(spark,
+      StructType(Seq(StructField("v", DoubleType))),
+      vs.map(Row(_))).repartition(parts)
+
+  /** (value, weight) artifact of a sketch over `vs`. */
+  private def qskOf(vs: Seq[Double], capacity: Int,
+      parts: Int = 4): Seq[(Double, Long)] =
+    valuesDf(vs, parts)
+      .agg(QuantileSketchOps.quantileSketch(col("v"), capacity).as("sk"))
+      .select(explode(col("sk")))
+      .collect().map(r => {
+        val s = r.getStruct(0); (s.getDouble(0), s.getLong(1))
+      }).toSeq
+
+  private def qskQuantiles(vs: Seq[Double], capacity: Int, qs: Seq[Double],
+      parts: Int = 4): Seq[Double] = {
+    val agg = valuesDf(vs, parts)
+      .agg(QuantileSketchOps.quantileSketch(col("v"), capacity).as("sk"))
+    agg.select(qs.map(q =>
+        QuantileSketchOps.qskQuantile(col("sk"), q).as(s"q$q")): _*)
+      .collect().head.toSeq.map(_.asInstanceOf[Double])
+  }
+
+  /** Lower discrete quantile — the contract's rank rule, by hand. */
+  private def exactQ(vs: Seq[Double], q: Double): Double = {
+    val sorted = vs.sorted
+    val target = math.max(1, math.ceil(q * sorted.length).toLong).toInt
+    sorted(target - 1)
+  }
+
+  test("qsk: exact regime — below capacity every quantile is the discrete quantile") {
+    val vs = scala.util.Random.shuffle((1 to 1000).map(_.toDouble)).toSeq
+    for (parts <- Seq(1, 4, 13)) {
+      val got = qskQuantiles(vs, capacity = 2048,
+        qs = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 1.0), parts = parts)
+      val want = Seq(0.01, 0.25, 0.5, 0.75, 0.95, 1.0).map(exactQ(vs, _))
+      assert(got === want, s"parts=$parts")
+      // exact-regime artifact IS the sorted input at weight 1
+      val art = qskOf(vs, capacity = 2048, parts = parts)
+      assert(art === vs.sorted.map((_, 1L)))
+    }
+  }
+
+  test("qsk: total weight is exact through compaction (odd-leftover rule)") {
+    val vs = (1 to 10000).map(_.toDouble)
+    for (capacity <- Seq(16, 64, 128); parts <- Seq(1, 7)) {
+      val total = valuesDf(vs, parts)
+        .agg(QuantileSketchOps.quantileSketch(col("v"), capacity).as("sk"))
+        .select(QuantileSketchOps.qskTotal(col("sk")).as("n"))
+        .collect().head.getLong(0)
+      assert(total === 10000L, s"capacity=$capacity parts=$parts")
+      val art = qskOf(vs, capacity, parts)
+      assert(art.length <= capacity * 16,
+        s"artifact not bounded: ${art.length} at capacity=$capacity")
+      art.foreach { case (_, w) =>
+        assert(w >= 1 && (w & (w - 1)) == 0, s"non-power-of-two weight $w") }
+    }
+  }
+
+  test("qsk: compaction regime — rank error within 3% of N at capacity 128") {
+    val n = 50000
+    val vs = scala.util.Random.shuffle((1 to n).map(_.toDouble)).toSeq
+    val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    for (parts <- Seq(1, 8)) {
+      val got = qskQuantiles(vs, capacity = 128, qs = qs, parts = parts)
+      qs.zip(got).foreach { case (q, est) =>
+        // values are 1..n, so the true rank of the estimate is itself
+        val trueRank = est
+        val target = math.ceil(q * n)
+        assert(math.abs(trueRank - target) <= 0.03 * n,
+          s"q=$q est=$est target=$target parts=$parts")
+      }
+    }
+  }
+
+  test("qsk: artifact rollup — merge agg over per-group sketches ≡ whole-stream in the exact regime") {
+    val vs = scala.util.Random.shuffle((1 to 800).map(_.toDouble)).toSeq
+    val grouped = LocalTable.of(spark,
+      StructType(Seq(StructField("g", IntegerType), StructField("v", DoubleType))),
+      vs.zipWithIndex.map { case (v, i) => Row(i % 5, v) }).repartition(6)
+    val rolled = grouped
+      .groupBy(col("g"))
+      .agg(QuantileSketchOps.quantileSketch(col("v"), 2048).as("sk"))
+      .agg(QuantileSketchOps.quantileSketchMerge(col("sk"), 2048).as("sk"))
+    val art = rolled.select(explode(col("sk")))
+      .collect().map(r => { val s = r.getStruct(0); (s.getDouble(0), s.getLong(1)) })
+    assert(art.toSeq === vs.sorted.map((_, 1L)),
+      "rollup of exact-regime shards must be the exact whole")
+    val q = rolled.select(QuantileSketchOps.qskQuantile(col("sk"), 0.5).as("m"))
+      .collect().head.getDouble(0)
+    assert(q === exactQ(vs, 0.5))
+  }
+
+  test("qsk: artifact rollup stays rank-bounded in the compaction regime") {
+    val n = 20000
+    val vs = scala.util.Random.shuffle((1 to n).map(_.toDouble)).toSeq
+    val grouped = LocalTable.of(spark,
+      StructType(Seq(StructField("g", IntegerType), StructField("v", DoubleType))),
+      vs.zipWithIndex.map { case (v, i) => Row(i % 4, v) }).repartition(6)
+    val rolled = grouped
+      .groupBy(col("g"))
+      .agg(QuantileSketchOps.quantileSketch(col("v"), 128).as("sk"))
+      .agg(QuantileSketchOps.quantileSketchMerge(col("sk"), 128).as("sk"))
+    val est = rolled.select(QuantileSketchOps.qskQuantile(col("sk"), 0.5).as("m"))
+      .collect().head.getDouble(0)
+    assert(math.abs(est - math.ceil(0.5 * n)) <= 0.04 * n,
+      s"rolled-up median $est too far from ${0.5 * n}")
+    val total = rolled.select(QuantileSketchOps.qskTotal(col("sk")).as("t"))
+      .collect().head.getLong(0)
+    assert(total === n.toLong, "rollup must preserve total weight exactly")
+  }
+
+  test("qsk: nulls ignored; empty input yields empty artifact and null quantile") {
+    val withNull = LocalTable.of(spark,
+      StructType(Seq(StructField("v", DoubleType))),
+      Seq(Row(2.0), Row(null), Row(1.0)))
+    val art = withNull.agg(QuantileSketchOps.quantileSketch(col("v"), 16).as("sk"))
+      .select(explode(col("sk"))).collect()
+    assert(art.length === 2)
+    val empty = valuesDf(Nil, 1)
+      .agg(QuantileSketchOps.quantileSketch(col("v"), 16).as("sk"))
+    val row = empty.select(size(col("sk")).as("n"),
+      QuantileSketchOps.qskQuantile(col("sk"), 0.5).as("m")).collect().head
+    assert(row.getInt(0) === 0 && row.isNullAt(1))
+  }
+
+  test("qsk: SQL surface — quantile_sketch / quantile_sketch_merge registered") {
+    graft.plans.GraftFunctions.register(spark)
+    valuesDf((1 to 100).map(_.toDouble)).createOrReplaceTempView("qsk_in")
+    val n = spark.sql(
+      "SELECT size(quantile_sketch(v, 256)) AS n FROM qsk_in")
+      .collect().head.getInt(0)
+    assert(n === 100)
+    val m = spark.sql("""
+      SELECT size(quantile_sketch_merge(sk, 256)) AS n FROM (
+        SELECT quantile_sketch(v, 256) AS sk FROM qsk_in GROUP BY v % 3)
+    """).collect().head.getInt(0)
+    assert(m === 100)
+  }
 }

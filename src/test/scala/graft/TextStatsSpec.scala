@@ -597,4 +597,49 @@ class TextStatsSpec extends SparkSpec {
     val p = df.queryExecution.sparkPlan.toString
     assert(!p.contains("Exchange SinglePartition"), p.take(1000))
   }
+
+  test("normalizeText: accents fold, case folds, whitespace collapses, non-accent letters survive") {
+    val df = docsDf(
+      (1L, "Crème  BRÛLÉE\t à-la-mode "),
+      (2L, "søren's STRAßE œuvre łódź"),
+      (3L, "  plain ascii  text "),
+      (4L, ""),
+      (5L, "ñandú\n\níçé"))
+    val got = df.select(col("doc_id"), TextStats.normalizeText(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "creme brulee a-la-mode")
+    // ø, ß, œ, ł are letters, not accented forms — they must survive
+    // (char-for-char the DuckDB strip_accents behavior the oracle
+    // replays); ó/ź inside łódź ARE accents and fold
+    assert(got(2L) === "søren's straße œuvre łodz")
+    assert(got(3L) === "plain ascii text")
+    assert(got(4L) === "")
+    assert(got(5L) === "nandu ice")
+  }
+
+  test("normalizeText: idempotent, null-safe, exchange-free codegen projection") {
+    val df = docsDf((1L, "Crème  BRÛLÉE"), (2L, "x y"))
+    val once = df.select(TextStats.normalizeText(col("text")).as("n"))
+    val twice = once.select(TextStats.normalizeText(col("n")).as("n"))
+    assert(once.collect().map(_.getString(0)).toSeq ===
+      twice.collect().map(_.getString(0)).toSeq)
+    val withNull = LocalTable.of(spark,
+      StructType(Seq(StructField("text", StringType))), Seq(Row(null), Row("A")))
+    val r = withNull.select(TextStats.normalizeText(col("text")).as("n")).collect()
+    assert(r(0).isNullAt(0) && r(1).getString(0) === "a")
+    // plan pin on a real parquet scan (a LocalRelation constant-folds
+    // away before codegen): exchange-free, inside whole-stage codegen
+    val onParquet = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .select(TextStats.normalizeText(col("text")).as("n"))
+    val plan = onParquet.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+    assert(plan.contains("*(1) Project"), // the codegen'd-stage marker
+      plan.take(800))
+    // SQL surface
+    graft.plans.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("norm_in")
+    val viaSql = spark.sql("SELECT normalize_text(text) AS n FROM norm_in ORDER BY n")
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql === Seq("creme brulee", "x y"))
+  }
 }
