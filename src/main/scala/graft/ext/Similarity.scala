@@ -1065,16 +1065,30 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"),
         round(cosine(col("__se"), col("__te")), 6).as("cos_sim"))
       .localCheckpoint(false)
-    def knnAvg(key: String, other: String, outCol: String): DataFrame = {
-      val w = Window.partitionBy(col(key))
-        .orderBy(col("cos_sim").desc, col(other).asc)
-      scores.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= k)
-        .groupBy(col(key))
-        .agg((floor(avg(col("cos_sim")) * 1e6 + 0.5) / 1e6).as(outCol))
-    }
-    val srcKnn = knnAvg("src_id", "tgt_id", "src_knn")
-    val tgtKnn = knnAvg("tgt_id", "src_id", "tgt_knn")
+    marginSelect(scores,
+      knnAvgOf(scores, "src_id", "tgt_id", k, "src_knn"),
+      knnAvgOf(scores, "tgt_id", "src_id", k, "tgt_knn"), tau)
+  }
+
+  /** kNN-average half of the ratio margin: mean of the top-`k` cosines
+    * per `key` over (key, other, cos_sim) candidate scores, floor@6 so
+    * the two engines' summation orders cannot diverge past the rounding
+    * precision. */
+  private def knnAvgOf(scores: DataFrame, key: String, other: String,
+      k: Int, outCol: String): DataFrame = {
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("cos_sim").desc, col(other).asc)
+    scores.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .groupBy(col(key))
+      .agg((floor(avg(col("cos_sim")) * 1e6 + 0.5) / 1e6).as(outCol))
+  }
+
+  /** Margin scoring + forward-best selection tail shared by the dense
+    * and IVF miners: margins over `scores`' candidate pairs, the two
+    * (side-sized) kNN-average tables broadcast back in. */
+  private def marginSelect(scores: DataFrame, srcKnn: DataFrame,
+      tgtKnn: DataFrame, tau: Double): DataFrame = {
     val denom = col("src_knn") / 2 + col("tgt_knn") / 2
     val w = Window.partitionBy(col("src_id"))
       .orderBy(col("margin").desc, col("tgt_id").asc)
@@ -1087,6 +1101,50 @@ object Similarity {
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1 && col("margin") >= tau)
       .select(col("src_id"), col("tgt_id"), col("cos_sim"), col("margin"))
+  }
+
+  /** [[marginMine]]'s scale path — the dense cross-scoring matrix is
+    * quadratic (measured: 2.1 s at 1k×1k sides, minutes at 10k×10k);
+    * here candidate pairs come from the s05/s08 IVF probe instead, in
+    * BOTH directions: the target side is coarse-quantized and each
+    * source probes its nProbe nearest lists (forward candidates — the
+    * mined universe and the source-side kNN averages), and symmetrically
+    * source-side quantization gives each target its backward candidates
+    * (the target-side kNN averages). Work is
+    * O((|src|+|tgt|) · nProbe/nCentroids · side) — linear in both sides
+    * at fixed list occupancy — and the margin algebra composes
+    * unchanged. Approximate in general (a neighborhood member outside
+    * the probed lists is missed, shifting an average by at most the
+    * tail of the top-k); probing every list (nProbe = nCentroids)
+    * recovers [[marginMine]] EXACTLY, which the spec pins. With
+    * `kmeansIters = 0` the seeded quantizer is ANSI-SQL-reproducible —
+    * what the s17 gate oracle rebuilds. */
+  def marginMineIvf(src: DataFrame, tgt: DataFrame, k: Int, tau: Double,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
+    require(k > 0 && nCentroids > 0 && nProbe > 0,
+      "k, nCentroids and nProbe must be positive")
+    val csT = KMeans.fit(tgt, "vec_id", "embedding", nCentroids, kmeansIters)
+    val csS = KMeans.fit(src, "vec_id", "embedding", nCentroids, kmeansIters)
+    def probeScores(qs: DataFrame, qName: String, members: DataFrame,
+        mName: String, cs: Array[Array[Float]]): DataFrame = {
+      val m = ivfAssignments(members, cs)
+        .select(col("centroid_id"), col("vec_id").as(mName),
+          col("embedding").as("__me"))
+      qs.select(col("vec_id").as(qName), col("embedding").as("__qe"),
+          explode(graft.plans.NearestCentroidsExpr.nearestCentroids(
+            col("embedding"), cs, nProbe)).as("centroid_id"))
+        .join(m, Seq("centroid_id"))
+        .select(col(qName), col(mName),
+          round(cosine(col("__qe"), col("__me")), 6).as("cos_sim"))
+    }
+    // forward candidates feed TWO consumers (source averages + the
+    // margin join) — lazily cut so the probe computes once under AQE;
+    // backward candidates have one consumer, no cut needed
+    val fwd = probeScores(src, "src_id", tgt, "tgt_id", csT).localCheckpoint(false)
+    val bwd = probeScores(tgt, "tgt_id", src, "src_id", csS)
+    marginSelect(fwd,
+      knnAvgOf(fwd, "src_id", "tgt_id", k, "src_knn"),
+      knnAvgOf(bwd, "tgt_id", "src_id", k, "tgt_knn"), tau)
   }
 
   /** s16 — forward margin mining with the corpus split by vec_id parity
@@ -1135,8 +1193,130 @@ object Similarity {
         k = 4, tau = 1.02)
     })
 
+  /** s17 — the IVF-probed margin miner on the s16 split: 16 seeded
+    * centroids per side (0 Lloyd iterations — SQL-reproducible), 4
+    * probed lists, k = 4, τ = 1.02. The oracle rebuilds both quantizers,
+    * both directional probes, both kNN averages and the margin rank —
+    * the s08 replay pattern doubled. */
+  val s17BitextMarginIvf: Q = Q(
+    "s17_bitext_margin_ivf",
+    Some("""
+      WITH a AS (SELECT vec_id AS src_id, embedding AS ae
+                 FROM embeddings WHERE vec_id % 2 = 0),
+      b AS (SELECT vec_id AS tgt_id, embedding AS be
+            FROM embeddings WHERE vec_id % 2 = 1),
+      rt AS (SELECT be AS c,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(tgt_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(tgt_id AS VARCHAR)) - 1 AS cid
+             FROM b),
+      ct AS (SELECT cid, c FROM rt WHERE cid < 16),
+      rs AS (SELECT ae AS c,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(src_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(src_id AS VARCHAR)) - 1 AS cid
+             FROM a),
+      cs AS (SELECT cid, c FROM rs WHERE cid < 16),
+      bta AS (SELECT tgt_id, cid FROM (
+                SELECT b.tgt_id, c.cid,
+                       row_number() OVER (PARTITION BY b.tgt_id
+                         ORDER BY list_cosine_similarity(CAST(b.be AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM b CROSS JOIN ct c) t WHERE rn = 1),
+      spx AS (SELECT src_id, cid FROM (
+                SELECT a.src_id, c.cid,
+                       row_number() OVER (PARTITION BY a.src_id
+                         ORDER BY list_cosine_similarity(CAST(a.ae AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM a CROSS JOIN ct c) t WHERE rn <= 4),
+      ata AS (SELECT src_id, cid FROM (
+                SELECT a.src_id, c.cid,
+                       row_number() OVER (PARTITION BY a.src_id
+                         ORDER BY list_cosine_similarity(CAST(a.ae AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM a CROSS JOIN cs c) t WHERE rn = 1),
+      tpx AS (SELECT tgt_id, cid FROM (
+                SELECT b.tgt_id, c.cid,
+                       row_number() OVER (PARTITION BY b.tgt_id
+                         ORDER BY list_cosine_similarity(CAST(b.be AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM b CROSS JOIN cs c) t WHERE rn <= 4),
+      fs AS (SELECT a.src_id, b.tgt_id,
+               round(list_cosine_similarity(CAST(a.ae AS DOUBLE[]), CAST(b.be AS DOUBLE[])), 6) AS cos_sim
+             FROM spx JOIN bta ON spx.cid = bta.cid
+                  JOIN a ON a.src_id = spx.src_id
+                  JOIN b ON b.tgt_id = bta.tgt_id),
+      bs AS (SELECT b.tgt_id, a.src_id,
+               round(list_cosine_similarity(CAST(b.be AS DOUBLE[]), CAST(a.ae AS DOUBLE[])), 6) AS cos_sim
+             FROM tpx JOIN ata ON tpx.cid = ata.cid
+                  JOIN b ON b.tgt_id = tpx.tgt_id
+                  JOIN a ON a.src_id = ata.src_id),
+      sa AS (SELECT src_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS src_knn
+             FROM (SELECT src_id, cos_sim,
+                     row_number() OVER (PARTITION BY src_id
+                       ORDER BY cos_sim DESC, tgt_id ASC) AS rk
+                   FROM fs) WHERE rk <= 4 GROUP BY 1),
+      ta AS (SELECT tgt_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS tgt_knn
+             FROM (SELECT tgt_id, cos_sim,
+                     row_number() OVER (PARTITION BY tgt_id
+                       ORDER BY cos_sim DESC, src_id ASC) AS rk
+                   FROM bs) WHERE rk <= 4 GROUP BY 1),
+      m AS (SELECT fs.src_id, fs.tgt_id, fs.cos_sim,
+              floor(fs.cos_sim / (sa.src_knn / 2 + ta.tgt_knn / 2) * 1e6 + 0.5)
+                / 1e6 AS margin
+            FROM fs JOIN sa ON sa.src_id = fs.src_id
+                 JOIN ta ON ta.tgt_id = fs.tgt_id
+            WHERE sa.src_knn / 2 + ta.tgt_knn / 2 > 0),
+      r AS (SELECT *, row_number() OVER (PARTITION BY src_id
+              ORDER BY margin DESC, tgt_id ASC) AS rk FROM m)
+      SELECT src_id, tgt_id, cos_sim, margin
+      FROM r WHERE rk = 1 AND margin >= 1.02
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      marginMineIvf(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1),
+        k = 4, tau = 1.02, nCentroids = 16, nProbe = 4, kmeansIters = 0)
+    })
+
+  /** Per-group per-dimension moment profile of an embedding column —
+    * the embedding-space QA artifact (collapsed dimensions, per-class
+    * drift between snapshots, dead dimensions after a projector change
+    * all show up as moved means / vanished variance). One posexplode +
+    * one partial-aggregatable moment sum; output is groups × dims rows,
+    * never corpus-sized. Moments derive from (n, Σv, Σv²) in fixed IEEE
+    * order, floor@6 — the q74/q57 determinism recipe. */
+  def embeddingProfile(embeddings: DataFrame, groupCol: String): DataFrame = {
+    val v = col("v").cast("double")
+    embeddings
+      .select(col(groupCol), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy(col(groupCol), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(v).as("sx"), sum(v * v).as("sxx"))
+      .select(col(groupCol), col("dim"), col("n"),
+        (floor(col("sx") / col("n") * 1e6 + 0.5) / 1e6).as("mu"),
+        (floor((col("sxx") / col("n")
+          - (col("sx") / col("n")) * (col("sx") / col("n"))) * 1e6 + 0.5) / 1e6)
+          .as("sigma2"))
+  }
+
+  /** s18 — per-label embedding profile of the gate corpus (10 labels ×
+    * 64 dims). The oracle replays the moment sums with the identical
+    * final arithmetic; the float sums are floor@6-absorbed. */
+  val s18EmbeddingProfile: Q = Q(
+    "s18_embedding_profile",
+    Some("""
+      WITH x AS (
+        SELECT label, g.d AS dim, CAST(embedding[g.d + 1] AS DOUBLE) AS v
+        FROM embeddings, generate_series(0, 63) g(d)),
+      m AS (
+        SELECT label, dim, count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx
+        FROM x GROUP BY 1, 2)
+      SELECT label, dim, n,
+             floor(sx / n * 1e6 + 0.5) / 1e6 AS mu,
+             floor((sxx / n - (sx / n) * (sx / n)) * 1e6 + 0.5) / 1e6 AS sigma2
+      FROM m
+    """),
+    (s, dir) => embeddingProfile(emb(s, dir), "label"))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
-    s14HardNegatives, s16BitextMargin)
+    s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile)
 }

@@ -2339,6 +2339,68 @@ object TextStats {
           length(norm).cast("long").as("n_norm_chars"))
     })
 
+  /** n-gram novelty against a reference slice: the fraction of a
+    * document's distinct n-grams ABSENT from the reference vocabulary —
+    * the memorization/novelty screen (a near-zero-novelty document is a
+    * paraphrase or copy of reference material; the inverse of d28's
+    * contamination overlap, scored per document instead of gated per
+    * hit). Reference n-grams collapse to a distinct set once
+    * (vocabulary-sized); each scored doc's grams LEFT-join it and count
+    * misses — two exchanges on the gram hash, linear at any scale. */
+  def ngramNovelty(docs: DataFrame, refDocs: DataFrame, n: Int): DataFrame = {
+    val refGrams = refDocs
+      .select(explode(graft.ext.Dedup.shingles(col("text"), n)).as("gram"))
+      .distinct()
+      .withColumn("seen", lit(1))
+    docs
+      .select(col("doc_id"), explode(graft.ext.Dedup.shingles(col("text"), n)).as("gram"))
+      .join(refGrams, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("seen").isNull, 1)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        (floor(col("n_novel") / col("n_grams") * 1e6 + 0.5) / 1e6).as("novelty"))
+  }
+
+  /** d67 — 3-gram novelty of the corpus against its own md5 "nov:"
+    * 20% reference slice (every scored doc with ≥ 1 trigram emits;
+    * novelty is one IEEE division of exact counts, floor@6). */
+  val d67NgramNovelty: Q = Q(
+    "d67_ngram_novelty",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('nov:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      ref AS (
+        SELECT DISTINCT unnest(sh) AS gram FROM s WHERE bucket < 20),
+      g AS (
+        SELECT doc_id, unnest(sh) AS gram FROM s WHERE bucket >= 20),
+      agg AS (
+        SELECT g.doc_id, count(*) AS n_grams,
+               count(CASE WHEN r.gram IS NULL THEN 1 END) AS n_novel
+        FROM g LEFT JOIN ref r ON g.gram = r.gram
+        GROUP BY 1)
+      SELECT doc_id, n_grams, n_novel,
+             floor(CAST(n_novel AS DOUBLE) / n_grams * 1e6 + 0.5) / 1e6 AS novelty
+      FROM agg
+    """),
+    (s, dir) => {
+      val bucket = conv(substring(md5(concat(lit("nov:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).withColumn("bucket", bucket)
+      ngramNovelty(
+        docs.filter(col("bucket") >= 20).drop("bucket"),
+        docs.filter(col("bucket") < 20).drop("bucket"), n = 3)
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -2349,5 +2411,5 @@ object TextStats {
     d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
-    d58BpeSegment, d63KmvOverlap, d66NormalizeText)
+    d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty)
 }

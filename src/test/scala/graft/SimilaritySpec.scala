@@ -509,6 +509,32 @@ class SimilaritySpec extends SparkSpec {
       "uniform corpus margins must be exactly 1")
   }
 
+  test("marginMineIvf: probing every list recovers the dense miner exactly; pruned probe mines one-per-source") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    val dense = Similarity.marginMine(src, tgt, k = 4, tau = 1.0)
+      .collect().map(_.toSeq).toSet
+    // nProbe == nCentroids probes every inverted list → candidate set is
+    // the full cross matrix → dense equivalence, exactly
+    val full = Similarity.marginMineIvf(src, tgt, k = 4, tau = 1.0,
+      nCentroids = 8, nProbe = 8, kmeansIters = 0)
+      .collect().map(_.toSeq).toSet
+    assert(full === dense, "full-probe IVF must equal the dense miner")
+    // pruned probe: still at most one mined target per source, margins
+    // computed over the probed candidate neighborhoods
+    val pruned = Similarity.marginMineIvf(src, tgt, k = 4, tau = 1.0,
+      nCentroids = 8, nProbe = 2, kmeansIters = 0).collect()
+    assert(pruned.nonEmpty)
+    val perSrc = pruned.groupBy(_.getLong(0))
+    assert(perSrc.values.forall(_.length === 1))
+    // no cartesian anywhere: candidates come from centroid equi-joins
+    val plan = Similarity.marginMineIvf(src, tgt, k = 4, tau = 1.0,
+      nCentroids = 8, nProbe = 2, kmeansIters = 0)
+      .queryExecution.sparkPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("marginMine: forward mining emits at most one target per source; partitioning-invariant") {
     val e = Tables(spark, sfDir, "embeddings")
     val src = e.filter(col("vec_id") % 2 === 0)

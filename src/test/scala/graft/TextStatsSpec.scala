@@ -598,6 +598,38 @@ class TextStatsSpec extends SparkSpec {
     assert(!p.contains("Exchange SinglePartition"), p.take(1000))
   }
 
+  test("ngramNovelty: copied docs score 0, fresh docs score 1, mixtures in between; short docs absent") {
+    val ref = docsDf((100L, "a b c d e"))           // ref trigrams: abc bcd cde
+    val docs = docsDf(
+      (1L, "a b c d e"),        // all 3 grams seen → novelty 0
+      (2L, "x y z w"),          // xyz yzw novel → novelty 1
+      (3L, "a b c x y"),        // abc seen; bcx cxy novel → 2/3
+      (4L, "a b"))              // < 3 tokens → no grams → absent
+    val got = TextStats.ngramNovelty(docs, ref, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) === ((3L, 0L, 0.0)))
+    assert(got(2L) === ((2L, 2L, 1.0)))
+    assert(got(3L) === ((3L, 2L, math.floor(2.0 / 3 * 1e6 + 0.5) / 1e6)))
+    assert(!got.contains(4L))
+    assert(got.size === 3)
+  }
+
+  test("embeddingProfile: hand-computed moments per group and dimension") {
+    val schema = StructType(Seq(
+      StructField("label", IntegerType),
+      StructField("embedding", ArrayType(FloatType))))
+    val df = LocalTable.of(spark, schema, Seq(
+      Row(0, Seq(1.0f, 2.0f)), Row(0, Seq(3.0f, 2.0f)), Row(1, Seq(5.0f, 0.0f))))
+    val got = graft.ext.Similarity.embeddingProfile(df, "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got((0, 0)) === ((2L, 2.0, 1.0)))   // mean(1,3)=2, var=1
+    assert(got((0, 1)) === ((2L, 2.0, 0.0)))
+    assert(got((1, 0)) === ((1L, 5.0, 0.0)))
+    assert(got((1, 1)) === ((1L, 0.0, 0.0)))
+  }
+
   test("normalizeText: accents fold, case folds, whitespace collapses, non-accent letters survive") {
     val df = docsDf(
       (1L, "Crème  BRÛLÉE\t à-la-mode "),
