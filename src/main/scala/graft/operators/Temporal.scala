@@ -1135,6 +1135,59 @@ object Temporal {
           max(col("delta_us")).as("max_us"))
     })
 
+  /** Truncated exponentially-weighted moving average per key — the
+    * trend-smoothing companion to q55's flat trailing sum (recency-
+    * weighted, the monitoring/feature-engineering standard). The exact
+    * EWMA recursion is an unbounded-depth sequential fold no engine can
+    * parallelize; truncating at `window` terms bounds the error by
+    * (1−α)^window (< 1e-6 at α=0.25, window=50) and makes it ONE
+    * bounded-frame window expression: collect the frame's values,
+    * weight element d steps back by α(1−α)^d, sum in fixed order. The
+    * frame list is `window`-bounded per row — state never grows with
+    * history, the property that also makes this the streaming-ready
+    * formulation. */
+  def trailingEwma(events: DataFrame, alpha: Double, window: Int,
+      userCol: String = "user_id", valueCol: String = "value"): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(window >= 1, "window must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(-(window - 1), Window.currentRow)
+    val l = collect_list(col(valueCol).cast("double")).over(w)
+    // newest-first so the decay exponent IS the element index — no
+    // length reference inside the lambda
+    val ew = aggregate(
+      transform(reverse(l), (x, i) =>
+        x * lit(alpha) * pow(lit(1 - alpha), i)),
+      lit(0.0), (acc, x) => acc + x)
+    events.select(col("event_id"), col(userCol),
+      (floor(ew * 1e6 + 0.5) / 1e6).as("ewma"))
+  }
+
+  /** q78 — α=0.25 (exact in binary, as is 1−α=0.75), 50-term truncation
+    * per user over event time. Weights are libm pow values identical in
+    * magnitude-order on both engines; floor@6 absorbs the ≤1-ulp pow and
+    * summation-order variance. */
+  val q78TrailingEwma: Q = Q(
+    "q78_trailing_ewma",
+    Some("""
+      WITH x AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id
+                 ROWS BETWEEN 49 PRECEDING AND CURRENT ROW) AS l
+        FROM events)
+      SELECT event_id, user_id,
+             floor(list_sum(list_transform(list_reverse(l),
+               (v, i) -> v * CAST(0.25 AS DOUBLE) * pow(CAST(0.75 AS DOUBLE), i - 1)))
+               * 1e6 + 0.5) / 1e6 AS ewma
+      FROM x
+    """),
+    (s, dir) => trailingEwma(
+      ev(s, dir).select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("value")),
+      alpha = 0.25, window = 50))
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
@@ -1144,5 +1197,5 @@ object Temporal {
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
     q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats,
     q66InterarrivalStats, q69RecursiveReachability, q73ResampleInterpolate,
-    q77Streaks)
+    q77Streaks, q78TrailingEwma)
 }

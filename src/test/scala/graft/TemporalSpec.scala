@@ -250,4 +250,23 @@ class TemporalSpec extends SparkSpec {
     assert(got.getDouble(3) === 68.05)
     assert(got.getDouble(4) === 259.0)   // 1.95 + Σ(2..19) + 68.05
   }
+
+  test("trailingEwma: hand-computed decay, window truncation, per-user isolation") {
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("value", DoubleType)))
+    val df = LocalTable.of(spark, schema, Seq(
+      Row(1L, 1L, 10L, 1.0), Row(2L, 1L, 20L, 2.0), Row(3L, 1L, 30L, 4.0),
+      Row(9L, 2L, 10L, 8.0)))
+    val got = Temporal.trailingEwma(df, alpha = 0.5, window = 2)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) === 0.5)    // 1·0.5
+    assert(got(2L) === 1.25)   // 2·0.5 + 1·0.5·0.5
+    assert(got(3L) === 2.5)    // 4·0.5 + 2·0.25 — the 1.0 truncated out
+    assert(got(9L) === 4.0)    // other user unaffected
+    // untruncated window: full recursion (α=0.5): e3 = 4·0.5+2·0.25+1·0.125
+    val full = Temporal.trailingEwma(df, alpha = 0.5, window = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(full(3L) === 2.625)
+  }
 }
