@@ -375,6 +375,75 @@ object Graph {
     (s, dir) => associationRules(Tables(s, dir, "lineitem"),
       minPairCount = 2, topK = 20))
 
+  /** Multi-source BFS hop distances, the reachability-DEPTH member of
+    * the Pregel family (connectedComponents answers "which component",
+    * BFS answers "how far" — crawl-depth priors, blast-radius audits,
+    * link-distance features). Frontier expansion: each round joins the
+    * frontier against the edge list and anti-joins the visited set, so
+    * a node is labeled the FIRST round it is reached — its minimum hop
+    * count, by induction. Per round one shuffle join + one distinct +
+    * one anti-join, all key-partitioned; rounds ≤ maxDepth; lineage cut
+    * per round (the CC posture). The empty-frontier early exit reads
+    * the just-checkpointed frontier's cached blocks — no recompute.
+    * Emits (node, hops) for every node within `maxDepth` of a seed;
+    * unreached nodes are absent (the caller's left join decides the
+    * sentinel). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    require(maxDepth >= 0, "maxDepth must be non-negative")
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = frontier
+        .join(e, frontier("node") === e("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select(col("node")), Seq("node"), "left_anti")
+        .withColumn("hops", lit(depth))
+        .localCheckpoint()
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next
+    }
+    visited
+  }
+
+  /** BFS over the trade graph from the smallest customer node, depth 3
+    * (customer → its suppliers → their co-customers → those customers'
+    * suppliers). The oracle walks the same graph with a recursive
+    * UNION CTE (UNION, not UNION ALL — the dedup bounds the walk at
+    * (node, hops) pairs where ALL would path-count combinatorially) and
+    * takes min(hops). The seed derives from the data (min o_custkey),
+    * not a literal, so the gate is corpus-drift-proof. */
+  val d68BfsHops: Q = Q(
+    "d68_bfs_hops",
+    Some("""
+      WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+               's' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      e AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs),
+      walk(node, hops) AS (
+        SELECT 'c' || CAST(min(o_custkey) AS VARCHAR), 0 FROM orders
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < 3)
+      SELECT node, min(hops) AS hops FROM walk GROUP BY 1
+    """),
+    (s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val seedKey = orders.agg(min(col("o_custkey"))).head().getLong(0)
+      val seeds = orders.sparkSession.range(1)
+        .select(concat(lit("c"), lit(seedKey).cast("string")).as("node"))
+      bfsHops(tradeEdges(orders, Tables(s, dir, "lineitem")), seeds,
+        maxDepth = 3)
+    })
+
   val all: Seq[Q] = Seq(d46PageRank, d53LabelPropagation, d62TriangleCounts,
-    q75AssociationRules)
+    q75AssociationRules, d68BfsHops)
 }

@@ -138,4 +138,24 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got === Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
+
+  test("bfsHops: min hop counts on a path, truncation, disconnection, multi-seed min") {
+    // path a-b-c-d (symmetric) plus isolated x-y
+    val e = edges(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("c", "d"), ("d", "c"), ("x", "y"), ("y", "x"))
+    def seedDf(ns: String*) = LocalTable.of(spark,
+      StructType(Seq(StructField("node", StringType))), ns.map(Row(_)))
+    val hops = Graph.bfsHops(e, seedDf("a"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(hops === Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3),
+      "x/y are unreachable and must be absent")
+    // depth truncation
+    val trunc = Graph.bfsHops(e, seedDf("a"), maxDepth = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(trunc === Map("a" -> 0, "b" -> 1))
+    // two seeds: each node labels at the NEARER seed's distance
+    val multi = Graph.bfsHops(e, seedDf("a", "d"), maxDepth = 10)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(multi === Map("a" -> 0, "d" -> 0, "b" -> 1, "c" -> 1))
+  }
 }
