@@ -54,22 +54,8 @@ case class MisraGriesAgg(
   override def update(buf: mutable.HashMap[String, Long],
       input: InternalRow): mutable.HashMap[String, Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val k = v.asInstanceOf[UTF8String].toString
-      buf.get(k) match {
-        case Some(c) => buf(k) = c + 1
-        case None if buf.size < capacity => buf(k) = 1L
-        case None =>
-          // classic decrement step: no free counter — every counter pays
-          // one, zeroed counters free their slot
-          val dead = mutable.ArrayBuffer.empty[String]
-          buf.keysIterator.foreach { key =>
-            val c = buf(key) - 1
-            if (c == 0L) dead += key else buf(key) = c
-          }
-          dead.foreach(buf.remove)
-      }
-    }
+    if (v != null)
+      MisraGriesAgg.observe(buf, v.asInstanceOf[UTF8String].toString)(capacity)
     buf
   }
 
@@ -128,6 +114,24 @@ object MisraGriesAgg {
     GraftSqlBridge.column(
       MisraGriesAgg(GraftSqlBridge.expression(c), capacity)
         .toAggregateExpression())
+
+  /** One Misra-Gries observation — the single-item update shared by the
+    * aggregate and the streaming twin
+    * ([[graft.streaming.EventsStreaming.heavyHittersStream]]): bump an
+    * existing counter, claim a free slot, or run the classic decrement
+    * step (every counter pays one, zeroed counters free their slot). */
+  def observe(buf: mutable.HashMap[String, Long], k: String)(capacity: Int): Unit =
+    buf.get(k) match {
+      case Some(c) => buf(k) = c + 1
+      case None if buf.size < capacity => buf(k) = 1L
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        buf.keysIterator.foreach { key =>
+          val c = buf(key) - 1
+          if (c == 0L) dead += key else buf(key) = c
+        }
+        dead.foreach(buf.remove)
+    }
 
   /** The mergeable-summaries reduction (Agarwal et al., PODS 2012),
     * shared by the aggregate's partial merge and ARTIFACT maintenance:

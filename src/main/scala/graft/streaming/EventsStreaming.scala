@@ -392,4 +392,55 @@ object EventsStreaming {
       .select(col("user_id"), col("click_ts"), col("purchase_ts"),
         col("purchase_value"))
   }
+
+  /** One token observation in group `g` (the d36 shape, streamed). */
+  final case class TokenObs(g: String, token: String)
+
+  /** Misra-Gries counters + total observation count carried between
+    * micro-batches. */
+  final case class HHState(items: Map[String, Long], n_seen: Long)
+
+  /** One current-top-k entry; `n_seen` is the group's total observation
+    * count, monotone per group — consumers keep each group's max-n_seen
+    * emission as "latest". */
+  final case class HHEntry(g: String, token: String, est: Long, rank: Int,
+      n_seen: Long)
+
+  /** Streaming twin of the d36 heavy-hitters sketch: the per-group
+    * Misra-Gries counter map rides GroupState (bounded at `capacity`
+    * counters — state never grows with the stream, the property that
+    * makes a standing top-tokens view over an unbounded ingest
+    * feasible), each arriving token runs the SAME single-observation
+    * update the batch aggregate runs
+    * ([[graft.plans.MisraGriesAgg.observe]] — one code path, two
+    * runtimes), and each micro-batch re-emits the group's current top-k
+    * with its observation count. Exact-regime equality with the batch
+    * aggregate and the capacity-starved N/(k+1) bound both survive
+    * micro-batching because MG error depends only on the observation
+    * MULTISET, not its batching (StreamingSpec proves both). */
+  def heavyHittersStream(tokens: Dataset[TokenObs], capacity: Int,
+      topK: Int): Dataset[HHEntry] = {
+    require(capacity > 0 && topK > 0, "capacity and topK must be positive")
+    val fn: (String, Iterator[TokenObs], GroupState[HHState]) => Iterator[HHEntry] =
+      (g, it, state) => {
+        val buf = scala.collection.mutable.HashMap[String, Long]()
+        var nSeen = 0L
+        state.getOption.foreach { s =>
+          s.items.foreach { case (k, v) => buf(k) = v }
+          nSeen = s.n_seen
+        }
+        it.foreach { t =>
+          graft.plans.MisraGriesAgg.observe(buf, t.token)(capacity)
+          nSeen += 1
+        }
+        val top = buf.toArray.sortBy { case (k, c) => (-c, k) }.take(topK)
+        state.update(HHState(buf.toMap, nSeen))
+        top.iterator.zipWithIndex.map { case ((tok, est), i) =>
+          HHEntry(g, tok, est, i + 1, nSeen)
+        }
+      }
+    tokens.groupByKey(_.g)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[HHState], Encoders.product[HHEntry])
+  }
 }

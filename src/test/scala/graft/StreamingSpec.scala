@@ -539,4 +539,52 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(3L), "unmatched click must emit after watermark passes")
     assert(rows(3L).isEmpty, "unmatched click's purchase columns must be NULL")
   }
+
+  test("heavyHittersStream: exact-regime ≡ batch sketch across micro-batches; capacity-starved bound holds") {
+    import EventsStreaming.TokenObs
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[TokenObs]
+    // a=5, b=3, c=1 in group g1 split across three micro-batches
+    val in = MemoryStream[TokenObs]
+    val q = EventsStreaming.heavyHittersStream(in.toDS(), capacity = 64, topK = 3)
+      .writeStream.format("memory").queryName("hh_out").outputMode("append").start()
+    in.addData(TokenObs("g1", "a"), TokenObs("g1", "b"), TokenObs("g1", "a"))
+    q.processAllAvailable()
+    in.addData(TokenObs("g1", "c"), TokenObs("g1", "a"), TokenObs("g1", "b"))
+    q.processAllAvailable()
+    in.addData(TokenObs("g1", "a"), TokenObs("g1", "a"), TokenObs("g1", "b"),
+      TokenObs("g2", "z"))
+    q.processAllAvailable()
+    val all = spark.table("hh_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    q.stop()
+    // latest emission per group = max n_seen
+    val latest1 = all.filter(_._1 == "g1")
+    val n1 = latest1.map(_._5).max
+    val top1 = latest1.filter(_._5 == n1).sortBy(_._4).map(t => (t._2, t._3))
+    assert(n1 === 9L)
+    assert(top1.toSeq === Seq(("a", 5L), ("b", 3L), ("c", 1L)),
+      "exact regime: streamed sketch must equal true counts, est desc/token asc")
+    assert(all.filter(_._1 == "g2").map(t => (t._2, t._3, t._5)).toSeq ===
+      Seq(("z", 1L, 1L)))
+    // capacity-starved across batches: k=2 over a=6,b=4 + 6 singletons
+    val in2 = MemoryStream[TokenObs]
+    val q2 = EventsStreaming.heavyHittersStream(in2.toDS(), capacity = 2, topK = 2)
+      .writeStream.format("memory").queryName("hh_out2").outputMode("append").start()
+    in2.addData((1 to 3).flatMap(i =>
+      Seq(TokenObs("g", "a"), TokenObs("g", "b"), TokenObs("g", s"x$i"))): _*)
+    q2.processAllAvailable()
+    in2.addData(((4 to 6).map(i => TokenObs("g", s"x$i")) ++
+      Seq.fill(3)(TokenObs("g", "a")) :+ TokenObs("g", "b")): _*)
+    q2.processAllAvailable()
+    val all2 = spark.table("hh_out2").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(4)))
+    q2.stop()
+    val n2 = all2.map(_._3).max
+    val fin = all2.filter(_._3 == n2).map(t => t._1 -> t._2).toMap
+    assert(n2 === 16L)
+    // N/(k+1) = 16/3 ≈ 5.33; a (true 6) must survive, underestimated ≤ bound
+    assert(fin.contains("a"), s"heavy key lost: $fin")
+    assert(fin("a") <= 6L && 6L - fin("a") <= 16.0 / 3, fin.toString)
+  }
 }
