@@ -418,6 +418,120 @@ object EventsStreaming {
     * aggregate and the capacity-starved N/(k+1) bound both survive
     * micro-batching because MG error depends only on the observation
     * MULTISET, not its batching (StreamingSpec proves both). */
+  /** One observed double in group `g` with a per-group sequence for
+    * deterministic in-batch ordering. */
+  final case class ValueObs(g: String, seq: Long, v: Double)
+
+  /** Serialized quantile-sketch ladder carried between micro-batches. */
+  final case class QskState(bytes: Array[Byte])
+
+  /** One emitted quantile row; `n_seen` is the sketch's exact total
+    * weight (monotone per group — max-n_seen is latest). */
+  final case class QskQuantiles(g: String, n_seen: Long, p25: Double,
+      p50: Double, p75: Double)
+
+  /** Streaming twin of the d64 quantile sketch: the level ladder rides
+    * GroupState serialized (bounded at capacity·levels doubles — the
+    * same never-grows-with-the-stream property as
+    * [[heavyHittersStream]]), each arriving value runs the SAME
+    * deterministic MRL update the batch aggregate runs
+    * ([[graft.plans.QuantileSketchOps]] — one code path, two runtimes),
+    * and each micro-batch re-emits the group's current p25/p50/p75.
+    * Below capacity the sketch IS the sorted history, so streamed
+    * quantiles equal the batch aggregate's exactly regardless of
+    * batching; above it the MRL rank bound holds because compaction
+    * error depends on the observation multiset and fold order, both
+    * preserved by per-group in-order delivery (StreamingSpec proves the
+    * exact regime across batch boundaries). */
+  def quantileSketchStream(values: Dataset[ValueObs],
+      capacity: Int): Dataset[QskQuantiles] = {
+    require(capacity >= 4, "capacity must be >= 4")
+    import graft.plans.QuantileSketchOps
+    val fn: (String, Iterator[ValueObs], GroupState[QskState]) => Iterator[QskQuantiles] =
+      (g, it, state) => {
+        val buf = state.getOption
+          .map(s => QuantileSketchOps.deserializeBuf(s.bytes))
+          .getOrElse(QuantileSketchOps.newBuf())
+        it.toSeq.sortBy(_.seq).foreach(o =>
+          QuantileSketchOps.add(buf, o.v, 0, capacity))
+        state.update(QskState(QuantileSketchOps.serializeBuf(buf)))
+        // artifact-side estimation, driver-free: same rank rule as the
+        // Column estimator (smallest value with cum weight >= ceil(q n))
+        val art = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Double, Long)]
+          var i = 0
+          while (i < buf.levels.size) {
+            val w = 1L << i
+            buf.levels(i).foreach(v => out += ((v, w)))
+            i += 1
+          }
+          out.sortBy(identity).toArray
+        }
+        val total = art.map(_._2).sum
+        if (total == 0L) Iterator.empty
+        else {
+          def q(p: Double): Double = {
+            val target = math.max(1L, math.ceil(p * total).toLong)
+            var cum = 0L
+            var ans = art.last._1
+            var found = false
+            var i = 0
+            while (i < art.length && !found) {
+              cum += art(i)._2
+              if (cum >= target) { ans = art(i)._1; found = true }
+              i += 1
+            }
+            ans
+          }
+          Iterator.single(QskQuantiles(g, total, q(0.25), q(0.50), q(0.75)))
+        }
+      }
+    values.groupByKey(_.g)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[QskState], Encoders.product[QskQuantiles])
+  }
+
+  /** Streaming twin of q78's trailing EWMA: the last `window−1` values
+    * per key ride GroupState (bounded — the batch scaladoc's
+    * "streaming-ready formulation" made literal), each arriving event
+    * recomputes the SAME newest-first weighted fold over its frame, so
+    * under per-key in-order delivery every emitted row equals the batch
+    * operator's bit-for-bit (same values, same fold order, same libm
+    * pow calls — StreamingSpec proves it across micro-batch
+    * boundaries). */
+  /** Trailing value frame per user (newest last), window-bounded. */
+  final case class Frame(vals: Seq[Double])
+
+  def ewmaStream(events: Dataset[Event], alpha: Double,
+      window: Int): DataFrame = {
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    require(window >= 1, "window must be positive")
+    val fn: (Long, Iterator[Event], GroupState[Frame]) => Iterator[(Long, Long, Double)] =
+      (user, it, state) => {
+        var frame = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        it.toSeq.sortBy(e => (e.ts_us, e.value)).foreach { e =>
+          frame = (frame :+ e.value).takeRight(window)
+          var ew = 0.0
+          var i = 0
+          val n = frame.length
+          while (i < n) {
+            // newest-first: element i steps back (n-1-i)... iterate reversed
+            ew += frame(n - 1 - i) * alpha * math.pow(1 - alpha, i)
+            i += 1
+          }
+          out += ((user, e.ts_us, math.floor(ew * 1e6 + 0.5) / 1e6))
+        }
+        state.update(Frame(frame))
+        out.result().iterator
+      }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
+        Encoders.product[Frame],
+        Encoders.product[(Long, Long, Double)])
+      .toDF("user_id", "ts_us", "ewma")
+  }
+
   def heavyHittersStream(tokens: Dataset[TokenObs], capacity: Int,
       topK: Int): Dataset[HHEntry] = {
     require(capacity > 0 && topK > 0, "capacity and topK must be positive")

@@ -587,4 +587,58 @@ class StreamingSpec extends SparkSpec {
     assert(fin.contains("a"), s"heavy key lost: $fin")
     assert(fin("a") <= 6L && 6L - fin("a") <= 16.0 / 3, fin.toString)
   }
+
+  test("quantileSketchStream: exact-regime quantiles across micro-batches equal the rank rule") {
+    import EventsStreaming.ValueObs
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[ValueObs]
+    val in = MemoryStream[ValueObs]
+    val q = EventsStreaming.quantileSketchStream(in.toDS(), capacity = 256)
+      .writeStream.format("memory").queryName("qsk_out").outputMode("append").start()
+    // 1..20 split across two batches, shuffled
+    val (b1, b2) = scala.util.Random.shuffle((1 to 20).toList).splitAt(9)
+    in.addData(b1.zipWithIndex.map { case (v, i) => ValueObs("g", i, v.toDouble) }: _*)
+    q.processAllAvailable()
+    in.addData(b2.zipWithIndex.map { case (v, i) => ValueObs("g", 100 + i, v.toDouble) }: _*)
+    q.processAllAvailable()
+    val rows = spark.table("qsk_out").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    q.stop()
+    val fin = rows.maxBy(_._1)
+    // lower discrete quantiles of 1..20: p25→5, p50→10, p75→15
+    assert(fin === ((20L, 5.0, 10.0, 15.0)),
+      s"streamed exact-regime quantiles must match the rank rule: $fin")
+  }
+
+  test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Event]
+    val events = Seq(
+      Event(1L, 10L, "e", 1.0), Event(1L, 20L, "e", 2.0),
+      Event(1L, 30L, "e", 4.0), Event(1L, 40L, "e", 8.0),
+      Event(2L, 10L, "e", 5.0))
+    val in = MemoryStream[Event]
+    val q = EventsStreaming.ewmaStream(in.toDS(), alpha = 0.25, window = 3)
+      .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
+    in.addData(events.take(2): _*)
+    q.processAllAvailable()
+    in.addData(events.drop(2): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ewma_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    q.stop()
+    import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+    val batchIn = LocalTable.of(spark,
+      StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
+        StructField("ts_us", LongType), StructField("value", DoubleType))),
+      events.zipWithIndex.map { case (e, i) =>
+        Row(i.toLong, e.user_id, e.ts_us, e.value) })
+    val batch = graft.operators.Temporal.trailingEwma(batchIn,
+      alpha = 0.25, window = 3)
+      .join(batchIn.select(col("event_id"), col("ts_us")), Seq("event_id"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us")) ->
+        r.getAs[Double]("ewma")).toMap
+    assert(streamed === batch,
+      s"stream must equal batch exactly: $streamed vs $batch")
+  }
 }
