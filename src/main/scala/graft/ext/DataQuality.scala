@@ -565,6 +565,45 @@ object DataQuality {
           qskQuantile(col("sk"), 0.95).as("p95"))
     })
 
+  /** k-anonymity audit (Sweeney 2002, public): every combination of
+    * quasi-identifier values shared by fewer than `k` rows is an
+    * equivalence class small enough to re-identify its members by
+    * linkage — the audit emits exactly those violating classes with
+    * their sizes, the worklist a generalization/suppression pass must
+    * clear before publication. Completes the privacy trio: d09 scrubs
+    * free text, d54 pseudonymizes direct identifiers, this measures the
+    * re-identification risk of what REMAINS. One partial-aggregatable
+    * count shuffle; output is violating-class-sized, never row-sized. */
+  def kAnonymityAudit(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(k >= 2, "k must be >= 2")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("group_size"))
+      .filter(col("group_size") < k)
+  }
+
+  /** d69 — k=5 audit of customers under the quasi-identifier triple
+    * (market segment, nation, coarsened account-balance band). The
+    * band coarsening (floor/1000) is itself the generalization step a
+    * real release would tune — the gate shows the audit is what tells
+    * you 1000-unit bands are not yet coarse enough. */
+  val d69KAnonymity: Q = Q(
+    "d69_k_anonymity",
+    Some("""
+      SELECT c_mktsegment, c_nationkey,
+             CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             count(*) AS group_size
+      FROM customer
+      GROUP BY 1, 2, 3
+      HAVING count(*) < 5
+    """),
+    (s, dir) => kAnonymityAudit(
+      Tables(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
+      Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 5))
+
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
-    d55ConstraintAudit, d56MergeableProfile, d61PsiDrift, d64QuantileProfile)
+    d55ConstraintAudit, d56MergeableProfile, d61PsiDrift, d64QuantileProfile,
+    d69KAnonymity)
 }

@@ -241,4 +241,25 @@ class DataQualitySpec extends SparkSpec {
     // shares reflect n=2, not n=3: bin share (2*1+1)/(2*2+2) = 0.5
     assert(got.forall(_.getAs[Double]("ref_share") === 0.5))
   }
+
+  test("kAnonymityAudit: violating classes emitted with sizes, satisfied classes silent") {
+    val schema = StructType(Seq(
+      StructField("seg", StringType), StructField("zip", StringType)))
+    val df = LocalTable.of(spark, schema, Seq(
+      Row("A", "z1"), Row("A", "z1"), Row("A", "z1"),   // size 3 — ok at k=3
+      Row("B", "z1"), Row("B", "z1"),                   // size 2 — violates
+      Row("C", "z9")))                                  // size 1 — violates
+    val got = DataQuality.kAnonymityAudit(df, Seq("seg", "zip"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("B", "z1", 2L), ("C", "z9", 1L)))
+    assert(DataQuality.kAnonymityAudit(df, Seq("seg", "zip"), k = 2)
+      .collect().map(_.getLong(2)).toSeq === Seq(1L),
+      "at k=2 only the singleton class violates")
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymityAudit(df, Seq.empty, k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.kAnonymityAudit(df, Seq("seg"), k = 1)
+    }
+  }
 }
