@@ -1315,8 +1315,112 @@ object Similarity {
     """),
     (s, dir) => embeddingProfile(emb(s, dir), "label"))
 
+  /** ANN recall evaluation — the index-quality monitor every
+    * approximate retrieval deployment runs: for each query vector, the
+    * IVF probe's top-k is compared against the brute-force top-k and
+    * scored recall@k = |ANN ∩ exact| / k. Production runs this over a
+    * sampled query set per index build; a recall drop is the signal to
+    * re-train centroids or raise nProbe. Exact side broadcasts the
+    * (small) query set against one corpus scan (the s02 shape); ANN
+    * side is the s08 list-probe; the comparison joins two
+    * (queries × k)-sized rank lists — evaluation cost is probe + one
+    * exact scan, independent of how many queries the INDEX serves. */
+  def annRecallAtK(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
+    require(k > 0 && nCentroids > 0 && nProbe > 0,
+      "k, nCentroids and nProbe must be positive")
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("__qe"))
+    def topK(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos_sim").desc, col("nn_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+        .select(col("qid"), col("nn_id"))
+    }
+    val exact = topK(embeddings.select(col("vec_id").as("nn_id"),
+        col("embedding").as("__ne"))
+      .crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"),
+        round(cosine(col("__qe"), col("__ne")), 6).as("cos_sim")))
+    val cs = KMeans.fit(embeddings, "vec_id", "embedding", nCentroids, kmeansIters)
+    val lists = ivfAssignments(embeddings, cs)
+      .select(col("centroid_id"), col("vec_id").as("nn_id"),
+        col("embedding").as("__ne"))
+    val ann = topK(q
+      .withColumn("centroid_id",
+        explode(graft.plans.NearestCentroidsExpr.nearestCentroids(
+          col("__qe"), cs, nProbe)))
+      .join(lists, Seq("centroid_id"))
+      .filter(col("nn_id") =!= col("qid"))
+      .select(col("qid"), col("nn_id"),
+        round(cosine(col("__qe"), col("__ne")), 6).as("cos_sim")))
+    exact.alias("e")
+      .join(ann.alias("a"),
+        col("e.qid") === col("a.qid") && col("e.nn_id") === col("a.nn_id"),
+        "left")
+      .groupBy(col("e.qid").as("qid"))
+      .agg(count(col("a.nn_id")).as("n_hits"))
+      .select(col("qid"), col("n_hits"),
+        (col("n_hits") / lit(k.toDouble)).as("recall"))
+  }
+
+  /** s19 — recall@10 of the 16-list/4-probe IVF (0 Lloyd iterations —
+    * SQL-reproducible) for the first 20 vectors. The oracle rebuilds
+    * quantizer, probe, both top-10 rank lists and the hit count. */
+  val s19AnnRecall: Q = Q(
+    "s19_ann_recall",
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                 FROM embeddings WHERE vec_id < 20),
+      ranked AS (SELECT embedding AS c,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+             FROM embeddings),
+      c0 AS (SELECT cid, c FROM ranked WHERE cid < 16),
+      la AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
+      qp AS (SELECT qid, cid FROM (
+               SELECT q.qid, c.cid,
+                      row_number() OVER (PARTITION BY q.qid
+                        ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM q CROSS JOIN c0 c) t WHERE rn <= 4),
+      exact AS (SELECT qid, nn_id FROM (
+                  SELECT q.qid, e.vec_id AS nn_id,
+                         row_number() OVER (PARTITION BY q.qid ORDER BY
+                           round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id ASC) AS rk
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) t
+                WHERE rk <= 10),
+      ann AS (SELECT qid, nn_id FROM (
+                SELECT qp.qid, e.vec_id AS nn_id,
+                       row_number() OVER (PARTITION BY qp.qid ORDER BY
+                         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                         e.vec_id ASC) AS rk
+                FROM qp JOIN la ON la.cid = qp.cid
+                     JOIN embeddings e ON e.vec_id = la.vec_id
+                     JOIN q ON q.qid = qp.qid
+                WHERE e.vec_id <> qp.qid) t
+              WHERE rk <= 10),
+      hits AS (SELECT x.qid, count(a.nn_id) AS n_hits
+               FROM exact x LEFT JOIN ann a
+                 ON a.qid = x.qid AND a.nn_id = x.nn_id
+               GROUP BY 1)
+      SELECT qid, n_hits, n_hits / CAST(10 AS DOUBLE) AS recall
+      FROM hits
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      annRecallAtK(e, e.filter(col("vec_id") < 20), k = 10,
+        nCentroids = 16, nProbe = 4, kmeansIters = 0)
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
-    s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile)
+    s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
+    s19AnnRecall)
 }

@@ -535,6 +535,21 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("annRecallAtK: full probe scores recall exactly 1; pruned probe bounded in [0,1]") {
+    val e = Tables(spark, sfDir, "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val full = Similarity.annRecallAtK(e, q, k = 5,
+      nCentroids = 8, nProbe = 8, kmeansIters = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(full.length === 5)
+    assert(full.forall { case (_, h, r) => h === 5L && r === 1.0 },
+      s"probing every list must recover the exact top-k: ${full.toSeq}")
+    val pruned = Similarity.annRecallAtK(e, q, k = 5,
+      nCentroids = 8, nProbe = 1, kmeansIters = 0)
+      .collect().map(_.getDouble(2))
+    assert(pruned.length === 5 && pruned.forall(r => r >= 0.0 && r <= 1.0))
+  }
+
   test("marginMine: forward mining emits at most one target per source; partitioning-invariant") {
     val e = Tables(spark, sfDir, "embeddings")
     val src = e.filter(col("vec_id") % 2 === 0)
