@@ -1418,9 +1418,60 @@ object Similarity {
         nCentroids = 16, nProbe = 4, kmeansIters = 0)
     })
 
+  /** Per-dimension z-standardization of the embedding space — the
+    * whitening step run before LSH/IVF indexing so no single
+    * high-variance dimension dominates the distance metric (and the
+    * consumer of [[embeddingProfile]]'s moments: dead dimensions
+    * (σ²=0) standardize to 0 instead of NaN). Moments collapse to a
+    * dims-sized table broadcast back into one corpus scan; the
+    * standardized value is (v−μ)/σ in fixed IEEE order (sqrt is
+    * correctly-rounded IEEE — deterministic cross-engine), floor@6.
+    * Long form (vec_id, dim, z). */
+  def standardizeEmbeddings(embeddings: DataFrame): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val prof = x.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+        sum(col("v") * col("v")).as("sxx"))
+      .select(col("dim"),
+        (floor(col("sx") / col("n") * 1e6 + 0.5) / 1e6).as("mu"),
+        (floor((col("sxx") / col("n")
+          - (col("sx") / col("n")) * (col("sx") / col("n"))) * 1e6 + 0.5) / 1e6)
+          .as("s2"))
+    x.join(broadcast(prof), Seq("dim"))
+      .select(col("vec_id"), col("dim"),
+        when(col("s2") > 0,
+          floor((col("v") - col("mu")) / sqrt(col("s2")) * 1e6 + 0.5) / 1e6)
+          .otherwise(lit(0.0)).as("z"))
+  }
+
+  /** s20 — corpus-wide standardization; the oracle replays moments and
+    * the per-value arithmetic in the identical IEEE order. */
+  val s20StandardizeEmbeddings: Q = Q(
+    "s20_standardize_embeddings",
+    Some("""
+      WITH x AS (
+        SELECT vec_id, g.d AS dim, CAST(embedding[g.d + 1] AS DOUBLE) AS v
+        FROM embeddings, generate_series(0, 63) g(d)),
+      m AS (
+        SELECT dim, count(*) AS n, sum(v) AS sx, sum(v * v) AS sxx
+        FROM x GROUP BY 1),
+      p AS (
+        SELECT dim, floor(sx / n * 1e6 + 0.5) / 1e6 AS mu,
+               floor((sxx / n - (sx / n) * (sx / n)) * 1e6 + 0.5) / 1e6 AS s2
+        FROM m)
+      SELECT x.vec_id, x.dim,
+             CASE WHEN p.s2 > 0
+               THEN floor((x.v - p.mu) / sqrt(p.s2) * 1e6 + 0.5) / 1e6
+               ELSE 0.0 END AS z
+      FROM x JOIN p ON p.dim = x.dim
+    """),
+    (s, dir) => standardizeEmbeddings(emb(s, dir)))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
-    s19AnnRecall)
+    s19AnnRecall, s20StandardizeEmbeddings)
 }

@@ -535,6 +535,20 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("standardizeEmbeddings: hand-computed z-scores, dead dimension yields 0") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // dim0: values 1,3 → mu 2, s2 1, sd 1 → z = -1, 1
+    // dim1: constant 5 → s2 = 0 → z = 0 for all
+    val df = LocalTable.of(spark, schema, Seq(
+      Row(0L, Seq(1.0f, 5.0f)), Row(1L, Seq(3.0f, 5.0f))))
+    val got = Similarity.standardizeEmbeddings(df)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got((0L, 0)) === -1.0 && got((1L, 0)) === 1.0)
+    assert(got((0L, 1)) === 0.0 && got((1L, 1)) === 0.0)
+  }
+
   test("annRecallAtK: full probe scores recall exactly 1; pruned probe bounded in [0,1]") {
     val e = Tables(spark, sfDir, "embeddings")
     val q = e.filter(col("vec_id") < 5)
