@@ -1831,9 +1831,69 @@ object Dedup {
       crossSplitLeakage(pairs, splits)
     })
 
+  /** Dedup effectiveness report: the component-size HISTOGRAM of a
+    * near-dup pair list plus the keep/drop arithmetic — the
+    * observability artifact a dedup run publishes (how much boilerplate
+    * is there? is one giant cluster eating the corpus? what fraction
+    * survives keep-one?). Rows: one per component size, with the
+    * component count, the documents involved, and the documents dropped
+    * by keep-one (size − 1 each). Cost is [[connectedComponents]] over
+    * the O(dup-rate) pair list + one component-sized aggregate — the
+    * corpus itself is never touched. */
+  def dedupReport(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .groupBy(col("component"))
+      .agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize"))
+      .agg(count(lit(1)).as("n_components"))
+      .select(col("csize"), col("n_components"),
+        (col("csize") * col("n_components")).as("n_docs"),
+        ((col("csize") - 1) * col("n_components")).as("n_dropped"))
+
+  /** d70 — the report over the d06 blocked exact-Jaccard pairs, so the
+    * oracle's transitive closure runs over the (few) blocked pairs and
+    * stays LINEAR at every gate scale (d17's oracle is quadratic because
+    * its PAIR GENERATION is brute-force; here the closure itself is the
+    * only recursive part and it walks pair-list-sized data). */
+  val d70DedupReport: Q = Q(
+    "d70_dedup_report",
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      p AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+              ELSE 0.0 END >= 0.35),
+      e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+            UNION SELECT doc_b, doc_a FROM p),
+      reach(src, lbl) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM e)
+        UNION
+        SELECT e.src, r.lbl FROM e JOIN reach r ON e.dst = r.src),
+      comp AS (SELECT src AS doc_id, min(lbl) AS component
+               FROM reach GROUP BY 1),
+      sizes AS (SELECT component, count(*) AS csize FROM comp GROUP BY 1)
+      SELECT csize, count(*) AS n_components,
+             csize * count(*) AS n_docs,
+             (csize - 1) * count(*) AS n_dropped
+      FROM sizes GROUP BY 1
+    """),
+    (s, dir) => dedupReport(
+      d06NgramJaccardPairs.run(s, dir).select(col("doc_a"), col("doc_b"))))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
-    d49ContainmentPairs, d59Winnowing, d65SplitLeakage)
+    d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport)
 }

@@ -1188,6 +1188,62 @@ object Temporal {
         unix_micros(col("ts")).as("ts_us"), col("value")),
       alpha = 0.25, window = 50))
 
+  /** Robust outlier screen via the median absolute deviation — the
+    * companion q61's z-score cannot be: mean/stddev are themselves
+    * dragged by the outliers they are meant to flag (masking), while
+    * median and MAD have a 50% breakdown point. Two group-bounded exact
+    * R-7 percentile aggregates (each collapses to |groups| rows and
+    * broadcasts back into a map-side scan — the q62 shape, twice) and
+    * the standard 1.4826 normal-consistency scaling. Emits per group:
+    * n, median, mad, and the count beyond `cut` scaled MADs. */
+  def madOutliers(events: DataFrame, cut: Double,
+      keyCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    require(cut > 0, "cut must be positive")
+    val base = events.select(col(keyCol), col(valueCol).as("__v"))
+    val med = base.groupBy(col(keyCol))
+      .agg(percentile(col("__v"), lit(0.5)).as("med"))
+    val withDev = base.join(broadcast(med), Seq(keyCol))
+      .withColumn("__dev", abs(col("__v") - col("med")))
+    val mad = withDev.groupBy(col(keyCol))
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    withDev.join(broadcast(mad), Seq(keyCol))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("med")), 6).as("med"),
+        round(min(col("mad")), 6).as("mad"),
+        count(when(col("__dev") > col("mad") * lit(1.4826) * lit(cut), 1))
+          .as("n_outliers"))
+  }
+
+  /** q79 — MAD outlier screen per event type at the conventional 3-MAD
+    * cut. The threshold comparison runs on identical doubles both
+    * engines (percentiles are R-7 on both; the scaling literal is CAST
+    * to DOUBLE in the oracle — DuckDB decimal literals diverge from
+    * IEEE otherwise), so the counts are exact. */
+  val q79MadOutliers: Q = Q(
+    "q79_mad_outliers",
+    Some("""
+      WITH med AS (
+        SELECT event_type, quantile_cont(value, 0.5) AS med
+        FROM events GROUP BY 1),
+      dev AS (
+        SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
+        FROM events e JOIN med m USING (event_type)),
+      mad AS (
+        SELECT event_type, quantile_cont(d, 0.5) AS mad
+        FROM dev GROUP BY 1)
+      SELECT dev.event_type, count(*) AS n,
+             round(min(dev.med), 6) AS med,
+             round(min(mad.mad), 6) AS mad,
+             count(CASE WHEN dev.d > mad.mad * CAST(1.4826 AS DOUBLE)
+                                      * CAST(3 AS DOUBLE) THEN 1 END)
+               AS n_outliers
+      FROM dev JOIN mad USING (event_type)
+      GROUP BY 1
+    """),
+    (s, dir) => madOutliers(
+      ev(s, dir).select(col("event_type"), col("value")), cut = 3.0))
+
   val all: Seq[Q] = Seq(
     q13RunningBalance, q14TumblingWindow, q15JsonExtract,
     q20WatermarkIncremental, q33RankFamily, q34SqlSurface, q35AsofJoin,
@@ -1197,5 +1253,5 @@ object Temporal {
     q55TrailingRangeSum, q56RankDistributions, q57StatMoments,
     q58SubqueryFamily, q61AnomalyZscore, q62WinsorizedStats,
     q66InterarrivalStats, q69RecursiveReachability, q73ResampleInterpolate,
-    q77Streaks, q78TrailingEwma)
+    q77Streaks, q78TrailingEwma, q79MadOutliers)
 }

@@ -812,4 +812,17 @@ class DedupSpec extends SparkSpec {
       (2L, 4L, "train", "val"),
       (3L, 4L, "test", "val")))
   }
+
+  test("dedupReport: component-size histogram with keep-one arithmetic") {
+    val pairs = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))),
+      Seq(Row(1L, 2L), Row(2L, 3L),   // chain {1,2,3} → size 3
+        Row(10L, 11L),                // pair {10,11} → size 2
+        Row(20L, 21L)))               // pair {20,21} → size 2
+    val got = Dedup.dedupReport(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)),
+      "two size-2 components (4 docs, 2 dropped) and one size-3 (3 docs, 2 dropped)")
+  }
 }
