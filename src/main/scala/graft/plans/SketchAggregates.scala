@@ -365,8 +365,12 @@ case class QuantileSketchMergeAgg(
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       while (i < arr.numElements()) {
-        val row = arr.getStruct(i, 2)
-        QuantileSketchOps.addWeighted(buf, row.getDouble(0), row.getLong(1), capacity)
+        // null elements are skippable (our own artifacts never emit
+        // them, but the SQL surface accepts arbitrary arrays)
+        if (!arr.isNullAt(i)) {
+          val row = arr.getStruct(i, 2)
+          QuantileSketchOps.addWeighted(buf, row.getDouble(0), row.getLong(1), capacity)
+        }
         i += 1
       }
     }
