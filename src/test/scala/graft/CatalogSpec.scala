@@ -1,0 +1,44 @@
+package graft
+
+/** Integrity of the driver-contract catalog itself. The queries Map is
+  * keyed by name, so a DUPLICATE name would silently shadow one query —
+  * the gate would keep passing while an operator quietly dropped out of
+  * verification. These checks make that class of regression loud.
+  */
+class CatalogSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  private val catalogField = {
+    val m = SparkEntry.getClass.getDeclaredMethod("catalog")
+    m.setAccessible(true)
+    m.invoke(SparkEntry).asInstanceOf[Seq[Q]]
+  }
+
+  test("catalog names are unique — the Map drops nothing") {
+    val names = catalogField.map(_.name)
+    val dupes = names.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate catalog names: ${dupes.mkString(", ")}")
+    assert(SparkEntry.queries.size === catalogField.size,
+      "queries Map must carry every catalog entry")
+  }
+
+  test("catalog names follow the driver convention") {
+    val pat = "^[a-z][0-9]{2}[a-z0-9_]*$".r
+    val bad = catalogField.map(_.name).filterNot(n => pat.matches(n))
+    assert(bad.isEmpty, s"non-conforming names: ${bad.mkString(", ")}")
+  }
+
+  test("every oracle is non-blank and every oracle name is a catalog name") {
+    val blank = catalogField.filter(q => q.oracle.exists(_.trim.isEmpty))
+    assert(blank.isEmpty, s"blank oracles: ${blank.map(_.name).mkString(", ")}")
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("oracle coverage stays total — every catalog query is DuckDB-checkable") {
+    // the engine's standing bar: no rows-only checks; if a future
+    // operator genuinely cannot be SQL-expressed, this documents the
+    // deliberate exception by failing until the expectation is edited
+    val uncovered = catalogField.filter(_.oracle.isEmpty).map(_.name)
+    assert(uncovered.isEmpty,
+      s"queries without oracles (rows-only check): ${uncovered.mkString(", ")}")
+  }
+}
