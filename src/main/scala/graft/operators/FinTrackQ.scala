@@ -12,9 +12,10 @@ import graft.rules.{Categorizer, CategoryRule}
   * `lineitem ⋈ part` (descriptions from part names, values signed by return
   * flag, competência from ship month).
   *
-  * Scale posture: the transaction build is scan ⋈ broadcast(part) — a
-  * single pass, no fact-fact shuffle; each report is a partial-agg rollup
-  * of that pass. The rule chain and every oracle CASE are generated from
+  * Scale posture: the transaction build is a single lineitem pass joined
+  * to part on partkey (broadcast by stats/AQE when part fits, shuffle join
+  * when it doesn't — no hardcoded hint on an SF-scaled table); each report
+  * is a partial-agg rollup of that pass. The rule chain and every oracle CASE are generated from
   * the SAME `CategoryRule` list (Categorizer.categorizeSqlField), so rule
   * order cannot drift between engine and oracle.
   */
@@ -42,9 +43,11 @@ object FinTrackQ {
         .otherwise(lit("")))
     val valor = when(col("l_returnflag") === "R", -col("l_extendedprice"))
       .otherwise(col("l_extendedprice"))
-    // descricao is constructed pre-normalized (upper, single-spaced)
+    // descricao is constructed pre-normalized (upper, single-spaced).
+    // part scales with SF — no broadcast hint; stats/AQE broadcast it at
+    // small SF and degrade to a shuffle join at scale.
     val cat = Categorizer.categorizeNormalized(col("descricao"), partRules, hints)
-    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"),
         descricao.as("descricao"), valor.as("valor"),
         date_format(col("l_shipdate"), "yyyy-MM").as("competencia"))

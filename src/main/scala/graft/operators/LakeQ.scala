@@ -208,7 +208,7 @@ object LakeQ {
         override val inputs = Seq("orders", "customer")
         override val primaryKey = Seq("o_orderkey")
         override def transform(dfs: Map[String, org.apache.spark.sql.DataFrame]) =
-          dfs("orders").join(broadcast(dfs("customer")),
+          dfs("orders").join(dfs("customer"),
               col("o_custkey") === col("c_custkey"))
             .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("total"),
               col("c_mktsegment").as("segment"), col("ingest_ts"))

@@ -76,7 +76,11 @@ object Relational {
 
   /** Three-table fact join + broadcast dims: revenue by nation.
     * lineitem⋈orders shuffles once on orderkey, orders⋈customer on custkey;
-    * nation is broadcast (J1-class equi-joins, SURVEY §2.3). */
+    * nation (25 rows, fixed) is hint-broadcast. customer SCALES with the
+    * data (15 B rows at the 100 TB posture) so it carries NO hint — a hint
+    * overrides size thresholds and would OOM at scale; stats/AQE broadcast
+    * it at small SF and degrade to shuffle join at large SF
+    * (J1-class equi-joins, SURVEY §2.3). */
   val q03RevenueByNation: Q = Q(
     "q03_revenue_by_nation",
     Some("""
@@ -95,7 +99,7 @@ object Relational {
       val c  = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n  = t(s, dir, "nation").select("n_nationkey", "n_name")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
@@ -124,7 +128,7 @@ object Relational {
       val o  = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
       val li = t(s, dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
       li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey").asc)
@@ -196,7 +200,7 @@ object Relational {
       val o = t(s, dir, "orders").select("o_custkey", "o_orderpriority")
       val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
       val n = t(s, dir, "nation").select("n_nationkey", "n_name")
-      val counted = o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      val counted = o.join(c, col("o_custkey") === col("c_custkey"))
         .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"), col("o_orderpriority"))
         .agg(count(lit(1)).as("cnt"))

@@ -22,7 +22,7 @@ object ParsePipeline {
   /** BB bill text → categorized transaction table (bb_bill.py:184-229 +
     * categories_bb.py applied via the compiled rule Column). */
   def bbBills(raw: DataFrame,
-      rules: Seq[graft.rules.CategoryRule] = Categorizer.transactionRules,
+      rules: Seq[graft.rules.CategoryRule] = Categorizer.bbRules,
       hints: Seq[String] = Categorizer.recorrenteHints): DataFrame = {
     val parsed = docs(raw).flatMap { case (key, text) =>
       Parsers.parseBBBill(text).map(t => (key, t))
@@ -48,8 +48,7 @@ object ParsePipeline {
       .select(col("landing_object_key"), col("t.*"))
 
   /** Bradesco bill text → rows + per-card mode holder back-fill
-    * (bradesco_bill.py:321-330, J3: groupBy mode → broadcast left join →
-    * coalesce). */
+    * (bradesco_bill.py:321-330, J3: groupBy mode → left join → coalesce). */
   def bradescoBills(raw: DataFrame): DataFrame = {
     val rows = docs(raw).flatMap { case (key, text) =>
       Parsers.parseBradesco(text).map(t => (key, t))
@@ -79,7 +78,9 @@ object ParsePipeline {
       .orderBy(col("cnt").desc, col("mf_holder").asc)
     val modes = counted.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).select(col("mf_final"), col("mf_holder"))
-    rows.join(broadcast(modes), col("cartao_final") === col("mf_final"), "left")
+    // modes has one row per distinct card — input-scaled, so no broadcast
+    // hint; AQE sees its post-agg size and broadcasts when it fits.
+    rows.join(modes, col("cartao_final") === col("mf_final"), "left")
       .withColumn("titular_cartao", coalesce(col("titular_cartao"), col("mf_holder")))
       .drop("mf_final", "mf_holder")
   }

@@ -524,4 +524,38 @@ class PlanSpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+
+  test("q03/q04/q07: customer broadcasts via STATS, not hints — degrades to shuffle join when stats say big") {
+    // customer scales with SF (15 B rows at the 100 TB posture), so it must
+    // carry NO broadcast() hint: a hint overrides every size threshold and
+    // OOMs at scale. nation (25 rows, fixed) keeps its explicit hint.
+    val names = Seq("q03_revenue_by_nation", "q04_top_revenue_orders",
+      "q07_mode_priority_per_nation")
+    def joinLines(name: String, op: String): Seq[String] =
+      physical(run(name)).linesIterator.filter(l =>
+        l.contains(op) && l.contains("c_custkey")).toSeq
+    // default thresholds + tiny files: stats alone pick broadcast
+    names.foreach { n =>
+      assert(joinLines(n, "BroadcastHashJoin").nonEmpty,
+        s"$n: expected stats-driven broadcast of customer at gate scale")
+    }
+    // forced large-stats session: the customer join must degrade, proving
+    // no hint is hiding underneath
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      names.foreach { n =>
+        assert(joinLines(n, "BroadcastHashJoin").isEmpty,
+          s"$n: customer still broadcast with thresholds off — a hint is back")
+        val p = physical(run(n))
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"$n: expected a shuffle join on customer:\n${p.take(800)}")
+      }
+      // the fixed-cardinality nation hint survives thresholds-off (q03/q07)
+      Seq("q03_revenue_by_nation", "q07_mode_priority_per_nation").foreach { n =>
+        val nat = physical(run(n)).linesIterator.filter(l =>
+          l.contains("BroadcastHashJoin") && l.contains("n_nationkey")).toSeq
+        assert(nat.nonEmpty, s"$n: nation hint should still broadcast")
+      }
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
