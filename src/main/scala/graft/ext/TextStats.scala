@@ -25,6 +25,26 @@ object TextStats {
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
+  /** Deterministic positional-rebuild aggregate — THE one rebuild function
+    * shared by every token-surgery operator that reassembles documents
+    * from per-token rows (d38 rare-token scrub, d44 span corruption; the
+    * d22 span scrub rebuilds via a higher-order filter because it never
+    * explodes). Collects the group's rows as (order..., payload) structs,
+    * totally orders them with array_sort — struct comparison is
+    * field-by-field, so a UNIQUE ordering prefix yields ONE canonical
+    * array regardless of collect_list's arrival order, input partitioning,
+    * speculative retries or merge order — and joins the payloads with
+    * single spaces. Callers must pass an ordering prefix that is unique
+    * within the group (a position, or (position, sub-rank)). */
+  def positionalRebuild(payload: Column, order: Column*): Column = {
+    val fields = order.zipWithIndex.map { case (c, i) => c.as(s"o$i") } :+
+      payload.as("t")
+    array_join(
+      transform(array_sort(collect_list(struct(fields: _*))),
+        x => x.getField("t")),
+      " ")
+  }
+
   /** Unicode canonicalization (NFD → strip combining marks → NFC →
     * ROOT-locale lowercase → collapse ASCII whitespace → trim) as the
     * codegen'd kernel [[graft.plans.NormalizeTextExpr]] — the cleaning
@@ -1093,18 +1113,15 @@ object TextStats {
       .select(col("doc_id"), col("pos"),
         when(col("masked"), sentinel).otherwise(col("tok")).as("t"))
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("t")))),
-        x => x.getField("t")), " ").as("input_text"))
+      .agg(positionalRebuild(col("t"), col("pos")).as("input_text"))
     val tgtRows = fmk.filter(col("masked"))
       .select(col("doc_id"), col("pos"), lit(1).as("sub"), col("tok").as("t"))
       .unionByName(mg.select(col("doc_id"),
         (col("grp") * spanLen).cast("int").as("pos"), lit(0).as("sub"),
         concat(lit("<extra_id_"), col("k").cast("string"), lit(">")).as("t")))
     val tgt = tgtRows.groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("pos"), col("sub"), col("t")))),
-        x => x.getField("t")), " ").as("target_text"))
+      .agg(positionalRebuild(col("t"), col("pos"), col("sub"))
+        .as("target_text"))
     val ks = mg.groupBy(col("doc_id")).agg((max(col("k")) + 1).as("n_masked_spans"))
     docs.select(col("doc_id"))
       .join(inp, Seq("doc_id"), "left")
@@ -1753,9 +1770,7 @@ object TextStats {
         (col("cnt") < minCount).cast("int").as("is_unk"))
       .groupBy(col("doc_id"))
       .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tok2")))),
-          x => x.getField("tok2")), " ").as("scrubbed"),
+        positionalRebuild(col("tok2"), col("pos")).as("scrubbed"),
         sum(col("is_unk")).as("n_unk"))
     docs.select(col("doc_id"))
       .join(rebuilt, Seq("doc_id"), "left")

@@ -1199,42 +1199,54 @@ object Temporal {
   def madOutliers(events: DataFrame, cut: Double,
       keyCol: String = "event_type", valueCol: String = "value"): DataFrame = {
     require(cut > 0, "cut must be positive")
+    // med and mad are floor@6'd BEFORE the deviation/threshold math, not
+    // just for display: the comparison must not hinge on the two engines'
+    // percentile interpolations agreeing to the last ulp — a 1-ulp
+    // difference on a value sitting exactly at the threshold would flip
+    // n_outliers. floor(x*1e6+0.5)/1e6 is pure IEEE arithmetic, written
+    // identically in the oracle, so both engines compare identical
+    // doubles.
+    def f6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      floor(c * 1e6 + 0.5) / 1e6
     val base = events.select(col(keyCol), col(valueCol).as("__v"))
     val med = base.groupBy(col(keyCol))
-      .agg(percentile(col("__v"), lit(0.5)).as("med"))
+      .agg(f6(percentile(col("__v"), lit(0.5))).as("med"))
     val withDev = base.join(broadcast(med), Seq(keyCol))
       .withColumn("__dev", abs(col("__v") - col("med")))
     val mad = withDev.groupBy(col(keyCol))
-      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+      .agg(f6(percentile(col("__dev"), lit(0.5))).as("mad"))
     withDev.join(broadcast(mad), Seq(keyCol))
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
-        round(min(col("med")), 6).as("med"),
-        round(min(col("mad")), 6).as("mad"),
+        min(col("med")).as("med"),
+        min(col("mad")).as("mad"),
         count(when(col("__dev") > col("mad") * lit(1.4826) * lit(cut), 1))
           .as("n_outliers"))
   }
 
   /** q79 — MAD outlier screen per event type at the conventional 3-MAD
-    * cut. The threshold comparison runs on identical doubles both
-    * engines (percentiles are R-7 on both; the scaling literal is CAST
-    * to DOUBLE in the oracle — DuckDB decimal literals diverge from
-    * IEEE otherwise), so the counts are exact. */
+    * cut. med and mad are floor@6'd on BOTH engines before the
+    * deviation/threshold comparison (and are the emitted values), so the
+    * gate cannot flip on a 1-ulp percentile-interpolation difference;
+    * the scaling literal is CAST to DOUBLE in the oracle — DuckDB
+    * decimal literals diverge from IEEE otherwise. */
   val q79MadOutliers: Q = Q(
     "q79_mad_outliers",
     Some("""
       WITH med AS (
-        SELECT event_type, quantile_cont(value, 0.5) AS med
+        SELECT event_type,
+               floor(quantile_cont(value, 0.5) * 1e6 + 0.5) / 1e6 AS med
         FROM events GROUP BY 1),
       dev AS (
         SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS d
         FROM events e JOIN med m USING (event_type)),
       mad AS (
-        SELECT event_type, quantile_cont(d, 0.5) AS mad
+        SELECT event_type,
+               floor(quantile_cont(d, 0.5) * 1e6 + 0.5) / 1e6 AS mad
         FROM dev GROUP BY 1)
       SELECT dev.event_type, count(*) AS n,
-             round(min(dev.med), 6) AS med,
-             round(min(mad.mad), 6) AS mad,
+             min(dev.med) AS med,
+             min(mad.mad) AS mad,
              count(CASE WHEN dev.d > mad.mad * CAST(1.4826 AS DOUBLE)
                                       * CAST(3 AS DOUBLE) THEN 1 END)
                AS n_outliers

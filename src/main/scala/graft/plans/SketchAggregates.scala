@@ -278,8 +278,13 @@ case class KmvAgg(
   * most `capacity` of them. A full level compacts: sort, pair adjacent
   * items, promote one survivor per pair to the next level at doubled
   * weight. Survivor choice ALTERNATES between the pair's lower and upper
-  * member per level (the MRL deterministic schedule, no RNG — replayable
-  * and retry-safe like every operator here); adjacent compactions cancel
+  * member per level (the MRL deterministic schedule, no RNG — the
+  * per-partition computation is replayable and retry-safe; in the
+  * COMPACTION regime the RETAINED artifact can still vary across runs
+  * with the final-merge arrival order of shuffled partials, which Spark
+  * does not fix — the rank bound holds for every such artifact, but only
+  * the exact regime below is bit-deterministic, and that is the regime
+  * the gate pins); adjacent compactions cancel
   * rank drift, giving the classic O(log²(N/c)/c)·N rank-error bound. An
   * odd leftover stays at its level, so TOTAL WEIGHT IS PRESERVED EXACTLY
   * — the sketch's total weight equals the group's row count, always.
@@ -365,11 +370,14 @@ case class QuantileSketchMergeAgg(
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
       var i = 0
       while (i < arr.numElements()) {
-        // null elements are skippable (our own artifacts never emit
-        // them, but the SQL surface accepts arbitrary arrays)
+        // null elements and null struct FIELDS are skippable (our own
+        // artifacts never emit them, but the SQL surface accepts
+        // arbitrary arrays — reading a null field via getDouble would
+        // silently inject 0.0 into the sketch)
         if (!arr.isNullAt(i)) {
           val row = arr.getStruct(i, 2)
-          QuantileSketchOps.addWeighted(buf, row.getDouble(0), row.getLong(1), capacity)
+          if (!row.isNullAt(0) && !row.isNullAt(1))
+            QuantileSketchOps.addWeighted(buf, row.getDouble(0), row.getLong(1), capacity)
         }
         i += 1
       }
@@ -433,10 +441,11 @@ object QuantileSketchOps {
   }
 
   /** Fold a (value, weight) artifact pair in by binary decomposition of
-    * the weight — exact for any weight ≥ 1 (weights from our own
-    * compaction are single powers of two, so the loop runs once). */
+    * the weight — exact for any weight ≥ 0 (weight 0 is a no-op: zero
+    * copies of the value; weights from our own compaction are single
+    * powers of two, so the loop runs once). */
   def addWeighted(buf: Buf, v: Double, weight: Long, capacity: Int): Unit = {
-    require(weight >= 1, s"artifact weight must be >= 1, got $weight")
+    require(weight >= 0, s"artifact weight must be >= 0, got $weight")
     var w = weight
     var level = 0
     while (w != 0) {

@@ -498,19 +498,28 @@ object EventsStreaming {
     * under per-key in-order delivery every emitted row equals the batch
     * operator's bit-for-bit (same values, same fold order, same libm
     * pow calls — StreamingSpec proves it across micro-batch
-    * boundaries). */
+    * boundaries). In-batch ordering uses the SAME (ts_us, event_id)
+    * sort key as the batch window — a value-based tiebreak would fold
+    * same-timestamp events in a different order and break the
+    * bit-for-bit claim — and event_id is emitted so output rows stay
+    * unambiguous under timestamp ties. */
+  /** One observed value for the EWMA stream — the batch operator's
+    * (event_id, user_id, ts_us, value) input row. */
+  final case class EwmaObs(event_id: Long, user_id: Long, ts_us: Long,
+      value: Double)
+
   /** Trailing value frame per user (newest last), window-bounded. */
   final case class Frame(vals: Seq[Double])
 
-  def ewmaStream(events: Dataset[Event], alpha: Double,
+  def ewmaStream(events: Dataset[EwmaObs], alpha: Double,
       window: Int): DataFrame = {
     require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
     require(window >= 1, "window must be positive")
-    val fn: (Long, Iterator[Event], GroupState[Frame]) => Iterator[(Long, Long, Double)] =
+    val fn: (Long, Iterator[EwmaObs], GroupState[Frame]) => Iterator[(Long, Long, Long, Double)] =
       (user, it, state) => {
         var frame = state.getOption.map(_.vals.toVector).getOrElse(Vector.empty)
-        val out = Seq.newBuilder[(Long, Long, Double)]
-        it.toSeq.sortBy(e => (e.ts_us, e.value)).foreach { e =>
+        val out = Seq.newBuilder[(Long, Long, Long, Double)]
+        it.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
           frame = (frame :+ e.value).takeRight(window)
           var ew = 0.0
           var i = 0
@@ -520,7 +529,7 @@ object EventsStreaming {
             ew += frame(n - 1 - i) * alpha * math.pow(1 - alpha, i)
             i += 1
           }
-          out += ((user, e.ts_us, math.floor(ew * 1e6 + 0.5) / 1e6))
+          out += ((e.event_id, user, e.ts_us, math.floor(ew * 1e6 + 0.5) / 1e6))
         }
         state.update(Frame(frame))
         out.result().iterator
@@ -528,8 +537,8 @@ object EventsStreaming {
     events.groupByKey(_.user_id)(Encoders.scalaLong)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)(
         Encoders.product[Frame],
-        Encoders.product[(Long, Long, Double)])
-      .toDF("user_id", "ts_us", "ewma")
+        Encoders.product[(Long, Long, Long, Double)])
+      .toDF("event_id", "user_id", "ts_us", "ewma")
   }
 
   def heavyHittersStream(tokens: Dataset[TokenObs], capacity: Int,

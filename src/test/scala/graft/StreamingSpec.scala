@@ -612,31 +612,35 @@ class StreamingSpec extends SparkSpec {
 
   test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
     implicit val sql = spark.sqlContext
-    implicit val enc = Encoders.product[Event]
+    implicit val enc = Encoders.product[EventsStreaming.EwmaObs]
+    // user 1 has two events SHARING ts_us=20 — the (ts_us, event_id)
+    // tiebreak must fold them in event order, exactly like the batch
+    // window's ORDER BY (ts_us, event_id)
     val events = Seq(
-      Event(1L, 10L, "e", 1.0), Event(1L, 20L, "e", 2.0),
-      Event(1L, 30L, "e", 4.0), Event(1L, 40L, "e", 8.0),
-      Event(2L, 10L, "e", 5.0))
-    val in = MemoryStream[Event]
+      EventsStreaming.EwmaObs(0L, 1L, 10L, 1.0),
+      EventsStreaming.EwmaObs(1L, 1L, 20L, 2.0),
+      EventsStreaming.EwmaObs(2L, 1L, 20L, 0.5),
+      EventsStreaming.EwmaObs(3L, 1L, 30L, 4.0),
+      EventsStreaming.EwmaObs(4L, 1L, 40L, 8.0),
+      EventsStreaming.EwmaObs(5L, 2L, 10L, 5.0))
+    val in = MemoryStream[EventsStreaming.EwmaObs]
     val q = EventsStreaming.ewmaStream(in.toDS(), alpha = 0.25, window = 3)
       .writeStream.format("memory").queryName("ewma_out").outputMode("append").start()
-    in.addData(events.take(2): _*)
+    in.addData(events.take(3): _*)
     q.processAllAvailable()
-    in.addData(events.drop(2): _*)
+    in.addData(events.drop(3): _*)
     q.processAllAvailable()
     val streamed = spark.table("ewma_out").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("ewma")).toMap
     q.stop()
     import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
     val batchIn = LocalTable.of(spark,
       StructType(Seq(StructField("event_id", LongType), StructField("user_id", LongType),
         StructField("ts_us", LongType), StructField("value", DoubleType))),
-      events.zipWithIndex.map { case (e, i) =>
-        Row(i.toLong, e.user_id, e.ts_us, e.value) })
+      events.map(e => Row(e.event_id, e.user_id, e.ts_us, e.value)))
     val batch = graft.operators.Temporal.trailingEwma(batchIn,
       alpha = 0.25, window = 3)
-      .join(batchIn.select(col("event_id"), col("ts_us")), Seq("event_id"))
-      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us")) ->
+      .collect().map(r => r.getAs[Long]("event_id") ->
         r.getAs[Double]("ewma")).toMap
     assert(streamed === batch,
       s"stream must equal batch exactly: $streamed vs $batch")
