@@ -1434,6 +1434,77 @@ object Dedup {
       incrementalSpans(batch, index, windowTokens = 8)
     })
 
+  /** Index-append lifecycle gate — the maintenance half of incremental
+    * span dedup, end-to-end: archive (90%) builds the fingerprint index,
+    * batch 1 (5%) probes it and is ADMITTED via
+    * [[appendToFingerprintIndex]], batch 2 (5%) probes the APPENDED
+    * index. The oracle computes both probes from scratch — batch 1's
+    * spans against archive∪batch1 window counts, batch 2's against the
+    * FULL corpus — so a drifted append (lost counts, double counts,
+    * missing fingerprints) diverges on batch 2's rows. This is the d19
+    * two-batch pattern applied to the index artifact itself; reference
+    * analogue: control-table incremental maintenance
+    * (datatrack_spark_utils.py:102-218). */
+  val d71IndexAppendLifecycle: Q = Q(
+    "d71_index_append_lifecycle",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, bucket, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE len(toks) >= 8),
+      m AS (
+        SELECT doc_id, bucket, start FROM (
+          SELECT doc_id, bucket, start,
+                 sum(CASE WHEN bucket < 95 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY fp) AS c1,
+                 count(*) OVER (PARTITION BY fp) AS c2
+          FROM w)
+        WHERE (bucket >= 90 AND bucket < 95 AND c1 >= 2)
+           OR (bucket >= 95 AND c2 >= 2)),
+      g AS (
+        SELECT doc_id, bucket, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, bucket, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g)
+      SELECT CAST(CASE WHEN bucket >= 95 THEN 2 ELSE 1 END AS INTEGER) AS batch,
+             doc_id, CAST(min(start) AS BIGINT) AS span_start,
+             CAST(max(start) + 7 AS BIGINT) AS span_end,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, bucket, island
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val archive = withBucket.filter(col("bucket") < 90).drop("bucket")
+      val batch1 = withBucket.filter(col("bucket") >= 90 && col("bucket") < 95)
+        .drop("bucket")
+      val batch2 = withBucket.filter(col("bucket") >= 95).drop("bucket")
+      // production: persisted index table; the lineage cuts stand in for
+      // the two materializations (write-after-build, read-before-probe)
+      val index0 = fingerprintIndex(archive, windowTokens = 8).localCheckpoint()
+      val probe1 = incrementalSpans(batch1, index0, windowTokens = 8)
+      val index1 = appendToFingerprintIndex(index0, batch1, windowTokens = 8)
+        .localCheckpoint()
+      val probe2 = incrementalSpans(batch2, index1, windowTokens = 8)
+      probe1.withColumn("batch", lit(1))
+        .unionByName(probe2.withColumn("batch", lit(2)))
+        .select(col("batch"), col("doc_id"), col("span_start"),
+          col("span_end"), col("n_windows"))
+    })
+
   /** Content-defined chunking — the rolling-fingerprint boundary rule
     * (Rabin/CDC family): a chunk boundary falls after token `i`
     * whenever the fingerprint of the `windowTokens`-token window ENDING
@@ -1895,5 +1966,6 @@ object Dedup {
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
-    d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport)
+    d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
+    d71IndexAppendLifecycle)
 }

@@ -523,6 +523,10 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(probe(grown) === probe(rebuilt))
     assert(probe(grown).map(_._1) === Set(20L, 21L)) // day-2 hits via day-1 AND archive fps
+    // and the index ARTIFACT itself is identical, not just probe-equivalent
+    def rows(ix: org.apache.spark.sql.DataFrame) =
+      ix.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows(grown) === rows(rebuilt))
   }
 
   test("incrementalSpans on the corpus: index probe equals whole-corpus spans for batch docs") {
