@@ -17,6 +17,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // machine-attribution for cross-round comparisons: co-tenant load has
+    // produced uniform 1.4× phantom drifts (r7 vs r6) — record the box's
+    // 1-min load average at start and end so the next reader can tell
+    // noise from regression
+    def loadAvg: Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -100,8 +108,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
     val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
     spark.stop()
     // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
     // A/B must never clobber BENCH_LOCAL.json's full per-query map.

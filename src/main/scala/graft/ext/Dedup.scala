@@ -1235,8 +1235,19 @@ object Dedup {
     * array is small, so the inner exists is cheap) — no token explode,
     * no extra shuffle beyond the span computation itself. */
   def scrubDuplicatedSpans(docs: DataFrame, windowTokens: Int,
-      minCount: Long = 2L, keepFirst: Boolean = false): DataFrame = {
-    val spans = duplicatedSpans(docs, windowTokens, minCount, keepFirst)
+      minCount: Long = 2L, keepFirst: Boolean = false): DataFrame =
+    scrubWithSpans(docs, duplicatedSpans(docs, windowTokens, minCount, keepFirst))
+
+  /** The shared rewrite half of every span-scrub operator (d22 duplicated
+    * spans, d73 boilerplate): span rows aggregate to ONE bounded row per
+    * affected doc, equi-join back on doc_id, and unaffected docs pass
+    * through UNTOUCHED (original whitespace preserved — at 100 TB the
+    * overwhelmingly common case); affected docs are rebuilt from their
+    * kept tokens, single-spaced, via an indexed higher-order filter (the
+    * span array is small, so the inner exists is cheap — no token
+    * explode, no extra shuffle beyond the span computation itself). */
+  private def scrubWithSpans(docs: DataFrame, spanRows: DataFrame): DataFrame = {
+    val spans = spanRows
       .groupBy(col("doc_id"))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("spans"))
     docs.join(spans, Seq("doc_id"), "left")
@@ -1249,6 +1260,97 @@ object Dedup {
                   sp.getField("span_end"))))))
           .as("text"))
   }
+
+  /** Per-source boilerplate spans — the CCNet/C4-style curation pass that
+    * span dedup is NOT: a window is boilerplate when it appears in at
+    * least `minDocs` DISTINCT documents of the SAME source (site
+    * chrome, navigation, legal footers — domain-repeated furniture), and
+    * it is scrubbed from EVERY occurrence, not just the occurrences
+    * beyond the first. Counts are distinct-doc per (source, fp) — a
+    * partial-aggregatable groupBy on a skinny key, so a boilerplate
+    * window repeated millions of times within one page farm map-side
+    * combines; marking is a left-semi join of window rows on the
+    * (source, fp) boilerplate set; islands merge per doc exactly as in
+    * [[duplicatedSpans]]. Input must carry (doc_id, source, text). */
+  def boilerplateSpans(docs: DataFrame, windowTokens: Int,
+      minDocs: Long): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs below 2 would mark every window")
+    val wins = spanWindows(docs.select(col("doc_id"), col("text")), windowTokens)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val boiler = wins.groupBy(col("source"), col("fp"))
+      .agg(count_distinct(col("doc_id")).as("dd"))
+      .filter(col("dd") >= minDocs)
+      .select(col("source"), col("fp"))
+    val marked = wins.join(boiler, Seq("source", "fp"), "left_semi")
+      .select(col("doc_id"), col("start")).distinct()
+    mergeIslands(marked, windowTokens)
+  }
+
+  /** The actionable half: rewrite each document with its per-source
+    * boilerplate spans removed (same pass-through / rebuild contract as
+    * [[scrubDuplicatedSpans]]). */
+  def scrubBoilerplate(docs: DataFrame, windowTokens: Int,
+      minDocs: Long): DataFrame =
+    scrubWithSpans(docs.select(col("doc_id"), col("text")),
+      boilerplateSpans(docs, windowTokens, minDocs))
+
+  /** Boilerplate-scrub gate: 3-token windows appearing in ≥2 distinct
+    * docs of the same source are scrubbed everywhere; docs with no
+    * boilerplate pass through byte-identical. The oracle rebuilds the
+    * per-source distinct-doc counts, island merge and kept-token
+    * reassembly. */
+  val d73BoilerplateScrub: Q = Q(
+    "d73_boilerplate_scrub",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, source, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 3),
+      b AS (
+        SELECT source, fp FROM (
+          SELECT source, fp, count(DISTINCT doc_id) AS dd FROM w GROUP BY 1, 2)
+        WHERE dd >= 2),
+      m AS (
+        SELECT DISTINCT w.doc_id, w.start
+        FROM w JOIN b ON w.source = b.source AND w.fp = b.fp),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 3
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+      spans AS (
+        SELECT doc_id, min(start) AS span_start, max(start) + 2 AS span_end
+        FROM isl GROUP BY doc_id, island),
+      pos AS (
+        SELECT t.doc_id, i, toks[i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        WHERE t.doc_id IN (SELECT doc_id FROM spans)),
+      kept AS (
+        SELECT p.doc_id, p.i, p.tok FROM pos p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = p.doc_id AND p.i - 1 BETWEEN s.span_start AND s.span_end)),
+      rebuilt AS (
+        SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS text
+        FROM kept GROUP BY doc_id)
+      SELECT d.doc_id,
+             CASE WHEN d.doc_id IN (SELECT doc_id FROM spans)
+                  THEN coalesce(r.text, '') ELSE d.text END AS text
+      FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """),
+    (s, dir) => scrubBoilerplate(
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"), col("text")),
+      windowTokens = 3, minDocs = 2))
 
   /** Span-scrub gate: d21's spans removed from the corpus text; span-less
     * docs byte-identical to the input, scrubbed docs rebuilt from kept
@@ -1967,5 +2069,5 @@ object Dedup {
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
     d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
-    d71IndexAppendLifecycle)
+    d71IndexAppendLifecycle, d73BoilerplateScrub)
 }

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -244,14 +244,11 @@ object Retrieval {
         queries, k = 5)
     })
 
-  /** Hybrid-retrieval gate: the s09 BM25 ranking fused (RRF, k=60) with
-    * a 3-gram-overlap ranking over the same 95/5 corpus/query split —
-    * the two-retriever shape of production hybrid search with the dense
-    * leg stood in by the n-gram retriever (both are rank sources to
-    * RRF; it never sees scores). */
-  val s10RrfFusion: Q = Q(
-    "s10_rrf_fusion",
-    Some("""
+  /** Shared DuckDB oracle for the two hybrid-retrieval gates (s10 end-to-
+    * end, s21 persisted-rankings): the s09 BM25 ranking fused (RRF, k=60)
+    * with a 3-gram-overlap ranking over the same 95/5 corpus/query
+    * split. */
+  private val hybridFusionOracle: String = """
       WITH b AS (
         SELECT doc_id, text,
                CAST(concat('0x', substr(md5('qry:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
@@ -333,21 +330,57 @@ object Retrieval {
                                       ORDER BY rrf_score DESC, doc_id ASC) AS rank
             FROM fused) t
       WHERE rank <= 5
-    """),
+    """
+
+  /** The shared 95/5 corpus/query split of the hybrid gates. */
+  private def hybridInputs(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bucket = (conv(substring(md5(concat(lit("qry:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val corpus = docs.filter(col("bucket") < 95)
+      .select(col("doc_id"), col("text"))
+    val queries = docs.filter(col("bucket") >= 95)
+      .select(col("doc_id").as("query_id"),
+        concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 6)).as("text"))
+      .filter(length(col("text")) > 0)
+    (corpus, queries)
+  }
+
+  /** Hybrid-retrieval gate, end-to-end: both rankings recomputed in the
+    * same DAG and fused — the two-retriever shape of production hybrid
+    * search with the dense leg stood in by the n-gram retriever (both
+    * are rank sources to RRF; it never sees scores). */
+  val s10RrfFusion: Q = Q(
+    "s10_rrf_fusion",
+    Some(hybridFusionOracle),
     (s, dir) => {
-      val bucket = (conv(substring(md5(concat(lit("qry:"),
-        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), bucket.as("bucket"))
-      val corpus = docs.filter(col("bucket") < 95)
-        .select(col("doc_id"), col("text"))
-      val queries = docs.filter(col("bucket") >= 95)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 6)).as("text"))
-        .filter(length(col("text")) > 0)
+      val (corpus, queries) = hybridInputs(s, dir)
       rrfFuse(Seq(
         bm25TopK(corpus, queries, k = 5),
         ngramOverlapTopK(corpus, queries, n = 3, k = 5)), kRrf = 60, topK = 5)
+    })
+
+  /** Hybrid-retrieval gate, PERSISTED-rankings posture: each retriever's
+    * top-k is written to parquet once (the production artifact — per-leg
+    * index jobs run on their own cadence) and fusion reads the
+    * artifacts back, so re-fusing with a new leg or a different kRrf
+    * never recomputes a retriever. Same oracle as s10 — the fused
+    * answer must not depend on which posture produced the rankings. */
+  val s21RrfPersisted: Q = Q(
+    "s21_rrf_persisted",
+    Some(hybridFusionOracle),
+    (s, dir) => {
+      val (corpus, queries) = hybridInputs(s, dir)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-s21-").toString
+      bm25TopK(corpus, queries, k = 5)
+        .write.mode("overwrite").parquet(s"$base/bm25")
+      ngramOverlapTopK(corpus, queries, n = 3, k = 5)
+        .write.mode("overwrite").parquet(s"$base/ngram")
+      rrfFuse(Seq(
+        s.read.parquet(s"$base/bm25"),
+        s.read.parquet(s"$base/ngram")), kRrf = 60, topK = 5)
     })
 
   /** Per-document TF-IDF keyword extraction — the topic-tagging /
@@ -643,6 +676,6 @@ object Retrieval {
       mmrRerank(pool, k = 3, lambda = 0.7)
     })
 
-  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, d43TfidfKeywords,
-    d60PmiCollocations, s15MmrRerank)
+  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, s21RrfPersisted,
+    d43TfidfKeywords, d60PmiCollocations, s15MmrRerank)
 }

@@ -425,6 +425,40 @@ object TextStats {
         .select(col("doc_id"), col("lang"))
     })
 
+  /** Per-source document cap — the web-curation quota that stops any one
+    * domain from dominating the training mix (the C4/Gopher
+    * de-domination pass; d14's rate sampling thins by FRACTION, this
+    * caps by ABSOLUTE count): keep at most `cap` documents per source,
+    * preferring longer documents with a doc_id tiebreak so the keep set
+    * is deterministic. Rank-limit shape: the rank column is dropped, so
+    * the [[graft.plans.RankLimitRewrite]] plans this as TopKPerGroupExec
+    * — per-source top-K with NO full per-source sort materialization, a
+    * bounded heap per group at 100 TB. */
+  def domainCap(docs: DataFrame, cap: Int, sourceCol: String = "source",
+      sizeCol: String = "n_chars"): DataFrame = {
+    require(cap >= 1, "cap must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(col(sizeCol).desc, col("doc_id").asc)
+    docs.select(col(sourceCol), col("doc_id"), col(sizeCol))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .drop("rn")
+  }
+
+  /** Domain-cap gate: 15 docs max per source, longest-first. */
+  val d72DomainCap: Q = Q(
+    "d72_domain_cap",
+    Some("""
+      SELECT source, doc_id, n_chars
+      FROM (SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rn
+            FROM documents) t
+      WHERE rn <= 15
+    """),
+    (s, dir) => domainCap(Tables(s, dir, "documents"), cap = 15))
+
   /** Sliding-window document chunking — the context-window primitive of
     * RAG/pretraining pipelines: token windows of 32 with stride 16, one
     * output row per (doc, chunk) carrying the chunk's token count and a
@@ -2419,6 +2453,7 @@ object TextStats {
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
+    d72DomainCap,
     d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,

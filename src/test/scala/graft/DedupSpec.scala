@@ -817,6 +817,25 @@ class DedupSpec extends SparkSpec {
       (3L, 4L, "test", "val")))
   }
 
+  test("boilerplate scrub: per-source distinct-doc windows, scrubbed from EVERY occurrence") {
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("source", StringType), StructField("text", StringType)))
+    val docs = LocalTable.of(spark, schema, Seq(
+      Row(1L, "sa", "nav home about x1 y1 z1"),
+      Row(2L, "sa", "nav home about x2 y2"),
+      Row(3L, "sb", "nav home about unique words"), // same window, OTHER source
+      Row(4L, "sa", "totally different content here")))
+    val got = Dedup.scrubBoilerplate(docs, windowTokens = 3, minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // the shared sa header is scrubbed from BOTH docs (not keep-first)
+    assert(got(1L) === "x1 y1 z1")
+    assert(got(2L) === "x2 y2")
+    // sb's identical window is furniture of a different source — untouched,
+    // byte-identical pass-through
+    assert(got(3L) === "nav home about unique words")
+    assert(got(4L) === "totally different content here")
+  }
+
   test("dedupReport: component-size histogram with keep-one arithmetic") {
     val pairs = LocalTable.of(spark,
       StructType(Seq(StructField("doc_a", LongType), StructField("doc_b", LongType))),

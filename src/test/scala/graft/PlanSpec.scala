@@ -525,6 +525,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("d72: the domain cap plans into TopKPerGroupExec — no per-source sort materialization") {
+    val df = run("d72_domain_cap")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("TopKPerGroupNode"), optimized.take(800))
+    val p = physical(df)
+    assert(p.contains("TopKPerGroup") && !p.contains("Window"), p.take(800))
+  }
+
   test("q03/q04/q07: customer broadcasts via STATS, not hints — degrades to shuffle join when stats say big") {
     // customer scales with SF (15 B rows at the 100 TB posture), so it must
     // carry NO broadcast() hint: a hint overrides every size threshold and
