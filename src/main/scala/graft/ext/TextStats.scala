@@ -1505,13 +1505,9 @@ object TextStats {
         round(lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(bias)))), 4).as("score"))
   }
 
-  /** Classifier gate: learn "is this document English?" from hashed
-    * unigrams (2 GD iterations, lr 0.1, 64 buckets), score every doc.
-    * The oracle unrolls the identical two iterations in SQL — proving
-    * the distributed training loop, not just the scoring pass. */
-  val d35HashedLogReg: Q = Q(
-    "d35_hashed_logreg",
-    Some("""
+  /** Shared oracle for d35/d74: the two unrolled GD iterations as CTEs
+    * plus the final scored SELECT (d74 wraps it as one more CTE). */
+  private val logRegOracleCtes = """
       WITH d AS (
         SELECT doc_id,
                CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
@@ -1547,21 +1543,128 @@ object TextStats {
       z3 AS (SELECT fx.doc_id, round(sum(fx.x * w2.w), 9) AS z
              FROM fx JOIN w2 USING (bucket) GROUP BY 1),
       bias AS (SELECT (-0.1 * b1.g0) - (0.1 * b2.g0) AS bb
-               FROM b1 CROSS JOIN b2)
+               FROM b1 CROSS JOIN b2)"""
+
+  private val logRegOracleSelect = """
       SELECT d.doc_id, d.y AS label,
              round(1.0 / (1.0 + exp(-(coalesce(z3.z, 0.0) + bias.bb))), 4) AS score
-      FROM d LEFT JOIN z3 USING (doc_id) CROSS JOIN bias
+      FROM d LEFT JOIN z3 USING (doc_id) CROSS JOIN bias"""
+
+  /** The d35/d74 Spark-side training + scoring pass. */
+  private def logRegScored(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val labeled = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("label"))
+    val (w, b) = trainHashedLogReg(labeled, "text", "label",
+      buckets = 64, iters = 2, lr = 0.1)
+    scoreHashedLogReg(labeled, "text", w, b)
+      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
+      .select(col("doc_id"), col("label"), col("score"))
+  }
+
+  /** Classifier gate: learn "is this document English?" from hashed
+    * unigrams (2 GD iterations, lr 0.1, 64 buckets), score every doc.
+    * The oracle unrolls the identical two iterations in SQL — proving
+    * the distributed training loop, not just the scoring pass. */
+  val d35HashedLogReg: Q = Q(
+    "d35_hashed_logreg",
+    Some(logRegOracleCtes + logRegOracleSelect),
+    (s, dir) => logRegScored(s, dir))
+
+  /** Rank-based classifier evaluation — the report a quality-filter
+    * pipeline ends with before committing a threshold: AUC via the
+    * Mann-Whitney statistic with AVERAGE ranks on score ties, plus a
+    * fixed-threshold sweep (tp/fp/fn/tn, precision, recall).
+    *
+    * Scale shape: rows are never ranked individually — scores collapse
+    * to a per-distinct-score (cnt, pos) table first (one partial-agg
+    * shuffle), and the tie-aware rank sum is a prefix sum over THAT
+    * table; with scores rounded to 4 decimals the table is ≤ ~10⁴ rows
+    * regardless of corpus size, so the single-partition ordered window
+    * is bounded by construction (same argument as q33's rank family).
+    * The sweep is one conditional aggregate over a broadcast 9-row
+    * threshold relation. All sums are integers-as-doubles (exact below
+    * 2^53), so cross-engine summation order cannot perturb the single
+    * final division on either metric. */
+  def classifierEval(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val perScore = scored.groupBy(col("score"))
+      .agg(count(lit(1)).cast("double").as("cnt"),
+        sum(col("label")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val rk = perScore.withColumn("cum_below",
+      coalesce(sum(col("cnt")).over(w), lit(0.0)))
+    val aucDf = rk.agg(
+        sum(col("pos")).as("np"),
+        sum(col("cnt") - col("pos")).as("nn"),
+        sum(col("pos") * (col("cum_below") + (col("cnt") + 1.0) / 2.0)).as("rsum"))
+      .select(round((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
+        (col("np") * col("nn")), 6).as("auc"))
+    val thrDf = graft.LocalTable.of(scored.sparkSession,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("thr",
+          org.apache.spark.sql.types.DoubleType))),
+      thresholds.map(t => org.apache.spark.sql.Row(t)))
+    scored.crossJoin(broadcast(thrDf))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("score") >= col("thr") && col("label") === 1.0, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("score") >= col("thr") && col("label") === 0.0, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("score") < col("thr") && col("label") === 1.0, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("score") < col("thr") && col("label") === 0.0, 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision_m", round(when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))), 6))
+      .withColumn("recall_m", round(when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn"))), 6))
+      .crossJoin(broadcast(aucDf))
+  }
+
+  /** Classifier-eval gate: d35's trained scores through the AUC +
+    * 9-threshold sweep; the oracle replays the training CTEs and the
+    * identical tie-aware rank arithmetic. */
+  val d74ClassifierEval: Q = Q(
+    "d74_classifier_eval",
+    Some(logRegOracleCtes + ", scored AS (" + logRegOracleSelect + """),
+      ps AS (
+        SELECT score, CAST(count(*) AS DOUBLE) AS cnt, sum(label) AS pos
+        FROM scored GROUP BY 1),
+      rk AS (
+        SELECT score, cnt, pos,
+               coalesce(sum(cnt) OVER (ORDER BY score
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+        FROM ps),
+      aucv AS (
+        SELECT round((sum(pos * (cum_below + (cnt + 1.0) / 2.0))
+                      - sum(pos) * (sum(pos) + 1.0) / 2.0)
+                     / (sum(pos) * sum(cnt - pos)), 6) AS auc
+        FROM rk),
+      thr AS (
+        SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+                       CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                       CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                       CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                       CAST(0.9 AS DOUBLE)]) AS thr),
+      sweep AS (
+        SELECT t.thr,
+               sum(CASE WHEN s.score >= t.thr AND s.label = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN s.score >= t.thr AND s.label = 0 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN s.score < t.thr AND s.label = 1 THEN 1 ELSE 0 END) AS fn,
+               sum(CASE WHEN s.score < t.thr AND s.label = 0 THEN 1 ELSE 0 END) AS tn
+        FROM scored s CROSS JOIN thr t GROUP BY 1)
+      SELECT sweep.thr, tp, fp, fn, tn,
+             round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_m,
+             round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_m,
+             aucv.auc AS auc
+      FROM sweep CROSS JOIN aucv
     """),
-    (s, dir) => {
-      val labeled = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"),
-          when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("label"))
-      val (w, b) = trainHashedLogReg(labeled, "text", "label",
-        buckets = 64, iters = 2, lr = 0.1)
-      scoreHashedLogReg(labeled, "text", w, b)
-        .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
-        .select(col("doc_id"), col("label"), col("score"))
-    })
+    (s, dir) => classifierEval(logRegScored(s, dir),
+      thresholds = (1 to 9).map(_ / 10.0)))
 
   /** Gopher quality rules (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", 2021 — the
@@ -2458,7 +2561,8 @@ object TextStats {
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,
-    d34DsirWeights, d35HashedLogReg, d36HeavyHitters, d37BlocklistFilter,
+    d34DsirWeights, d35HashedLogReg, d74ClassifierEval, d36HeavyHitters,
+    d37BlocklistFilter,
     d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty)

@@ -83,7 +83,17 @@ object GraftFunctions {
       (args: Seq[Expression]) => BpeApplyExpr(args(0), args(1))),
     ("normalize_text",
       new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
-      (args: Seq[Expression]) => NormalizeTextExpr(args(0))))
+      (args: Seq[Expression]) => NormalizeTextExpr(args(0))),
+    // The reference's per-row rules entry point on the SQL surface:
+    // categorize_bb(desc) returns the (categoria, subcategoria,
+    // recorrente_suspeita, parcelado_suspeito) struct from the compiled
+    // 23-rule chain — the same Column tree the DataFrame API builds, so
+    // SQL and Column callers cannot diverge (categories_bb.py:223-274).
+    ("categorize_bb",
+      new ExpressionInfo(graft.rules.Categorizer.getClass.getName, "categorize_bb"),
+      (args: Seq[Expression]) => org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+        graft.rules.Categorizer.categorize(
+          org.apache.spark.sql.GraftSqlBridge.column(args(0))))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -116,7 +116,12 @@ class ParsersSpec extends SparkSpec {
     assert(bills.length === 5)
     val byDesc = bills.map(r => r.getAs[String]("descricao") -> r).toMap
     assert(byDesc("UBER *TRIP HELP.UBER.COM").getAs[String]("categoria") === "Transporte")
-    assert(byDesc("NETFLIX.COM ASSINATURA").getAs[Boolean]("recorrente_suspeita") === true)
+    // bbBills now defaults to the VERBATIM reference table: NETFLIX is not
+    // a rule there, and the reference hint \bASSINAT\b does NOT match
+    // "ASSINATURA" (word boundary) — categorize_bb returns Outros with
+    // recorrente False, and so must we
+    assert(byDesc("NETFLIX.COM ASSINATURA").getAs[String]("categoria") === "Outros")
+    assert(byDesc("NETFLIX.COM ASSINATURA").getAs[Boolean]("recorrente_suspeita") === false)
     assert(byDesc("LOJA ABC PARC 02/10").getAs[Boolean]("parcelado_suspeito") === true)
     assert(byDesc("ESTORNO COMPRA").getAs[String]("categoria") === "Financeiro")
 

@@ -380,6 +380,16 @@ class PlanSpec extends SparkSpec {
     // BPE merge application joins the SQL surface
     val bpe = spark.sql("SELECT bpe_apply('a a a b', 'a a')").collect()(0)
     assert(bpe.getString(0) === "aa a b")
+    // the reference's per-row rules entry point: same compiled chain as
+    // the Column API, so SQL callers get identical categorization
+    val cat = spark.sql(
+      "SELECT categorize_bb('UBER *TRIP 99'), categorize_bb('LOJA X PARC 02/10')")
+      .collect()(0)
+    val c0 = cat.getStruct(0)
+    assert(c0.getString(0) === "Transporte" && c0.getString(1) === "Apps/Taxi")
+    val c1 = cat.getStruct(1)
+    assert(c1.getString(0) === "Compras" &&
+      c1.getString(1) === "Parcelado (loja física)" && c1.getBoolean(3))
   }
 
   test("d42: entropy signals are a pure exchange-free projection") {
