@@ -1147,16 +1147,18 @@ object Dedup {
     * `windowTokens`-token window, fingerprinted 60-bit (md5 slice,
     * cross-engine reproducible). One codegen'd projection — the shared
     * scan of the whole span family. */
-  private def spanWindows(docs: DataFrame, windowTokens: Int): DataFrame =
+  private def spanWindows(docs: DataFrame, windowTokens: Int,
+      keep: Seq[String] = Nil): DataFrame =
     docs
-      .select(col("doc_id"), TextStats.tokens(col("text")).as("toks"))
+      .select(col("doc_id") +: keep.map(col) :+
+        TextStats.tokens(col("text")).as("toks"): _*)
       .filter(size(col("toks")) >= windowTokens)
-      .select(col("doc_id"),
+      .select(col("doc_id") +: keep.map(col) :+
         posexplode(transform(sequence(lit(0), size(col("toks")) - windowTokens),
           i => conv(substring(md5(concat_ws(" ",
             slice(col("toks"), i + 1, lit(windowTokens)))), 1, 15), 16, 10)
             .cast("long")))
-          .as(Seq("start", "fp")))
+          .as(Seq("start", "fp")): _*)
 
   /** Gaps-and-islands merge of marked (doc_id, start) duplicated-window
     * rows into maximal (span_start, span_end, n_windows) intervals.
@@ -1276,14 +1278,26 @@ object Dedup {
       minDocs: Long): DataFrame = {
     require(windowTokens >= 1, "windowTokens must be positive")
     require(minDocs >= 2, "minDocs below 2 would mark every window")
-    val wins = spanWindows(docs.select(col("doc_id"), col("text")), windowTokens)
-      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
-    val boiler = wins.groupBy(col("source"), col("fp"))
-      .agg(count_distinct(col("doc_id")).as("dd"))
-      .filter(col("dd") >= minDocs)
-      .select(col("source"), col("fp"))
-    val marked = wins.join(boiler, Seq("source", "fp"), "left_semi")
-      .select(col("doc_id"), col("start")).distinct()
+    // ONE corpus scan, ONE exchange on (source, fp): the distinct-doc
+    // count per bucket is a lag-based first-occurrence flag summed over
+    // the bucket partition (both windows share the (source, fp)
+    // partitioning, so Spark plans one sort) — no count_distinct Expand,
+    // no self-join back, no second tokenize+hash pass. Same skew posture
+    // as duplicatedSpans' count-over-fp: a pathological bucket is one
+    // window partition, which is the d21-accepted shape.
+    val wins = spanWindows(docs, windowTokens, keep = Seq("source"))
+    val byFpDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("fp"))
+      .orderBy(col("doc_id"), col("start"))
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("fp"))
+    val prevDoc = lag(col("doc_id"), 1).over(byFpDoc)
+    val marked = wins
+      .withColumn("first_in_doc",
+        when(prevDoc.isNull || prevDoc =!= col("doc_id"), 1L).otherwise(0L))
+      .withColumn("dd", sum(col("first_in_doc")).over(byFp))
+      .filter(col("dd") >= lit(minDocs))
+      .select(col("doc_id"), col("start"))
     mergeIslands(marked, windowTokens)
   }
 
