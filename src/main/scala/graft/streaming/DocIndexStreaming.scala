@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+import graft.ext.Dedup
+
+/** Streaming maintenance of the span fingerprint index — the d71
+  * admit→append→probe lifecycle run forever over a document stream
+  * (the streaming face of incremental span dedup, the way
+  * [[EventsStreaming.mergeToLake]] is the streaming face of the MERGE
+  * sink): each micro-batch probes the CURRENT index for duplicated
+  * spans (against archive + in-batch counts), emits them, and is then
+  * ADMITTED — its window counts merged into a NEW index version.
+  *
+  * Exactly-once contract, spelled out (a naive
+  * read-append-overwrite breaks in two ways):
+  *   - the index lives in VERSIONED directories (`v<batchId>`) with a
+  *     `_LATEST` pointer committed LAST by atomic rename — a crash
+  *     mid-write leaves the pointer on the old version, so readers
+  *     never see a partial index;
+  *   - a REPLAYED batch (foreachBatch redelivery after a crash between
+  *     the index commit and the engine checkpoint) detects its own
+  *     version already committed and skips the append — without this,
+  *     the replay would probe an index that already contains the
+  *     batch's windows and double-count them;
+  *   - per-batch span output goes to a `batch=<id>` directory written
+  *     with overwrite, so a replay rewrites identical bytes instead of
+  *     appending duplicates.
+  *
+  * foreachBatch serializes batches, so the index seen by batch N
+  * contains exactly batches 0..N−1 — the d71 gate's two-batch algebra
+  * (probe ≡ from-scratch over archive ∪ batch, append ≡ rebuild)
+  * extended inductively; StreamingSpec proves the three-batch run
+  * equals the batch rebuild and the replay no-op. */
+object DocIndexStreaming {
+
+  private val indexSchema = StructType(Seq(
+    StructField("fp", LongType), StructField("cnt", LongType)))
+
+  private def fs(s: SparkSession, p: String) =
+    new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** The committed version, if any — `_LATEST` holds the batchId. */
+  def latestVersion(s: SparkSession, indexPath: String): Option[Long] = {
+    val ptr = new Path(indexPath, "_LATEST")
+    val f = fs(s, indexPath)
+    if (!f.exists(ptr)) None
+    else {
+      val len = f.getFileStatus(ptr).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in = f.open(ptr)
+      try in.readFully(0, buf)
+      finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+    }
+  }
+
+  /** The current committed index (empty relation before any commit). */
+  def currentIndex(s: SparkSession, indexPath: String): DataFrame =
+    latestVersion(s, indexPath) match {
+      case Some(v) => s.read.schema(indexSchema).parquet(s"$indexPath/v$v")
+      case None    => graft.LocalTable.of(s, indexSchema, Seq.empty[Row])
+    }
+
+  /** One admission: probe the committed index, emit the batch's
+    * duplicated spans to `spansPath/batch=<id>`, merge the batch's
+    * window counts into version `v<batchId>`, commit the pointer.
+    * Idempotent per batchId (see class doc). Public so the spec can
+    * drive and replay it without a streaming engine. */
+  def admitBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      spansPath: String, windowTokens: Int): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val f = fs(s, indexPath)
+    val versionDir = new Path(indexPath, s"v$batchId")
+    val committed = latestVersion(s, indexPath)
+    if (committed.exists(_ >= batchId)) return // replay of an admitted batch
+    val index = currentIndex(s, indexPath)
+    Dedup.incrementalSpans(batch, index, windowTokens)
+      .write.mode("overwrite").parquet(s"$spansPath/batch=$batchId")
+    Dedup.appendToFingerprintIndex(index, batch, windowTokens)
+      .write.mode("overwrite").parquet(versionDir.toString)
+    // commit: write the pointer beside, then rename over — readers see
+    // either the old pointer or the new one, never a torn write
+    val tmp = new Path(indexPath, s"_LATEST.tmp.$batchId")
+    val out = f.create(tmp, true)
+    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    f.delete(new Path(indexPath, "_LATEST"), false)
+    f.rename(tmp, new Path(indexPath, "_LATEST"))
+  }
+
+  /** The streaming writer: wire a document stream (doc_id, text) into
+    * per-batch admission. Callers own trigger/start. */
+  def spanIndexStream(docs: DataFrame, indexPath: String, spansPath: String,
+      checkpointDir: String, windowTokens: Int)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, indexPath, spansPath, windowTokens)
+      }
+}

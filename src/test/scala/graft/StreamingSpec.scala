@@ -610,6 +610,51 @@ class StreamingSpec extends SparkSpec {
       s"streamed exact-regime quantiles must match the rank rule: $fin")
   }
 
+  test("spanIndexStream: streamed admissions equal the batch rebuild; replays are no-ops") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Dedup
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-idxstream-").toString
+    val (indexPath, spansPath) = (s"$base/index", s"$base/spans")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "a1 a2 a3 a4 tail"), (2L, "b1 b2 b3 b4")),
+      Seq((10L, "a1 a2 a3 fresh"), (11L, "n1 n2 n3 n4")),     // 10 dups batch-0's a-span
+      Seq((20L, "n1 n2 n3 probe"), (21L, "b1 b2 b3 hit")))    // both dup earlier batches
+    val in = MemoryStream[(Long, String)]
+    val q = DocIndexStreaming.spanIndexStream(
+        in.toDF().toDF("doc_id", "text"), indexPath, spansPath,
+        s"$base/ckpt", windowTokens = 3)
+      .start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // the committed index equals a from-scratch rebuild over everything
+    val allDocs = LocalTable.of(spark, schema,
+      batches.flatten.map { case (id, t) => Row(id, t) })
+    val grown = DocIndexStreaming.currentIndex(spark, indexPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rebuilt = Dedup.fingerprintIndex(allDocs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(grown === rebuilt)
+    // per-batch spans: batch-1 doc 10 hits batch-0's a-span (11 is fresh);
+    // batch-2 docs 20 and 21 hit earlier batches' spans
+    val spans = spark.read.option("basePath", spansPath)
+      .parquet(s"$spansPath/batch=1", s"$spansPath/batch=2")
+    val byDoc = spans.collect().map(r => r.getAs[Long]("doc_id")).toSet
+    assert(byDoc === Set(10L, 20L, 21L), s"got $byDoc")
+    // replaying an admitted batch is a committed no-op: same index after
+    val before = DocIndexStreaming.latestVersion(spark, indexPath)
+    DocIndexStreaming.admitBatch(
+      LocalTable.of(spark, schema, batches(1).map { case (id, t) => Row(id, t) }),
+      batchId = 1L, indexPath, spansPath, windowTokens = 3)
+    assert(DocIndexStreaming.latestVersion(spark, indexPath) === before)
+    assert(DocIndexStreaming.currentIndex(spark, indexPath)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rebuilt)
+  }
+
   test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
     implicit val sql = spark.sqlContext
     implicit val enc = Encoders.product[EventsStreaming.EwmaObs]
