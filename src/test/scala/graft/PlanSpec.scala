@@ -543,6 +543,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TopKPerGroup") && !p.contains("Window"), p.take(800))
   }
 
+  test("d73: boilerplate scrub is ONE window pass — no second tokenize+hash, no count_distinct Expand") {
+    val df = run("d73_boilerplate_scrub")
+    val p = df.queryExecution.sparkPlan
+    // one Generate (the window posexplode) — the first draft had two
+    val explodes = p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(explodes.size === 1, s"expected 1 window explode, got ${explodes.size}")
+    // two corpus scans total: the window pass + the final text rewrite
+    assert(scans(df).size === 2, s"expected 2 scans, got ${scans(df).size}")
+    // distinct-doc counting is windowed, not an Expand-planning distinct agg
+    assert(!p.toString.contains("Expand"), p.toString.take(800))
+  }
+
   test("q03/q04/q07: customer broadcasts via STATS, not hints — degrades to shuffle join when stats say big") {
     // customer scales with SF (15 B rows at the 100 TB posture), so it must
     // carry NO broadcast() hint: a hint overrides every size threshold and
