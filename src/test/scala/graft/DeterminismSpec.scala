@@ -49,4 +49,15 @@ class DeterminismSpec extends SparkSpec {
   test("d22 span scrub is bit-identical across partitionings and reruns") {
     acrossRegimes("d22")(d => Dedup.scrubDuplicatedSpans(d, windowTokens = 8))
   }
+
+  test("d73 boilerplate scrub is bit-identical across partitionings and reruns") {
+    val withSource = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "text")
+    val run = (d: DataFrame) => Dedup.scrubBoilerplate(d, windowTokens = 3, minDocs = 2)
+    val base = run(withSource).collect().map(_.toString).sorted.toSeq
+    for (p <- Seq(1, 7, 32)) {
+      val r = run(withSource.repartition(p)).collect().map(_.toString).sorted.toSeq
+      assert(r === base, s"d73: result drifted at input partitioning $p")
+    }
+  }
 }
