@@ -106,31 +106,42 @@ object Categorizer {
     val lojaFisica = n.rlike(cityPattern) && n.rlike(storePattern)
     val pagamento = n.rlike(pagamentoPattern)
 
-    def branch(cat: Column, sub: Column, rec: Column): Column = struct(
-      cat.as("categoria"), sub.as("subcategoria"),
-      rec.as("recorrente_suspeita"))
+    def branch(cat: Column, sub: Column): Column = struct(
+      cat.as("categoria"), sub.as("subcategoria"))
 
     // Fallback cascade, in reference order (categories_bb.py:242-274).
     val fallback =
       when(parc,
-        branch(lit("Compras"), lit("Parcelado (loja física)"), lit(false)))
+        branch(lit("Compras"), lit("Parcelado (loja física)")))
       .when(lojaFisica,
-        branch(lit("Compras"), lit("Loja física"), lit(false)))
+        branch(lit("Compras"), lit("Loja física")))
       .when(pagamento,
-        branch(lit("Financeiro"), lit("Pagamentos/Créditos/Estornos"),
-          lit(false)))
-      .otherwise(branch(lit("Outros"), lit(null).cast("string"), hint))
+        branch(lit("Financeiro"), lit("Pagamentos/Créditos/Estornos")))
+      .otherwise(branch(lit("Outros"), lit(null).cast("string")))
 
     val matched = rules.foldRight(fallback) { (r, acc) =>
-      when(n.rlike(ruleRegex(r)), branch(
-        lit(r.categoria), litSub(r.subcategoria),
-        if (r.forceRecorrente) lit(true) else hint)).otherwise(acc)
+      when(n.rlike(ruleRegex(r)),
+        branch(lit(r.categoria), litSub(r.subcategoria))).otherwise(acc)
+    }
+
+    // recorrente as its OWN chain (identical values; the parity spec and
+    // the q18/q80 gates pin it): on the fallback regime the cascade
+    // forces recorrente off everywhere except Outros, which is
+    // equivalently `hint && !parc && !loja && !pagamento` — And
+    // short-circuits left-to-right, so a no-hint row (the common case)
+    // answers with ONE regex where the struct-cascade form pays four.
+    // The rule rlikes are shared with `matched` by codegen
+    // subexpression elimination, so the second chain adds no regex work.
+    val recorrente = rules.foldRight(
+        (hint && !parc && !lojaFisica && !pagamento): Column) { (r, acc) =>
+      when(n.rlike(ruleRegex(r)),
+        if (r.forceRecorrente) lit(true) else hint).otherwise(acc)
     }
 
     struct(
       matched.getField("categoria").as("categoria"),
       matched.getField("subcategoria").as("subcategoria"),
-      matched.getField("recorrente_suspeita").as("recorrente_suspeita"),
+      recorrente.as("recorrente_suspeita"),
       parc.as("parcelado_suspeito"))
   }
 
