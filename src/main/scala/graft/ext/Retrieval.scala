@@ -231,17 +231,8 @@ object Retrieval {
       WHERE rank <= 5
     """),
     (s, dir) => {
-      val bucket = (conv(substring(md5(concat(lit("qry:"),
-        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), bucket.as("bucket"))
-      val queries = docs.filter(col("bucket") >= 95)
-        .select(col("doc_id").as("query_id"),
-          concat_ws(" ", slice(TextStats.tokens(col("text")), 1, 6)).as("text"))
-        .filter(length(col("text")) > 0)
-      bm25TopK(
-        docs.filter(col("bucket") < 95).select(col("doc_id"), col("text")),
-        queries, k = 5)
+      val (corpus, queries) = hybridInputs(s, dir)
+      bm25TopK(corpus, queries, k = 5)
     })
 
   /** Shared DuckDB oracle for the two hybrid-retrieval gates (s10 end-to-
@@ -371,9 +362,12 @@ object Retrieval {
     "s21_rrf_persisted",
     Some(hybridFusionOracle),
     (s, dir) => {
+      // fixed, reused artifact location (overwritten per run) — a fresh
+      // createTempDirectory per invocation would leak a parquet pair
+      // into the temp dir on every gate/bench pass
+      val base = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft-s21").getPath
       val (corpus, queries) = hybridInputs(s, dir)
-      val base = java.nio.file.Files
-        .createTempDirectory("graft-s21-").toString
       bm25TopK(corpus, queries, k = 5)
         .write.mode("overwrite").parquet(s"$base/bm25")
       ngramOverlapTopK(corpus, queries, n = 3, k = 5)

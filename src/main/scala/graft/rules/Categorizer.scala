@@ -51,6 +51,17 @@ object CategoryRule {
   *     "Pagamentos/Créditos/Estornos", recorrente forced False;
   *   - final fallback (:269-274): Outros / NULL subcategory, recorrente =
   *     hint-regex match.
+  *
+  * Known, deliberate divergence: pattern word boundaries (`\b`) are
+  * ASCII here (Java rlike default and DuckDB RE2 — the oracle engine —
+  * agree) while Python's are Unicode-aware, so a rule word IMMEDIATELY
+  * adjacent to an accented letter (e.g. "DELIÉ" for `\bDELI\b`) matches
+  * here and not in CPython. All of the reference's merchant vocabulary
+  * is ASCII and every real parsed description keeps word boundaries at
+  * spaces/punctuation, so the divergence surface is empty on the real
+  * corpus; making `\b` Unicode-aware (`(?U)`) would break RE2 oracle
+  * parity for no observed gain. Normalization IS Unicode-faithful (see
+  * [[norm]]).
   */
 object Categorizer {
 
@@ -74,11 +85,14 @@ object Categorizer {
   val pagamentoPattern =
     "\\b(PAGAMENTO|PGTO|PAGTO|CREDITO|CR[ÉE]DITO|ESTORNO|CANCELAMENTO)\\b"
 
-  /** `_norm` (categories_bb.py:219-220): upper + FULL `\s+` collapse (not
-    * just spaces/tabs — the reference collapses newlines too) + trim, with
-    * the Python `desc or ""` null guard. */
+  /** `_norm` (categories_bb.py:219-220): upper + FULL whitespace collapse
+    * + trim, with the Python `desc or ""` null guard. `(?U)` makes Java's
+    * `\s` Unicode-aware like Python's — PDF-extracted text carries
+    * non-breaking spaces (U+00A0), which Python `\s+` collapses and
+    * ASCII `\s+` would leave in place, breaking e.g. the city-at-end
+    * anchor of the Loja-física fallback. */
   private def norm(desc: Column): Column =
-    upper(trim(regexp_replace(coalesce(desc, lit("")), "\\s+", " ")))
+    upper(trim(regexp_replace(coalesce(desc, lit("")), "(?U)\\s+", " ")))
 
   private def ruleRegex(r: CategoryRule): String =
     r.patterns.mkString("|")

@@ -17,10 +17,11 @@ import graft.ext.Dedup
   *
   * Exactly-once contract, spelled out (a naive
   * read-append-overwrite breaks in two ways):
-  *   - the index lives in VERSIONED directories (`v<batchId>`) with a
-  *     `_LATEST` pointer committed LAST by atomic rename — a crash
-  *     mid-write leaves the pointer on the old version, so readers
-  *     never see a partial index;
+  *   - the index lives in VERSIONED directories (`v<batchId>`) whose
+  *     commit point is the creation of a `_COMMIT_v<batchId>` marker
+  *     file, written LAST — file creation is atomic, so a crash
+  *     mid-write leaves the previous marker authoritative and readers
+  *     never see a partial index (no delete-then-rename window);
   *   - a REPLAYED batch (foreachBatch redelivery after a crash between
   *     the index commit and the engine checkpoint) detects its own
   *     version already committed and skips the append — without this,
@@ -43,18 +44,23 @@ object DocIndexStreaming {
   private def fs(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** The committed version, if any — `_LATEST` holds the batchId. */
+  /** The committed version, if any — the max id among `_COMMIT_v<id>`
+    * marker files. A marker either exists or it doesn't (file creation
+    * is the atomic commit point), so no state transition ever passes
+    * through "no committed version": a crash before the marker leaves
+    * the previous commit authoritative, a crash after it leaves the new
+    * one — there is no delete-then-rename window to die in. Old markers
+    * are retained (tiny) as the commit history. */
   def latestVersion(s: SparkSession, indexPath: String): Option[Long] = {
-    val ptr = new Path(indexPath, "_LATEST")
     val f = fs(s, indexPath)
-    if (!f.exists(ptr)) None
+    val dir = new Path(indexPath)
+    if (!f.exists(dir)) None
     else {
-      val len = f.getFileStatus(ptr).getLen.toInt
-      val buf = new Array[Byte](len)
-      val in = f.open(ptr)
-      try in.readFully(0, buf)
-      finally in.close()
-      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      val ids = f.listStatus(dir).toSeq
+        .map(_.getPath.getName)
+        .filter(_.startsWith("_COMMIT_v"))
+        .map(_.stripPrefix("_COMMIT_v").toLong)
+      if (ids.isEmpty) None else Some(ids.max)
     }
   }
 
@@ -83,14 +89,12 @@ object DocIndexStreaming {
       .write.mode("overwrite").parquet(s"$spansPath/batch=$batchId")
     Dedup.appendToFingerprintIndex(index, batch, windowTokens)
       .write.mode("overwrite").parquet(versionDir.toString)
-    // commit: write the pointer beside, then rename over — readers see
-    // either the old pointer or the new one, never a torn write
-    val tmp = new Path(indexPath, s"_LATEST.tmp.$batchId")
-    val out = f.create(tmp, true)
-    try out.write(batchId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-    f.delete(new Path(indexPath, "_LATEST"), false)
-    f.rename(tmp, new Path(indexPath, "_LATEST"))
+    // commit = creating the marker file; atomic because a single file
+    // create either happens or doesn't — a crash anywhere before this
+    // line leaves the previous commit authoritative (the half-written
+    // version dir is invisible without its marker and the replay
+    // rewrites it)
+    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
   }
 
   /** The streaming writer: wire a document stream (doc_id, text) into

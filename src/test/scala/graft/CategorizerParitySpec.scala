@@ -86,10 +86,14 @@ class CategorizerParitySpec extends SparkSpec {
   private case class CatOut(categoria: String, subcategoria: Option[String],
       recorrente: Boolean, parcelado: Boolean)
 
-  /** categorize_bb (categories_bb.py:223-274), line by line. */
+  /** categorize_bb (categories_bb.py:223-274), line by line. `(?U)\s+`
+    * mirrors Python's Unicode-aware whitespace collapse (NBSP included);
+    * pattern `\b` stays ASCII in both this port and the engine — the
+    * documented deliberate divergence from CPython (Categorizer scaladoc),
+    * shared so the parity contract is exact. */
   private def categorizeBBPort(desc: String): CatOut = {
     val d = Option(desc).getOrElse("").toUpperCase(java.util.Locale.ROOT)
-      .replaceAll("\\s+", " ").trim
+      .replaceAll("(?U)\\s+", " ").trim
     def find(p: String): Boolean =
       Pattern.compile(p, Pattern.CASE_INSENSITIVE).matcher(d).find()
 
@@ -181,7 +185,11 @@ class CategorizerParitySpec extends SparkSpec {
       case (d, i) if i % 3 == 0 => d.toLowerCase(java.util.Locale.ROOT)
       case (d, i) if i % 3 == 1 => s"  ${d.replace(" ", "\t ")} "
     }
-    assertParity(base ++ variants :+ null :+ "" :+ "   ")
+    // non-breaking space (PDF extraction artifact): Unicode \s+ collapse
+    // must fold it so the city-at-end anchor still fires
+    val nbsp = Seq("LOJA DAS FLORES SALVADOR", "BOUTIQUE ZEN EUSEBIO",
+      "PGTO FATURA")
+    assertParity(base ++ variants ++ nbsp :+ null :+ "" :+ "   ")
   }
 
   test("parity on the reference's real parsed BB bill descriptions") {
