@@ -240,6 +240,34 @@ class RealPdfSpec extends SparkSpec {
       val n = bills.count()
       assert(n > 100, s"expected >100 bill rows across 4 faturas, got $n")
       assert(bills.filter("categoria IS NULL").count() === 0)
+      // reference-faithful categorization of REAL transactions under the
+      // verbatim 23-rule table: the known merchants land in the buckets
+      // categories_bb.py puts them in
+      val cats = bills.select("descricao", "categoria", "subcategoria",
+          "recorrente_suspeita").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2),
+          r.getBoolean(3)))
+      def catOf(prefix: String) = cats.filter(_._1.startsWith(prefix))
+      assert(catOf("FIAP").nonEmpty && catOf("FIAP").forall(c =>
+        c._2 == "Educação" && c._3 == null),
+        "FIAP rows must be Educação with NULL subcategory")
+      val uber = cats.filter(_._1.contains("UBER"))
+      assert(uber.nonEmpty && uber.forall(_._2 == "Transporte"))
+      val wellhub = cats.filter(c => c._1.contains("WELLHUB") ||
+        c._1.contains("GYMPASS"))
+      assert(wellhub.forall(c => c._2 == "Saúde" && c._4),
+        "Wellhub/Gympass rows must be Saúde and force-recurring")
+      val pagRe = "\\b(PAGAMENTO|PGTO|PAGTO|ESTORNO)\\b".r.unanchored
+      val pagto = cats.filter(c => pagRe.matches(c._1))
+      assert(pagto.nonEmpty, "real corpus should contain payment/refund rows")
+      // every payment-vocabulary row that no rule claimed takes the
+      // Financeiro fallback with the reference's exact subcategory
+      assert(pagto.filter(_._2 == "Financeiro").forall(c =>
+        c._3 == "Pagamentos/Créditos/Estornos" ||
+        c._3 == "Pagamentos/Carteira digital" || c._3 == "Tarifas/Juros/IOF"),
+        s"unexpected Financeiro subcategories: ${pagto.toSeq}")
+      assert(pagto.exists(_._3 == "Pagamentos/Créditos/Estornos"),
+        "at least one row must take the payment fallback branch")
 
       // executor-side parse of the real Bradesco bills incl. mode back-fill
       val brad = texts.filter(org.apache.spark.sql.functions.col("path").contains("/bradesco/faturas/"))
