@@ -1583,6 +1583,9 @@ object TextStats {
     * table; with scores rounded to 4 decimals the table is ≤ ~10⁴ rows
     * regardless of corpus size, so the single-partition ordered window
     * is bounded by construction (same argument as q33's rank family).
+    * Single-class input (no positives or no negatives) yields a NULL
+    * auc — the statistic is undefined there, and NULL is more honest
+    * than a sentinel.
     * The sweep is one conditional aggregate over a broadcast 9-row
     * threshold relation. All sums are integers-as-doubles (exact below
     * 2^53), so cross-engine summation order cannot perturb the single
