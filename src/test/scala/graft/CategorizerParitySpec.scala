@@ -192,6 +192,35 @@ class CategorizerParitySpec extends SparkSpec {
     assertParity(base ++ variants ++ nbsp :+ null :+ "" :+ "   ")
   }
 
+  test("parity on seeded fuzz descriptions (scalacheck)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // fragments chosen to collide with rule vocabulary, boundaries,
+    // hints, cities, store words, stars, digits, accents and exotic
+    // whitespace — then concatenated into random multi-fragment
+    // descriptions with random joiners
+    val frags = Gen.oneOf(
+      "UBER", "UBERX", "GOOGLE", "GOOGLEX", "AMAZON", "AMAZONIA", "FIAP",
+      "CURSO", "CURSOS", "DELI", "DELICIA", "MUNDO", "SUBMUNDO", "PODIUM",
+      "IOF", "MULTA", "MULTAS", "TARIFA", "PARC", "02/10", "2/10", "11/12",
+      "PGTO", "PAGTO", "CREDITO", "CREDITOS", "ESTORNO", "CANCELAMENTO",
+      "MENSAL", "MENSALIDADE", "MONTHLY", "SUBSCR", "ASSINAT", "ASSINATURA",
+      "LOJA", "BOUTIQUE", "COMERCIO", "VAREJO", "DISTRIBUIDORA",
+      "FORTALEZA", "SAO", "PAULO", "SAO PAULO", "EUSEBIO", "SALVADOR",
+      "IFD*", "DL*GOOGLE", "ZP*PLAY", "TOKIO", "MARINE*AUTO", "M", "V",
+      "VARIEDADES", "café", "São", "ação", "x1", "99", "*", "", " ")
+    val joiner = Gen.oneOf(" ", "  ", "\t", " ", " * ", "/")
+    val desc = for {
+      n  <- Gen.chooseNum(1, 6)
+      fs <- Gen.listOfN(n, frags)
+      js <- Gen.listOfN(n, joiner)
+    } yield fs.zip(js).map { case (f, j) => f + j }.mkString.trim
+    val corpus = Gen.listOfN(400, desc)
+      .pureApply(Gen.Parameters.default, Seed(4242L))
+      .distinct
+    assertParity(corpus)
+  }
+
   test("parity on the reference's real parsed BB bill descriptions") {
     val url = getClass.getResource("/landing_real")
     assert(url != null, "landing_real fixture dir missing from test resources")
