@@ -4,6 +4,35 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Per-row digest artifact: makes a driver-env red DIFFABLE. Each
+    * line is `md5 \t canonical-row-json` (columns sorted by name, null
+    * fields kept, rows sorted), computed from the parquet the driver
+    * actually compares — re-read, not re-run, so lifecycle queries
+    * (index appends, persisted rankings) are not executed twice. Two
+    * environments running the same engine build produce byte-identical
+    * digest files iff the engine outputs agree row-for-row, so a red
+    * with matching digests is pinned on the ORACLE side (DuckDB
+    * version skew) and one with differing digests names the rows. */
+  private def writeDigest(spark: SparkSession, outDir: String,
+      name: String): Unit = {
+    import org.apache.spark.sql.functions.{col, struct, to_json}
+    val back = spark.read.parquet(s"$outDir/$name")
+    val cols = back.columns.sorted
+    val rows = back
+      .select(to_json(struct(cols.map(col): _*),
+        java.util.Map.of("ignoreNullFields", "false")).as("j"))
+      .collect().map(_.getString(0)).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val lines = rows.map { r =>
+      val h = md.digest(r.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      md.reset()
+      val shown = if (r.length > 400) r.substring(0, 400) + "..." else r
+      s"$h\t$shown"
+    }
+    Files.writeString(Paths.get(s"$outDir/$name.digest"),
+      lines.mkString("", "\n", "\n"))
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,9 +49,11 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     def keep(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        writeDigest(spark, outDir, name)
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -41,7 +41,8 @@ object Graph {
     val n = nodes.count()
     val base = (1.0 - damping) / n
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = nodes.withColumn("rank", round(lit(1.0 / n), 9))
+    var ranks = nodes.withColumn("rank",
+      floor(lit(1.0 / n) * 1e9 + 0.5) / 1e9)
     for (_ <- 1 to iters) {
       val contribs = e
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
@@ -51,11 +52,11 @@ object Graph {
         .join(contribs.groupBy(col("node")).agg(sum(col("c")).as("s")),
           Seq("node"), "left")
         .select(col("node"),
-          round(lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)), 9)
-            .as("rank"))
+          (floor((lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)))
+            * 1e9 + 0.5) / 1e9).as("rank"))
         .localCheckpoint()
     }
-    ranks.select(col("node"), round(col("rank"), 6).as("rank"))
+    ranks.select(col("node"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
   }
 
   /** The corpus' natural link graph: the customer–supplier bipartite
@@ -89,10 +90,10 @@ object Graph {
                 UNION SELECT DISTINCT dst FROM e),
       nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
       deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
-      r0 AS (SELECT node, round(1.0 / nn.n, 9) AS rank FROM nodes CROSS JOIN nn),
+      r0 AS (SELECT node, floor(1.0 / nn.n * 1e9 + 0.5) / 1e9 AS rank FROM nodes CROSS JOIN nn),
       r1 AS (
         SELECT nodes.node,
-               round(0.15 / nn.n + 0.85 * coalesce(s.s, 0.0), 9) AS rank
+               floor((0.15 / nn.n + 0.85 * coalesce(s.s, 0.0)) * 1e9 + 0.5) / 1e9 AS rank
         FROM nodes CROSS JOIN nn
         LEFT JOIN (
           SELECT e.dst AS node, sum(r0.rank / deg.deg) AS s
@@ -100,7 +101,7 @@ object Graph {
           GROUP BY 1) s ON s.node = nodes.node),
       r2 AS (
         SELECT nodes.node,
-               round(0.15 / nn.n + 0.85 * coalesce(s.s, 0.0), 9) AS rank
+               floor((0.15 / nn.n + 0.85 * coalesce(s.s, 0.0)) * 1e9 + 0.5) / 1e9 AS rank
         FROM nodes CROSS JOIN nn
         LEFT JOIN (
           SELECT e.dst AS node, sum(r1.rank / deg.deg) AS s
@@ -108,13 +109,13 @@ object Graph {
           GROUP BY 1) s ON s.node = nodes.node),
       r3 AS (
         SELECT nodes.node,
-               round(0.15 / nn.n + 0.85 * coalesce(s.s, 0.0), 9) AS rank
+               floor((0.15 / nn.n + 0.85 * coalesce(s.s, 0.0)) * 1e9 + 0.5) / 1e9 AS rank
         FROM nodes CROSS JOIN nn
         LEFT JOIN (
           SELECT e.dst AS node, sum(r2.rank / deg.deg) AS s
           FROM e JOIN r2 ON r2.node = e.src JOIN deg ON deg.src = e.src
           GROUP BY 1) s ON s.node = nodes.node)
-      SELECT node, round(rank, 6) AS rank FROM r3
+      SELECT node, floor(rank * 1e6 + 0.5) / 1e6 AS rank FROM r3
     """),
     (s, dir) => pageRank(
       tradeEdges(Tables(s, dir, "orders"), Tables(s, dir, "lineitem")),

@@ -82,10 +82,14 @@ object TextStats {
     val nCh  = length(c).cast("double")
     val stop = regexp_count(lower(c), lit(stopwords.head._2)).cast("double")
     val stopRatio = when(nTok > 0, stop / nTok).otherwise(lit(0.0))
-    round(
+    // floor@6, not round@6: the stopword term is a ratio of exact
+    // integers (stop/nTok), the documented cross-engine round() trap —
+    // and d30 compares this value against a threshold, where a midpoint
+    // divergence would flip membership.
+    floor((
       least(nTok / 100.0, lit(1.0)) * 0.5 +
       least(nCh / 500.0, lit(1.0)) * 0.3 +
-      least(stopRatio * 5.0, lit(1.0)) * 0.2, 6)
+      least(stopRatio * 5.0, lit(1.0)) * 0.2) * 1e6 + 0.5) / 1e6
   }
 
   /** Normalized-content fingerprint (rolling-hash family): md5 of the
@@ -165,10 +169,10 @@ object TextStats {
         FROM documents),
       q AS (
         SELECT source,
-               round(least(n_tok / 100.0, 1.0) * 0.5 +
-                     least(n_ch / 500.0, 1.0) * 0.3 +
-                     least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
-                           1.0) * 0.2, 6) AS quality
+               floor((least(n_tok / 100.0, 1.0) * 0.5 +
+                      least(n_ch / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                            1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
         FROM f)
       SELECT source, round(avg(quality), 6) AS avg_quality, count(*) AS n_docs
       FROM q GROUP BY source
@@ -811,10 +815,10 @@ object TextStats {
         FROM documents),
       q AS (
         SELECT doc_id, source, text,
-               round(least(n_tok / 100.0, 1.0) * 0.5 +
-                     least(n_ch / 500.0, 1.0) * 0.3 +
-                     least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
-                           1.0) * 0.2, 6) AS quality
+               floor((least(n_tok / 100.0, 1.0) * 0.5 +
+                      least(n_ch / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                            1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
         FROM f),
       dd AS (
         SELECT doc_id, source FROM (
@@ -1039,24 +1043,29 @@ object TextStats {
       FROM full_scored
       WINDOW w AS (ORDER BY avg_logprob DESC, doc_id ASC)
     """),
-    (s, dir) => {
-      val bucket = (conv(substring(md5(concat(lit("lm:"),
-        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), bucket.as("bucket"))
-      val scored = ngramLmScore(
-        docs.filter(col("bucket") < 50).select(col("text")),
-        docs.select(col("doc_id"), col("text")),
-        alpha = 0.5).select(col("doc_id"), col("avg_logprob"))
-      val ranked = graft.operators.GlobalOrder.withRanks(scored,
-        Seq(col("avg_logprob").desc, col("doc_id").asc),
-        Seq(col("avg_logprob"), col("doc_id")))
-      val tile = graft.operators.GlobalOrder
-        .ntileFromRowNumber(col("rn"), 3, ranked.totalRows)
-      ranked.df.select(col("doc_id"), col("avg_logprob"), col("rn"),
-        when(tile === 1, lit("head")).when(tile === 2, lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
-    })
+    (s, dir) => pplBucketed(s, dir))
+
+  /** The d41 scoring+tercile pass, shared with the d75 ensemble:
+    * (doc_id, avg_logprob, rn, ppl_bucket). */
+  private def pplBucketed(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(concat(lit("lm:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), col("text"), bucket.as("bucket"))
+    val scored = ngramLmScore(
+      docs.filter(col("bucket") < 50).select(col("text")),
+      docs.select(col("doc_id"), col("text")),
+      alpha = 0.5).select(col("doc_id"), col("avg_logprob"))
+    val ranked = graft.operators.GlobalOrder.withRanks(scored,
+      Seq(col("avg_logprob").desc, col("doc_id").asc),
+      Seq(col("avg_logprob"), col("doc_id")))
+    val tile = graft.operators.GlobalOrder
+      .ntileFromRowNumber(col("rn"), 3, ranked.totalRows)
+    ranked.df.select(col("doc_id"), col("avg_logprob"), col("rn"),
+      when(tile === 1, lit("head")).when(tile === 2, lit("middle"))
+        .otherwise(lit("tail")).as("ppl_bucket"))
+  }
 
   /** Entropy quality signals — bits per character and per token via the
     * native [[graft.plans.EntropyExpr]] kernel (see its scaladoc for why
@@ -1603,8 +1612,8 @@ object TextStats {
         sum(col("pos")).as("np"),
         sum(col("cnt") - col("pos")).as("nn"),
         sum(col("pos") * (col("cum_below") + (col("cnt") + 1.0) / 2.0)).as("rsum"))
-      .select(round((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
-        (col("np") * col("nn")), 6).as("auc"))
+      .select((floor(((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
+        (col("np") * col("nn"))) * 1e6 + 0.5) / 1e6).as("auc"))
     val thrDf = graft.LocalTable.of(scored.sparkSession,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("thr",
@@ -1621,10 +1630,12 @@ object TextStats {
           .otherwise(0L)).as("fn"),
         sum(when(col("score") < col("thr") && col("label") === 0.0, 1L)
           .otherwise(0L)).as("tn"))
-      .withColumn("precision_m", round(when(col("tp") + col("fp") > 0,
-        col("tp").cast("double") / (col("tp") + col("fp"))), 6))
-      .withColumn("recall_m", round(when(col("tp") + col("fn") > 0,
-        col("tp").cast("double") / (col("tp") + col("fn"))), 6))
+      .withColumn("precision_m", when(col("tp") + col("fp") > 0,
+        floor(col("tp").cast("double") / (col("tp") + col("fp")) * 1e6 + 0.5)
+          / 1e6))
+      .withColumn("recall_m", when(col("tp") + col("fn") > 0,
+        floor(col("tp").cast("double") / (col("tp") + col("fn")) * 1e6 + 0.5)
+          / 1e6))
       .crossJoin(broadcast(aucDf))
   }
 
@@ -1643,9 +1654,9 @@ object TextStats {
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
         FROM ps),
       aucv AS (
-        SELECT round((sum(pos * (cum_below + (cnt + 1.0) / 2.0))
+        SELECT floor((sum(pos * (cum_below + (cnt + 1.0) / 2.0))
                       - sum(pos) * (sum(pos) + 1.0) / 2.0)
-                     / (sum(pos) * sum(cnt - pos)), 6) AS auc
+                     / (sum(pos) * sum(cnt - pos)) * 1e6 + 0.5) / 1e6 AS auc
         FROM rk),
       thr AS (
         SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
@@ -1661,13 +1672,197 @@ object TextStats {
                sum(CASE WHEN s.score < t.thr AND s.label = 0 THEN 1 ELSE 0 END) AS tn
         FROM scored s CROSS JOIN thr t GROUP BY 1)
       SELECT sweep.thr, tp, fp, fn, tn,
-             round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END, 6) AS precision_m,
-             round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END, 6) AS recall_m,
+             CASE WHEN tp + fp > 0 THEN
+               floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+             END AS precision_m,
+             CASE WHEN tp + fn > 0 THEN
+               floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+             END AS recall_m,
              aucv.auc AS auc
       FROM sweep CROSS JOIN aucv
     """),
     (s, dir) => classifierEval(logRegScored(s, dir),
       thresholds = (1 to 9).map(_ / 10.0)))
+
+  /** Quality-ensemble keep/drop — the end-stage every curation pipeline
+    * ships: the engine's four independent quality signals combined into
+    * ONE calibrated decision per document, with per-signal attribution
+    * columns (production pipelines log WHICH signal dropped a doc —
+    * that's how threshold drift and signal rot are caught):
+    *   - `ok_quality`   — d03 heuristic score ≥ 0.45 (the d30 bar)
+    *   - `ok_gopher`    — the d39 Gopher-rule conjunction
+    *   - `ok_ppl`       — d41 perplexity tercile ∉ tail (CCNet trains
+    *                      on head+middle)
+    *   - `ok_clf`       — d35 classifier score ≥ thr*, where thr* is
+    *                      CALIBRATED from the d74 sweep: the threshold
+    *                      maximizing F1 (floor@6 both engines, ties to
+    *                      the smallest thr) — the d74 report's consumer
+    *   - `keep`         — the conjunction
+    *
+    * Scale shape: quality + gopher flags are ONE codegen projection on
+    * the document spine (no exchange); the perplexity tercile is d41's
+    * range-partitioned two-pass global rank (never a single-partition
+    * window); the classifier score is one scan with literal weights;
+    * the spine then takes two doc_id-keyed joins plus a ONE-ROW
+    * broadcast for thr*. Nothing here is quadratic and every aggregate
+    * collapses map-side, so the ensemble costs ~the sum of its signals
+    * at any corpus size. */
+  def qualityEnsemble(spine: DataFrame, ppl: DataFrame, clf: DataFrame,
+      thrStar: DataFrame, minQuality: Double): DataFrame = {
+    val flagged = spine
+      .select(col("doc_id"),
+        qualityScore(col("text")).as("quality"),
+        gopherRules(col("text")).map(_._2).reduce(_ && _).as("ok_gopher"))
+    flagged
+      .join(ppl.select(col("doc_id"), col("ppl_bucket")), Seq("doc_id"))
+      .join(clf.select(col("doc_id"), col("score").as("clf_score")),
+        Seq("doc_id"))
+      .crossJoin(broadcast(thrStar))
+      .select(col("doc_id"), col("quality"),
+        (col("quality") >= minQuality).as("ok_quality"),
+        col("ok_gopher"),
+        col("ppl_bucket"),
+        (col("ppl_bucket") =!= "tail").as("ok_ppl"),
+        col("clf_score"), col("thr_star"),
+        (col("clf_score") >= col("thr_star")).as("ok_clf"))
+      .withColumn("keep",
+        col("ok_quality") && col("ok_gopher") && col("ok_ppl") &&
+          col("ok_clf"))
+  }
+
+  /** Ensemble gate: the full signal stack over the corpus; the oracle
+    * replays all four signal pipelines (d03/d39/d41/d35 CTEs, the d41
+    * block prefixed `p_` to avoid CTE collisions with the shared logreg
+    * CTEs) plus the F1 calibration over the d74 sweep. */
+  val d75QualityEnsemble: Q = Q(
+    "d75_quality_ensemble",
+    Some(logRegOracleCtes + ", scored AS (" + logRegOracleSelect + """),
+      sweep AS (
+        SELECT t.thr,
+               sum(CASE WHEN s.score >= t.thr AND s.label = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN s.score >= t.thr AND s.label = 0 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN s.score < t.thr AND s.label = 1 THEN 1 ELSE 0 END) AS fn
+        FROM scored s CROSS JOIN (
+          SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+                         CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                         CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                         CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                         CAST(0.9 AS DOUBLE)]) AS thr) t
+        GROUP BY 1),
+      f1 AS (
+        SELECT thr,
+               CASE WHEN 2 * tp + fp + fn > 0
+                 THEN floor(2.0 * tp / (2 * tp + fp + fn) * 1e6 + 0.5) / 1e6
+                 ELSE 0.0 END AS f1
+        FROM sweep),
+      thrstar AS (SELECT thr AS thr_star FROM f1
+                  ORDER BY f1 DESC, thr ASC LIMIT 1),
+      qg AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks,
+               text
+        FROM documents),
+      qm AS (
+        SELECT doc_id, len(toks) AS n,
+               floor((least(len(toks) / 100.0, 1.0) * 0.5 +
+                      least(length(text) / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN len(toks) > 0
+                              THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / len(toks)
+                              ELSE 0.0 END * 5.0,
+                            1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS mean_len,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS alpha_frac,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE) / len(toks)
+                    ELSE 0.0 END AS sym_ratio,
+               len(list_intersect(list_transform(toks, t -> lower(t)),
+                   ['the','be','to','of','and','that','have','with'])) AS stop_hits
+        FROM qg),
+      flags AS (
+        SELECT doc_id, quality,
+               (n >= 5 AND n <= 100000) AND (mean_len >= 3.0 AND mean_len <= 10.0)
+                 AND alpha_frac >= 0.8 AND sym_ratio <= 0.1 AND stop_hits >= 2
+                 AS ok_gopher
+        FROM qm),
+      p_b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      p_tok AS (
+        SELECT doc_id, bucket,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM p_b),
+      p_bg AS (
+        SELECT doc_id, bucket,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+        FROM p_tok),
+      p_refbg AS (
+        SELECT u.bg AS bg, count(*) AS c12
+        FROM (SELECT bgs FROM p_bg WHERE bucket < 50) r, unnest(r.bgs) AS u(bg)
+        GROUP BY 1),
+      p_ctx AS (
+        SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+        FROM p_refbg GROUP BY 1),
+      p_voc AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM p_ctx),
+      p_ex AS (
+        SELECT p_bg.doc_id, u.bg AS dbg
+        FROM p_bg, unnest(p_bg.bgs) AS u(bg)),
+      p_scored AS (
+        SELECT p_ex.doc_id,
+               round(avg(ln((coalesce(r.c12, 0) + 0.5) /
+                            (coalesce(c.c1, 0) + 0.5 * p_voc.v))), 4) AS avg_logprob
+        FROM p_ex
+        LEFT JOIN p_refbg r ON r.bg = p_ex.dbg
+        LEFT JOIN p_ctx c ON c.w1 = split_part(p_ex.dbg, ' ', 1)
+        CROSS JOIN p_voc
+        GROUP BY 1),
+      p_full AS (
+        SELECT t.doc_id, coalesce(s.avg_logprob, 0.0) AS avg_logprob
+        FROM p_tok t LEFT JOIN p_scored s ON s.doc_id = t.doc_id),
+      p_bucketed AS (
+        SELECT doc_id,
+               CASE ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)
+                 WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+               END AS ppl_bucket
+        FROM p_full)
+      SELECT f.doc_id, f.quality,
+             f.quality >= 0.45 AS ok_quality,
+             f.ok_gopher,
+             p.ppl_bucket,
+             p.ppl_bucket <> 'tail' AS ok_ppl,
+             s.score AS clf_score,
+             t.thr_star,
+             s.score >= t.thr_star AS ok_clf,
+             f.quality >= 0.45 AND f.ok_gopher AND p.ppl_bucket <> 'tail'
+               AND s.score >= t.thr_star AS keep
+      FROM flags f
+      JOIN p_bucketed p USING (doc_id)
+      JOIN scored s USING (doc_id)
+      CROSS JOIN thrstar t
+    """),
+    (s, dir) => {
+      val scored = logRegScored(s, dir)
+      val sweep = classifierEval(scored, (1 to 9).map(_ / 10.0))
+      val thrStar = sweep
+        .select(col("thr"),
+          when(lit(2) * col("tp") + col("fp") + col("fn") > 0,
+            floor(lit(2.0) * col("tp") /
+              (lit(2) * col("tp") + col("fp") + col("fn")) * 1e6 + 0.5) / 1e6)
+            .otherwise(lit(0.0)).as("f1"))
+        .orderBy(col("f1").desc, col("thr").asc).limit(1)
+        .select(col("thr").as("thr_star"))
+      qualityEnsemble(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        pplBucketed(s, dir), scored, thrStar, minQuality = 0.45)
+    })
 
   /** Gopher quality rules (Rae et al., "Scaling Language Models:
     * Methods, Analysis & Insights from Training Gopher", 2021 — the
@@ -1948,6 +2143,43 @@ object TextStats {
     (s, dir) => rareTokenScrub(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       minCount = 100L))
+
+  /** d76 — tokenizer-parity canary. The whole token family (d38 and
+    * every count/vocab query) rests on one cross-engine equivalence:
+    * Java-regex `split(trim(text), "\\s+")` on the engine side must
+    * tokenize identically to DuckDB/RE2
+    * `regexp_split_to_array(trim(text), '\s+')` on the oracle side
+    * (the known edge: Java \s includes \x0B vertical-tab, RE2's does
+    * not — absent from this corpus, but a DuckDB version could move
+    * the line). This gate asserts per-doc token count, first/last
+    * token, and an md5 over the full token array (US-separated) BOTH
+    * ways over the full corpus, so a tokenization divergence in ANY
+    * environment fails loudly here and pins d38-family reds to (or
+    * away from) tokenization. */
+  val d76TokenizerCanary: Q = Q(
+    "d76_tokenizer_canary",
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents)
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             CASE WHEN len(toks) > 0 THEN toks[1] END AS first_tok,
+             CASE WHEN len(toks) > 0 THEN toks[len(toks)] END AS last_tok,
+             md5(array_to_string(toks, chr(31))) AS tok_md5
+      FROM base
+    """),
+    (s, dir) => {
+      val toks = tokens(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        when(size(toks) > 0, element_at(toks, 1)).as("first_tok"),
+        when(size(toks) > 0, element_at(toks, -1)).as("last_tok"),
+        md5(concat_ws("\u001f", toks)).as("tok_md5"))
+    })
 
   /** Heavy-hitters gate: top-5 tokens per language through the
     * [[graft.plans.MisraGriesAgg]] sketch. Capacity 256 covers the gate
@@ -2564,9 +2796,11 @@ object TextStats {
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,
-    d34DsirWeights, d35HashedLogReg, d74ClassifierEval, d36HeavyHitters,
+    d34DsirWeights, d35HashedLogReg, d74ClassifierEval, d75QualityEnsemble,
+    d36HeavyHitters,
     d37BlocklistFilter,
-    d38RareTokenScrub, d39GopherRules, d40RepetitionSignals,
+    d38RareTokenScrub, d76TokenizerCanary, d39GopherRules,
+    d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty)
 }

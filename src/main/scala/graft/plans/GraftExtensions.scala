@@ -28,62 +28,77 @@ object GraftFunctions {
       s"$fn expects a literal int argument, got $other")
   }
 
+  /** Arity guard so `fn()` / `fn(a, b, c)` fails as an analysis-time
+    * wrong-number-of-arguments error instead of an
+    * IndexOutOfBoundsException (or silently ignored extras). */
+  private def arity(fn: String, min: Int, max: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    args => {
+      if (args.length < min || args.length > max)
+        throw new IllegalArgumentException(
+          s"$fn expects " +
+            (if (min == max) s"$min argument(s)"
+             else s"between $min and $max arguments") +
+            s", got ${args.length}")
+      build(args)
+    }
+
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim",
       new ExpressionInfo(classOf[CosineSimilarityExpr].getName, "cosine_sim"),
-      (args: Seq[Expression]) => CosineSimilarityExpr(args(0), args(1))),
+      arity("cosine_sim", 2, 2)(args => CosineSimilarityExpr(args(0), args(1)))),
     ("minhash_sig",
       new ExpressionInfo(classOf[MinHashSignatureExpr].getName, "minhash_sig"),
-      (args: Seq[Expression]) =>
-        MinHashSignatureExpr(args(0), intArg(args(1), "minhash_sig"))),
+      arity("minhash_sig", 2, 2)(args =>
+        MinHashSignatureExpr(args(0), intArg(args(1), "minhash_sig")))),
     ("shingles",
       new ExpressionInfo(classOf[ShinglesExpr].getName, "shingles"),
-      (args: Seq[Expression]) =>
-        ShinglesExpr(args(0), intArg(args(1), "shingles"))),
+      arity("shingles", 2, 2)(args =>
+        ShinglesExpr(args(0), intArg(args(1), "shingles")))),
     ("ngrams",
       new ExpressionInfo(classOf[NgramsExpr].getName, "ngrams"),
-      (args: Seq[Expression]) =>
-        NgramsExpr(args(0), intArg(args(1), "ngrams"))),
+      arity("ngrams", 2, 2)(args =>
+        NgramsExpr(args(0), intArg(args(1), "ngrams")))),
     ("cdc_chunks",
       new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks"),
-      (args: Seq[Expression]) =>
+      arity("cdc_chunks", 3, 3)(args =>
         CdcChunksExpr(args(0), intArg(args(1), "cdc_chunks"),
-          intArg(args(2), "cdc_chunks"))),
+          intArg(args(2), "cdc_chunks")))),
     ("text_entropy",
       new ExpressionInfo(classOf[EntropyExpr].getName, "text_entropy"),
-      (args: Seq[Expression]) =>
+      arity("text_entropy", 1, 2)(args =>
         EntropyExpr(args(0), args.lift(1) match {
           case None => false
           case Some(Literal(v: Boolean, _)) => v
           case Some(other) => throw new IllegalArgumentException(
             s"text_entropy expects a literal boolean tokenLevel argument, got $other")
-        })),
+        }))),
     ("freq_items_sketch",
       new ExpressionInfo(classOf[MisraGriesAgg].getName, "freq_items_sketch"),
-      (args: Seq[Expression]) =>
+      arity("freq_items_sketch", 2, 2)(args =>
         MisraGriesAgg(args(0), intArg(args(1), "freq_items_sketch"))
-          .toAggregateExpression()),
+          .toAggregateExpression())),
     ("kmv_sketch",
       new ExpressionInfo(classOf[KmvAgg].getName, "kmv_sketch"),
-      (args: Seq[Expression]) =>
+      arity("kmv_sketch", 2, 2)(args =>
         KmvAgg(args(0), intArg(args(1), "kmv_sketch"))
-          .toAggregateExpression()),
+          .toAggregateExpression())),
     ("quantile_sketch",
       new ExpressionInfo(classOf[QuantileSketchAgg].getName, "quantile_sketch"),
-      (args: Seq[Expression]) =>
+      arity("quantile_sketch", 2, 2)(args =>
         QuantileSketchAgg(args(0), intArg(args(1), "quantile_sketch"))
-          .toAggregateExpression()),
+          .toAggregateExpression())),
     ("quantile_sketch_merge",
       new ExpressionInfo(classOf[QuantileSketchMergeAgg].getName, "quantile_sketch_merge"),
-      (args: Seq[Expression]) =>
+      arity("quantile_sketch_merge", 2, 2)(args =>
         QuantileSketchMergeAgg(args(0), intArg(args(1), "quantile_sketch_merge"))
-          .toAggregateExpression()),
+          .toAggregateExpression())),
     ("bpe_apply",
       new ExpressionInfo(classOf[BpeApplyExpr].getName, "bpe_apply"),
-      (args: Seq[Expression]) => BpeApplyExpr(args(0), args(1))),
+      arity("bpe_apply", 2, 2)(args => BpeApplyExpr(args(0), args(1)))),
     ("normalize_text",
       new ExpressionInfo(classOf[NormalizeTextExpr].getName, "normalize_text"),
-      (args: Seq[Expression]) => NormalizeTextExpr(args(0))),
+      arity("normalize_text", 1, 1)(args => NormalizeTextExpr(args(0)))),
     // The reference's per-row rules entry point on the SQL surface:
     // categorize_bb(desc) returns the (categoria, subcategoria,
     // recorrente_suspeita, parcelado_suspeito) struct from the compiled
@@ -91,9 +106,9 @@ object GraftFunctions {
     // SQL and Column callers cannot diverge (categories_bb.py:223-274).
     ("categorize_bb",
       new ExpressionInfo(graft.rules.Categorizer.getClass.getName, "categorize_bb"),
-      (args: Seq[Expression]) => org.apache.spark.sql.GraftSqlBridge.catalystExpression(
+      arity("categorize_bb", 1, 1)(args => org.apache.spark.sql.GraftSqlBridge.catalystExpression(
         graft.rules.Categorizer.categorize(
-          org.apache.spark.sql.GraftSqlBridge.column(args(0))))))
+          org.apache.spark.sql.GraftSqlBridge.column(args(0)))))))
 
   /** Register on an already-built session. */
   def register(spark: SparkSession): Unit =

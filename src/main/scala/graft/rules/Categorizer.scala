@@ -166,14 +166,18 @@ object Categorizer {
     * `field` ∈ {categoria, subcategoria, recorrente}. */
   def categorizeSqlField(descExpr: String, rules: Seq[CategoryRule],
       field: String, hints: Seq[String] = recorrenteHints): String = {
-    def m(re: String) = s"regexp_matches($descExpr, '$re')"
+    // SQL-literal escape: an apostrophe in a future rule pattern or
+    // category label (common in merchant names) must not corrupt the
+    // generated oracle.
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    def m(re: String) = s"regexp_matches($descExpr, ${lit(re)})"
     val hintSql = m(hints.mkString("|"))
     val lojaSql = s"(${m(cityPattern)} AND ${m(storePattern)})"
     val ruleCases = rules.map { r =>
       val out = field match {
-        case "categoria"    => s"'${r.categoria}'"
+        case "categoria"    => lit(r.categoria)
         case "subcategoria" =>
-          r.subcategoria.map(s => s"'$s'").getOrElse("CAST(NULL AS VARCHAR)")
+          r.subcategoria.map(lit).getOrElse("CAST(NULL AS VARCHAR)")
         case "recorrente"   => if (r.forceRecorrente) "TRUE" else hintSql
       }
       s"WHEN ${m(ruleRegex(r))} THEN $out"
@@ -198,7 +202,7 @@ object Categorizer {
 
   /** SQL for the two boolean flags. */
   def parceladoSql(descExpr: String): String =
-    s"regexp_matches($descExpr, '$parcPattern')"
+    s"regexp_matches($descExpr, '${parcPattern.replace("'", "''")}')"
 
   def recorrenteSql(descExpr: String, rules: Seq[CategoryRule],
       hints: Seq[String] = recorrenteHints): String =

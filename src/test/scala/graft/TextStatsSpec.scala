@@ -674,4 +674,43 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(_.getString(0)).toSeq
     assert(viaSql === Seq("creme brulee", "x y"))
   }
+
+  test("qualityEnsemble: each signal attributes independently; keep is the conjunction") {
+    val prose = "the data and the batch have to be sorted with care today " +
+      "because the scan of the table is long and the work is real " * 3
+    val spine = docsDf(
+      (1L, prose),            // passes quality + gopher
+      (2L, prose),            // same text — fails only on ppl (tail)
+      (3L, prose),            // same text — fails only on clf (score < thr*)
+      (4L, "too short"))      // fails quality AND gopher
+    def kv(rows: (Long, Any)*)(name: String, t: DataType) =
+      LocalTable.of(spark, StructType(Seq(
+        StructField("doc_id", LongType), StructField(name, t))),
+        rows.map { case (k, v) => Row(k, v) })
+    val ppl = kv(1L -> "head", 2L -> "tail", 3L -> "middle",
+      4L -> "head")("ppl_bucket", StringType)
+    val clf = kv(1L -> 0.9, 2L -> 0.9, 3L -> 0.2,
+      4L -> 0.9)("score", DoubleType)
+    val thr = LocalTable.of(spark,
+      StructType(Seq(StructField("thr_star", DoubleType))), Seq(Row(0.5)))
+    val out = TextStats.qualityEnsemble(spine, ppl, clf, thr,
+        minQuality = 0.45)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(Seq("ok_quality", "ok_gopher", "ok_ppl", "ok_clf")
+      .forall(out(1L).getAs[Boolean](_)))
+    assert(!out(2L).getAs[Boolean]("keep") &&
+      !out(2L).getAs[Boolean]("ok_ppl") &&
+      out(2L).getAs[Boolean]("ok_quality") &&
+      out(2L).getAs[Boolean]("ok_clf"))
+    assert(!out(3L).getAs[Boolean]("keep") &&
+      !out(3L).getAs[Boolean]("ok_clf") && out(3L).getAs[Boolean]("ok_ppl"))
+    assert(!out(4L).getAs[Boolean]("keep") &&
+      !out(4L).getAs[Boolean]("ok_quality") &&
+      !out(4L).getAs[Boolean]("ok_gopher"))
+    // attribution must ride every row — the drop REASON is the product
+    assert(out.values.forall(r =>
+      !r.isNullAt(r.fieldIndex("thr_star")) &&
+        r.getAs[Double]("thr_star") === 0.5))
+  }
 }

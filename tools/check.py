@@ -27,8 +27,25 @@ def table_repr(rows):
     return sorted(",".join(norm_cell(c) for c in r) for r in rows)
 
 
+def write_diff(out_dir, name, g, e):
+    """Multiset per-row diff so a red names rows, not just a hash."""
+    from collections import Counter
+    cg, ce = Counter(g), Counter(e)
+    only_spark = sorted((cg - ce).elements())
+    only_duck = sorted((ce - cg).elements())
+    path = f"{out_dir}/{name}.diff"
+    with open(path, "w") as f:
+        for r in only_spark:
+            f.write(f"spark-only\t{r}\n")
+        for r in only_duck:
+            f.write(f"duck-only\t{r}\n")
+    return path, len(only_spark), len(only_duck)
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    print(f"duckdb module {duckdb.__version__}; engine "
+          f"{con.execute('SELECT version()').fetchone()[0]}")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -56,13 +73,17 @@ def main(sf_dir, out_dir):
         g = table_repr([[r[i] for i in gi] for r in got_rows])
         e = table_repr([[r[i] for i in ei] for r in exp_rows])
         if len(g) != len(e):
-            print(f"FAIL {name}: rows {len(g)} != {len(e)}")
+            path, ns, nd = write_diff(out_dir, name, g, e)
+            print(f"FAIL {name}: rows {len(g)} != {len(e)}; "
+                  f"diff ({ns} spark-only / {nd} duck-only) -> {path}")
             n_fail += 1
             continue
         diffs = [(a, b) for a, b in zip(g, e) if a != b]
         if diffs:
+            path, ns, nd = write_diff(out_dir, name, g, e)
             print(f"FAIL {name}: {len(diffs)} differing rows; first: "
-                  f"spark={diffs[0][0]!r} duck={diffs[0][1]!r}")
+                  f"spark={diffs[0][0]!r} duck={diffs[0][1]!r}; "
+                  f"diff ({ns} spark-only / {nd} duck-only) -> {path}")
             n_fail += 1
         else:
             print(f"PASS {name} ({len(g)} rows)")
