@@ -1309,6 +1309,52 @@ object Dedup {
     scrubWithSpans(docs.select(col("doc_id"), col("text")),
       boilerplateSpans(docs, windowTokens, minDocs))
 
+  /** Per-(source, fp) distinct-doc membership counts of a corpus — the
+    * PERSISTED index of incremental boilerplate scrubbing (the
+    * boilerplate-family analogue of [[fingerprintIndex]], which counts
+    * occurrences; membership counting needs the per-doc dedup first).
+    * Skinny keys, both exchanges map-side combinable. Counts add
+    * associatively across batches ONLY because each document is
+    * admitted exactly once (the same disjointness contract the d71
+    * stream relies on), so append ≡ rebuild. */
+  def boilerplateIndex(docs: DataFrame, windowTokens: Int): DataFrame =
+    spanWindows(docs, windowTokens, keep = Seq("source"))
+      .select(col("source"), col("fp"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("dd"))
+
+  /** Index maintenance: merge an admitted batch's membership counts. */
+  def appendToBoilerplateIndex(index: DataFrame, admittedDocs: DataFrame,
+      windowTokens: Int): DataFrame =
+    index.unionByName(boilerplateIndex(admittedDocs, windowTokens))
+      .groupBy(col("source"), col("fp")).agg(sum(col("dd")).as("dd"))
+
+  /** Incremental boilerplate scrub: rewrite a NEW batch's documents
+    * with every window that reaches `minDocs` distinct same-source
+    * docs across archive ∪ batch removed — the archive visible only
+    * through its [[boilerplateIndex]], its text never re-scanned.
+    * Streaming can only scrub FORWARD (docs already emitted are not
+    * rewritten when a window later crosses the threshold) — the same
+    * probe-not-retroactive relationship [[incrementalSpans]] has to
+    * the global d21 answer; batch-mode [[scrubBoilerplate]] remains
+    * the scrub-everywhere semantics over a closed corpus. */
+  def incrementalBoilerplateScrub(newDocs: DataFrame, index: DataFrame,
+      windowTokens: Int, minDocs: Long): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs below 2 would mark every window")
+    val wins = spanWindows(newDocs, windowTokens, keep = Seq("source"))
+    val batchCounts = wins
+      .select(col("source"), col("fp"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("bdd"))
+    val hot = batchCounts
+      .join(index, Seq("source", "fp"), "left")
+      .filter(col("bdd") + coalesce(col("dd"), lit(0L)) >= minDocs)
+      .select(col("source"), col("fp"))
+    val marked = wins.join(hot, Seq("source", "fp"))
+      .select(col("doc_id"), col("start"))
+    scrubWithSpans(newDocs.select(col("doc_id"), col("text")),
+      mergeIslands(marked, windowTokens))
+  }
+
   /** Boilerplate-scrub gate: 3-token windows appearing in ≥2 distinct
     * docs of the same source are scrubbed everywhere; docs with no
     * boilerplate pass through byte-identical. The oracle rebuilds the
@@ -1479,6 +1525,24 @@ object Dedup {
     index.unionByName(fingerprintIndex(admittedDocs, windowTokens))
       .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
 
+  /** Index maintenance, retraction half: subtract a RETRACTED set's
+    * window counts from the index (the GDPR-delete/takedown path — the
+    * exact inverse of [[appendToFingerprintIndex]], so
+    * retract(append(idx, B), B) ≡ idx). Zero-count fingerprints drop
+    * out entirely; counts are associative sums, so retract ≡
+    * rebuild-without-the-retracted-docs by construction — PROVIDED the
+    * retracted docs were actually admitted (retracting a never-admitted
+    * doc would drive counts negative; the filter clamps the index to
+    * valid rows either way, and the lifecycle gate's oracle would
+    * diverge). Through a table format this is a MERGE on fp with
+    * delete-when-zero. */
+  def retractFromFingerprintIndex(index: DataFrame, retractedDocs: DataFrame,
+      windowTokens: Int): DataFrame =
+    index.unionByName(fingerprintIndex(retractedDocs, windowTokens)
+        .withColumn("cnt", -col("cnt")))
+      .groupBy(col("fp")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+
   /** Incremental span dedup: duplicated spans of a NEW batch against
     * archive + batch, touching the archive only through its
     * [[fingerprintIndex]] — no archive text is re-scanned or re-hashed.
@@ -1619,6 +1683,149 @@ object Dedup {
         .unionByName(probe2.withColumn("batch", lit(2)))
         .select(col("batch"), col("doc_id"), col("span_start"),
           col("span_end"), col("n_windows"))
+    })
+
+  /** Boilerplate-lifecycle gate — the d71 algebra applied to the
+    * MEMBERSHIP index: archive (buckets 0-89) builds the per-(source,
+    * fp) distinct-doc index, batch1 (90-94) is scrubbed against
+    * archive ∪ batch1 counts and APPENDED, batch2 (95-99) is scrubbed
+    * against the GROWN index — so append drift diverges on batch-2
+    * rows. The oracle computes both probes' membership counts from
+    * scratch (bucket-conditional distinct-doc sums) and replays the
+    * island merge + kept-token rebuild. */
+  val d77BoilerplateLifecycle: Q = Q(
+    "d77_boilerplate_lifecycle",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, source, text,
+               CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, source, bucket, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+3], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 3)) AS u(i)
+        WHERE len(toks) >= 3),
+      dw AS (SELECT DISTINCT doc_id, source, bucket, fp FROM w),
+      cnt AS (
+        SELECT source, fp,
+               sum(CASE WHEN bucket < 95 THEN 1 ELSE 0 END) AS dd1,
+               count(*) AS dd2
+        FROM dw GROUP BY 1, 2),
+      m AS (
+        SELECT DISTINCT w.doc_id, w.start
+        FROM w JOIN cnt ON w.source = cnt.source AND w.fp = cnt.fp
+        WHERE (w.bucket >= 90 AND w.bucket < 95 AND cnt.dd1 >= 2)
+           OR (w.bucket >= 95 AND cnt.dd2 >= 2)),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 3
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+      spans AS (
+        SELECT doc_id, min(start) AS span_start, max(start) + 2 AS span_end
+        FROM isl GROUP BY doc_id, island),
+      pos AS (
+        SELECT t.doc_id, i, toks[i] AS tok
+        FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+        WHERE t.doc_id IN (SELECT doc_id FROM spans)),
+      kept AS (
+        SELECT p.doc_id, p.i, p.tok FROM pos p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = p.doc_id AND p.i - 1 BETWEEN s.span_start AND s.span_end)),
+      rebuilt AS (
+        SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS text
+        FROM kept GROUP BY doc_id)
+      SELECT CAST(CASE WHEN t.bucket >= 95 THEN 2 ELSE 1 END AS INTEGER) AS batch,
+             t.doc_id,
+             CASE WHEN t.doc_id IN (SELECT doc_id FROM spans)
+                  THEN coalesce(r.text, '') ELSE t.text END AS text
+      FROM t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+      WHERE t.bucket >= 90
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val archive = withBucket.filter(col("bucket") < 90).drop("bucket")
+      val batch1 = withBucket.filter(col("bucket") >= 90 && col("bucket") < 95)
+        .drop("bucket")
+      val batch2 = withBucket.filter(col("bucket") >= 95).drop("bucket")
+      val idx0 = boilerplateIndex(archive, windowTokens = 3).localCheckpoint()
+      val scrub1 = incrementalBoilerplateScrub(batch1, idx0,
+        windowTokens = 3, minDocs = 2)
+      val idx1 = appendToBoilerplateIndex(idx0, batch1, windowTokens = 3)
+        .localCheckpoint()
+      val scrub2 = incrementalBoilerplateScrub(batch2, idx1,
+        windowTokens = 3, minDocs = 2)
+      scrub1.withColumn("batch", lit(1))
+        .unionByName(scrub2.withColumn("batch", lit(2)))
+        .select(col("batch"), col("doc_id"), col("text"))
+    })
+
+  /** Index-retraction gate — the delete half of index maintenance
+    * (takedown/GDPR): the index is built over everything ADMITTED so
+    * far (buckets 0-94), the 90-94 slice is then RETRACTED via
+    * [[retractFromFingerprintIndex]] (their window counts subtracted,
+    * zero-count fingerprints dropped), and a new batch (95-99) probes
+    * the shrunken index. The oracle computes the probe from scratch
+    * over the corpus WITHOUT the retracted docs, so any retraction
+    * drift — counts left behind, over-subtraction, fingerprints that
+    * should have vanished — diverges on batch rows whose windows were
+    * shared with retracted documents. */
+  val d78IndexRetract: Q = Q(
+    "d78_index_retract",
+    Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               regexp_split_to_array(trim(text), '\s+') AS toks
+        FROM documents),
+      w AS (
+        SELECT doc_id, bucket, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM t, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE len(toks) >= 8 AND (bucket < 90 OR bucket >= 95)),
+      m AS (
+        SELECT doc_id, start FROM (
+          SELECT doc_id, bucket, start, count(*) OVER (PARTITION BY fp) AS c FROM w)
+        WHERE c >= 2 AND bucket >= 95),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g)
+      SELECT doc_id, CAST(min(start) AS BIGINT) AS span_start,
+             CAST(max(start) + 7 AS BIGINT) AS span_end,
+             count(*) AS n_windows
+      FROM isl GROUP BY doc_id, island
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val admitted = withBucket.filter(col("bucket") < 95).drop("bucket")
+      val retracted = withBucket.filter(col("bucket") >= 90 && col("bucket") < 95)
+        .drop("bucket")
+      val batch = withBucket.filter(col("bucket") >= 95).drop("bucket")
+      val idx = fingerprintIndex(admitted, windowTokens = 8).localCheckpoint()
+      val shrunk = retractFromFingerprintIndex(idx, retracted, windowTokens = 8)
+        .localCheckpoint()
+      incrementalSpans(batch, shrunk, windowTokens = 8)
     })
 
   /** Content-defined chunking — the rolling-fingerprint boundary rule
@@ -2083,5 +2290,6 @@ object Dedup {
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
     d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
-    d71IndexAppendLifecycle, d73BoilerplateScrub)
+    d71IndexAppendLifecycle, d73BoilerplateScrub, d77BoilerplateLifecycle,
+    d78IndexRetract)
 }

@@ -105,6 +105,22 @@ object IvfIndex {
     cs
   }
 
+  /** Index maintenance: assign a batch with the FROZEN stored quantizer
+    * (FAISS's train-once/add-many contract — centroids never refit on
+    * append; periodic full rebuilds re-train) and append its rows to the
+    * inverted-list layout. Append ≡ rebuild-under-the-same-model because
+    * assignment is a pure function of (vector, centroids) — the
+    * disjoint-batches contract the d71/d77 lifecycles rely on. Appended
+    * files land INSIDE the existing `centroid_id=...` directories, so
+    * probes stay partition-pruned over the grown index. */
+  def append(vectors: DataFrame, vecCol: String, path: String): Unit = {
+    val cs = loadCentroids(vectors.sparkSession, path)
+    vectors
+      .withColumn("centroid_id", NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(path)
+  }
+
   def centroidsPath(path: String): String = path + ".centroids"
 
   def loadCentroids(spark: SparkSession, path: String): Array[Array[Float]] =

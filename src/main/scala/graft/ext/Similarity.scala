@@ -315,13 +315,13 @@ object Similarity {
     * means CAST to FLOAT — the same float quantization the engine applies
     * each iteration, which is what makes the two engines' centroids
     * bit-identical despite different double-summation orders. */
-  private def ivfOracleIteration(i: Int): String = s"""
+  private def ivfOracleIteration(i: Int, src: String = "emb"): String = s"""
     a$i AS (
       SELECT vec_id, embedding, cid FROM (
         SELECT e.vec_id, e.embedding, c.cid,
                row_number() OVER (PARTITION BY e.vec_id
                  ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
-        FROM emb e CROSS JOIN c$i c) t WHERE rn = 1),
+        FROM $src e CROSS JOIN c$i c) t WHERE rn = 1),
     m$i AS (
       SELECT cid, list(f ORDER BY d) AS c FROM (
         SELECT a.cid, g.d, CAST(avg(CAST(a.embedding[g.d] AS DOUBLE)) AS FLOAT) AS f
@@ -382,6 +382,98 @@ object Similarity {
       val qv = emb(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       IvfIndex.probe(s, path, qv, k = 10, nProbe = 4, excludeVecId = Some(0L))
+    })
+
+  /** IVF-index lifecycle gate — the d71/d77 index-append algebra applied
+    * to the ANN index (FAISS's train-once/add-many contract): the
+    * archive (md5 buckets 0-89 of the embeddings table) fits the
+    * quantizer and builds the inverted lists; probe 1 runs against that
+    * index; batch 1 (90-94) is assigned with the FROZEN quantizer and
+    * APPENDED ([[IvfIndex.append]] — new files land inside the existing
+    * `centroid_id=` directories, probes stay partition-pruned); probe 2
+    * sees the grown index; batch 2 (95-99) appends and probe 3 sees the
+    * twice-grown index. Because the model is frozen, the probed lists
+    * are the SAME three stages running over a growing membership — the
+    * oracle fits the archive quantizer from scratch (seeded init + 3
+    * unrolled Lloyd iterations, as s05), assigns ALL vectors under it,
+    * and replays each stage as a bucket-bounded top-k, so any append
+    * drift (refit centroids, wrong assignment, lost/duplicated rows)
+    * diverges on stage-2/3 rows. */
+  val s22IvfLifecycle: Q = Q(
+    "s22_ivf_lifecycle",
+    Some(s"""
+      WITH emb AS (
+        SELECT vec_id, label, embedding,
+               CAST(concat('0x', substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+      arch AS (SELECT vec_id, label, embedding FROM emb WHERE bucket < 90),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM arch),
+      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      ${ivfOracleIteration(0, "arch")},
+      ${ivfOracleIteration(1, "arch")},
+      ${ivfOracleIteration(2, "arch")},
+      q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0),
+      probe AS (
+        SELECT cid FROM (
+          SELECT c.cid, row_number() OVER (
+            ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+          FROM c3 c, q) t WHERE rn <= 4),
+      afinal AS (
+        SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+          FROM emb e CROSS JOIN c3 c) t WHERE rn = 1),
+      cand AS (
+        SELECT e.vec_id, e.label, e.bucket,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+        FROM afinal a JOIN emb e USING (vec_id), q
+        WHERE a.cid IN (SELECT cid FROM probe) AND e.vec_id <> 0),
+      s1 AS (SELECT 1 AS stage, vec_id, label, cos_sim FROM cand
+             WHERE bucket < 90 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10),
+      s2 AS (SELECT 2 AS stage, vec_id, label, cos_sim FROM cand
+             WHERE bucket < 95 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10),
+      s3 AS (SELECT 3 AS stage, vec_id, label, cos_sim FROM cand
+             ORDER BY cos_sim DESC, vec_id ASC LIMIT 10)
+      SELECT CAST(stage AS INTEGER) AS stage, vec_id, label, cos_sim
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3) u
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      val bucket = conv(substring(md5(concat(lit("ivf:"),
+        col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withB = e.withColumn("bucket", bucket)
+      val archive = withB.filter(col("bucket") < 90).drop("bucket")
+      val batch1 = withB.filter(col("bucket") >= 90 && col("bucket") < 95)
+        .drop("bucket")
+      val batch2 = withB.filter(col("bucket") >= 95).drop("bucket")
+      // reused artifact location, scoped by applicationId (same contract
+      // as s21): build() statically overwrites the whole layout, so a
+      // re-run within one application starts from a clean archive index
+      val lists = new java.io.File(
+        System.getProperty("java.io.tmpdir"),
+        s"graft-s22-${s.sparkContext.applicationId}/lists").getPath
+      IvfIndex.build(archive, "embedding", k = 16, iters = 3, path = lists)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // each probe materializes BEFORE the next append mutates the layout
+      def probe(stage: Int): DataFrame =
+        IvfIndex.probe(s, lists, qv, k = 10, nProbe = 4,
+            excludeVecId = Some(0L))
+          .withColumn("stage", lit(stage))
+          .select(col("stage"), col("vec_id"), col("label"), col("cos_sim"))
+          .localCheckpoint()
+      val p1 = probe(1)
+      IvfIndex.append(batch1, "embedding", lists)
+      val p2 = probe(2)
+      IvfIndex.append(batch2, "embedding", lists)
+      val p3 = probe(3)
+      p1.unionByName(p2).unionByName(p3)
     })
 
   /** Product quantization with asymmetric-distance scoring (Jégou et
@@ -1470,7 +1562,8 @@ object Similarity {
     (s, dir) => standardizeEmbeddings(emb(s, dir)))
 
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
-    s05AnnIvf, s06PqAdc, d25SemanticDedup, s07KnnClassify, s08KnnClassifyIvf,
+    s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup, s07KnnClassify,
+    s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
     s19AnnRecall, s20StandardizeEmbeddings)

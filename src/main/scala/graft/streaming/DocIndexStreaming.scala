@@ -107,4 +107,57 @@ object DocIndexStreaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, batchId, indexPath, spansPath, windowTokens)
       }
+
+  // ---- boilerplate membership index (the d73 family's streaming twin) --
+
+  private val bpIndexSchema = StructType(Seq(
+    StructField("source", org.apache.spark.sql.types.StringType),
+    StructField("fp", LongType), StructField("dd", LongType)))
+
+  /** The committed boilerplate index (empty before any commit):
+    * per-(source, fp) distinct-doc membership counts. */
+  def currentBpIndex(s: SparkSession, indexPath: String): DataFrame =
+    latestVersion(s, indexPath) match {
+      case Some(v) => s.read.schema(bpIndexSchema).parquet(s"$indexPath/v$v")
+      case None    => graft.LocalTable.of(s, bpIndexSchema, Seq.empty[Row])
+    }
+
+  /** One admission for the boilerplate lifecycle: scrub the batch's
+    * documents against archive ∪ batch membership counts (the archive
+    * seen only through the committed index), emit the scrubbed docs to
+    * `scrubbedPath/batch=<id>`, merge the batch's counts into version
+    * `v<batchId>`, commit the marker. Same exactly-once contract as
+    * [[admitBatch]] (versioned dirs, marker-file commit, replay no-op,
+    * overwrite-by-batch-dir output). Forward-only semantics: documents
+    * emitted by earlier batches are never rewritten when a window later
+    * crosses the threshold — see
+    * [[graft.ext.Dedup.incrementalBoilerplateScrub]]. */
+  def admitBoilerplateBatch(batch: DataFrame, batchId: Long,
+      indexPath: String, scrubbedPath: String, windowTokens: Int,
+      minDocs: Long): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val f = fs(s, indexPath)
+    val versionDir = new Path(indexPath, s"v$batchId")
+    val committed = latestVersion(s, indexPath)
+    if (committed.exists(_ >= batchId)) return // replay of an admitted batch
+    val index = currentBpIndex(s, indexPath)
+    Dedup.incrementalBoilerplateScrub(batch, index, windowTokens, minDocs)
+      .write.mode("overwrite").parquet(s"$scrubbedPath/batch=$batchId")
+    Dedup.appendToBoilerplateIndex(index, batch, windowTokens)
+      .write.mode("overwrite").parquet(versionDir.toString)
+    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
+  }
+
+  /** The streaming writer for the boilerplate lifecycle: a document
+    * stream (doc_id, source, text) scrubbed and admitted per batch. */
+  def boilerplateStream(docs: DataFrame, indexPath: String,
+      scrubbedPath: String, checkpointDir: String, windowTokens: Int,
+      minDocs: Long): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBoilerplateBatch(batch, batchId, indexPath, scrubbedPath,
+          windowTokens, minDocs)
+      }
 }

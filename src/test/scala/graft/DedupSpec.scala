@@ -529,6 +529,29 @@ class DedupSpec extends SparkSpec {
     assert(rows(grown) === rows(rebuilt))
   }
 
+  test("retractFromFingerprintIndex: exact inverse of append; rebuild-equivalent; vanished fps stop matching") {
+    val archive = strDf((1L, "a1 a2 a3 a4"), (2L, "c1 c2 c3 c4"))
+    val removed = strDf((5L, "r1 r2 r3 r4"), (6L, "a1 a2 a3 gone"))
+    def rows(ix: org.apache.spark.sql.DataFrame) =
+      ix.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // retract ∘ append ≡ identity on the index artifact
+    val grown = Dedup.appendToFingerprintIndex(
+      Dedup.fingerprintIndex(archive, 3), removed, windowTokens = 3)
+    val back = Dedup.retractFromFingerprintIndex(grown, removed, windowTokens = 3)
+    assert(rows(back) === rows(Dedup.fingerprintIndex(archive, 3)))
+    // retract ≡ rebuild-without: fps unique to the retracted docs VANISH
+    // (zero rows survive, not zero counts), shared fps decrement
+    val rebuilt = Dedup.fingerprintIndex(archive, 3)
+    assert(rows(back) === rows(rebuilt))
+    // full retraction empties the index
+    assert(Dedup.retractFromFingerprintIndex(
+      Dedup.fingerprintIndex(archive, 3), archive, windowTokens = 3).isEmpty)
+    // a probe that matched only via a retracted doc stops matching
+    val probe = strDf((20L, "r1 r2 r3 probe"))
+    assert(Dedup.incrementalSpans(probe, back, windowTokens = 3).isEmpty)
+    assert(!Dedup.incrementalSpans(probe, grown, windowTokens = 3).isEmpty)
+  }
+
   test("incrementalSpans on the corpus: index probe equals whole-corpus spans for batch docs") {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val bucket = conv(substring(md5(concat(lit("idx:"),

@@ -161,6 +161,44 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall")
   }
 
+  test("IVF append: frozen-model append equals rebuild, grown probe finds batch vectors, pruning survives") {
+    val planted = plantedClusters(nClusters = 4, perCluster = 25)
+    val archive = planted.filter(col("vec_id") < 80)
+    val batch = planted.filter(col("vec_id") >= 80)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-ivf-append-spec-").toString + "/lists"
+    val cs = graft.ext.IvfIndex.build(archive, "embedding", k = 8, iters = 3, path)
+    graft.ext.IvfIndex.append(batch, "embedding", path)
+
+    // append did not refit: stored centroids are the archive fit
+    val stored = graft.ext.IvfIndex.loadCentroids(spark, path)
+    assert(stored.map(_.toSeq).toSeq === cs.map(_.toSeq).toSeq)
+
+    // grown layout ≡ assigning EVERY vector under the frozen model
+    val grown = spark.read.parquet(path)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val rebuilt = Similarity.ivfAssignments(planted, cs)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grown === rebuilt)
+
+    // a probe against the grown index can return appended vectors, and
+    // the scan stays partition-pruned (appended files land INSIDE the
+    // existing centroid_id= directories)
+    val qv = planted.filter(col("vec_id") === 95)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val probeDf = graft.ext.IvfIndex.probe(spark, path, qv, k = 10,
+      nProbe = 4, excludeVecId = Some(95L))
+    val hits = probeDf.collect().map(_.getLong(0)).toSet
+    assert(hits.exists(_ >= 80), s"no appended vector among probe hits: $hits")
+    val scan = findScan(probeDf.queryExecution.executedPlan)
+      .getOrElse(fail("no FileSourceScanExec in probe plan"))
+    assert(scan.metadata("PartitionFilters").contains("centroid_id"))
+    assert(scan.metrics("numFiles").value <= 8,
+      s"probe read ${scan.metrics("numFiles").value} files")
+  }
+
   test("IVF-PQ index: codes-only lists, pruned probe, planted-cluster recall") {
     val planted = plantedClusters(nClusters = 4, perCluster = 25)
     val path = java.nio.file.Files

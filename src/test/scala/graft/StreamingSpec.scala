@@ -655,6 +655,63 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rebuilt)
   }
 
+  test("boilerplateStream: forward scrub against the grown index; append equals rebuild; replay no-ops") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Dedup
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, String, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-bpstream-").toString
+    val (indexPath, outPath) = (s"$base/index", s"$base/scrubbed")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    // "h1 h2 h3" is srcA boilerplate once TWO distinct srcA docs carry it;
+    // the same window in srcB must NOT count toward srcA's threshold
+    val batches: Seq[Seq[(Long, String, String)]] = Seq(
+      Seq((1L, "srcA", "h1 h2 h3 body one"), (2L, "srcB", "h1 h2 h3 other src")),
+      Seq((10L, "srcA", "h1 h2 h3 second doc")), // crosses srcA's threshold NOW
+      Seq((20L, "srcA", "h1 h2 h3 late"),        // scrubbed against grown index
+          (21L, "srcB", "fresh words only here")))
+    val in = MemoryStream[(Long, String, String)]
+    val q = DocIndexStreaming.boilerplateStream(
+        in.toDF().toDF("doc_id", "source", "text"), indexPath, outPath,
+        s"$base/ckpt", windowTokens = 3, minDocs = 2)
+      .start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // forward-only: batch-0 docs were emitted before the threshold was
+    // reached, so they keep the header; batch-1's doc 10 and batch-2's
+    // doc 20 see membership ≥ 2 and lose it; srcB never crosses
+    val out = spark.read.option("basePath", outPath)
+      .parquet(s"$outPath/batch=0", s"$outPath/batch=1", s"$outPath/batch=2")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+      .toMap
+    assert(out(1L) === "h1 h2 h3 body one")
+    assert(out(2L) === "h1 h2 h3 other src")
+    assert(out(10L) === "second doc")
+    assert(out(20L) === "late")
+    assert(out(21L) === "fresh words only here")
+    // the committed index equals a from-scratch rebuild over everything
+    val allDocs = LocalTable.of(spark, schema,
+      batches.flatten.map { case (id, src, t) => Row(id, src, t) })
+    val grown = DocIndexStreaming.currentBpIndex(spark, indexPath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rebuilt = Dedup.boilerplateIndex(allDocs, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(grown === rebuilt)
+    // replaying an admitted batch leaves version and index untouched
+    val before = DocIndexStreaming.latestVersion(spark, indexPath)
+    DocIndexStreaming.admitBoilerplateBatch(
+      LocalTable.of(spark, schema,
+        batches(1).map { case (id, src, t) => Row(id, src, t) }),
+      batchId = 1L, indexPath, outPath, windowTokens = 3, minDocs = 2)
+    assert(DocIndexStreaming.latestVersion(spark, indexPath) === before)
+    assert(DocIndexStreaming.currentBpIndex(spark, indexPath)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet === rebuilt)
+  }
+
   test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
     implicit val sql = spark.sqlContext
     implicit val enc = Encoders.product[EventsStreaming.EwmaObs]
