@@ -717,6 +717,119 @@ object Similarity {
     (s, dir) => semanticDedup(emb(s, dir).select(col("vec_id"), col("embedding")),
       k = 16, threshold = 0.4))
 
+  /** Incremental SemDeDup — the production posture of [[semanticDedup]]:
+    * a NEW batch of embeddings is admitted against a standing ARCHIVE,
+    * dropping any batch vector with cosine ≥ `threshold` to some archive
+    * vector; the archive is consulted only through its IVF decomposition
+    * (quantizer + per-cluster assignment table — the persisted artifacts
+    * every SemDeDup run stores anyway), so admission cost is
+    * |batch| × probed-list size, never |batch| × |archive|.
+    *
+    * Scale shape: archive assignment is the zero-shuffle codegen'd
+    * projection, materialized once (at 100 TB it IS a persisted table
+    * bucketed by cluster id); each batch vector multi-probes its
+    * `nProbe` nearest clusters (codegen'd kernel) and equi-joins only
+    * those clusters' members. Like all probe-the-index admission
+    * (d18/d24/d77), the answer is forward-only: archive members are
+    * never re-judged against the batch.
+    *
+    * Returns every batch vector with `kept` (1 = admitted), and its best
+    * probed archive neighbor (`nn_id`, `nn_sim`; NULL when the probed
+    * lists are empty) — the eviction evidence an audit trail needs. */
+  def semanticDedupIncremental(batch: DataFrame, archive: DataFrame,
+      k: Int, nProbe: Int, threshold: Double): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    val cs = KMeans.fit(archive, "vec_id", "embedding", k, maxIters = 0)
+    val assigned = archive
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+        graft.plans.NearestCentroidExpr.nearestCentroid(col("embedding"), cs)
+          .as("cid"))
+      .localCheckpoint() // stands in for the persisted assignment table
+    val cand = batch
+      .select(col("vec_id"), col("embedding"),
+        explode(graft.plans.NearestCentroidsExpr.nearestCentroids(
+          col("embedding"), cs, nProbe)).as("cid"))
+      .join(assigned, Seq("cid"))
+      .select(col("vec_id"), col("a_id"),
+        round(cosine(col("embedding"), col("a_emb")), 6).as("sim"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("a_id").asc)
+    val best = cand.withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("a_id").as("nn_id"), col("sim").as("nn_sim"))
+    batch.select(col("vec_id")).join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        when(col("nn_sim").isNotNull && col("nn_sim") >= threshold, lit(0L))
+          .otherwise(lit(1L)).as("kept"),
+        col("nn_id"), col("nn_sim"))
+  }
+
+  /** Incremental-SemDeDup gate: archive = md5 buckets 0-94 of the
+    * embeddings table, batch = 95-99; 16-cluster seeded quantizer
+    * (0 Lloyd iterations — the same ANSI-SQL-reproducible init d25/s06
+    * use), nProbe = 4, τ = 0.4 (the corpus' near-dup regime, as d25).
+    * The oracle rebuilds the quantizer, archive assignments, batch
+    * multi-probes, candidate cosines and the argmax rule, so a drifted
+    * admission (wrong lists probed, archive member missing from its
+    * list, threshold applied pre-rounding) diverges. */
+  val s23SemanticDedupIncremental: Q = Q(
+    "s23_semantic_dedup_incremental",
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, embedding,
+               CAST(concat('0x', substr(md5('sem:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+      arch AS (SELECT vec_id, embedding FROM emb WHERE bucket < 95),
+      b AS (SELECT vec_id, embedding FROM emb WHERE bucket >= 95),
+      ranked AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM arch),
+      init AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT a.vec_id, i.cid,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(i.c AS DOUBLE[])) DESC, i.cid ASC) AS rn
+          FROM arch a CROSS JOIN init i) t WHERE rn = 1),
+      probes AS (
+        SELECT vec_id, cid FROM (
+          SELECT b.vec_id, i.cid,
+                 row_number() OVER (PARTITION BY b.vec_id
+                   ORDER BY list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), CAST(i.c AS DOUBLE[])) DESC, i.cid ASC) AS rn
+          FROM b CROSS JOIN init i) t WHERE rn <= 4),
+      cand AS (
+        SELECT p.vec_id, a.vec_id AS a_id,
+               round(list_cosine_similarity(CAST(bb.embedding AS DOUBLE[]), CAST(ae.embedding AS DOUBLE[])), 6) AS sim
+        FROM probes p
+        JOIN b bb ON bb.vec_id = p.vec_id
+        JOIN assign a ON a.cid = p.cid
+        JOIN arch ae ON ae.vec_id = a.vec_id),
+      best AS (
+        SELECT vec_id, a_id AS nn_id, sim AS nn_sim FROM (
+          SELECT vec_id, a_id, sim,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY sim DESC, a_id ASC) AS rn
+          FROM cand) t WHERE rn = 1)
+      SELECT b.vec_id,
+             CAST(CASE WHEN best.nn_sim IS NOT NULL AND best.nn_sim >= 0.4
+                  THEN 0 ELSE 1 END AS BIGINT) AS kept,
+             best.nn_id, best.nn_sim
+      FROM b LEFT JOIN best ON best.vec_id = b.vec_id
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      val bucket = conv(substring(md5(concat(lit("sem:"),
+        col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withB = e.withColumn("bucket", bucket)
+      semanticDedupIncremental(
+        batch = withB.filter(col("bucket") >= 95).drop("bucket"),
+        archive = withB.filter(col("bucket") < 95).drop("bucket"),
+        k = 16, nProbe = 4, threshold = 0.4)
+    })
+
   /** kNN label propagation — classify unlabeled vectors by majority vote
     * among their k nearest labeled neighbors (cosine; ties at the rank
     * boundary broken by neighbor id, vote ties by lowest label — fully
@@ -1562,8 +1675,8 @@ object Similarity {
     (s, dir) => standardizeEmbeddings(emb(s, dir)))
 
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
-    s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup, s07KnnClassify,
-    s08KnnClassifyIvf,
+    s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup,
+    s23SemanticDedupIncremental, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
     s19AnnRecall, s20StandardizeEmbeddings)

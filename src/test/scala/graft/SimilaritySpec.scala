@@ -320,6 +320,36 @@ class SimilaritySpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p.take(800))
   }
 
+  test("semanticDedupIncremental: archive near-dup evicted with evidence, fresh direction admitted") {
+    val planted = plantedClusters(nClusters = 4, perCluster = 25) // archive
+    val e0 = planted.filter(col("vec_id") === 0)
+      .select(col("embedding")).head().getSeq[Float](0)
+    val fresh = Array.tabulate(64)(i => if (i == 0) 1f else 0f)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val batch = LocalTable.of(spark, schema, Seq(
+      Row(1000L, e0, 0),          // verbatim copy of archive vec 0
+      Row(1001L, fresh.toSeq, 9))) // axis direction, far from every cluster
+    // nProbe = k → the probe is exhaustive, so decisions are brute-force
+    val res = Similarity.semanticDedupIncremental(batch, planted,
+        k = 8, nProbe = 8, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(res.size === 2)
+    assert(res(1000L).getLong(1) === 0L)       // evicted
+    assert(res(1000L).getLong(2) === 0L)       // by its archive twin
+    assert(res(1000L).getDouble(3) === 1.0)
+    assert(res(1001L).getLong(1) === 1L)       // admitted
+    assert(!res(1001L).isNullAt(3) && res(1001L).getDouble(3) < 0.95)
+    // the reported neighbor similarity IS the brute-force max
+    val brute = planted
+      .select(round(Similarity.cosine(col("embedding"),
+        typedlit(fresh.toIndexedSeq)), 6).as("s"))
+      .agg(max(col("s"))).head().getDouble(0)
+    assert(res(1001L).getDouble(3) === brute)
+  }
+
   test("knnClassify: planted clusters recover their labels unanimously; the seed set broadcasts") {
     val all = plantedClusters(4, 12)                    // 48 vectors, labels 0-3
     val labeled = all.filter(col("vec_id") < 32)        // 8 seeds per cluster
