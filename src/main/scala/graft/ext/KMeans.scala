@@ -134,16 +134,25 @@ object IvfIndex {
     * `centroid_id IN (...)` partition filter, so only the probed lists'
     * files are read (asserted in SimilaritySpec via inputFiles). */
   def probe(spark: SparkSession, path: String, queryVec: Array[Float],
-      k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame = {
-    val cs = loadCentroids(spark, path)
+      k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame =
+    probeLists(spark.read.parquet(path), loadCentroids(spark, path),
+      queryVec, k, nProbe, excludeVecId)
+
+  /** [[probe]] against an ALREADY-ASSEMBLED lists relation — the grown
+    * multi-root layout of [[graft.streaming.AnnIndexStreaming]] probes
+    * through this; the `centroid_id IN` filter pushes through a Union
+    * into every root's scan, so pruning survives a log-structured
+    * (base + committed batch dirs) index. */
+  def probeLists(lists: DataFrame, cs: Array[Array[Float]],
+      queryVec: Array[Float], k: Int, nProbe: Int,
+      excludeVecId: Option[Long] = None): DataFrame = {
     val probeIds = cs.zipWithIndex
       .map { case (c, i) => (CosineSimilarityExpr.cosine(queryVec, c), i) }
       .sortBy { case (sim, i) => (-sim, i) }
       .take(nProbe)
       .map(_._2)
-    val lists = spark.read.parquet(path)
-      .filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
-    val candidates = excludeVecId.fold(lists)(id => lists.filter(col("vec_id") =!= id))
+    val probed = lists.filter(col("centroid_id").isin(probeIds.toIndexedSeq: _*))
+    val candidates = excludeVecId.fold(probed)(id => probed.filter(col("vec_id") =!= id))
     candidates
       .select(col("vec_id"), col("label"),
         round(CosineSimilarityExpr.cosineSim(

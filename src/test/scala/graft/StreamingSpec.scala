@@ -712,6 +712,90 @@ class StreamingSpec extends SparkSpec {
       .toSet === rebuilt)
   }
 
+  test("annIndexStream: frozen-model commits, grown probe is exact under full probe, replay no-ops, pruning per root") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Seq[Float], Int)]
+    // 4 planted clusters of 25: center ± small noise (the SimilaritySpec corpus)
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 100).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-annstream-").toString + "/index"
+    val archive = rows.filter(_._1 < 60)
+    AnnIndexStreaming.init(df(archive), "embedding", k = 8, iters = 3, indexPath)
+    val cs = graft.ext.IvfIndex.loadCentroids(spark,
+      AnnIndexStreaming.basePath(indexPath))
+
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = AnnIndexStreaming.annIndexStream(
+        in.toDF().toDF("vec_id", "embedding", "label"), indexPath,
+        java.nio.file.Files.createTempDirectory("graft-annstream-ckpt-").toString)
+      .start()
+    val (b0, b1) = (rows.filter(r => r._1 >= 60 && r._1 < 80),
+      rows.filter(_._1 >= 80))
+    Seq(b0, b1).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    assert(AnnIndexStreaming.committedBatches(spark, indexPath) === Seq(0L, 1L))
+
+    // grown layout ≡ assigning EVERY vector under the frozen model
+    val grown = AnnIndexStreaming.currentLists(spark, indexPath)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = graft.ext.Similarity.ivfAssignments(df(rows), cs)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(grown === expected)
+
+    // exhaustive probe (nProbe = k) over the grown index ≡ brute force —
+    // streamed vectors fully searchable
+    val qv = rows.find(_._1 == 95L).get._2.toArray
+    val got = AnnIndexStreaming.probe(spark, indexPath, qv, k = 10,
+        nProbe = 8, excludeVecId = Some(95L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = df(rows).filter(col("vec_id") =!= 95L)
+      .select(col("vec_id"),
+        round(graft.ext.Similarity.cosine(col("embedding"),
+          typedlit(qv.toIndexedSeq)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute)
+
+    // replaying an admitted batch leaves the index untouched
+    val before = AnnIndexStreaming.currentLists(spark, indexPath).count()
+    AnnIndexStreaming.admitBatch(df(b0), batchId = 0L, "embedding", indexPath)
+    assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === before)
+
+    // a pruned probe partition-prunes in EVERY root (base + both batches)
+    val probeDf = AnnIndexStreaming.probe(spark, indexPath, qv, k = 10,
+      nProbe = 2, excludeVecId = Some(95L))
+    probeDf.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val ss = scans(probeDf.queryExecution.executedPlan)
+    assert(ss.nonEmpty)
+    ss.foreach(s => assert(s.metadata("PartitionFilters").contains("centroid_id"),
+      s.metadata("PartitionFilters")))
+    assert(ss.map(_.metrics("numFiles").value).sum <= 2L * ss.size,
+      s"pruned probe read ${ss.map(_.metrics("numFiles").value).sum} files")
+  }
+
   test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
     implicit val sql = spark.sqlContext
     implicit val enc = Encoders.product[EventsStreaming.EwmaObs]
