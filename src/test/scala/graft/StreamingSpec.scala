@@ -736,7 +736,7 @@ class StreamingSpec extends SparkSpec {
     val archive = rows.filter(_._1 < 60)
     AnnIndexStreaming.init(df(archive), "embedding", k = 8, iters = 3, indexPath)
     val cs = graft.ext.IvfIndex.loadCentroids(spark,
-      AnnIndexStreaming.basePath(indexPath))
+      AnnIndexStreaming.currentBasePath(spark, indexPath))
 
     val in = MemoryStream[(Long, Seq[Float], Int)]
     val q = AnnIndexStreaming.annIndexStream(
@@ -794,6 +794,32 @@ class StreamingSpec extends SparkSpec {
       s.metadata("PartitionFilters")))
     assert(ss.map(_.metrics("numFiles").value).sum <= 2L * ss.size,
       s"pruned probe read ${ss.map(_.metrics("numFiles").value).sum} files")
+
+    // compaction: fold base + batches into a retrained base; readers cut
+    // over atomically (no unfolded batches remain), answers unchanged
+    AnnIndexStreaming.compact(spark, indexPath, "embedding", k = 8, iters = 3)
+    assert(AnnIndexStreaming.committedBatches(spark, indexPath).isEmpty)
+    assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === 100)
+    val afterCompact = AnnIndexStreaming.probe(spark, indexPath, qv, k = 10,
+        nProbe = 8, excludeVecId = Some(95L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(afterCompact === brute)
+
+    // takedown fold: excluded vectors leave the layout entirely
+    AnnIndexStreaming.compact(spark, indexPath, "embedding", k = 8,
+      iters = 3, exclude = Set(95L))
+    assert(AnnIndexStreaming.currentLists(spark, indexPath)
+      .filter(col("vec_id") === 95L).isEmpty)
+    assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === 99)
+
+    // post-compaction admissions keep working under the retrained model
+    AnnIndexStreaming.admitBatch(
+      df(Seq((200L, rows.find(_._1 == 95L).get._2, 3))),
+      batchId = 7L, "embedding", indexPath)
+    assert(AnnIndexStreaming.committedBatches(spark, indexPath) === Seq(7L))
+    val late = AnnIndexStreaming.probe(spark, indexPath, qv, k = 1, nProbe = 8)
+      .collect()
+    assert(late.head.getLong(0) === 200L && late.head.getDouble(2) === 1.0)
   }
 
   test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
