@@ -18,19 +18,21 @@ object Verify {
     import org.apache.spark.sql.functions.{col, struct, to_json}
     val back = spark.read.parquet(s"$outDir/$name")
     val cols = back.columns.sorted
-    val rows = back
+    // global sort on the Spark side, stream to the file one partition at
+    // a time — the digest never materializes the whole dump on the driver
+    val sortedJson = back
       .select(to_json(struct(cols.map(col): _*),
         java.util.Map.of("ignoreNullFields", "false")).as("j"))
-      .collect().map(_.getString(0)).sorted
+      .orderBy(col("j"))
     val md = java.security.MessageDigest.getInstance("MD5")
-    val lines = rows.map { r =>
+    val w = Files.newBufferedWriter(Paths.get(s"$outDir/$name.digest"))
+    try sortedJson.toLocalIterator().forEachRemaining { row =>
+      val r = row.getString(0)
       val h = md.digest(r.getBytes("UTF-8")).map("%02x".format(_)).mkString
       md.reset()
       val shown = if (r.length > 400) r.substring(0, 400) + "..." else r
-      s"$h\t$shown"
-    }
-    Files.writeString(Paths.get(s"$outDir/$name.digest"),
-      lines.mkString("", "\n", "\n"))
+      w.write(s"$h\t$shown\n")
+    } finally w.close()
   }
 
   def main(args: Array[String]): Unit = {
@@ -52,7 +54,13 @@ object Verify {
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
-        writeDigest(spark, outDir, name)
+        // separate failure domain: a digest problem must not report the
+        // (already successful) dump as a query failure
+        try writeDigest(spark, outDir, name)
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name digest failed (dump OK): " +
+            e.getMessage)
+        }
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

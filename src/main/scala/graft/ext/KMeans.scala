@@ -80,20 +80,26 @@ object KMeans {
   */
 object IvfIndex {
 
+  /** THE inverted-list write contract, shared by every producer (build,
+    * in-place append, the streaming per-batch dirs): co-locate each list
+    * before the partitioned write — one writer task per centroid → one
+    * file per list directory instead of tasks×centroids small files (at
+    * larger scale: repartition(n, col) for n files per list). `assigned`
+    * must already carry `centroid_id`. */
+  def writeLists(assigned: DataFrame, path: String,
+      mode: String = "overwrite"): Unit =
+    assigned
+      .repartition(col("centroid_id"))
+      .write.mode(mode).partitionBy("centroid_id").parquet(path)
+
   /** Fit the quantizer, assign every vector, and write the inverted lists
     * under `path` partitioned by `centroid_id` (plus the k×d model at
     * `path.centroids`). Returns the fitted centroids. */
   def build(vectors: DataFrame, vecCol: String, k: Int, iters: Int,
       path: String, idCol: String = "vec_id"): Array[Array[Float]] = {
     val cs = KMeans.fit(vectors, idCol, vecCol, k, iters)
-    vectors
-      .withColumn("centroid_id", NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
-      // co-locate each list before the partitioned write: one writer task
-      // per centroid → one file per list directory instead of
-      // tasks×centroids small files (at larger scale: repartition(n, col)
-      // for n files per list)
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    writeLists(vectors.withColumn("centroid_id",
+      NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), path)
     val spark = vectors.sparkSession
     LocalTable.of(spark,
         StructType(Seq(
@@ -115,10 +121,8 @@ object IvfIndex {
     * probes stay partition-pruned over the grown index. */
   def append(vectors: DataFrame, vecCol: String, path: String): Unit = {
     val cs = loadCentroids(vectors.sparkSession, path)
-    vectors
-      .withColumn("centroid_id", NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
-      .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(path)
+    writeLists(vectors.withColumn("centroid_id",
+      NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), path, "append")
   }
 
   def centroidsPath(path: String): String = path + ".centroids"

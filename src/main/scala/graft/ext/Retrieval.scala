@@ -362,12 +362,7 @@ object Retrieval {
     "s21_rrf_persisted",
     Some(hybridFusionOracle),
     (s, dir) => {
-      // reused artifact location, scoped by applicationId: stable within
-      // a run (no temp-dir leak per gate/bench pass) but disjoint across
-      // concurrent sessions and across users sharing one tmpdir
-      val base = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-s21-${s.sparkContext.applicationId}").getPath
+      val base = graft.SessionArtifacts.dir(s, "graft-s21")
       val (corpus, queries) = hybridInputs(s, dir)
       bm25TopK(corpus, queries, k = 5)
         .write.mode("overwrite").parquet(s"$base/bm25")

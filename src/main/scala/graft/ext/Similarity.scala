@@ -452,12 +452,11 @@ object Similarity {
       val batch1 = withB.filter(col("bucket") >= 90 && col("bucket") < 95)
         .drop("bucket")
       val batch2 = withB.filter(col("bucket") >= 95).drop("bucket")
-      // reused artifact location, scoped by applicationId (same contract
-      // as s21): build() statically overwrites the whole layout, so a
-      // re-run within one application starts from a clean archive index
-      val lists = new java.io.File(
-        System.getProperty("java.io.tmpdir"),
-        s"graft-s22-${s.sparkContext.applicationId}/lists").getPath
+      // reused artifact location, scoped by applicationId and reclaimed
+      // at JVM exit (same contract as s21): build() statically overwrites
+      // the whole layout, so a re-run within one application starts from
+      // a clean archive index
+      val lists = graft.SessionArtifacts.dir(s, "graft-s22") + "/lists"
       IvfIndex.build(archive, "embedding", k = 16, iters = 3, path = lists)
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray

@@ -32,59 +32,74 @@ import graft.plans.NearestCentroidExpr
   *
   * Root count grows one-per-batch exactly like any log-structured
   * layout; [[compact]] bounds it: fold the current roots into a fresh
-  * VERSIONED base (`base_v<m>`, where `m` = first batch id NOT folded),
-  * RE-TRAINING the quantizer on the grown corpus — the moment a
+  * base, RE-TRAINING the quantizer on the grown corpus — the moment a
   * production pipeline re-trains anyway, because a quantizer fitted on
-  * the original archive drifts as the corpus distribution moves. The
-  * base marker is the same atomic cutover (readers resolve the max
-  * committed base, then union batches ≥ its fold point), and an
-  * `exclude` set turns the fold into the ANN takedown path — the only
-  * way to DELETE from inverted lists without transactional rewrites. */
+  * the original archive drifts as the corpus distribution moves. A base
+  * commit is `_COMMIT_base_v<version>_f<fold>`: `version` is a monotone
+  * counter naming the dir, `fold` is the first batch id NOT folded —
+  * kept SEPARATE so a fold with no unfolded batches (a pure re-train or
+  * takedown) does not advance past the stream's next batch id and
+  * silently orphan it. Readers resolve the max committed base ONCE and
+  * derive everything (centroids path, fold point, batch roots) from
+  * that single resolution, so a compact landing mid-read cannot mix an
+  * old base with a new fold point. An `exclude` set turns the fold into
+  * the ANN takedown path — the only way to DELETE from inverted lists
+  * without transactional rewrites. */
 object AnnIndexStreaming {
 
   private def fs(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  private def listMarkers(s: SparkSession, indexPath: String,
-      prefix: String): Seq[Long] = {
+  private def markers(s: SparkSession, indexPath: String,
+      prefix: String): Seq[String] = {
     val f = fs(s, indexPath)
     val dir = new Path(indexPath)
     if (!f.exists(dir)) Seq.empty
     else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix).toLong).sorted
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix))
   }
 
-  /** The committed base version — the fold point `m`: batches with
-    * id < m are inside this base; batches ≥ m ride alongside it. */
-  def baseVersion(s: SparkSession, indexPath: String): Long =
-    listMarkers(s, indexPath, "_COMMIT_base_v").lastOption.getOrElse(
-      throw new IllegalStateException(
-        s"no committed base under $indexPath — call init() first"))
+  /** One committed-base resolution: (version, fold point). Every reader
+    * entry point resolves this ONCE and threads it through. */
+  final case class Base(version: Long, fold: Long)
+
+  private val BaseMarker = """v(\d+)_f(\d+)""".r
+
+  /** The committed base with the highest version. */
+  def currentBase(s: SparkSession, indexPath: String): Base = {
+    val bases = markers(s, indexPath, "_COMMIT_base_").collect {
+      case BaseMarker(v, f) => Base(v.toLong, f.toLong)
+    }
+    if (bases.isEmpty) throw new IllegalStateException(
+      s"no committed base under $indexPath — call init() first")
+    bases.maxBy(_.version)
+  }
 
   def basePath(indexPath: String, version: Long): String =
     s"$indexPath/base_v$version"
 
-  /** The current base's lists dir (its `.centroids` sibling holds the
-    * model every admission assigns with). */
-  def currentBasePath(s: SparkSession, indexPath: String): String =
-    basePath(indexPath, baseVersion(s, indexPath))
+  private def commitBase(s: SparkSession, indexPath: String, b: Base): Unit =
+    fs(s, indexPath).create(
+      new Path(indexPath, s"_COMMIT_base_v${b.version}_f${b.fold}"), true)
+      .close()
 
-  /** Train the quantizer on the archive corpus and commit base v0. */
+  /** Train the quantizer on the archive corpus and commit base v0
+    * (fold point 0: every future batch rides alongside it). */
   def init(archive: DataFrame, vecCol: String, k: Int, iters: Int,
       indexPath: String): Unit = {
-    val s = archive.sparkSession
     IvfIndex.build(archive, vecCol, k, iters, basePath(indexPath, 0L))
-    fs(s, indexPath).create(new Path(indexPath, "_COMMIT_base_v0"), true)
-      .close()
+    commitBase(archive.sparkSession, indexPath, Base(0L, 0L))
   }
+
+  private def committedBatchIds(s: SparkSession, indexPath: String,
+      base: Base): Seq[Long] =
+    markers(s, indexPath, "_COMMIT_batch_").map(_.toLong)
+      .filter(_ >= base.fold).sorted
 
   /** Ids of batches whose commit marker exists AND that are not yet
     * folded into the committed base, ascending. */
-  def committedBatches(s: SparkSession, indexPath: String): Seq[Long] = {
-    val fold = baseVersion(s, indexPath)
-    listMarkers(s, indexPath, "_COMMIT_batch_").filter(_ >= fold)
-  }
+  def committedBatches(s: SparkSession, indexPath: String): Seq[Long] =
+    committedBatchIds(s, indexPath, currentBase(s, indexPath))
 
   /** One admission: assign the batch with the frozen CURRENT-base
     * quantizer, write its lists to `b<batchId>`, commit the marker.
@@ -96,58 +111,67 @@ object AnnIndexStreaming {
     val s = batch.sparkSession
     val f = fs(s, indexPath)
     if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
-    val cs = IvfIndex.loadCentroids(s, currentBasePath(s, indexPath))
-    batch
-      .withColumn("centroid_id",
-        NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
-      .repartition(col("centroid_id"))
-      .write.mode("overwrite").partitionBy("centroid_id")
-      .parquet(s"$indexPath/b$batchId")
+    val base = currentBase(s, indexPath)
+    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    IvfIndex.writeLists(
+      batch.withColumn("centroid_id",
+        NearestCentroidExpr.nearestCentroid(col(vecCol), cs)),
+      s"$indexPath/b$batchId")
     f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
   }
+
+  private def listsOf(s: SparkSession, indexPath: String,
+      base: Base): DataFrame =
+    (basePath(indexPath, base.version) +:
+        committedBatchIds(s, indexPath, base).map(id => s"$indexPath/b$id"))
+      .map(r => s.read.parquet(r))
+      .reduce(_.unionByName(_))
 
   /** The grown index: committed base ∪ its unfolded committed batches.
     * Each root is read separately (its own partition discovery) and
     * unioned, so a centroid_id filter prunes inside every root. */
   def currentLists(s: SparkSession, indexPath: String): DataFrame =
-    (currentBasePath(s, indexPath) +: committedBatches(s, indexPath)
-        .map(id => s"$indexPath/b$id"))
-      .map(r => s.read.parquet(r))
-      .reduce(_.unionByName(_))
+    listsOf(s, indexPath, currentBase(s, indexPath))
 
   /** Fold base + committed batches into a fresh base, RE-TRAINING the
     * quantizer on the grown corpus (k may change — the occupancy knob
-    * stays ∝ √N as the corpus grows). The new base's version is one
-    * past the max folded batch id, so post-compaction admissions keep
-    * arriving under monotone ids and the reader rule (`batch id ≥ fold
-    * point`) stays a pure function of the marker set. Commit is the
-    * same single-file-create cutover as admission: a crash mid-build
-    * leaves the old base authoritative and a re-run overwrites the
+    * stays ∝ √N as the corpus grows). The new fold point is one past
+    * the max folded batch id — or UNCHANGED when no batches were folded
+    * (a pure re-train/takedown must not advance past the stream's next
+    * batch id, which would orphan it). Commit is the same
+    * single-file-create cutover as admission: a crash mid-build leaves
+    * the old base authoritative and a re-run overwrites the
     * half-written dir. `exclude` drops vectors during the fold — the
     * takedown/GDPR path for a layout whose per-list files are
     * immutable. Old roots are retained for time-travel/GC, invisible
-    * to readers. */
+    * to readers. Single-writer by design (the streaming operator calls
+    * it between batches); readers are safe at any time. */
   def compact(s: SparkSession, indexPath: String, vecCol: String,
       k: Int, iters: Int, exclude: Set[Long] = Set.empty): Unit = {
-    val folded = committedBatches(s, indexPath)
-    val newVersion = (folded :+ baseVersion(s, indexPath)).max + 1
-    val corpus = currentLists(s, indexPath).drop("centroid_id")
+    val base = currentBase(s, indexPath)
+    val folded = committedBatchIds(s, indexPath, base)
+    val next = Base(
+      version = base.version + 1,
+      fold = if (folded.isEmpty) base.fold else folded.max + 1)
+    val corpus = listsOf(s, indexPath, base).drop("centroid_id")
     val kept =
       if (exclude.isEmpty) corpus
       else corpus.filter(!col("vec_id").isin(exclude.toSeq: _*))
-    IvfIndex.build(kept, vecCol, k, iters, basePath(indexPath, newVersion))
-    fs(s, indexPath)
-      .create(new Path(indexPath, s"_COMMIT_base_v$newVersion"), true)
-      .close()
+    IvfIndex.build(kept, vecCol, k, iters, basePath(indexPath, next.version))
+    commitBase(s, indexPath, next)
   }
 
   /** Top-k cosine probe over the grown index — [[IvfIndex.probe]]'s
-    * contract over the log-structured layout. */
+    * contract over the log-structured layout. The base is resolved once
+    * for centroids AND roots, so a concurrent compact cannot mix a new
+    * quantizer with old lists. */
   def probe(s: SparkSession, indexPath: String, queryVec: Array[Float],
-      k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame =
-    IvfIndex.probeLists(currentLists(s, indexPath),
-      IvfIndex.loadCentroids(s, currentBasePath(s, indexPath)),
+      k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame = {
+    val base = currentBase(s, indexPath)
+    IvfIndex.probeLists(listsOf(s, indexPath, base),
+      IvfIndex.loadCentroids(s, basePath(indexPath, base.version)),
       queryVec, k, nProbe, excludeVecId)
+  }
 
   /** The streaming writer: an embedding stream (vec_id, label, `vecCol`)
     * admitted into the index per micro-batch. Callers own trigger/start;

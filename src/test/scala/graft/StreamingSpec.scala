@@ -736,7 +736,8 @@ class StreamingSpec extends SparkSpec {
     val archive = rows.filter(_._1 < 60)
     AnnIndexStreaming.init(df(archive), "embedding", k = 8, iters = 3, indexPath)
     val cs = graft.ext.IvfIndex.loadCentroids(spark,
-      AnnIndexStreaming.currentBasePath(spark, indexPath))
+      AnnIndexStreaming.basePath(indexPath,
+        AnnIndexStreaming.currentBase(spark, indexPath).version))
 
     val in = MemoryStream[(Long, Seq[Float], Int)]
     val q = AnnIndexStreaming.annIndexStream(
@@ -812,11 +813,14 @@ class StreamingSpec extends SparkSpec {
       .filter(col("vec_id") === 95L).isEmpty)
     assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === 99)
 
-    // post-compaction admissions keep working under the retrained model
+    // post-compaction admissions keep working under the retrained model.
+    // batchId = 2 is what the stream's checkpoint would actually deliver
+    // next — two compacts (the second folding NOTHING) must not have
+    // advanced the fold point past it and orphaned its vectors
     AnnIndexStreaming.admitBatch(
       df(Seq((200L, rows.find(_._1 == 95L).get._2, 3))),
-      batchId = 7L, "embedding", indexPath)
-    assert(AnnIndexStreaming.committedBatches(spark, indexPath) === Seq(7L))
+      batchId = 2L, "embedding", indexPath)
+    assert(AnnIndexStreaming.committedBatches(spark, indexPath) === Seq(2L))
     val late = AnnIndexStreaming.probe(spark, indexPath, qv, k = 1, nProbe = 8)
       .collect()
     assert(late.head.getLong(0) === 200L && late.head.getDouble(2) === 1.0)
