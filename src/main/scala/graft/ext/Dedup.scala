@@ -1828,6 +1828,166 @@ object Dedup {
       incrementalSpans(batch, shrunk, windowTokens = 8)
     })
 
+  /** Incremental curation — the production admission pipeline composed
+    * from this family's lifecycle pieces: a NEW batch flows
+    * quality-filter → exact-dedup-against-the-archive →
+    * span-scrub-against-the-archive, with the archive visible ONLY
+    * through its two persisted indexes (the distinct text-fingerprint
+    * set and the window-fingerprint count index) — no archive text is
+    * ever re-scanned. Stage semantics are sequential (a
+    * quality-rejected doc never reaches dedup: its `dup_keep` is NULL,
+    * "stage not reached"); in-batch exact dups keep the lowest doc_id
+    * among quality survivors; admitted docs are rewritten with every
+    * span duplicated against archive ∪ admitted-batch removed. Output
+    * is one row per batch doc: per-stage attribution flags + the final
+    * text (NULL for rejected docs) — the audit trail and the output
+    * corpus in one relation.
+    *
+    * Scale shape: quality + fingerprint are one codegen projection on
+    * the batch scan; the exact-dedup stage is a batch-sized left join
+    * against the skinny fp set plus a high-cardinality (fp) window; the
+    * span stage is [[incrementalSpans]]' probe (cost ∝ batch windows,
+    * archive touched only through the index). The two lineage cuts are
+    * batch-sized — the d07 AQE lesson applied to a relation with three
+    * consumers. */
+  def incrementalCuration(batch: DataFrame, textFpIndex: DataFrame,
+      spanIndex: DataFrame, windowTokens: Int,
+      minQuality: Double): DataFrame = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    val scored = batch.select(col("doc_id"), col("text"),
+        TextStats.qualityScore(col("text")).as("quality"),
+        TextStats.fingerprint(col("text")).as("fp"))
+      .withColumn("q_keep", col("quality") >= minQuality)
+      .localCheckpoint()
+    val byFp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val dedupFlags = scored.filter(col("q_keep"))
+      .join(textFpIndex.select(col("fp")).distinct()
+        .withColumn("known", lit(1)), Seq("fp"), "left")
+      .withColumn("rn", row_number().over(byFp))
+      .select(col("doc_id"),
+        (col("known").isNull && col("rn") === 1).as("dup_keep"))
+    val flagged = scored.join(dedupFlags, Seq("doc_id"), "left")
+      .withColumn("admitted",
+        col("q_keep") && coalesce(col("dup_keep"), lit(false)))
+      .localCheckpoint()
+    val admitted = flagged.filter(col("admitted"))
+      .select(col("doc_id"), col("text"))
+    val scrubbed = scrubWithSpans(admitted,
+        incrementalSpans(admitted, spanIndex, windowTokens))
+      .withColumnRenamed("text", "text_scrubbed")
+    flagged.join(scrubbed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"), col("q_keep"), col("dup_keep"),
+        col("admitted"), col("text_scrubbed").as("text"))
+  }
+
+  /** Incremental-curation gate: the d24 archive/batch split (95/5 on the
+    * md5 `idx:` bucket), quality threshold 0.45 (d30's), window 8
+    * (d24's). The oracle replays all three stages — the d03 quality
+    * formula (floor@6), the archive-distinct-fp + keep-first rule, and
+    * the full span probe/island/rebuild machinery over ADMITTED docs
+    * with in-batch counts restricted to admitted survivors — so a stage
+    * mis-ordering (dedup before quality, scrub counting rejected docs'
+    * windows) diverges, not just a wrong final corpus. */
+  val d79IncrementalCuration: Q = Q(
+    "d79_incremental_curation",
+    Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('idx:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket,
+               regexp_split_to_array(trim(text), '\s+') AS toks,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        FROM documents),
+      q AS (
+        SELECT doc_id, text, bucket, toks,
+               floor((least(n_tok / 100.0, 1.0) * 0.5 +
+                      least(length(text) / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN n_tok > 0
+                            THEN CAST(len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE) / n_tok
+                            ELSE 0.0 END * 5.0, 1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality,
+               md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM t),
+      qb AS (SELECT * FROM q WHERE bucket >= 95),
+      arch_fp AS (SELECT DISTINCT fp FROM q WHERE bucket < 95),
+      dd AS (
+        SELECT doc_id,
+               (fp NOT IN (SELECT fp FROM arch_fp))
+                 AND row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                 AS dup_keep
+        FROM qb WHERE quality >= 0.45),
+      flags AS (
+        SELECT qb.doc_id, qb.quality, qb.quality >= 0.45 AS q_keep,
+               dd.dup_keep,
+               qb.quality >= 0.45 AND coalesce(dd.dup_keep, false) AS admitted,
+               qb.toks, qb.text
+        FROM qb LEFT JOIN dd ON dd.doc_id = qb.doc_id),
+      aw AS (
+        SELECT f.doc_id, i AS start,
+               CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp
+        FROM flags f, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE f.admitted AND len(toks) >= 8),
+      archw AS (
+        SELECT CAST(concat('0x', substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 15)) AS BIGINT) AS fp,
+               count(*) AS cnt
+        FROM q, unnest(generate_series(0, len(toks) - 8)) AS u(i)
+        WHERE bucket < 95 AND len(toks) >= 8
+        GROUP BY 1),
+      m AS (
+        SELECT doc_id, start FROM (
+          SELECT aw.doc_id, aw.start,
+                 count(*) OVER (PARTITION BY aw.fp) AS c,
+                 coalesce(a.cnt, 0) AS icnt
+          FROM aw LEFT JOIN archw a ON a.fp = aw.fp)
+        WHERE c + icnt >= 2),
+      g AS (
+        SELECT doc_id, start,
+               CASE WHEN start - lag(start) OVER (PARTITION BY doc_id ORDER BY start) > 8
+                    THEN 1 ELSE 0 END AS brk
+        FROM m),
+      isl AS (
+        SELECT doc_id, start,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                              ROWS UNBOUNDED PRECEDING) AS island
+        FROM g),
+      spans AS (
+        SELECT doc_id, min(start) AS span_start, max(start) + 7 AS span_end
+        FROM isl GROUP BY doc_id, island),
+      pos AS (
+        SELECT f.doc_id, i, toks[i] AS tok
+        FROM flags f, unnest(generate_series(1, len(toks))) AS u(i)
+        WHERE f.doc_id IN (SELECT doc_id FROM spans)),
+      kept AS (
+        SELECT p.doc_id, p.i, p.tok FROM pos p
+        WHERE NOT EXISTS (
+          SELECT 1 FROM spans s
+          WHERE s.doc_id = p.doc_id AND p.i - 1 BETWEEN s.span_start AND s.span_end)),
+      rebuilt AS (
+        SELECT doc_id, coalesce(string_agg(tok, ' ' ORDER BY i), '') AS text
+        FROM kept GROUP BY doc_id)
+      SELECT f.doc_id, f.quality, f.q_keep, f.dup_keep, f.admitted,
+             CASE WHEN NOT f.admitted THEN NULL
+                  WHEN f.doc_id IN (SELECT doc_id FROM spans) THEN coalesce(r.text, '')
+                  ELSE f.text END AS text
+      FROM flags f LEFT JOIN rebuilt r ON r.doc_id = f.doc_id
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val bucket = conv(substring(md5(concat(lit("idx:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withBucket = docs.withColumn("bucket", bucket)
+      val archive = withBucket.filter(col("bucket") < 95).drop("bucket")
+      val batch = withBucket.filter(col("bucket") >= 95).drop("bucket")
+      // the two persisted admission indexes, materialized from the
+      // archive ONCE (production keeps them as tables; cf. d24/d71)
+      val fpIdx = archive.select(TextStats.fingerprint(col("text")).as("fp"))
+        .distinct().localCheckpoint()
+      val spanIdx = fingerprintIndex(archive, windowTokens = 8)
+        .localCheckpoint()
+      incrementalCuration(batch, fpIdx, spanIdx, windowTokens = 8,
+        minQuality = 0.45)
+    })
+
   /** Content-defined chunking — the rolling-fingerprint boundary rule
     * (Rabin/CDC family): a chunk boundary falls after token `i`
     * whenever the fingerprint of the `windowTokens`-token window ENDING
@@ -2291,5 +2451,5 @@ object Dedup {
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
     d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
     d71IndexAppendLifecycle, d73BoilerplateScrub, d77BoilerplateLifecycle,
-    d78IndexRetract)
+    d78IndexRetract, d79IncrementalCuration)
 }

@@ -552,6 +552,41 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.incrementalSpans(probe, grown, windowTokens = 3).isEmpty)
   }
 
+  test("incrementalCuration: stage attribution, sequential semantics, index-only archive access") {
+    val archive = strDf(
+      (1L, "h1 h2 h3 h4 filler words here"),   // span source
+      (2L, "dupflag same exact text body"))    // exact-dup source
+    val batch = strDf(
+      (10L, ""),                                  // quality-rejected
+      (11L, "dupflag same exact text body"),      // exact dup of archive
+      (12L, "brand new duplicate pair here now"), // in-batch dup, keeps (min id)
+      (13L, "brand new duplicate pair here now"), // in-batch dup, rejected
+      (14L, "intro h1 h2 h3 h4 tail words"),      // admitted, span-scrubbed
+      (15L, "totally fresh unique content words"))// admitted untouched
+    val fpIdx = archive.select(
+      graft.ext.TextStats.fingerprint(col("text")).as("fp")).distinct()
+    val spanIdx = Dedup.fingerprintIndex(archive, windowTokens = 3)
+    val out = Dedup.incrementalCuration(batch, fpIdx, spanIdx,
+        windowTokens = 3, minQuality = 0.03)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 6)
+    def flags(id: Long) = (out(id).getBoolean(2),
+      if (out(id).isNullAt(3)) None else Some(out(id).getBoolean(3)),
+      out(id).getBoolean(4))
+    assert(flags(10L) === ((false, None, false)))        // stage 1 reject → stage 2 not reached
+    assert(flags(11L) === ((true, Some(false), false)))  // archive dup
+    assert(flags(12L) === ((true, Some(true), true)))
+    assert(flags(13L) === ((true, Some(false), false)))  // in-batch dup beyond first
+    assert(flags(14L) === ((true, Some(true), true)))
+    assert(flags(15L) === ((true, Some(true), true)))
+    // final text: NULL for rejected; admitted docs scrubbed against the
+    // archive index ∪ admitted batch; untouched docs keep raw spacing
+    assert(out(10L).isNullAt(5) && out(11L).isNullAt(5) && out(13L).isNullAt(5))
+    assert(out(12L).getString(5) === "brand new duplicate pair here now")
+    assert(out(14L).getString(5) === "intro tail words")
+    assert(out(15L).getString(5) === "totally fresh unique content words")
+  }
+
   test("incrementalSpans on the corpus: index probe equals whole-corpus spans for batch docs") {
     val docs = Tables(spark, sfDir, "documents").select(col("doc_id"), col("text"))
     val bucket = conv(substring(md5(concat(lit("idx:"),
