@@ -83,6 +83,29 @@ object Retrieval {
     val post =
       if (materializeIndex) postings(docs).localCheckpoint()
       else postings(docs)
+    bm25TopKFromPostings(post, queries, k, k1, b, maxDfFrac)
+  }
+
+  /** Index maintenance for the postings index: batches carry DISJOINT
+    * doc_ids (each document is indexed exactly once — the same
+    * admission contract every other persisted index here relies on), so
+    * an append is a pure union — no re-aggregation at all; through a
+    * table format it is a plain INSERT. Every BM25 corpus statistic
+    * (df, dl, N, avgdl) derives from the postings aggregate, so the
+    * scorer needs NOTHING else updated on append. */
+  def appendToPostings(index: DataFrame, newDocs: DataFrame): DataFrame =
+    index.unionByName(postings(newDocs))
+
+  /** [[bm25TopK]] against an ALREADY-BUILT postings relation — the
+    * production posture (the index is a persisted, append-maintained
+    * table; queries arrive forever after). Same scoring, same
+    * guard-rail, zero corpus-text access. */
+  def bm25TopKFromPostings(post: DataFrame, queries: DataFrame, k: Int,
+      k1: Double = 1.2, b: Double = 0.75,
+      maxDfFrac: Double = 1.0): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
+    require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0,1]")
     val dls = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
@@ -182,9 +205,13 @@ object Retrieval {
     * side is the corpus, each 5%-side document contributes its first
     * six tokens as a query (a retrieval-shaped probe with guaranteed
     * corpus vocabulary overlap). k = 5 at the standard k1=1.2, b=0.75. */
-  val s09Bm25TopK: Q = Q(
-    "s09_bm25_topk",
-    Some("""
+  /** Shared DuckDB oracle for s09 (build-and-query) and s24 (persisted
+    * index grown by appends): textbook BM25 over the whole 95/5
+    * corpus/query split — the fused answer must not depend on which
+    * posture produced the postings, so any append drift (lost or
+    * doubled postings shifting tf/df/dl/N) diverges s24 while s09
+    * stays green. */
+  private val bm25Oracle: String = """
       WITH b AS (
         SELECT doc_id, text,
                CAST(concat('0x', substr(md5('qry:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
@@ -229,10 +256,41 @@ object Retrieval {
                                       ORDER BY score DESC, doc_id ASC) AS rank
             FROM scored) t
       WHERE rank <= 5
-    """),
+    """
+
+  val s09Bm25TopK: Q = Q(
+    "s09_bm25_topk",
+    Some(bm25Oracle),
     (s, dir) => {
       val (corpus, queries) = hybridInputs(s, dir)
       bm25TopK(corpus, queries, k = 5)
+    })
+
+  /** Postings-lifecycle gate — the retrieval family's index-maintenance
+    * posture (d71/s22's algebra applied to the inverted text index):
+    * the corpus is split 90/5/5 on a SECOND hash (`post:`, independent
+    * of the corpus/query split), the archive slice builds the postings
+    * index, both batch slices are APPENDED ([[appendToPostings]] — a
+    * pure union under the disjoint-doc contract), and the queries run
+    * against the twice-grown index through [[bm25TopKFromPostings]].
+    * Same oracle as s09: the ranking must be posture-independent, so
+    * lost/doubled postings (which shift tf, df, dl, N and avgdl all at
+    * once) diverge here while s09 stays green. */
+  val s24Bm25Incremental: Q = Q(
+    "s24_bm25_incremental",
+    Some(bm25Oracle),
+    (s, dir) => {
+      val (corpus, queries) = hybridInputs(s, dir)
+      val h = conv(substring(md5(concat(lit("post:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withH = corpus.withColumn("h", h)
+      val archive = withH.filter(col("h") < 90).drop("h")
+      val batch1 = withH.filter(col("h") >= 90 && col("h") < 95).drop("h")
+      val batch2 = withH.filter(col("h") >= 95).drop("h")
+      val idx0 = postings(archive).localCheckpoint()
+      val idx1 = appendToPostings(idx0, batch1).localCheckpoint()
+      val idx2 = appendToPostings(idx1, batch2)
+      bm25TopKFromPostings(idx2, queries, k = 5)
     })
 
   /** Shared DuckDB oracle for the two hybrid-retrieval gates (s10 end-to-
@@ -666,6 +724,6 @@ object Retrieval {
       mmrRerank(pool, k = 3, lambda = 0.7)
     })
 
-  val all: Seq[Q] = Seq(s09Bm25TopK, s10RrfFusion, s21RrfPersisted,
-    d43TfidfKeywords, d60PmiCollocations, s15MmrRerank)
+  val all: Seq[Q] = Seq(s09Bm25TopK, s24Bm25Incremental, s10RrfFusion,
+    s21RrfPersisted, d43TfidfKeywords, d60PmiCollocations, s15MmrRerank)
 }

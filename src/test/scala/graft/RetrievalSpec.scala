@@ -104,6 +104,27 @@ class RetrievalSpec extends SparkSpec {
     assert(full.length === 4, "dense term matches every doc when not pruned")
   }
 
+  test("appendToPostings: grown index is the union-corpus postings row-for-row; scoring is posture-independent") {
+    import org.apache.spark.sql.functions.col
+    val archive = corpus.filter(col("doc_id") <= 2L)
+    val batch = corpus.filter(col("doc_id") > 2L)
+    val grown = Retrieval.appendToPostings(Retrieval.postings(archive), batch)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // disjoint doc_ids make the append a pure union: the grown index IS
+    // the from-scratch postings of the whole corpus, not merely
+    // probe-equivalent
+    assert(rows(grown) === rows(Retrieval.postings(corpus)))
+    // BM25 over the appended index ≡ BM25 built fresh from the corpus:
+    // every corpus statistic (df, dl, N, avgdl) re-derives correctly
+    val q = queries((100L, "apple cherry"))
+    val viaIndex = Retrieval.bm25TopKFromPostings(grown, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    val fresh = Retrieval.bm25TopK(corpus, q, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(viaIndex === fresh)
+  }
+
   test("rrfFuse: hand-checked fusion of overlapping and disjoint rankings") {
     val rankSchema = StructType(Seq(
       StructField("query_id", LongType), StructField("doc_id", LongType),
