@@ -1328,6 +1328,19 @@ object Dedup {
     index.unionByName(boilerplateIndex(admittedDocs, windowTokens))
       .groupBy(col("source"), col("fp")).agg(sum(col("dd")).as("dd"))
 
+  /** Membership-index retraction (takedown/GDPR): each admitted doc
+    * contributed exactly 1 to every (source, fp) it contains (the
+    * distinct-doc count under the admit-once contract), so subtraction
+    * of the retracted set's own membership counts is the exact inverse
+    * of [[appendToBoilerplateIndex]]; zero-count rows drop out —
+    * the [[retractFromFingerprintIndex]] algebra on the d73 index. */
+  def retractFromBoilerplateIndex(index: DataFrame, retractedDocs: DataFrame,
+      windowTokens: Int): DataFrame =
+    index.unionByName(boilerplateIndex(retractedDocs, windowTokens)
+        .withColumn("dd", -col("dd")))
+      .groupBy(col("source"), col("fp")).agg(sum(col("dd")).as("dd"))
+      .filter(col("dd") > 0)
+
   /** Incremental boilerplate scrub: rewrite a NEW batch's documents
     * with every window that reaches `minDocs` distinct same-source
     * docs across archive ∪ batch removed — the archive visible only

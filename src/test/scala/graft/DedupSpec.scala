@@ -552,6 +552,29 @@ class DedupSpec extends SparkSpec {
     assert(!Dedup.incrementalSpans(probe, grown, windowTokens = 3).isEmpty)
   }
 
+  test("retractFromBoilerplateIndex: exact inverse of append under the admit-once contract") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def docs(rs: (Long, String, String)*) = LocalTable.of(spark, schema,
+      rs.map { case (i, s, t) => Row(i, s, t) })
+    val archive = docs((1L, "srcA", "h1 h2 h3 body"),
+      (2L, "srcB", "h1 h2 h3 other"))
+    val removed = docs((5L, "srcA", "h1 h2 h3 gone"),
+      (6L, "srcA", "r1 r2 r3 x"))
+    def rows(ix: org.apache.spark.sql.DataFrame) =
+      ix.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val grown = Dedup.appendToBoilerplateIndex(
+      Dedup.boilerplateIndex(archive, 3), removed, windowTokens = 3)
+    val back = Dedup.retractFromBoilerplateIndex(grown, removed, windowTokens = 3)
+    // shared (srcA, h1h2h3) decrements 2 → 1; removed-only fps VANISH
+    assert(rows(back) === rows(Dedup.boilerplateIndex(archive, 3)))
+    // full retraction empties the index
+    assert(Dedup.retractFromBoilerplateIndex(grown,
+      archive.unionByName(removed), windowTokens = 3).isEmpty)
+  }
+
   test("incrementalCuration: stage attribution, sequential semantics, index-only archive access") {
     val archive = strDf(
       (1L, "h1 h2 h3 h4 filler words here"),   // span source
