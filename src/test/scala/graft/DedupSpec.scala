@@ -608,6 +608,13 @@ class DedupSpec extends SparkSpec {
     assert(out(12L).getString(5) === "brand new duplicate pair here now")
     assert(out(14L).getString(5) === "intro tail words")
     assert(out(15L).getString(5) === "totally fresh unique content words")
+    // both index probes are equi-joins — no cartesian anywhere in the
+    // composed pipeline's plan
+    val plan = Dedup.incrementalCuration(batch, fpIdx, spanIdx,
+        windowTokens = 3, minQuality = 0.03)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
   test("incrementalSpans on the corpus: index probe equals whole-corpus spans for batch docs") {

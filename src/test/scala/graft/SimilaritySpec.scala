@@ -348,6 +348,12 @@ class SimilaritySpec extends SparkSpec {
         typedlit(fresh.toIndexedSeq)), 6).as("s"))
       .agg(max(col("s"))).head().getDouble(0)
     assert(res(1001L).getDouble(3) === brute)
+    // the candidate stage is an equi-join on cluster id — never a
+    // cartesian against the archive
+    val plan = Similarity.semanticDedupIncremental(batch, planted,
+      k = 8, nProbe = 2, threshold = 0.95).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
   test("knnClassify: planted clusters recover their labels unanimously; the seed set broadcasts") {
