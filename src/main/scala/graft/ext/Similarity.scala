@@ -737,13 +737,24 @@ object Similarity {
     * lists are empty) — the eviction evidence an audit trail needs. */
   def semanticDedupIncremental(batch: DataFrame, archive: DataFrame,
       k: Int, nProbe: Int, threshold: Double): DataFrame = {
-    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
+    require(k > 0, "k must be positive")
     val cs = KMeans.fit(archive, "vec_id", "embedding", k, maxIters = 0)
     val assigned = archive
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         graft.plans.NearestCentroidExpr.nearestCentroid(col("embedding"), cs)
           .as("cid"))
       .localCheckpoint() // stands in for the persisted assignment table
+    semanticDedupAgainstAssigned(batch, assigned, cs, nProbe, threshold)
+  }
+
+  /** The probe half of [[semanticDedupIncremental]] against an
+    * ALREADY-ASSIGNED archive relation (`a_id`, `a_emb`, `cid`) and its
+    * quantizer — the persisted-index posture
+    * ([[graft.streaming.AnnIndexStreaming]]'s dedup admission probes the
+    * committed lists through this). */
+  def semanticDedupAgainstAssigned(batch: DataFrame, assigned: DataFrame,
+      cs: Array[Array[Float]], nProbe: Int, threshold: Double): DataFrame = {
+    require(nProbe > 0, "nProbe must be positive")
     val cand = batch
       .select(col("vec_id"), col("embedding"),
         explode(graft.plans.NearestCentroidsExpr.nearestCentroids(

@@ -124,6 +124,9 @@ object AnnIndexStreaming {
       base: Base): DataFrame =
     (basePath(indexPath, base.version) +:
         committedBatchIds(s, indexPath, base).map(id => s"$indexPath/b$id"))
+      // a fully-evicted dedup admission commits its marker without a
+      // lists dir — the base always exists, batch dirs may not
+      .filter(r => fs(s, r).exists(new Path(r)))
       .map(r => s.read.parquet(r))
       .reduce(_.unionByName(_))
 
@@ -183,5 +186,61 @@ object AnnIndexStreaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitBatch(batch, batchId, vecCol, indexPath)
+      }
+
+  /** Dedup-on-admission (the s23 incremental SemDeDup as a stream): the
+    * batch is first JUDGED against the committed index — every batch
+    * vector multi-probes its `nProbe` nearest lists of the current base
+    * quantizer and is evicted when some indexed vector is within
+    * `threshold` cosine — the decisions (kept + best-neighbor eviction
+    * evidence) land in `decisionsPath/batch=<id>`, and ONLY admitted
+    * vectors append as `b<batchId>`. Same exactly-once contract as
+    * [[admitBatch]] (marker commit, replay no-op, overwrite-by-batch
+    * decisions). Because foreachBatch serializes batches, the index seen
+    * by batch N contains exactly the ADMITTED vectors of batches
+    * 0..N−1 — a duplicate of an earlier admitted vector is evicted even
+    * though it never shared a micro-batch with it; forward-only, like
+    * every probe-the-index admission here. */
+  def admitDedupBatch(batch: DataFrame, batchId: Long, indexPath: String,
+      decisionsPath: String, nProbe: Int, threshold: Double,
+      vecCol: String = "embedding"): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val f = fs(s, indexPath)
+    if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
+    val base = currentBase(s, indexPath)
+    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    val assigned = listsOf(s, indexPath, base)
+      .select(col("vec_id").as("a_id"), col(vecCol).as("a_emb"),
+        col("centroid_id").as("cid"))
+    val decisions = graft.ext.Similarity.semanticDedupAgainstAssigned(
+        batch.withColumnRenamed(vecCol, "embedding"), assigned, cs,
+        nProbe, threshold)
+      .localCheckpoint() // judged against the PRE-append index, then reused
+    decisions.write.mode("overwrite")
+      .parquet(s"$decisionsPath/batch=$batchId")
+    val admitted = batch.join(
+      decisions.filter(col("kept") === 1L).select(col("vec_id")),
+      Seq("vec_id"), "left_semi")
+    // a fully-evicted batch commits its marker with no lists dir
+    // (listsOf skips missing batch roots)
+    if (!admitted.isEmpty)
+      IvfIndex.writeLists(
+        admitted.withColumn("centroid_id",
+          NearestCentroidExpr.nearestCentroid(col(vecCol), cs)),
+        s"$indexPath/b$batchId")
+    f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
+  }
+
+  /** The streaming writer for dedup-on-admission. */
+  def dedupIndexStream(embeddings: DataFrame, indexPath: String,
+      decisionsPath: String, checkpointDir: String, nProbe: Int,
+      threshold: Double, vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitDedupBatch(batch, batchId, indexPath, decisionsPath, nProbe,
+          threshold, vecCol)
       }
 }

@@ -826,6 +826,70 @@ class StreamingSpec extends SparkSpec {
     assert(late.head.getLong(0) === 200L && late.head.getDouble(2) === 1.0)
   }
 
+  test("dedupIndexStream: evicts against earlier streamed admissions, fully-evicted batches commit, replay no-ops") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Seq[Float], Int)]
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val archiveRows = (0 until 60).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    def axis(d: Int) = (0 until 64).map(i => if (i == d) 1f else 0f)
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-dedupstream-").toString + "/index"
+    val decisionsPath = java.nio.file.Files
+      .createTempDirectory("graft-dedupstream-dec-").toString
+    AnnIndexStreaming.init(df(archiveRows), "embedding", k = 8, iters = 3,
+      indexPath)
+
+    val b0 = Seq((60L, axis(0), 9),                  // fresh → admitted
+      (61L, archiveRows.head._2, 0))                 // copy of archive 0 → evicted
+    val b1 = Seq((70L, axis(0), 9),                  // copy of STREAMED 60 → evicted
+      (71L, axis(1), 9))                             // fresh → admitted
+    val b2 = Seq((80L, archiveRows.head._2, 0))      // fully-evicted batch
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = AnnIndexStreaming.dedupIndexStream(
+        in.toDF().toDF("vec_id", "embedding", "label"), indexPath,
+        decisionsPath,
+        java.nio.file.Files.createTempDirectory("graft-dedupstream-ckpt-").toString,
+        nProbe = 8, threshold = 0.95)
+      .start()
+    Seq(b0, b1, b2).foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+
+    val dec = spark.read.option("basePath", decisionsPath)
+      .parquet(s"$decisionsPath/batch=0", s"$decisionsPath/batch=1",
+        s"$decisionsPath/batch=2")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(dec(60L)._1 === 1L)
+    assert(dec(61L) === ((0L, 0L)))                  // evicted by archive twin
+    assert(dec(70L) === ((0L, 60L)))                 // evicted by a STREAMED admission
+    assert(dec(71L)._1 === 1L)
+    assert(dec(80L)._1 === 0L)
+    // the grown index holds exactly archive + the admitted vectors, and
+    // stays readable after the fully-evicted batch (marker, no dir)
+    assert(AnnIndexStreaming.committedBatches(spark, indexPath) === Seq(0L, 1L, 2L))
+    val ids = AnnIndexStreaming.currentLists(spark, indexPath)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(ids === (archiveRows.map(_._1).toSet + 60L + 71L))
+    // replay of an admitted batch changes nothing
+    val before = AnnIndexStreaming.currentLists(spark, indexPath).count()
+    AnnIndexStreaming.admitDedupBatch(df(b0), batchId = 0L, indexPath,
+      decisionsPath, nProbe = 8, threshold = 0.95)
+    assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === before)
+  }
+
   test("ewmaStream: emissions equal the batch trailingEwma bit-for-bit across micro-batches") {
     implicit val sql = spark.sqlContext
     implicit val enc = Encoders.product[EventsStreaming.EwmaObs]
