@@ -305,6 +305,40 @@ object Multimodal {
         (col("doc_id") =!= col("rep_id")).as("is_dup"))
   }
 
+  /** The persisted index of incremental media dedup: the DISTINCT
+    * content-hash set of everything admitted — hashes only, never
+    * payloads, so at 100 TB the archive bytes are never re-read. */
+  def mediaHashIndex(media: DataFrame): DataFrame =
+    media.select(md5(col("media")).as("content_hash")).distinct()
+
+  /** Index maintenance: set-union with an admitted batch's hashes
+    * (idempotent — re-admitting a hash is a no-op, so append ≡ rebuild
+    * without even needing the disjointness contract the count indexes
+    * rely on). */
+  def appendToMediaHashIndex(index: DataFrame,
+      admittedMedia: DataFrame): DataFrame =
+    index.unionByName(mediaHashIndex(admittedMedia)).distinct()
+
+  /** Incremental exact media dedup — the admission posture of
+    * [[mediaExactDedup]] (the d18/d24 algebra on the cheapest index in
+    * the engine): a NEW batch is judged against the persisted hash set;
+    * per batch row: its content hash, whether the archive already holds
+    * it, and the admit decision (unseen in the archive AND first of its
+    * in-batch dup group by doc_id). One batch-sized exchange on the
+    * hash; the index join is a hash equi-join on a skinny key. */
+  def mediaIncrementalDedup(batch: DataFrame,
+      hashIndex: DataFrame): DataFrame = {
+    val h = batch.select(col("doc_id"), md5(col("media")).as("content_hash"))
+    val byHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    h.join(hashIndex.select(col("content_hash")).distinct()
+        .withColumn("known", lit(1)), Seq("content_hash"), "left")
+      .withColumn("rn", row_number().over(byHash))
+      .select(col("doc_id"), col("content_hash"),
+        col("known").isNotNull.as("in_archive"),
+        (col("known").isNull && col("rn") === 1).as("admitted"))
+  }
+
   /** Perceptual near-dup pairs over an image corpus: decode → 64-bit
     * aHash ([[MediaTransforms.perceptualHash]], per-partition batched
     * like every decode stage) → the SimHash banding pipeline
@@ -408,5 +442,37 @@ object Multimodal {
     """),
     (s, dir) => mediaExactDedup(mediaTable(Tables(s, dir, "documents"))))
 
-  val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline, m03MediaDedup)
+  /** Incremental-dedup gate: archive = md5 `med:` buckets 0-94 of the
+    * media table, batch = 95-99; the archive is visible only through
+    * [[mediaHashIndex]]. The oracle recomputes archive membership and
+    * the in-batch keep-first rank from scratch. */
+  val m04MediaDedupIncremental: Q = Q(
+    "m04_media_dedup_incremental",
+    Some("""
+      WITH h AS (
+        SELECT doc_id, md5(text) AS content_hash,
+               CAST(concat('0x', substr(md5('med:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      arch AS (SELECT DISTINCT content_hash FROM h WHERE bucket < 95),
+      b AS (SELECT doc_id, content_hash FROM h WHERE bucket >= 95)
+      SELECT b.doc_id, b.content_hash,
+             (a.content_hash IS NOT NULL) AS in_archive,
+             (a.content_hash IS NULL AND
+              row_number() OVER (PARTITION BY b.content_hash ORDER BY b.doc_id) = 1)
+               AS admitted
+      FROM b LEFT JOIN arch a ON a.content_hash = b.content_hash
+    """),
+    (s, dir) => {
+      val media = mediaTable(Tables(s, dir, "documents"))
+      val bucket = conv(substring(md5(concat(lit("med:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withB = media.withColumn("bucket", bucket)
+      val archive = withB.filter(col("bucket") < 95).drop("bucket")
+      val batch = withB.filter(col("bucket") >= 95).drop("bucket")
+      val idx = mediaHashIndex(archive).localCheckpoint()
+      mediaIncrementalDedup(batch, idx)
+    })
+
+  val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline, m03MediaDedup,
+    m04MediaDedupIncremental)
 }

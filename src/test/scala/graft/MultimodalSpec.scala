@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 import graft.ext.Multimodal
@@ -151,6 +152,31 @@ class MultimodalSpec extends SparkSpec {
     // a single-frame PNG yields its one frame; junk yields none
     assert(Multimodal.MediaTransforms.sampleFrames(pngBytes(2, 2, 0), 2).length === 1)
     assert(Multimodal.MediaTransforms.sampleFrames("junk".getBytes, 1).isEmpty)
+  }
+
+  test("mediaIncrementalDedup: archive hit, in-batch keep-first, fresh admit; append equals rebuild") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    def media(rs: (Long, String)*) = LocalTable.of(spark, schema,
+      rs.map { case (i, t) => Row(i, t.getBytes("UTF-8")) })
+    val archive = media((1L, "payload-a"), (2L, "payload-b"))
+    val batch = media(
+      (10L, "payload-a"),   // archive hit → not admitted
+      (11L, "payload-c"), (12L, "payload-c"), // in-batch dups → 11 admitted
+      (13L, "payload-d"))   // fresh → admitted
+    val idx = Multimodal.mediaHashIndex(archive)
+    val out = Multimodal.mediaIncrementalDedup(batch, idx)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(2), r.getBoolean(3)))
+      .toMap
+    assert(out === Map(10L -> ((true, false)), 11L -> ((false, true)),
+      12L -> ((false, false)), 13L -> ((false, true))))
+    // append ≡ rebuild: union-distinct of hashes is idempotent set union
+    val admitted = batch.filter(col("doc_id").isin(11L, 13L))
+    def hashes(ix: org.apache.spark.sql.DataFrame) =
+      ix.collect().map(_.getString(0)).toSet
+    assert(hashes(Multimodal.appendToMediaHashIndex(idx, admitted)) ===
+      hashes(Multimodal.mediaHashIndex(archive.unionByName(admitted))))
   }
 
   test("n_bytes matches the text byte length end-to-end") {
