@@ -2458,11 +2458,100 @@ object Dedup {
     (s, dir) => dedupReport(
       d06NgramJaccardPairs.run(s, dir).select(col("doc_a"), col("doc_b"))))
 
+  /** Quality-canonical near-dup collapse — d17's connected components
+    * with the PRODUCTION survivor policy: each near-dup cluster keeps its
+    * highest-QUALITY member (doc_id tiebreak), not its smallest id. This
+    * is the selection real curation pipelines run (keep the best copy of
+    * a syndicated article, not the first-crawled one); the emitted
+    * n_members count is the cluster-size audit column a dedup report
+    * wants next to every survivor.
+    *
+    * Scale shape: pair generation and components are the d17 machinery
+    * (banded MinHash join + checkpoint-cut label propagation); the
+    * survivor pick and the member count are two windows SHARING one
+    * (component) partitioning — a single exchange, no join-back. The
+    * ordering key is the floor@6 quality score, so the survivor choice
+    * is as deterministic cross-engine as the score itself. */
+  def canonicalBestQuality(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, nGram = 3, k = 96, bands = 48,
+      rowsPerBand = 2, threshold = threshold)
+    val cc = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+    val labeled = docs
+      .join(cc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"),
+        TextStats.qualityScore(col("text")).as("quality"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    labeled
+      .withColumn("rn", row_number().over(wRank))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("rn") === 1)
+      .select(col("component"), col("doc_id").as("kept_doc"),
+        col("quality"), col("n_members"))
+  }
+
+  val d82CanonicalBestQuality: Q = Q(
+    "d82_canonical_best_quality",
+    Some("""
+      WITH RECURSIVE s AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      ex AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.doc_id <> b.doc_id
+        WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+              ELSE 0.0 END >= 0.5),
+      reach(src, lbl) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.doc_a, r.lbl FROM ex e JOIN reach r ON e.doc_b = r.src),
+      comp AS (
+        SELECT src AS doc_id, min(lbl) AS component
+        FROM reach GROUP BY src),
+      f AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(text) AS n_ch,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop
+        FROM documents),
+      q AS (
+        SELECT doc_id,
+               floor((least(n_tok / 100.0, 1.0) * 0.5 +
+                      least(n_ch / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                            1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+        FROM f),
+      j AS (
+        SELECT c.component, q.doc_id, q.quality,
+               row_number() OVER (PARTITION BY c.component
+                                  ORDER BY q.quality DESC, q.doc_id ASC) AS rn,
+               count(*) OVER (PARTITION BY c.component) AS n_members
+        FROM comp c JOIN q USING (doc_id))
+      SELECT component, doc_id AS kept_doc, quality,
+             CAST(n_members AS BIGINT) AS n_members
+      FROM j WHERE rn = 1
+    """),
+    (s, dir) => canonicalBestQuality(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
     d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
     d71IndexAppendLifecycle, d73BoilerplateScrub, d77BoilerplateLifecycle,
-    d78IndexRetract, d79IncrementalCuration)
+    d78IndexRetract, d79IncrementalCuration, d82CanonicalBestQuality)
 }

@@ -2788,6 +2788,150 @@ object TextStats {
         docs.filter(col("bucket") < 20).drop("bucket"), n = 3)
     })
 
+  /** Global token-budget selection — the corpus-sizing step of a
+    * training-data pipeline: keep the highest-quality documents, in
+    * quality order, until a global TOKEN budget is exhausted ("give me
+    * the best 2T tokens"). Selection is exact and deterministic: docs
+    * ordered by (quality desc, doc_id asc) — a total order — and a doc is
+    * kept iff the running token total THROUGH it stays ≤ budget (the doc
+    * that would cross the budget is excluded, as is everything after it).
+    *
+    * Scale shape: the running total is
+    * [[graft.operators.GlobalOrder.withPrefixSum]] — range-partition on
+    * the sort keys, local cumulative sums, per-partition value totals
+    * collected in one tiny aggregate and broadcast back as exclusive
+    * offsets. No single-partition window anywhere: the naive
+    * `SUM(...) OVER (ORDER BY ...)` funnels the whole corpus through one
+    * task, which at 100 TB is the job. Token counts accumulate as LONGs,
+    * so the prefix sum is exact under any partitioning. */
+  def tokenBudgetSelect(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    val scored = docs.select(col("doc_id"),
+      qualityScore(col("text")).as("quality"),
+      tokenCount(col("text")).cast("long").as("n_tokens"))
+    val summed = graft.operators.GlobalOrder.withPrefixSum(
+      scored, col("n_tokens"),
+      Seq(col("quality").desc, col("doc_id").asc),
+      outCol = "cum_tokens").df
+    summed.filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("quality"), col("n_tokens"),
+        col("cum_tokens"))
+  }
+
+  /** Token-budget gate: best documents up to 10 000 tokens (~37% of the
+    * sf0.01 corpus — the boundary lands mid-corpus, so the crossing doc
+    * and everything below it must be excluded on both sides). */
+  val d80TokenBudgetSelect: Q = Q(
+    "d80_token_budget_select",
+    Some("""
+      WITH f AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(text) AS n_ch,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+               floor((least(n_tok / 100.0, 1.0) * 0.5 +
+                      least(n_ch / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                            1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+        FROM f),
+      c AS (
+        SELECT doc_id, quality, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        FROM q)
+      SELECT doc_id, quality, n_tokens, cum_tokens
+      FROM c WHERE cum_tokens <= 10000
+    """),
+    (s, dir) => tokenBudgetSelect(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      budget = 10000L))
+
+  /** Temperature-based mixture schedule — the multilingual/multi-source
+    * sampling knob of LLM training (the "unimax / τ-sampling" family):
+    * source i with token share p_i is sampled with probability
+    * q_i ∝ p_i^τ, so τ = 1 reproduces natural proportions and τ → 0
+    * flattens toward uniform (rare sources upweighted, dominant ones
+    * down). The per-source repeat factor falls out analytically as
+    * f_i = q_i / p_i = T · tok_i^(τ−1) / Σ_j tok_j^τ (T = total tokens),
+    * which preserves expected total token mass (Σ tok_i·f_i = T); the
+    * schedule then drives the same deterministic fractional-repeat
+    * arithmetic as [[sourceMixing]] under an independent hash salt.
+    *
+    * Scale shape: the schedule derivation is ONE map-side-combinable
+    * aggregate to a config-sized (per-source) relation plus a 1-row
+    * grand total — both broadcast; application is a broadcast join +
+    * generator projection over the corpus scan. Zero wide shuffles.
+    * Float discipline: f_i and Σ tok^τ involve pow() — floor@6 on both
+    * engines before the copies arithmetic, so a last-ULP pow/summation
+    * divergence cannot flip a copy count. Sources with zero tokens are
+    * excluded from the schedule (pow(0, τ−1) diverges); their docs carry
+    * no token mass to re-weight. */
+  def temperatureMixture(docs: DataFrame, tau: Double): DataFrame = {
+    require(tau > 0 && tau <= 1, "tau must be in (0, 1]")
+    val scored = docs.select(col("doc_id"), col("source"),
+      tokenCount(col("text")).cast("long").as("n_tok"))
+    val per = scored.groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("double").as("tok"))
+      .filter(col("tok") > 0)
+    val g = per.agg(sum(col("tok")).as("t_tot"),
+      (floor(sum(pow(col("tok"), lit(tau))) * 1e6 + 0.5) / 1e6).as("t_pow"))
+    val fac = per.crossJoin(broadcast(g))
+      .select(col("source"),
+        (floor(col("t_tot") * pow(col("tok"), lit(tau - 1)) / col("t_pow")
+          * 1e6 + 0.5) / 1e6).as("fac"))
+    val hmod = conv(substring(md5(concat(lit("tmix:"),
+      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 1000000L
+    val copies = floor(col("fac")).cast("long") +
+      when(hmod < round((col("fac") - floor(col("fac"))) * 1e6).cast("long"),
+        1L).otherwise(0L)
+    docs.select(col("doc_id"), col("source"))
+      .join(broadcast(fac), Seq("source"))
+      .select(col("doc_id"), col("source"), col("fac"), copies.as("copies"))
+      .filter(col("copies") > 0)
+      .select(col("doc_id"), col("source"), col("fac"),
+        explode(sequence(lit(0L), col("copies") - 1)).as("copy"))
+  }
+
+  /** Temperature-mixture gate: τ = 0.5 (square-root sampling — the
+    * common multilingual default) over the 20-source corpus. */
+  val d81TemperatureMixture: Q = Q(
+    "d81_temperature_mixture",
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok
+        FROM documents),
+      per AS (
+        SELECT source, CAST(sum(n_tok) AS DOUBLE) AS tok
+        FROM f GROUP BY source HAVING sum(n_tok) > 0),
+      g AS (
+        SELECT sum(tok) AS t_tot,
+               floor(sum(pow(tok, 0.5)) * 1e6 + 0.5) / 1e6 AS t_pow
+        FROM per),
+      fac AS (
+        SELECT source,
+               floor(t_tot * pow(tok, -0.5) / t_pow * 1e6 + 0.5) / 1e6 AS fac
+        FROM per CROSS JOIN g),
+      c AS (
+        SELECT d.doc_id, d.source, fa.fac,
+               CAST(floor(fa.fac) AS BIGINT) +
+               CASE WHEN CAST(concat('0x', substr(md5('tmix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000
+                         < CAST(round((fa.fac - floor(fa.fac)) * 1e6) AS BIGINT)
+                    THEN 1 ELSE 0 END AS copies
+        FROM documents d JOIN fac fa ON d.source = fa.source)
+      SELECT doc_id, source, fac, CAST(u.copy AS BIGINT) AS copy
+      FROM c, unnest(generate_series(0, copies - 1)) AS u(copy)
+      WHERE copies > 0
+    """),
+    (s, dir) => temperatureMixture(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")),
+      tau = 0.5))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -2802,5 +2946,6 @@ object TextStats {
     d38RareTokenScrub, d76TokenizerCanary, d39GopherRules,
     d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
-    d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty)
+    d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
+    d80TokenBudgetSelect, d81TemperatureMixture)
 }

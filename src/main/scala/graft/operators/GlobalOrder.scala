@@ -95,6 +95,62 @@ object GlobalOrder {
     Ranked(ranked, totalRows)
   }
 
+  /** Result of [[withPrefixSum]]: the frame with the running total plus
+    * the grand total (known from the stats pass — callers sizing a budget
+    * against the whole corpus use it without a second pass). */
+  final case class Summed(df: DataFrame, grandTotal: Long)
+
+  /** Global running SUM of `valueCol` over `sortExprs` WITHOUT a
+    * single-partition window — the same two-pass range-partition trick as
+    * [[withRanks]], with per-partition VALUE sums as the offsets: range-
+    * repartition on the sort keys, cumulative-sum locally per partition
+    * (explicit ROWS frame), then add each partition's exclusive prefix of
+    * the per-partition totals, collected in one ≤ numShufflePartitions-row
+    * aggregate and broadcast back.
+    *
+    * `sortExprs` MUST be a total order (include a unique tiebreak column):
+    * with duplicate sort keys a running sum is not well-defined row-by-row
+    * (SQL's default RANGE frame would give every tie the whole tie-group's
+    * sum, and a ROWS frame would be nondeterministic within ties).
+    * `valueCol` must be integral (LongType accumulation — exact, no float
+    * summation-order concerns at any scale). */
+  def withPrefixSum(df: DataFrame, valueCol: Column, sortExprs: Seq[Column],
+      outCol: String = "cumsum", faultTolerant: Boolean = false): Summed = {
+    val spark = df.sparkSession
+    val ranged = df.repartitionByRange(sortExprs: _*)
+      .withColumn(PID, spark_partition_id())
+      .withColumn("__go_v", valueCol.cast(LongType))
+    val parts =
+      if (faultTolerant)
+        ranged.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else ranged.localCheckpoint()
+    val stats = parts.groupBy(col(PID))
+      .agg(sum(col("__go_v")).as("vsum"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .sortBy(_._1)
+    val grandTotal = stats.map(_._2).sum
+    var off = 0L
+    val offRows = stats.map { case (pid, vsum) =>
+      val r = Row(pid, off)
+      off += vsum
+      r
+    }
+    val offDf = broadcast(LocalTable.of(spark,
+      StructType(Seq(
+        StructField(PID, IntegerType),
+        StructField("__go_voff", LongType))),
+      offRows.toIndexedSeq))
+    val w = Window.partitionBy(col(PID)).orderBy(sortExprs: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val summed = parts
+      .withColumn("__go_lcs", sum(col("__go_v")).over(w))
+      .join(offDf, PID)
+      .withColumn(outCol, col("__go_lcs") + col("__go_voff"))
+      .drop(PID, "__go_v", "__go_lcs", "__go_voff")
+    Summed(summed, grandTotal)
+  }
+
   /** Exact SQL NTILE(n) from a global row_number and the (driver-known)
     * total row count: the first `N mod n` tiles get `ceil(N/n)` rows, the
     * rest `floor(N/n)`. */

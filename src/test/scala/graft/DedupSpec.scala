@@ -27,6 +27,38 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === Seq("x x x")) // distinct collapses repeats
   }
 
+  test("canonicalBestQuality: each cluster keeps its highest-quality member; quality ties break by doc_id; singletons pass through") {
+    // cluster A: identical short texts (Jaccard 1.0) — quality tie, so
+    // the SMALLER doc_id must win; cluster B: one member carries extra
+    // stopword-rich content (higher quality) and must win despite the
+    // LARGER doc_id; doc 9 is a singleton.
+    val baseA = "alpha beta gamma delta epsilon zeta eta theta"
+    // B's texts share 20 of B-long's 23 trigrams → Jaccard 20/23 ≈ 0.87;
+    // the 5-stopword suffix lifts doc 12's token/char/stopword terms, so
+    // its quality is strictly higher
+    val baseB = (1 to 22).map(i => s"word$i").mkString(" ")
+    val docs = strDf(
+      (3L, baseA), (7L, baseA),
+      (10L, baseB),
+      (12L, baseB + " of the and in is"),
+      (9L, "lonely document with completely different words entirely"))
+    val got = Dedup.canonicalBestQuality(docs)
+      .collect()
+      .map(r => (r.getAs[Long]("component"), r.getAs[Long]("kept_doc"),
+        r.getAs[Long]("n_members")))
+      .toSet
+    // doc 12 strictly contains doc 10's shingles plus more, so their
+    // Jaccard is |10| / |union|; verify they actually clustered before
+    // asserting the survivor (guards the fixture, not the operator)
+    assert(got.exists { case (_, kept, n) => kept === 12L && n === 2L },
+      s"cluster B must keep the higher-quality doc 12: $got")
+    assert(got.exists { case (_, kept, n) => kept === 3L && n === 2L },
+      s"cluster A tie must break to the smaller doc_id: $got")
+    assert(got.exists { case (_, kept, n) => kept === 9L && n === 1L },
+      s"singleton must survive with n_members=1: $got")
+    assert(got.size === 3)
+  }
+
   test("jaccard on known sets") {
     val df = strDf((1L, "unused"))
       .select(Dedup.jaccard(

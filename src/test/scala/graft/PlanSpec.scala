@@ -151,6 +151,53 @@ class PlanSpec extends SparkSpec {
     } finally safe.df.unpersist()
   }
 
+  test("GlobalOrder.withPrefixSum: agrees with the naive global window; no single-partition Exchange; fault-tolerant path agrees") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("v"))
+    val sortExprs = Seq(col("v").desc, col("doc_id").asc)
+    val fast = graft.operators.GlobalOrder.withPrefixSum(
+      docs, col("v"), sortExprs, outCol = "cs")
+    val naive = docs.withColumn("cs",
+      sum(col("v")).over(Window.orderBy(sortExprs: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    def rows(df: DataFrame) =
+      df.select("doc_id", "cs").collect().map(_.toSeq).toSet
+    assert(rows(fast.df) === rows(naive))
+    assert(fast.grandTotal ===
+      docs.agg(sum(col("v"))).collect()(0).getLong(0))
+    fast.df.collect() // finalize the adaptive plan
+    val executed = fast.df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    val safe = graft.operators.GlobalOrder.withPrefixSum(
+      docs, col("v"), sortExprs, outCol = "cs", faultTolerant = true)
+    try {
+      assert(safe.grandTotal === fast.grandTotal)
+      assert(rows(safe.df) === rows(fast.df))
+    } finally safe.df.unpersist()
+  }
+
+  test("d80: the budget prefix sum never funnels through a single partition") {
+    val df = run("d80_token_budget_select")
+    df.collect() // finalize the adaptive plan
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    assert(executed.contains("__go_pid"), executed.take(1200))
+  }
+
+  test("d81: the temperature schedule broadcasts onto the corpus scan — no sort-merge, no cartesian on the doc side") {
+    val df = run("d81_temperature_mixture")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin"), executed.take(1200))
+    assert(!executed.contains("SortMergeJoin"), executed.take(1200))
+    assert(!executed.contains("CartesianProduct"), executed.take(1200))
+  }
+
   test("s06: PQ encode + ADC scoring is a pure projection — no join, no shuffle before top-k") {
     val df = run("s06_pq_adc")
     val p = physical(df)

@@ -109,6 +109,84 @@ class TextStatsSpec extends SparkSpec {
       StructType(Seq(StructField("doc_id", LongType), StructField("source", StringType))),
       rows.map { case (k, v) => Row(k, v) })
 
+  test("tokenBudgetSelect: kept set is the maximal quality-ordered prefix under the budget; crossing doc excluded") {
+    val docs = docsDf(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b"),
+      (3L, "the cat and the dog and the bird and the fish went to the lake in the morning sun"),
+      (4L, "x"),
+      (5L, "one two three four five six seven eight nine ten of the and in is to a"))
+    // expected: simulate the greedy fill over the engine's own scores
+    val scored = docs.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      TextStats.qualityScore(org.apache.spark.sql.functions.col("text")).as("q"),
+      TextStats.tokenCount(org.apache.spark.sql.functions.col("text"))
+        .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    val total = scored.map(_._3).sum
+    for (budget <- Seq(0L, scored.head._3 - 1, scored.head._3,
+        total - 1, total, total + 100)) {
+      var cum = 0L
+      val expected = scored.takeWhile { case (_, _, n) =>
+        cum += n; cum <= budget
+      }.map(_._1).toSet
+      val got = TextStats.tokenBudgetSelect(docs, budget)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(got === expected, s"budget=$budget")
+    }
+    // budget ≥ total keeps everything; the running totals are exact
+    val all = TextStats.tokenBudgetSelect(docs, total)
+      .orderBy("cum_tokens").collect()
+    assert(all.length === 5)
+    assert(all.last.getAs[Long]("cum_tokens") === total)
+  }
+
+  test("tokenBudgetSelect: result is invariant under input partitioning") {
+    val docs = docsDf((1L to 40L).map(i =>
+      (i, Seq.fill((i % 7).toInt + 1)(s"tok$i the of").mkString(" "))): _*)
+    val base = TextStats.tokenBudgetSelect(docs, 60L)
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(1, 3, 13)) {
+      val re = TextStats.tokenBudgetSelect(docs.repartition(p), 60L)
+        .collect().map(_.toSeq).toSet
+      assert(re === base, s"partitions=$p")
+    }
+  }
+
+  test("temperatureMixture: tau=1 is the identity schedule — every factor exactly 1.0, one copy per doc") {
+    val docs = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))),
+      Seq(Row(1L, "big", "a b c d e f g h"), Row(2L, "big", "i j k l m n"),
+        Row(3L, "small", "x y"), Row(4L, "mid", "p q r s")))
+    val out = TextStats.temperatureMixture(docs, tau = 1.0).collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getAs[Double]("fac") === 1.0))
+    assert(out.forall(_.getAs[Long]("copy") === 0L))
+  }
+
+  test("temperatureMixture: tau<1 upweights rare sources, downweights dominant ones; zero-token sources are excluded") {
+    val docs = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("source", StringType), StructField("text", StringType))),
+      (1L to 30L).map(i => Row(i, "big", "w1 w2 w3 w4 w5 w6 w7 w8")) ++
+        Seq(Row(31L, "rare", "a b"), Row(32L, "empty", "   ")))
+    val facs = TextStats.temperatureMixture(docs, tau = 0.5)
+      .select("source", "fac").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(!facs.contains("empty"), "zero-token source must be excluded")
+    assert(facs("rare") > 1.0, s"rare source must be upweighted: $facs")
+    assert(facs("big") < 1.0, s"dominant source must be downweighted: $facs")
+    // expected token mass is preserved: sum(tok_i * fac_i) == total tokens
+    // (up to the floor@6 on the factors)
+    val tokBySource = Map("big" -> 30L * 8, "rare" -> 2L)
+    val mass = tokBySource.map { case (s, t) => t * facs(s) }.sum
+    val total = tokBySource.values.sum.toDouble
+    assert(math.abs(mass - total) / total < 1e-4,
+      s"token mass drifted: $mass vs $total")
+  }
+
   test("ngramContamination: quoted test content scores high, disjoint text scores zero, short docs survive") {
     val train = docsDf(
       (1L, "the exam question about rivers and lakes appears here verbatim"),
