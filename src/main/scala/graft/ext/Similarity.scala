@@ -1684,10 +1684,69 @@ object Similarity {
     """),
     (s, dir) => standardizeEmbeddings(emb(s, dir)))
 
+  /** Scalar (per-dimension affine int8) quantization — the OTHER standard
+    * vector-compression scheme next to s06's product quantization (the
+    * FAISS SQ8 family): each dimension's corpus [min, max] range maps
+    * affinely onto the 0..255 code grid, `code = floor((x−mn)/(mx−mn)·255
+    * + 0.5)`, a constant-range dimension coding to 0. 64 int8 codes
+    * replace 64 floats — 4× compression with per-dimension calibration,
+    * the cheap first rung before PQ.
+    *
+    * Scale shape: the train pass is one explode → map-side-combinable
+    * min/max aggregate to a DIMS-sized artifact (64 rows — the bounded
+    * model-artifact pattern, like the IVF centroids); the apply pass
+    * rides that artifact back into a single exchange-free projection as
+    * two array literals indexed inside the transform (O(1) per element —
+    * no corpus regroup, the vector never explodes on the apply side).
+    * Cross-engine float discipline: min/max are comparisons (exact on the
+    * widened doubles), and the code arithmetic is pure IEEE
+    * subtract/divide/multiply/floor — bit-identical, no summation
+    * anywhere. */
+  def scalarQuantize(embeddings: DataFrame): DataFrame = {
+    val stats = embeddings
+      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mn = array(stats.map(s => lit(s._2)): _*)
+    val mx = array(stats.map(s => lit(s._3)): _*)
+    val codes = transform(col("embedding"), (x, i) =>
+      when(element_at(mx, i + 1) === element_at(mn, i + 1), lit(0))
+        .otherwise(floor((x.cast("double") - element_at(mn, i + 1)) /
+          (element_at(mx, i + 1) - element_at(mn, i + 1)) * 255.0 + 0.5)
+          .cast("int")))
+    embeddings.select(col("vec_id"),
+      array_join(codes.cast("array<string>"), ",").as("codes"))
+  }
+
+  /** SQ8 gate: the oracle re-derives every per-dimension range and every
+    * code in SQL, so a drifting range artifact or an off-by-one in the
+    * affine map diverges on concrete codes. */
+  val s25ScalarQuantize: Q = Q(
+    "s25_scalar_quantize",
+    Some("""
+      WITH p AS (SELECT unnest(generate_series(0, 63)) AS dim),
+      d AS (
+        SELECT e.vec_id, p.dim, CAST(e.embedding[p.dim + 1] AS DOUBLE) AS x
+        FROM embeddings e CROSS JOIN p),
+      st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM d GROUP BY dim),
+      c AS (
+        SELECT d.vec_id, d.dim,
+               CASE WHEN st.mx = st.mn THEN 0
+                    ELSE CAST(floor((d.x - st.mn) / (st.mx - st.mn) * 255.0 + 0.5) AS INT)
+               END AS code
+        FROM d JOIN st USING (dim))
+      SELECT vec_id, string_agg(CAST(code AS VARCHAR), ',' ORDER BY dim) AS codes
+      FROM c GROUP BY vec_id
+    """),
+    (s, dir) => scalarQuantize(emb(s, dir).select(col("vec_id"), col("embedding"))))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup,
     s23SemanticDedupIncremental, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
-    s19AnnRecall, s20StandardizeEmbeddings)
+    s19AnnRecall, s20StandardizeEmbeddings, s25ScalarQuantize)
 }

@@ -2932,6 +2932,136 @@ object TextStats {
         .select(col("doc_id"), col("source"), col("text")),
       tau = 0.5))
 
+  /** Incremental token-budget admission — [[tokenBudgetSelect]]'s
+    * production posture: the corpus arrives in batches, and each batch
+    * greedily fills whatever budget the PREVIOUS batches left (within a
+    * batch the fill order is still (quality desc, doc_id) with the
+    * strict-prefix contract — the doc that would cross the remaining
+    * budget is excluded along with everything ranked after it). The
+    * documented trade against the batch operator: admission quality is
+    * arrival-order dependent — a later batch's excellent doc cannot evict
+    * an earlier batch's mediocre one. `cum_tokens` restarts per batch
+    * (each batch's running total against ITS remaining budget).
+    *
+    * Scale shape: each batch admission is the d80 prefix-sum machinery
+    * over BATCH-sized data only; the carried state between batches is one
+    * spent-token LONG (a 1-row aggregate, the watermark pattern) —
+    * nothing archive-sized is ever rescanned. */
+  def budgetAdmitLifecycle(batches: Seq[DataFrame], budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    var remaining = budget
+    batches.zipWithIndex.map { case (b, i) =>
+      val admitted = tokenBudgetSelect(b, remaining)
+      val spent = admitted.agg(coalesce(sum(col("n_tokens")), lit(0L)))
+        .collect()(0).getLong(0)
+      remaining -= spent
+      admitted.select(lit(i.toLong).as("batch_id"), col("doc_id"),
+        col("quality"), col("n_tokens"), col("cum_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Budget-lifecycle gate: budget 12 000 over three arrival batches
+    * (doc_id mod 3). Batch 0 (9 513 tokens) admits whole; batch 1 crosses
+    * the remaining 2 487 mid-batch; batch 2 sees what little is left. The
+    * oracle replays the sequential arithmetic, so a lifecycle that leaked
+    * budget (or re-admitted against the full budget) diverges. */
+  val d84BudgetLifecycle: Q = Q(
+    "d84_budget_lifecycle",
+    Some("""
+      WITH f AS (
+        SELECT doc_id, doc_id % 3 AS b,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               length(text) AS n_ch,
+               len(regexp_extract_all(lower(text), '\b(the|a|of|and|to|in|is)\b')) AS stop
+        FROM documents),
+      q AS (
+        SELECT doc_id, b, CAST(n_tok AS BIGINT) AS n_tokens,
+               floor((least(n_tok / 100.0, 1.0) * 0.5 +
+                      least(n_ch / 500.0, 1.0) * 0.3 +
+                      least(CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END * 5.0,
+                            1.0) * 0.2) * 1e6 + 0.5) / 1e6 AS quality
+        FROM f),
+      c AS (
+        SELECT doc_id, b, quality, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY b
+                 ORDER BY quality DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        FROM q),
+      a0 AS (SELECT * FROM c WHERE b = 0 AND cum_tokens <= 12000),
+      s0 AS (SELECT coalesce(sum(n_tokens), 0) AS sp FROM a0),
+      a1 AS (SELECT c.* FROM c, s0 WHERE b = 1 AND cum_tokens <= 12000 - s0.sp),
+      s1 AS (SELECT coalesce(sum(n_tokens), 0) AS sp FROM a1),
+      a2 AS (SELECT c.* FROM c, s0, s1
+             WHERE b = 2 AND cum_tokens <= 12000 - s0.sp - s1.sp)
+      SELECT CAST(b AS BIGINT) AS batch_id, doc_id, quality, n_tokens, cum_tokens
+      FROM (SELECT * FROM a0 UNION ALL SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+    """),
+    (s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      budgetAdmitLifecycle(
+        (0 to 2).map(i => docs.filter(pmod(col("doc_id"), lit(3)) === i)),
+        budget = 12000L)
+    })
+
+  /** Per-document out-of-vocabulary rate — the tokenizer/vocab-fit metric
+    * that pairs with [[d10Vocabulary]]: fix the vocabulary to the corpus'
+    * top-`vocabSize` tokens (count desc, token asc — the d10 order, so
+    * the boundary tie-break is deterministic cross-engine), then score
+    * every document by the fraction of its token OCCURRENCES falling
+    * outside it. High-OOV documents are the ones a fixed tokenizer
+    * fragments worst (code, other languages, boilerplate markup) — the
+    * screen that runs before committing a vocab size.
+    *
+    * Scale shape: the vocabulary build is one explode → map-side-
+    * combinable count → TakeOrdered (a bounded, vocab-sized artifact —
+    * production persists it like the band index); scoring broadcasts the
+    * vocabulary into a second corpus scan whose per-doc aggregate
+    * collapses map-side (docs are contiguous within scan partitions).
+    * Corpus text never shuffles; the only wide exchange carries
+    * (token, count) rows. The OOV fraction is a ratio of exact integers
+    * — floor@6 on both sides, the documented round() trap. */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, "vocabSize must be positive")
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(vocabSize)
+      .select(col("token"), lit(1).as("__in_vocab"))
+    tok.join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("doc_id"), col("n_tok"), col("n_oov"),
+        (floor(col("n_oov").cast("double") / col("n_tok") * 1e6 + 0.5) / 1e6)
+          .as("oov_rate"))
+  }
+
+  /** OOV gate: vocabulary = corpus top-200 tokens. Zero-token documents
+    * carry no occurrences and drop out on both sides. */
+  val d83OovRate: Q = Q(
+    "d83_oov_rate",
+    Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                 t -> t <> '')) AS token
+        FROM documents),
+      cnt AS (SELECT token, count(*) AS freq FROM tok GROUP BY token),
+      v AS (SELECT token FROM cnt ORDER BY freq DESC, token ASC LIMIT 200),
+      j AS (
+        SELECT t.doc_id,
+               CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok t LEFT JOIN v ON t.token = v.token)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             floor(CAST(sum(oov) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+      FROM j GROUP BY doc_id
+    """),
+    (s, dir) => oovRate(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      vocabSize = 200))
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -2947,5 +3077,6 @@ object TextStats {
     d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
-    d80TokenBudgetSelect, d81TemperatureMixture)
+    d80TokenBudgetSelect, d81TemperatureMixture, d83OovRate,
+    d84BudgetLifecycle)
 }

@@ -198,6 +198,32 @@ class PlanSpec extends SparkSpec {
     assert(!executed.contains("CartesianProduct"), executed.take(1200))
   }
 
+  test("d83: the vocabulary broadcasts into the scoring scan — no sort-merge join of token rows") {
+    val df = run("d83_oov_rate")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(executed.contains("BroadcastHashJoin"), executed.take(1200))
+    assert(!executed.contains("SortMergeJoin"), executed.take(1200))
+  }
+
+  test("d84: every batch admission rides the range-partitioned prefix sum — no single-partition window") {
+    val df = run("d84_budget_lifecycle")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+  }
+
+  test("s25: the apply side is a pure exchange-free projection — the trained ranges ride the plan as literals") {
+    val df = run("s25_scalar_quantize")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange"), executed.take(1200))
+    assert(!executed.contains("Join"), executed.take(1200))
+  }
+
   test("s06: PQ encode + ADC scoring is a pure projection — no join, no shuffle before top-k") {
     val df = run("s06_pq_adc")
     val p = physical(df)

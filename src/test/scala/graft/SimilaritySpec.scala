@@ -650,4 +650,47 @@ class SimilaritySpec extends SparkSpec {
       k = 4, tau = 1.0).collect()
     assert(mined.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
+
+  test("scalarQuantize: codes are the affine int8 map of each dimension's corpus range; constant dims code 0") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // dim0 range [0,1]: 0→0, 0.5→128 (floor(127.5+0.5)), 1→255
+    // dim1 range [-2,2]: -2→0, 0→128, 2→255
+    // dim2 constant 3.0 → every code 0
+    val e = LocalTable.of(spark, schema, Seq(
+      Row(1L, Seq(0.0f, -2.0f, 3.0f)),
+      Row(2L, Seq(0.5f, 0.0f, 3.0f)),
+      Row(3L, Seq(1.0f, 2.0f, 3.0f))))
+    val got = Similarity.scalarQuantize(e).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "0,0,0", 2L -> "128,128,0", 3L -> "255,255,0"))
+    // partitioning invariance: the trained ranges are corpus aggregates
+    val re = Similarity.scalarQuantize(e.repartition(7)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(re === got)
+  }
+
+  test("scalarQuantize on corpus: all codes in 0..255, round-trip error bounded by half a grid step") {
+    val e = Tables(spark, sfDir, "embeddings").limit(100)
+    val codes = Similarity.scalarQuantize(e).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(",").map(_.toInt)).toMap
+    assert(codes.values.forall(_.forall(c => c >= 0 && c <= 255)))
+    // reconstruct x̂ = mn + code/255*(mx−mn) and check |x − x̂| ≤ step/2
+    val dims = e.select(posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy("dim").agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    for ((id, xs) <- vecs; ((_, mn, mx), d) <- dims.zip(xs.indices)) {
+      val step = (mx - mn) / 255.0
+      if (step > 0) {
+        val xhat = mn + codes(id)(d) * step
+        assert(math.abs(xs(d) - xhat) <= step / 2 + 1e-12,
+          s"vec $id dim $d: x=${xs(d)} xhat=$xhat step=$step")
+      }
+    }
+  }
 }

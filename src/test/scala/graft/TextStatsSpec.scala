@@ -154,6 +154,78 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("oovRate: rates against the deterministic top-V vocabulary; boundary tie breaks by token asc; empty docs drop out") {
+    val docs = docsDf(
+      (1L, "a a a b x"),
+      (2L, "b b c"),
+      (3L, "a c c z z"),
+      (4L, "   "))
+    // counts: a=4, b=3, c=3, x=1, z=2 → top-2 = {a, b} (b beats c on
+    // the token-asc tiebreak at freq 3)
+    val got = TextStats.oovRate(docs, vocabSize = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_tok"), r.getAs[Long]("n_oov"),
+         r.getAs[Double]("oov_rate")))).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "whitespace-only doc must drop out")
+    assert(got(1L) === ((5L, 1L, 0.2)))
+    assert(got(2L) === ((3L, 1L, 0.333333)))
+    assert(got(3L) === ((5L, 4L, 0.8)))
+  }
+
+  test("oovRate: invariant under input partitioning") {
+    val docs = docsDf((1L to 30L).map(i =>
+      (i, (1L to i).map(j => s"t${j % 9}").mkString(" "))): _*)
+    val base = TextStats.oovRate(docs, vocabSize = 4)
+      .collect().map(_.toSeq).toSet
+    for (p <- Seq(1, 5, 11)) {
+      val re = TextStats.oovRate(docs.repartition(p), vocabSize = 4)
+        .collect().map(_.toSeq).toSet
+      assert(re === base, s"partitions=$p")
+    }
+  }
+
+  test("budgetAdmitLifecycle: each batch greedily fills the budget its predecessors left; crossing doc excluded; cum restarts per batch") {
+    val mk = (rows: Seq[(Long, String)]) => docsDf(rows: _*)
+    val b0 = mk(Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "a b c d e")))
+    val b1 = mk(Seq(
+      (2L, "one two three four five six seven eight of the and"),
+      (5L, "tiny doc"),
+      (8L, "x y z w")))
+    val b2 = mk(Seq((3L, "short text here"), (6L, "q r")))
+    // simulate with the engine's own scores, sequentially across batches
+    def scored(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      TextStats.qualityScore(org.apache.spark.sql.functions.col("text")).as("q"),
+      TextStats.tokenCount(org.apache.spark.sql.functions.col("text"))
+        .cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    for (budget <- Seq(0L, 5L, 14L, 18L, 23L, 100L)) {
+      var remaining = budget
+      val expected = Seq(b0, b1, b2).zipWithIndex.flatMap { case (b, i) =>
+        var cum = 0L
+        val adm = scored(b).takeWhile { case (_, _, n) =>
+          cum += n; cum <= remaining }
+        remaining -= adm.map(_._3).sum
+        adm.map { case (id, _, _) => (i.toLong, id) }
+      }.toSet
+      val got = TextStats.budgetAdmitLifecycle(Seq(b0, b1, b2), budget)
+        .select("batch_id", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"budget=$budget")
+    }
+    // cum_tokens restarts per batch: each batch's max cum ≤ what it was given
+    val out = TextStats.budgetAdmitLifecycle(Seq(b0, b1, b2), 23L).collect()
+    val byBatch = out.groupBy(_.getAs[Long]("batch_id"))
+    for ((_, rows) <- byBatch) {
+      val cums = rows.map(_.getAs[Long]("cum_tokens")).sorted
+      val toks = rows.map(_.getAs[Long]("n_tokens")).sum
+      assert(cums.last === toks, "per-batch running total must restart at 0")
+    }
+  }
+
   test("temperatureMixture: tau=1 is the identity schedule — every factor exactly 1.0, one copy per doc") {
     val docs = LocalTable.of(spark,
       StructType(Seq(StructField("doc_id", LongType),
