@@ -160,4 +160,122 @@ object DocIndexStreaming {
         admitBoilerplateBatch(batch, batchId, indexPath, scrubbedPath,
           windowTokens, minDocs)
       }
+
+  // ---- postings index (the s24 family's streaming twin) ----------------
+
+  private val postingsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("term", org.apache.spark.sql.types.StringType),
+    StructField("tf", LongType)))
+
+  /** The committed postings index: the union of every committed batch's
+    * postings. Under the disjoint-doc admission contract an append is a
+    * PURE UNION ([[graft.ext.Retrieval.appendToPostings]]), so — unlike
+    * the count indexes above, which must rewrite merged counts per
+    * version — each batch's postings land as their OWN immutable
+    * `b<batchId>` directory (a plain INSERT through a table format) and
+    * the reader unions the committed roots. Per-root reads, not one
+    * multi-path read (the multi-root lesson from
+    * [[AnnIndexStreaming]]). */
+  def currentPostings(s: SparkSession, indexPath: String): DataFrame = {
+    val f = fs(s, indexPath)
+    val dir = new Path(indexPath)
+    val ids =
+      if (!f.exists(dir)) Seq.empty[Long]
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("_COMMIT_v"))
+        .map(_.stripPrefix("_COMMIT_v").toLong).sorted
+    if (ids.isEmpty) graft.LocalTable.of(s, postingsSchema, Seq.empty[Row])
+    else ids.map(id => s.read.schema(postingsSchema)
+        .parquet(s"$indexPath/b$id"))
+      .reduce(_ unionByName _)
+  }
+
+  /** One postings admission: tokenize+aggregate the batch and write its
+    * postings as the immutable `b<batchId>` root, commit the marker.
+    * Nothing else updates — every BM25 corpus statistic (df, dl, N,
+    * avgdl) re-derives from the postings aggregate at query time. Same
+    * exactly-once contract as [[admitBatch]] (marker-file commit, replay
+    * no-op, overwrite-by-batch-dir). */
+  def admitPostingsBatch(batch: DataFrame, batchId: Long,
+      indexPath: String): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val f = fs(s, indexPath)
+    val committed = latestVersion(s, indexPath)
+    if (committed.exists(_ >= batchId)) return // replay of an admitted batch
+    graft.ext.Retrieval.postings(batch)
+      .write.mode("overwrite").parquet(s"$indexPath/b$batchId")
+    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
+  }
+
+  /** The streaming writer for the postings lifecycle: a document stream
+    * (doc_id, text) indexed per batch. Queries run any time afterwards
+    * via `Retrieval.bm25TopKFromPostings(currentPostings(...), ...)` —
+    * the persisted-index posture, corpus text never re-read. */
+  def postingsStream(docs: DataFrame, indexPath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitPostingsBatch(batch, batchId, indexPath)
+      }
+
+  // ---- token-budget admission (the d84 lifecycle's streaming twin) -----
+
+  private val spentSchema = StructType(Seq(StructField("spent", LongType)))
+
+  /** Tokens spent by all committed admissions (0 before any commit) —
+    * the ONE long of carried state the budget lifecycle needs (the
+    * watermark pattern; nothing archive-sized is ever rescanned). */
+  def currentSpent(s: SparkSession, statePath: String): Long =
+    latestVersion(s, statePath) match {
+      case Some(v) => s.read.schema(spentSchema).parquet(s"$statePath/v$v")
+        .collect()(0).getLong(0)
+      case None => 0L
+    }
+
+  /** One budget admission: greedily fill whatever budget the committed
+    * admissions left ([[graft.ext.TextStats.tokenBudgetSelect]] over the
+    * batch — strict-prefix contract within the batch), write the
+    * admitted rows to `admittedPath/batch=<id>`, advance the spent-token
+    * state to version `v<batchId>`, commit the marker. The spent
+    * increment is summed from the parquet actually written, so the state
+    * always matches the committed admission byte-for-byte. Same
+    * exactly-once contract as [[admitBatch]]; arrival-order dependence
+    * is the documented lifecycle trade
+    * ([[graft.ext.TextStats.budgetAdmitLifecycle]]). */
+  def admitBudgetBatch(batch: DataFrame, batchId: Long, statePath: String,
+      admittedPath: String, budget: Long): Unit = {
+    require(budget >= 0, "budget must be non-negative")
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val f = fs(s, statePath)
+    val committed = latestVersion(s, statePath)
+    if (committed.exists(_ >= batchId)) return // replay of an admitted batch
+    val spent = currentSpent(s, statePath)
+    val outDir = s"$admittedPath/batch=$batchId"
+    graft.ext.TextStats.tokenBudgetSelect(batch, math.max(0L, budget - spent))
+      .select(lit(batchId).as("batch_id"), col("doc_id"), col("quality"),
+        col("n_tokens"), col("cum_tokens"))
+      .write.mode("overwrite").parquet(outDir)
+    val add = s.read.parquet(outDir)
+      .agg(coalesce(sum(col("n_tokens")), lit(0L))).collect()(0).getLong(0)
+    graft.LocalTable.of(s, spentSchema, Seq(Row(spent + add)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$statePath/v$batchId")
+    f.create(new Path(statePath, s"_COMMIT_v$batchId"), true).close()
+  }
+
+  /** The streaming writer for the budget lifecycle: a document stream
+    * (doc_id, text) admitted per batch against the remaining corpus
+    * token budget. */
+  def budgetAdmitStream(docs: DataFrame, statePath: String,
+      admittedPath: String, checkpointDir: String, budget: Long)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBudgetBatch(batch, batchId, statePath, admittedPath, budget)
+      }
 }

@@ -925,4 +925,152 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch,
       s"stream must equal batch exactly: $streamed vs $batch")
   }
+
+  test("postingsStream: streamed index equals from-scratch postings; BM25 over it equals the corpus query; replay no-ops") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Retrieval
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-poststream-").toString
+    val indexPath = s"$base/postings"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "spark shuffle exchange plan"), (2L, "parquet scan pushdown")),
+      Seq((10L, "shuffle partitions skew salt"), (11L, "broadcast join plan")),
+      Seq((20L, "scan plan shuffle shuffle")))
+    val in = MemoryStream[(Long, String)]
+    val q = DocIndexStreaming.postingsStream(
+        in.toDF().toDF("doc_id", "text"), indexPath, s"$base/ckpt")
+      .start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // the committed postings equal a from-scratch build over everything
+    val allDocs = LocalTable.of(spark, schema,
+      batches.flatten.map { case (id, t) => Row(id, t) })
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"))).toSet
+    val streamed = rows(DocIndexStreaming.currentPostings(spark, indexPath))
+    assert(streamed === rows(Retrieval.postings(allDocs)))
+    // a BM25 query over the streamed index equals the direct corpus query
+    val queries = LocalTable.of(spark,
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("text", StringType))),
+      Seq(Row(1L, "shuffle plan"), Row(2L, "parquet pushdown")))
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSet
+    val viaIndex = ranked(Retrieval.bm25TopKFromPostings(
+      DocIndexStreaming.currentPostings(spark, indexPath), queries, k = 3))
+    assert(viaIndex === ranked(Retrieval.bm25TopK(allDocs, queries, k = 3)))
+    // replaying an admitted batch leaves version and index untouched
+    val before = DocIndexStreaming.latestVersion(spark, indexPath)
+    DocIndexStreaming.admitPostingsBatch(
+      LocalTable.of(spark, schema, batches(1).map { case (id, t) => Row(id, t) }),
+      batchId = 1L, indexPath)
+    assert(DocIndexStreaming.latestVersion(spark, indexPath) === before)
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath)) === streamed)
+  }
+
+  test("budgetAdmitStream: streamed admissions equal the batch lifecycle; spent state carries; replay no-ops") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.TextStats
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-budgetstream-").toString
+    val (statePath, admittedPath) = (s"$base/state", s"$base/admitted")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches: Seq[Seq[(Long, String)]] = Seq(
+      Seq((1L, "the quick brown fox jumps over the lazy dog"),
+          (4L, "a b c d e")),
+      Seq((2L, "one two three four five six seven eight of the and"),
+          (5L, "tiny doc"), (8L, "x y z w")),
+      Seq((3L, "short text here"), (6L, "q r")))
+    val budget = 23L
+    val in = MemoryStream[(Long, String)]
+    val q = DocIndexStreaming.budgetAdmitStream(
+        in.toDF().toDF("doc_id", "text"), statePath, admittedPath,
+        s"$base/ckpt", budget)
+      .start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    // streamed admissions ≡ the batch lifecycle over the same arrival order
+    val dfs = batches.map(b => LocalTable.of(spark, schema,
+      b.map { case (id, t) => Row(id, t) }))
+    def keyed(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("cum_tokens"))).toSet
+    val expected = keyed(TextStats.budgetAdmitLifecycle(dfs, budget))
+    val streamed = keyed(spark.read.option("basePath", admittedPath)
+      .parquet((0 to 2).map(i => s"$admittedPath/batch=$i"): _*)
+      .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+        col("n_tokens"), col("cum_tokens")))
+    assert(streamed === expected)
+    // the carried state is exactly the admitted token total
+    val spentTotal = expected.toSeq.map(_._3).sum
+    assert(DocIndexStreaming.currentSpent(spark, statePath) === spentTotal)
+    // replaying an admitted batch changes neither state nor output
+    val before = DocIndexStreaming.latestVersion(spark, statePath)
+    DocIndexStreaming.admitBudgetBatch(dfs(1), batchId = 1L, statePath,
+      admittedPath, budget)
+    assert(DocIndexStreaming.latestVersion(spark, statePath) === before)
+    assert(DocIndexStreaming.currentSpent(spark, statePath) === spentTotal)
+  }
+
+  test("mediaDedupStream: cross-batch dups evicted via the hash set; index equals rebuild; replay no-ops") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    import graft.streaming.{DocIndexStreaming, MediaStreaming}
+    import graft.ext.Multimodal
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Array[Byte])]
+    val base = java.nio.file.Files.createTempDirectory("graft-mediastream-").toString
+    val (indexPath, decisionsPath) = (s"$base/index", s"$base/decisions")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    val payloadA = Array[Byte](1, 2, 3, 4)
+    val payloadB = Array[Byte](9, 8, 7)
+    val payloadC = Array[Byte](5, 5, 5, 5, 5)
+    val batches: Seq[Seq[(Long, Array[Byte])]] = Seq(
+      Seq((1L, payloadA), (2L, payloadB), (3L, payloadA)), // 3 in-batch dup of 1
+      Seq((10L, payloadA), (11L, payloadC)),               // 10 archived dup
+      Seq((20L, payloadC), (21L, payloadC)))               // both dup batch-1's C
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = MediaStreaming.mediaDedupStream(
+        in.toDF().toDF("doc_id", "media"), indexPath, decisionsPath,
+        s"$base/ckpt")
+      .start()
+    batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    q.stop()
+    val decisions = spark.read.option("basePath", decisionsPath)
+      .parquet((0 to 2).map(i => s"$decisionsPath/batch=$i"): _*)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("in_archive"), r.getAs[Boolean]("admitted")))).toMap
+    assert(decisions(1L) === ((false, true)))
+    assert(decisions(2L) === ((false, true)))
+    assert(decisions(3L) === ((false, false)), "in-batch dup loses to min doc_id")
+    assert(decisions(10L) === ((true, false)), "archived hash evicts")
+    assert(decisions(11L) === ((false, true)))
+    assert(decisions(20L) === ((true, false)))
+    assert(decisions(21L) === ((true, false)))
+    // the committed hash set equals a rebuild over everything streamed
+    val allMedia = LocalTable.of(spark, schema,
+      batches.flatten.map { case (id, b) => Row(id, b) })
+    val grown = MediaStreaming.currentHashIndex(spark, indexPath)
+      .collect().map(_.getString(0)).toSet
+    val rebuilt = Multimodal.mediaHashIndex(allMedia)
+      .collect().map(_.getString(0)).toSet
+    assert(grown === rebuilt)
+    // replaying an admitted batch leaves version and index untouched
+    val before = DocIndexStreaming.latestVersion(spark, indexPath)
+    MediaStreaming.admitMediaBatch(
+      LocalTable.of(spark, schema, batches(1).map { case (id, b) => Row(id, b) }),
+      batchId = 1L, indexPath, decisionsPath)
+    assert(DocIndexStreaming.latestVersion(spark, indexPath) === before)
+    assert(MediaStreaming.currentHashIndex(spark, indexPath)
+      .collect().map(_.getString(0)).toSet === rebuilt)
+  }
 }
