@@ -892,16 +892,56 @@ object TextStats {
     * otherwise) and collapse back to one row per doc map-side. */
   def ngramLmScore(reference: DataFrame, docs: DataFrame,
       alpha: Double = 0.5, materializeModel: Boolean = true): DataFrame = {
-    require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
     // the bigram-count table feeds three consumers (scoring join, the
     // context roll-up, the vocabulary scalar) — left lazy, each would
     // re-scan the reference text (ReusedExchange does not survive AQE's
     // per-consumer re-pruning). Materialized once by default: the model
     // IS the persisted artifact of this operator in production.
-    val bigLazy = reference
+    val bigLazy = lmBigramCounts(reference)
+    val big = if (materializeModel) bigLazy.localCheckpoint() else bigLazy
+    ngramLmScoreFromCounts(big, docs, alpha)
+  }
+
+  /** The LM model artifact: reference bigram counts `(bg, c12)` — the
+    * ONLY state [[ngramLmScoreFromCounts]] needs (context counts and
+    * vocabulary size re-derive from it), so this is what production
+    * persists, appends to, and retracts from. One reference scan, counts
+    * collapse map-side (a Zipf-hot bigram partial-aggregates per map
+    * task). */
+  def lmBigramCounts(reference: DataFrame): DataFrame =
+    reference
       .select(explode(rawBigrams(lower(col("text")))).as("bg"))
       .groupBy(col("bg")).agg(count(lit(1)).as("c12"))
-    val big = if (materializeModel) bigLazy.localCheckpoint() else bigLazy
+
+  /** LM-model maintenance: counts add associatively, so admitting a new
+    * reference slice is a sum-merge — the grown model is provably ≡ a
+    * from-scratch rebuild over archive ∪ batch (the d71 index algebra
+    * on the CCNet model artifact; slices need not be disjoint in
+    * CONTENT, only admitted once each). The touched state is
+    * model-sized, never archive-text-sized. */
+  def appendToLmCounts(counts: DataFrame, newReference: DataFrame): DataFrame =
+    counts.unionByName(lmBigramCounts(newReference))
+      .groupBy(col("bg")).agg(sum(col("c12")).as("c12"))
+
+  /** LM-model retraction (takedown of reference docs): subtract the
+    * retracted slice's counts, drop zeros — exact inverse of
+    * [[appendToLmCounts]] under the admitted-once contract (the
+    * boilerplate-index retraction pattern). */
+  def retractFromLmCounts(counts: DataFrame,
+      retractedReference: DataFrame): DataFrame =
+    counts.unionByName(lmBigramCounts(retractedReference)
+        .select(col("bg"), (-col("c12")).as("c12")))
+      .groupBy(col("bg")).agg(sum(col("c12")).as("c12"))
+      .filter(col("c12") > 0)
+
+  /** [[ngramLmScore]] against an ALREADY-BUILT counts relation — the
+    * production posture (the model is a persisted, append-maintained
+    * artifact; candidate batches arrive forever after). Same smoothing
+    * algebra, zero reference-text access. */
+  def ngramLmScoreFromCounts(counts: DataFrame, docs: DataFrame,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
+    val big = counts
     val ctx = big
       .select(substring_index(col("bg"), " ", 1).as("w1"), col("c12"))
       .groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
@@ -3062,6 +3102,102 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       vocabSize = 200))
 
+  /** LM-model lifecycle gate — the d71 index algebra on the CCNet model
+    * artifact: the archive reference slice (md5 "lm:" buckets 0-29)
+    * builds the persisted bigram counts, every candidate (buckets ≥ 50)
+    * is scored against that model (stage 0), then a NEW reference slice
+    * (buckets 30-49) is admitted via [[appendToLmCounts]] — a
+    * model-sized sum-merge, the archive reference text never re-scanned
+    * — and the same candidates re-score against the grown model
+    * (stage 1). The oracle rebuilds BOTH models from scratch, so append
+    * drift (lost/doubled counts, stale vocabulary or context totals)
+    * diverges on stage-1 rows while stage 0 stays green. */
+  val d85LmLifecycle: Q = Q(
+    "d85_lm_lifecycle",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, text,
+               CAST(concat('0x', substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      tok AS (
+        SELECT doc_id, bucket,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+        FROM b),
+      bg AS (
+        SELECT doc_id, bucket,
+               CASE WHEN len(toks) < 2 THEN []
+                    ELSE list_transform(generate_series(1, len(toks) - 1),
+                                        i -> toks[i] || ' ' || toks[i+1]) END AS bgs
+        FROM tok),
+      ref0 AS (
+        SELECT u.bg AS bg, count(*) AS c12
+        FROM (SELECT bgs FROM bg WHERE bucket < 30) r, unnest(r.bgs) AS u(bg)
+        GROUP BY 1),
+      ref1 AS (
+        SELECT u.bg AS bg, count(*) AS c12
+        FROM (SELECT bgs FROM bg WHERE bucket < 50) r, unnest(r.bgs) AS u(bg)
+        GROUP BY 1),
+      ctx0 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+               FROM ref0 GROUP BY 1),
+      ctx1 AS (SELECT split_part(bg, ' ', 1) AS w1, sum(c12) AS c1
+               FROM ref1 GROUP BY 1),
+      voc0 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ctx0),
+      voc1 AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM ctx1),
+      ex AS (
+        SELECT bg.doc_id, u.bg AS dbg
+        FROM bg, unnest(bg.bgs) AS u(bg)
+        WHERE bg.bucket >= 50),
+      s0 AS (
+        SELECT ex.doc_id, count(*) AS n_bigrams,
+               round(avg(ln((coalesce(r.c12, 0) + 0.5) /
+                            (coalesce(c.c1, 0) + 0.5 * voc0.v))), 4) AS avg_logprob
+        FROM ex
+        LEFT JOIN ref0 r ON r.bg = ex.dbg
+        LEFT JOIN ctx0 c ON c.w1 = split_part(ex.dbg, ' ', 1)
+        CROSS JOIN voc0
+        GROUP BY 1),
+      s1 AS (
+        SELECT ex.doc_id, count(*) AS n_bigrams,
+               round(avg(ln((coalesce(r.c12, 0) + 0.5) /
+                            (coalesce(c.c1, 0) + 0.5 * voc1.v))), 4) AS avg_logprob
+        FROM ex
+        LEFT JOIN ref1 r ON r.bg = ex.dbg
+        LEFT JOIN ctx1 c ON c.w1 = split_part(ex.dbg, ' ', 1)
+        CROSS JOIN voc1
+        GROUP BY 1),
+      spine AS (SELECT doc_id FROM bg WHERE bucket >= 50)
+      SELECT CAST(0 AS BIGINT) AS stage, t.doc_id,
+             coalesce(s0.n_bigrams, 0) AS n_bigrams,
+             coalesce(s0.avg_logprob, 0.0) AS avg_logprob
+      FROM spine t LEFT JOIN s0 ON s0.doc_id = t.doc_id
+      UNION ALL
+      SELECT CAST(1 AS BIGINT) AS stage, t.doc_id,
+             coalesce(s1.n_bigrams, 0) AS n_bigrams,
+             coalesce(s1.avg_logprob, 0.0) AS avg_logprob
+      FROM spine t LEFT JOIN s1 ON s1.doc_id = t.doc_id
+    """),
+    (s, dir) => {
+      val bucket = (conv(substring(md5(concat(lit("lm:"),
+        col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), bucket.as("bucket"))
+      val candidates = docs.filter(col("bucket") >= 50)
+        .select(col("doc_id"), col("text"))
+      val archiveCounts = lmBigramCounts(
+        docs.filter(col("bucket") < 30).select(col("text"))).localCheckpoint()
+      val grownCounts = appendToLmCounts(archiveCounts,
+        docs.filter(col("bucket") >= 30 && col("bucket") < 50)
+          .select(col("text"))).localCheckpoint()
+      ngramLmScoreFromCounts(archiveCounts, candidates, alpha = 0.5)
+        .select(lit(0L).as("stage"), col("doc_id"), col("n_bigrams"),
+          col("avg_logprob"))
+        .unionByName(
+          ngramLmScoreFromCounts(grownCounts, candidates, alpha = 0.5)
+            .select(lit(1L).as("stage"), col("doc_id"), col("n_bigrams"),
+              col("avg_logprob")))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -3078,5 +3214,5 @@ object TextStats {
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
     d80TokenBudgetSelect, d81TemperatureMixture, d83OovRate,
-    d84BudgetLifecycle)
+    d84BudgetLifecycle, d85LmLifecycle)
 }

@@ -226,6 +226,43 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("LM counts algebra: append equals rebuild, retract inverts append, scoring from counts equals the inline model") {
+    val archive = docsDf(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the rug"))
+    val batch = docsDf(
+      (3L, "a cat and a dog"),
+      (4L, "the cat sat again"))
+    val candidates = docsDf(
+      (10L, "the cat sat"),
+      (11L, "unseen words entirely"),
+      (12L, "one"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"))).toSet
+    val archiveCounts = TextStats.lmBigramCounts(archive.select(col("text")))
+    // append ≡ rebuild over archive ∪ batch
+    val grown = TextStats.appendToLmCounts(archiveCounts,
+      batch.select(col("text")))
+    val rebuilt = TextStats.lmBigramCounts(
+      archive.unionByName(batch).select(col("text")))
+    assert(rows(grown) === rows(rebuilt))
+    // retract ∘ append ≡ identity
+    val back = TextStats.retractFromLmCounts(grown, batch.select(col("text")))
+    assert(rows(back) === rows(archiveCounts))
+    // scoring against persisted counts ≡ the inline build (both stages)
+    def scored(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    val viaCounts = scored(TextStats.ngramLmScoreFromCounts(
+      rebuilt, candidates, alpha = 0.5))
+    val inline = scored(TextStats.ngramLmScore(
+      archive.unionByName(batch).select(col("text")), candidates, alpha = 0.5))
+    assert(viaCounts === inline)
+    assert(viaCounts(12L) === ((0L, 0.0)), "sub-two-token doc scores 0 with no bigrams")
+    assert(viaCounts(10L)._2 > viaCounts(11L)._2,
+      "in-distribution text must outscore unseen text")
+  }
+
   test("temperatureMixture: tau=1 is the identity schedule — every factor exactly 1.0, one copy per doc") {
     val docs = LocalTable.of(spark,
       StructType(Seq(StructField("doc_id", LongType),
