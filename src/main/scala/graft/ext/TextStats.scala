@@ -1724,6 +1724,69 @@ object TextStats {
     (s, dir) => classifierEval(logRegScored(s, dir),
       thresholds = (1 to 9).map(_ / 10.0)))
 
+  /** Calibration report (reliability diagram + ECE) — the companion to
+    * [[classifierEval]]: d74 asks "does the score RANK well" (AUC),
+    * this asks "does the score MEAN what it says" — a doc scored 0.8
+    * should be positive ~80% of the time, or thresholding on the raw
+    * score (d75's consumer posture) systematically over/under-admits.
+    * Scores bin into `bins` equal-width buckets; per non-empty bin:
+    * count, positives, mean score (confidence) and positive rate
+    * (accuracy); the scalar expected calibration error
+    * `ECE = Σ_b (n_b/N)·|acc_b − conf_b|` rides every row (the d74 auc
+    * pattern).
+    *
+    * Scale shape: ONE conditional aggregate collapses the corpus to ≤
+    * `bins` rows map-side; everything downstream is bins-sized. Float
+    * discipline: the bin id floors a cross-engine-identical score
+    * (d35's gate proves bit-equality), acc is ratio-of-integers
+    * (floor@6 — the documented round() trap), conf/ece are floor@6
+    * over float sums on BOTH sides. */
+  def calibrationReport(scored: DataFrame, bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val bin = least(floor(col("score") * bins).cast("int"), lit(bins - 1))
+    val per = scored.select(bin.as("bin"), col("label"), col("score"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("label")).cast("long").as("pos"),
+        sum(col("score")).as("ssum"))
+    val enriched = per
+      .withColumn("conf", floor(col("ssum") / col("n") * 1e6 + 0.5) / 1e6)
+      .withColumn("acc",
+        floor(col("pos").cast("double") / col("n") * 1e6 + 0.5) / 1e6)
+    val tot = per.agg(sum(col("n")).cast("double").as("n_total"))
+    val ece = enriched.crossJoin(broadcast(tot))
+      .agg((floor(sum(col("n") / col("n_total") *
+        abs(col("acc") - col("conf"))) * 1e6 + 0.5) / 1e6).as("ece"))
+    enriched.select(col("bin"), col("n"), col("pos"), col("conf"), col("acc"))
+      .crossJoin(broadcast(ece))
+  }
+
+  /** Calibration gate: d35's trained scores through 10 equal-width
+    * bins; the oracle replays the training CTEs, the binning, and the
+    * identical floor-disciplined bin/ECE arithmetic. */
+  val d86CalibrationReport: Q = Q(
+    "d86_calibration_report",
+    Some(logRegOracleCtes + ", scored AS (" + logRegOracleSelect + """),
+      per AS (
+        SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(label) AS BIGINT) AS pos,
+               sum(score) AS ssum
+        FROM scored GROUP BY 1),
+      enr AS (
+        SELECT bin, n, pos,
+               floor(ssum / n * 1e6 + 0.5) / 1e6 AS conf,
+               floor(CAST(pos AS DOUBLE) / n * 1e6 + 0.5) / 1e6 AS acc
+        FROM per),
+      tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_total FROM per),
+      e AS (
+        SELECT floor(sum(n / tot.n_total * abs(acc - conf)) * 1e6 + 0.5) / 1e6 AS ece
+        FROM enr, tot)
+      SELECT enr.bin, enr.n, enr.pos, enr.conf, enr.acc, e.ece
+      FROM enr, e
+    """),
+    (s, dir) => calibrationReport(logRegScored(s, dir), bins = 10))
+
   /** Quality-ensemble keep/drop — the end-stage every curation pipeline
     * ships: the engine's four independent quality signals combined into
     * ONE calibrated decision per document, with per-signal attribution
@@ -3206,7 +3269,8 @@ object TextStats {
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,
-    d34DsirWeights, d35HashedLogReg, d74ClassifierEval, d75QualityEnsemble,
+    d34DsirWeights, d35HashedLogReg, d74ClassifierEval, d86CalibrationReport,
+    d75QualityEnsemble,
     d36HeavyHitters,
     d37BlocklistFilter,
     d38RareTokenScrub, d76TokenizerCanary, d39GopherRules,

@@ -226,6 +226,27 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("calibrationReport: hand-computed bins, score 1.0 clamps into the top bin, ECE weighted by bin mass") {
+    val schema = StructType(Seq(
+      StructField("label", org.apache.spark.sql.types.DoubleType),
+      StructField("score", org.apache.spark.sql.types.DoubleType)))
+    val scored = LocalTable.of(spark, schema, Seq(
+      Row(0.0, 0.05),              // bin 0
+      Row(1.0, 0.15), Row(0.0, 0.18), // bin 1: conf 0.165, acc 0.5
+      Row(1.0, 0.95), Row(1.0, 1.0))) // bin 9 (1.0 clamped): conf 0.975, acc 1.0
+    val out = TextStats.calibrationReport(scored, bins = 10).collect()
+    val byBin = out.map(r => r.getAs[Int]("bin") ->
+      ((r.getAs[Long]("n"), r.getAs[Long]("pos"),
+        r.getAs[Double]("conf"), r.getAs[Double]("acc")))).toMap
+    assert(byBin === Map(
+      0 -> ((1L, 0L, 0.05, 0.0)),
+      1 -> ((2L, 1L, 0.165, 0.5)),
+      9 -> ((2L, 2L, 0.975, 1.0))))
+    // ECE = 1/5·|0−.05| + 2/5·|.5−.165| + 2/5·|1−.975| = .01+.134+.01
+    val eces = out.map(_.getAs[Double]("ece")).distinct
+    assert(eces === Array(0.154), "one ECE scalar rides every row")
+  }
+
   test("LM counts algebra: append equals rebuild, retract inverts append, scoring from counts equals the inline model") {
     val archive = docsDf(
       (1L, "the cat sat on the mat"),
