@@ -603,7 +603,67 @@ object DataQuality {
           floor(col("c_acctbal") / 1000).cast("long").as("bal_band")),
       Seq("c_mktsegment", "c_nationkey", "bal_band"), k = 5))
 
+  /** Differentially-private histogram release — the third rung of the
+    * privacy family (d09/d54 transform rows, d69 AUDITS groups, this
+    * RELEASES aggregate counts): per-group counts with Laplace(1/ε)
+    * noise, the canonical ε-DP mechanism for a histogram (per-row
+    * sensitivity 1 — each document contributes to exactly one group).
+    * True counts never appear in the output.
+    *
+    * Noise is the difference-of-exponentials Laplace form
+    * `(ln u₁ − ln u₂)/ε` over two seeded 60-bit md5 uniforms in (0,1]
+    * (no 1−2|u−½| singularity at the range edge), drawn per GROUP KEY —
+    * the d51 replayable-randomness posture: the gate needs a
+    * deterministic draw the oracle can replay; production swaps the
+    * seed per release (a fixed seed across releases would let releases
+    * be differenced to cancel the noise, breaking the guarantee).
+    *
+    * Scale shape: one map-side-combinable count to a groups-sized
+    * relation; the noise is a pure projection on the skinny result —
+    * corpus rows are touched exactly once. */
+  def dpHistogram(df: DataFrame, groupCols: Seq[String], eps: Double,
+      seed: String): DataFrame = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(eps > 0, "eps must be positive")
+    val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    def u(salt: String) =
+      (conv(substring(md5(concat(lit(seed + salt), keyStr)), 1, 15), 16, 10)
+        .cast("long").cast("double") + 1.0) / 1.152921504606846976e18
+    val noise = (log(u(":a:")) - log(u(":b:"))) / eps
+    df.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .select(groupCols.map(col) :+
+        (floor((col("__n") + noise) * 1e6 + 0.5) / 1e6).as("noisy_count") :+
+        lit(eps).as("eps"): _*)
+  }
+
+  /** DP-histogram gate: noisy (source, lang) document counts at ε=0.5;
+    * the oracle replays the seeded uniforms and the Laplace arithmetic,
+    * so a noise draw keyed off the wrong column set or a sign slip in
+    * the inverse transform diverges on concrete values. */
+  val d87DpHistogram: Q = Q(
+    "d87_dp_histogram",
+    Some("""
+      WITH g AS (
+        SELECT source, lang, count(*) AS n
+        FROM documents GROUP BY 1, 2),
+      u AS (
+        SELECT source, lang, n,
+               (CAST(CAST(concat('0x', substr(md5('dp:a:' || source || '|' || lang), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                 / 1.152921504606846976e18 AS u1,
+               (CAST(CAST(concat('0x', substr(md5('dp:b:' || source || '|' || lang), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+                 / 1.152921504606846976e18 AS u2
+        FROM g)
+      SELECT source, lang,
+             floor((n + (ln(u1) - ln(u2)) / 0.5) * 1e6 + 0.5) / 1e6 AS noisy_count,
+             CAST(0.5 AS DOUBLE) AS eps
+      FROM u
+    """),
+    (s, dir) => dpHistogram(
+      graft.Tables(s, dir, "documents").select(col("source"), col("lang")),
+      Seq("source", "lang"), eps = 0.5, seed = "dp"))
+
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
     d55ConstraintAudit, d56MergeableProfile, d61PsiDrift, d64QuantileProfile,
-    d69KAnonymity)
+    d69KAnonymity, d87DpHistogram)
 }

@@ -3165,6 +3165,83 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       vocabSize = 200))
 
+  /** Corpus data card — the one-row release artifact every published
+    * dataset ships (docs/tokens/vocabulary/source+language spread/
+    * dominant source): the summary a consumer reads before training and
+    * the regression surface a release pipeline diffs against the
+    * previous card. Composes the engine's per-doc token kernel with
+    * three bounded aggregates:
+    *   - ONE corpus scan for the scalar counts (doc count, token sum,
+    *     empty docs, distinct sources/langs — the multi-distinct Expand
+    *     collapses map-side like d48's),
+    *   - ONE explode scan for the distinct-token vocabulary size
+    *     (token rows shuffle on the skinny token key, text never
+    *     shuffles),
+    *   - a groups-sized TakeOrdered for the dominant source.
+    * Ratios (mean tokens/doc, top-source share) are integer ratios —
+    * floor@6 both engines. */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("source"), col("lang"),
+      tokenCount(col("text")).cast("long").as("n_tok"), col("text"))
+    val scalars = base.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("n_tokens"),
+      sum(when(col("n_tok") === 0, 1L).otherwise(0L)).as("n_empty"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"))
+    val vocab = base
+      .select(explode(tokens(col("text"))).as("token"))
+      .agg(countDistinct(col("token")).as("vocab_size"))
+    val top = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("source").asc).limit(1)
+      .select(col("source").as("top_source"), col("cnt").as("__top_cnt"))
+    scalars.crossJoin(broadcast(vocab)).crossJoin(broadcast(top))
+      .select(col("n_docs"), col("n_tokens"), col("n_empty"),
+        col("n_sources"), col("n_langs"), col("vocab_size"),
+        (floor(col("n_tokens").cast("double") / col("n_docs") * 1e6 + 0.5)
+          / 1e6).as("mean_doc_tokens"),
+        col("top_source"),
+        (floor(col("__top_cnt").cast("double") / col("n_docs") * 1e6 + 0.5)
+          / 1e6).as("top_source_share"))
+  }
+
+  /** Data-card gate: the full release card over the documents table;
+    * the oracle recomputes every field, so a drifting tokenizer, a
+    * broken distinct, or a tiebreak slip on the dominant source all
+    * diverge. */
+  val d88DataCard: Q = Q(
+    "d88_data_card",
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               text
+        FROM documents),
+      s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN n_tok = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM f),
+      v AS (
+        SELECT CAST(count(DISTINCT u.token) AS BIGINT) AS vocab_size
+        FROM (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+                t -> t <> '') AS toks FROM f) x, unnest(x.toks) AS u(token)),
+      t AS (
+        SELECT source AS top_source, CAST(count(*) AS BIGINT) AS top_cnt
+        FROM f GROUP BY 1 ORDER BY count(*) DESC, source ASC LIMIT 1)
+      SELECT s.n_docs, s.n_tokens, s.n_empty, s.n_sources, s.n_langs,
+             v.vocab_size,
+             floor(CAST(s.n_tokens AS DOUBLE) / s.n_docs * 1e6 + 0.5) / 1e6 AS mean_doc_tokens,
+             t.top_source,
+             floor(CAST(t.top_cnt AS DOUBLE) / s.n_docs * 1e6 + 0.5) / 1e6 AS top_source_share
+      FROM s, v, t
+    """),
+    (s, dir) => dataCard(Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))))
+
   /** LM-model lifecycle gate — the d71 index algebra on the CCNet model
     * artifact: the archive reference slice (md5 "lm:" buckets 0-29)
     * builds the persisted bigram counts, every candidate (buckets ≥ 50)
@@ -3278,5 +3355,5 @@ object TextStats {
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
     d80TokenBudgetSelect, d81TemperatureMixture, d83OovRate,
-    d84BudgetLifecycle, d85LmLifecycle)
+    d84BudgetLifecycle, d85LmLifecycle, d88DataCard)
 }

@@ -262,4 +262,41 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.kAnonymityAudit(df, Seq("seg"), k = 1)
     }
   }
+
+  test("dpHistogram: seeded noise is replayable and seed-scoped; true counts never leave; noise bounded by the 60-bit tail") {
+    import org.apache.spark.sql.functions.col
+    val schema = StructType(Seq(
+      StructField("src", StringType), StructField("lang", StringType)))
+    val rows = (1 to 400).map(i =>
+      Row(s"s${i % 8}", if (i % 3 == 0) "en" else "de"))
+    val df = LocalTable.of(spark, schema, rows)
+    val out = DataQuality.dpHistogram(df, Seq("src", "lang"), eps = 0.5,
+      seed = "t")
+    assert(out.columns.toSeq === Seq("src", "lang", "noisy_count", "eps"),
+      "no true-count column in a DP release")
+    val got = out.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    // replayable: same seed twice, and under any partitioning
+    val again = DataQuality.dpHistogram(df.repartition(7), Seq("src", "lang"),
+      eps = 0.5, seed = "t").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(again === got)
+    // a different seed is an independent draw
+    val other = DataQuality.dpHistogram(df, Seq("src", "lang"), eps = 0.5,
+      seed = "t2").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(other !== got)
+    // |ln u1 − ln u2|/ε ≤ 2·60·ln2/ε — every noisy count stays within it
+    val truth = df.groupBy(col("src"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val bound = 2 * 60 * math.log(2) / 0.5
+    for ((k, noisy) <- got)
+      assert(math.abs(noisy - truth(k)) <= bound, s"$k: $noisy vs ${truth(k)}")
+    intercept[IllegalArgumentException] {
+      DataQuality.dpHistogram(df, Seq("src"), eps = 0.0, seed = "t")
+    }
+    intercept[IllegalArgumentException] {
+      DataQuality.dpHistogram(df, Seq.empty, eps = 0.5, seed = "t")
+    }
+  }
 }

@@ -226,6 +226,33 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("dataCard: hand-computed release fields including the dominant-source tiebreak and empty docs") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("lang", StringType), StructField("text", StringType)))
+    val docs = LocalTable.of(spark, schema, Seq(
+      Row(1L, "web", "en", "a b c"),
+      Row(2L, "web", "en", "a a"),
+      Row(3L, "books", "de", "b c d e"),
+      Row(4L, "apis", "en", "   ")))  // empty; ties apis/books at 1 doc
+    val r = TextStats.dataCard(docs).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    assert(row.getAs[Long]("n_docs") === 4L)
+    assert(row.getAs[Long]("n_tokens") === 9L)
+    assert(row.getAs[Long]("n_empty") === 1L)
+    assert(row.getAs[Long]("n_sources") === 3L)
+    assert(row.getAs[Long]("n_langs") === 2L)
+    assert(row.getAs[Long]("vocab_size") === 5L) // a b c d e
+    assert(row.getAs[Double]("mean_doc_tokens") === 2.25)
+    assert(row.getAs[String]("top_source") === "web")
+    assert(row.getAs[Double]("top_source_share") === 0.5)
+    // dominance tiebreak: drop doc 1 so web ties books/apis at 1 — apis wins asc
+    val tied = TextStats.dataCard(docs.filter(col("doc_id") > 2L))
+      .collect()(0)
+    assert(tied.getAs[String]("top_source") === "apis")
+  }
+
   test("calibrationReport: hand-computed bins, score 1.0 clamps into the top bin, ECE weighted by bin mass") {
     val schema = StructType(Seq(
       StructField("label", org.apache.spark.sql.types.DoubleType),
