@@ -2547,11 +2547,89 @@ object Dedup {
     (s, dir) => canonicalBestQuality(
       Tables(s, dir, "documents").select(col("doc_id"), col("text"))))
 
+  /** Dedup-threshold tuning sweep — the report run BEFORE committing a
+    * corpus-wide dedup pass: for each candidate Jaccard threshold, how
+    * many near-dup pairs fire and how many distinct documents get
+    * involved. Choosing τ on a 100 TB corpus is a one-number decision
+    * with corpus-sized consequences (τ too low scrubs real content, too
+    * high leaves boilerplate); this makes the dose-response curve a
+    * single query. Pairs are generated ONCE by the d06 deterministic
+    * prefix-blocked exact-Jaccard miner (unfiltered), then every
+    * threshold is a conditional cut over the same pair relation — the
+    * d74 sweep pattern applied to dedup tuning; the pair relation is
+    * block-bounded, so the sweep costs one block-join regardless of how
+    * many thresholds it reports. */
+  def dedupThresholdSweep(docs: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val sh = docs.select(col("doc_id"),
+      TextStats.prefixFingerprint(col("text"), 40).as("blk"),
+      shingles(col("text"), 3).as("sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
+      col("sh").as("sh_b"))
+    val pairs = a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
+    val thrDf = graft.LocalTable.of(docs.sparkSession,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("tau",
+          org.apache.spark.sql.types.DoubleType))),
+      thresholds.map(t => org.apache.spark.sql.Row(t)))
+    pairs.crossJoin(broadcast(thrDf))
+      .filter(col("jaccard") >= col("tau"))
+      .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
+      .groupBy(col("tau"))
+      .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
+        countDistinct(col("doc")).as("n_docs_involved"))
+  }
+
+  /** Threshold-sweep gate over the d06 pair generator at five τ levels;
+    * the oracle replays the block join and every cut, so a pair counted
+    * under the wrong τ or a doc double-counted in the involvement set
+    * diverges on concrete counts. */
+  val d89DedupThresholdSweep: Q = Q(
+    "d89_dedup_threshold_sweep",
+    Some("""
+      WITH s AS (
+        SELECT doc_id, md5(substr(text, 1, 40)) AS blk,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(a.sh || b.sh))
+                     ELSE 0.0 END, 4) AS jaccard
+        FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id),
+      thr AS (
+        SELECT unnest([CAST(0.35 AS DOUBLE), CAST(0.5 AS DOUBLE),
+                       CAST(0.65 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                       CAST(0.95 AS DOUBLE)]) AS tau),
+      hit AS (
+        SELECT t.tau, p.doc_a, p.doc_b
+        FROM pairs p CROSS JOIN thr t WHERE p.jaccard >= t.tau),
+      ex AS (
+        SELECT tau, u.doc FROM hit, unnest([doc_a, doc_b]) AS u(doc))
+      SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+      FROM ex GROUP BY tau
+    """),
+    (s, dir) => dedupThresholdSweep(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      thresholds = Seq(0.35, 0.5, 0.65, 0.8, 0.95)))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
     d24IncrementalSpanDedup, d27BloomNewDocs, d32CdcChunks,
     d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
     d71IndexAppendLifecycle, d73BoilerplateScrub, d77BoilerplateLifecycle,
-    d78IndexRetract, d79IncrementalCuration, d82CanonicalBestQuality)
+    d78IndexRetract, d79IncrementalCuration, d82CanonicalBestQuality,
+    d89DedupThresholdSweep)
 }

@@ -222,6 +222,51 @@ object DocIndexStreaming {
         admitPostingsBatch(batch, batchId, indexPath)
       }
 
+  // ---- LM bigram-count model (the d85 lifecycle's streaming twin) ------
+
+  private val lmSchema = StructType(Seq(
+    StructField("bg", org.apache.spark.sql.types.StringType),
+    StructField("c12", LongType)))
+
+  /** The committed LM model (empty before any commit): reference bigram
+    * counts. Candidates score on demand via
+    * `TextStats.ngramLmScoreFromCounts(currentLmCounts(...), ...)` —
+    * reference text never re-read after admission. */
+  def currentLmCounts(s: SparkSession, countsPath: String): DataFrame =
+    latestVersion(s, countsPath) match {
+      case Some(v) => s.read.schema(lmSchema).parquet(s"$countsPath/v$v")
+      case None    => graft.LocalTable.of(s, lmSchema, Seq.empty[Row])
+    }
+
+  /** One model admission: sum-merge the reference batch's bigram counts
+    * into version `v<batchId>` (counts merge, so the version REWRITES
+    * the model — the fingerprint-index pattern, not the postings pure
+    * union), commit the marker. Same exactly-once contract as
+    * [[admitBatch]]. */
+  def admitLmBatch(batch: DataFrame, batchId: Long,
+      countsPath: String): Unit = {
+    if (batch.isEmpty) return
+    val s = batch.sparkSession
+    val f = fs(s, countsPath)
+    val committed = latestVersion(s, countsPath)
+    if (committed.exists(_ >= batchId)) return // replay of an admitted batch
+    graft.ext.TextStats.appendToLmCounts(currentLmCounts(s, countsPath), batch)
+      .write.mode("overwrite").parquet(s"$countsPath/v$batchId")
+    f.create(new Path(countsPath, s"_COMMIT_v$batchId"), true).close()
+  }
+
+  /** The streaming writer for the LM-model lifecycle: a reference
+    * document stream (text) folded into the persisted bigram counts per
+    * batch. */
+  def lmCountsStream(reference: DataFrame, countsPath: String,
+      checkpointDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    reference.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitLmBatch(batch, batchId, countsPath)
+      }
+
   // ---- token-budget admission (the d84 lifecycle's streaming twin) -----
 
   private val spentSchema = StructType(Seq(StructField("spent", LongType)))

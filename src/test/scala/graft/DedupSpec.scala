@@ -968,4 +968,29 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 2L, 4L, 2L), (3L, 1L, 3L, 2L)),
       "two size-2 components (4 docs, 2 dropped) and one size-3 (3 docs, 2 dropped)")
   }
+
+  test("dedupThresholdSweep: counts monotone in tau, the d06 cut reproduced exactly, involvement bounded, partitioning-invariant") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+    val taus = Seq(0.35, 0.5, 0.65, 0.8, 0.95)
+    val sweep = Dedup.dedupThresholdSweep(docs, taus).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // dose-response: pair and involvement counts never increase with tau
+    val present = taus.filter(sweep.contains)
+    for (Seq(lo, hi) <- present.sliding(2).toSeq if present.size > 1) {
+      assert(sweep(lo)._1 >= sweep(hi)._1, s"pairs at $lo vs $hi")
+      assert(sweep(lo)._2 >= sweep(hi)._2, s"docs at $lo vs $hi")
+    }
+    // tau = 0.35 is exactly the d06 gate cut
+    val d06Pairs = Dedup.d06NgramJaccardPairs.run(spark, sfDir)
+    assert(sweep(0.35)._1 === d06Pairs.count(), "0.35 row ≡ d06's pair count")
+    val d06Docs = d06Pairs.select(col("doc_a").as("doc")).unionByName(
+      d06Pairs.select(col("doc_b").as("doc"))).distinct().count()
+    assert(sweep(0.35)._2 === d06Docs)
+    // involvement can never exceed 2 pairs' worth of docs
+    for ((t, (p, d)) <- sweep) assert(d <= 2 * p && d >= 2, s"tau $t")
+    // deterministic under input partitioning
+    val again = Dedup.dedupThresholdSweep(docs.repartition(7), taus).collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(again === sweep)
+  }
 }

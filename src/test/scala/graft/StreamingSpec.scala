@@ -1021,6 +1021,52 @@ class StreamingSpec extends SparkSpec {
     assert(DocIndexStreaming.currentSpent(spark, statePath) === spentTotal)
   }
 
+  test("lmCountsStream: streamed model equals from-scratch counts; scoring via the artifact equals inline; replay no-ops") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.TextStats
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[Tuple1[String]]
+    val base = java.nio.file.Files.createTempDirectory("graft-lmstream-").toString
+    val countsPath = s"$base/lm"
+    val refBatches: Seq[Seq[String]] = Seq(
+      Seq("the cat sat on the mat", "the dog sat on the rug"),
+      Seq("a cat and a dog"),
+      Seq("the cat sat again"))
+    val in = MemoryStream[Tuple1[String]]
+    val q = DocIndexStreaming.lmCountsStream(
+        in.toDF().toDF("text"), countsPath, s"$base/ckpt")
+      .start()
+    refBatches.foreach { b => in.addData(b.map(Tuple1(_)): _*); q.processAllAvailable() }
+    q.stop()
+    val textSchema = StructType(Seq(StructField("text", StringType)))
+    val allRef = LocalTable.of(spark, textSchema,
+      refBatches.flatten.map(Row(_)))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"))).toSet
+    val streamed = rows(DocIndexStreaming.currentLmCounts(spark, countsPath))
+    assert(streamed === rows(TextStats.lmBigramCounts(allRef)))
+    // scoring candidates through the streamed artifact ≡ the inline model
+    val candidates = LocalTable.of(spark,
+      StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType))),
+      Seq(Row(1L, "the cat sat"), Row(2L, "unseen words entirely")))
+    def scored(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_logprob")))).toMap
+    assert(scored(TextStats.ngramLmScoreFromCounts(
+        DocIndexStreaming.currentLmCounts(spark, countsPath), candidates,
+        alpha = 0.5))
+      === scored(TextStats.ngramLmScore(allRef, candidates, alpha = 0.5)))
+    // replaying an admitted batch leaves version and model untouched
+    val before = DocIndexStreaming.latestVersion(spark, countsPath)
+    DocIndexStreaming.admitLmBatch(
+      LocalTable.of(spark, textSchema, refBatches(1).map(Row(_))),
+      batchId = 1L, countsPath)
+    assert(DocIndexStreaming.latestVersion(spark, countsPath) === before)
+    assert(rows(DocIndexStreaming.currentLmCounts(spark, countsPath)) === streamed)
+  }
+
   test("mediaDedupStream: cross-batch dups evicted via the hash set; index equals rebuild; replay no-ops") {
     import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
     import graft.streaming.{DocIndexStreaming, MediaStreaming}
