@@ -1743,10 +1743,74 @@ object Similarity {
     """),
     (s, dir) => scalarQuantize(emb(s, dir).select(col("vec_id"), col("embedding"))))
 
+  /** IVF index-health report — the occupancy companion to s19's recall
+    * monitor (the two numbers an ANN deployment watches per index
+    * build): per inverted list its member count and corpus share, plus
+    * the max/mean imbalance factor riding every row. Probe latency is
+    * proportional to the HOTTEST probed list, so imbalance — not just
+    * recall — decides when to re-train the quantizer or re-balance
+    * nCentroids (the √N occupancy knob s08/s17 measured). Mean is over
+    * NON-EMPTY lists (empty lists produce no members and no rows —
+    * they cost a probe nothing).
+    *
+    * Scale shape: one corpus scan through the codegen'd
+    * nearest-centroid kernel collapsing map-side to ≤ nCentroids rows;
+    * everything downstream is centroids-sized. Shares and imbalance are
+    * integer ratios — floor@6 both engines. */
+  def ivfOccupancy(embeddings: DataFrame, nCentroids: Int,
+      kmeansIters: Int = 3): DataFrame = {
+    require(nCentroids > 0, "nCentroids must be positive")
+    val cs = KMeans.fit(embeddings, "vec_id", "embedding", nCentroids,
+      kmeansIters)
+    val per = ivfAssignments(embeddings, cs)
+      .groupBy(col("centroid_id")).agg(count(lit(1)).as("n_vecs"))
+    val tot = per.agg(sum(col("n_vecs")).cast("double").as("__n_total"),
+      count(lit(1)).cast("double").as("__n_lists"),
+      max(col("n_vecs")).as("__max_occ"))
+    per.crossJoin(broadcast(tot))
+      .select(col("centroid_id"), col("n_vecs"),
+        (floor(col("n_vecs").cast("double") / col("__n_total") * 1e6 + 0.5)
+          / 1e6).as("share"),
+        (floor(col("__max_occ").cast("double") /
+          (col("__n_total") / col("__n_lists")) * 1e6 + 0.5) / 1e6)
+          .as("imbalance"))
+  }
+
+  /** Occupancy gate: the 16-list seeded quantizer (0 Lloyd iterations —
+    * SQL-reproducible, s19's regime); the oracle rebuilds the quantizer,
+    * every assignment, and the identical share/imbalance arithmetic. */
+  val s26IvfOccupancy: Q = Q(
+    "s26_ivf_occupancy",
+    Some("""
+      WITH ranked AS (SELECT embedding AS c,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+             FROM embeddings),
+      c0 AS (SELECT cid, c FROM ranked WHERE cid < 16),
+      la AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
+      per AS (SELECT cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_vecs
+              FROM la GROUP BY 1),
+      tot AS (SELECT CAST(sum(n_vecs) AS DOUBLE) AS n_total,
+                     CAST(count(*) AS DOUBLE) AS n_lists,
+                     max(n_vecs) AS max_occ
+              FROM per)
+      SELECT per.centroid_id, per.n_vecs,
+             floor(CAST(per.n_vecs AS DOUBLE) / tot.n_total * 1e6 + 0.5) / 1e6 AS share,
+             floor(CAST(tot.max_occ AS DOUBLE) / (tot.n_total / tot.n_lists) * 1e6 + 0.5) / 1e6 AS imbalance
+      FROM per, tot
+    """),
+    (s, dir) => ivfOccupancy(emb(s, dir), nCentroids = 16, kmeansIters = 0))
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup,
     s23SemanticDedupIncremental, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
-    s19AnnRecall, s20StandardizeEmbeddings, s25ScalarQuantize)
+    s19AnnRecall, s20StandardizeEmbeddings, s25ScalarQuantize,
+    s26IvfOccupancy)
 }

@@ -651,6 +651,26 @@ class SimilaritySpec extends SparkSpec {
     assert(mined.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
 
+  test("ivfOccupancy: shares sum to 1, counts sum to the corpus, imbalance is max over mean of non-empty lists") {
+    val e = Tables(spark, sfDir, "embeddings").limit(200)
+    val rows = Similarity.ivfOccupancy(e, nCentroids = 8, kmeansIters = 0)
+      .collect()
+    val counts = rows.map(_.getAs[Long]("n_vecs"))
+    assert(counts.sum === 200L, "every vector lands in exactly one list")
+    val shares = rows.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-4, s"shares sum ${shares.sum}")
+    val expectedImb = math.floor(counts.max.toDouble /
+      (counts.sum.toDouble / counts.length) * 1e6 + 0.5) / 1e6
+    assert(rows.map(_.getAs[Double]("imbalance")).distinct.toSeq
+      === Seq(expectedImb))
+    // deterministic under input partitioning
+    val again = Similarity.ivfOccupancy(e.repartition(7), nCentroids = 8,
+      kmeansIters = 0).collect()
+      .map(r => r.getAs[Int]("centroid_id") -> r.getAs[Long]("n_vecs")).toMap
+    assert(again === rows.map(r =>
+      r.getAs[Int]("centroid_id") -> r.getAs[Long]("n_vecs")).toMap)
+  }
+
   test("scalarQuantize: codes are the affine int8 map of each dimension's corpus range; constant dims code 0") {
     val schema = StructType(Seq(
       StructField("vec_id", LongType),
