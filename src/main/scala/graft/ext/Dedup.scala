@@ -2561,7 +2561,6 @@ object Dedup {
     * many thresholds it reports. */
   def dedupThresholdSweep(docs: DataFrame,
       thresholds: Seq[Double]): DataFrame = {
-    require(thresholds.nonEmpty, "need at least one threshold")
     val sh = docs.select(col("doc_id"),
       TextStats.prefixFingerprint(col("text"), 40).as("blk"),
       shingles(col("text"), 3).as("sh"))
@@ -2571,7 +2570,18 @@ object Dedup {
     val pairs = a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-    val thrDf = graft.LocalTable.of(docs.sparkSession,
+    thresholdSweepOverPairs(pairs, thresholds)
+  }
+
+  /** The sweep over ANY scored pair relation `(doc_a, doc_b, jaccard)` —
+    * the composition point: at 100 TB the pair generator is d07's
+    * MinHash+LSH candidate-verify path (or d08's SimHash banding), not
+    * the blocked exact miner; the sweep arithmetic is identical either
+    * way and costs one conditional aggregate over the pair relation. */
+  def thresholdSweepOverPairs(pairs: DataFrame,
+      thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "need at least one threshold")
+    val thrDf = graft.LocalTable.of(pairs.sparkSession,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("tau",
           org.apache.spark.sql.types.DoubleType))),

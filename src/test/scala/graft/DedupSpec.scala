@@ -992,5 +992,18 @@ class DedupSpec extends SparkSpec {
     val again = Dedup.dedupThresholdSweep(docs.repartition(7), taus).collect()
       .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(again === sweep)
+    // composition point: the sweep over the LSH pair generator agrees
+    // with the blocked miner wherever both generators emit the pair set
+    // (at the 0.5+ range the 48x2 banding's miss bound is ~1e-6)
+    val lshPairs = Dedup.d07MinhashLsh.run(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    val overLsh = Dedup.thresholdSweepOverPairs(lshPairs, Seq(0.5, 0.8))
+      .collect().map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    for (t <- Seq(0.5, 0.8) if sweep.contains(t) || overLsh.contains(t)) {
+      // the blocked miner only sees same-prefix pairs, LSH sees all
+      // banded candidates — LSH counts dominate at equal tau
+      assert(overLsh.getOrElse(t, (0L, 0L))._1 >= sweep.getOrElse(t, (0L, 0L))._1,
+        s"tau $t")
+    }
   }
 }
