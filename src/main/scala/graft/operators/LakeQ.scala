@@ -462,7 +462,59 @@ object LakeQ {
           min(col("o_orderkey")).as("min_key"))
     })
 
+  /** Bucketed co-located join — THE shuffle-elimination layout for a
+    * repeated big-big equi-join at 100 TB: both sides written
+    * `bucketBy(join key)` + sorted within buckets, so every future join
+    * on that key reads bucket i against bucket i with NO exchange on
+    * either side and no sort (the layout already satisfies the join's
+    * distribution + ordering requirements) — the shuffle is paid ONCE
+    * at write time and amortized over every downstream join, the same
+    * trade the postings/IVF indexes make for their probes. PlanSpec
+    * pins the exchange-free SortMergeJoin under a disabled broadcast
+    * threshold; this gate proves the bucketed layout returns the same
+    * answer as the plain parquet join the oracle runs. */
+  val q81BucketedJoin: Q = Q(
+    "q81_bucketed_join",
+    Some("""
+      SELECT c.c_mktsegment,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             round(sum(o.o_totalprice), 2) AS total_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    """),
+    (s, dir) => {
+      // drop both the catalog entry AND any stale warehouse location (a
+      // crashed prior run leaves the dir without the entry, and managed-
+      // table creation refuses an existing location)
+      def reset(table: String): Unit = {
+        s.sql(s"DROP TABLE IF EXISTS $table")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      reset("g81_orders_bucketed")
+      reset("g81_customer_bucketed")
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("g81_orders_bucketed")
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("g81_customer_bucketed")
+      s.table("g81_orders_bucketed")
+        .join(s.table("g81_customer_bucketed"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
     q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension,
-    q60SnapshotDiff, q63OrcRoundtrip, q68ZorderLayout, q72XmlRoundtrip)
+    q60SnapshotDiff, q63OrcRoundtrip, q68ZorderLayout, q72XmlRoundtrip,
+    q81BucketedJoin)
 }

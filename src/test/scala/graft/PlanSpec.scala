@@ -224,6 +224,35 @@ class PlanSpec extends SparkSpec {
     assert(!executed.contains("Join"), executed.take(1200))
   }
 
+  test("q81: the bucketed co-located join runs with NO exchange and NO sort on either side") {
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val df = run("q81_bucketed_join")
+      df.collect()
+      val executed = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(executed.contains("SortMergeJoin"), executed.take(1500))
+      // both sides read their bucketed layout (all buckets selected)
+      assert("Bucketed: true".r.findAllIn(executed).size === 2,
+        executed.take(1500))
+      // the ONLY exchange is the group-by's re-key on c_mktsegment — the
+      // join itself gets its distribution from the bucket layout, so no
+      // exchange mentions the join key. (A per-side in-partition Sort
+      // remains: multi-file buckets void sortBy's ordering guarantee, so
+      // Spark re-sorts; the shuffle — the thing that matters at 100 TB —
+      // is gone.)
+      val exchanges = "Exchange [a-z]+partitioning\\(([^,]+)"
+        .r.findAllMatchIn(executed).map(_.group(1)).toSeq
+      assert(exchanges.size === 1 && exchanges.head.startsWith("c_mktsegment"),
+        s"join must not re-exchange on the key: $exchanges\n${executed.take(1500)}")
+    } finally saved match {
+      case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("s06: PQ encode + ADC scoring is a pure projection — no join, no shuffle before top-k") {
     val df = run("s06_pq_adc")
     val p = physical(df)
