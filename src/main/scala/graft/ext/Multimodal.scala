@@ -473,6 +473,62 @@ object Multimodal {
       mediaIncrementalDedup(batch, idx)
     })
 
+  /** Video frame sampling as a relational pipeline — the every-Nth-frame
+    * decimation every video-training pipeline runs before feature
+    * extraction (a 30 fps clip at stride 30 → 1 frame/s). The real
+    * decoder ([[MediaTransforms.sampleFrames]], ImageIO multi-frame —
+    * spec-proven on real images) is environment-bound, so the GATE runs
+    * the deterministic stand-in framing: the payload chops into
+    * fixed-size byte windows ("frames"), every `stride`-th window is
+    * kept, and each sampled frame emits its index and hex fingerprint.
+    * What the gate actually proves is the Spark-side plumbing the brief
+    * mandates — schema, per-video fan-out, frame indexing, binary
+    * slicing — independent of any codec.
+    *
+    * Scale shape: a pure per-row generator (sequence + explode + binary
+    * substring, all codegen) — no shuffle at all; payload bytes are
+    * touched once and only sampled windows materialize. */
+  def frameSample(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    media
+      .withColumn("n_frames",
+        floor((length(col("media")).cast("long") + (frameBytes - 1)) /
+          lit(frameBytes.toDouble)).cast("long"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("media"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(stride.toLong)))
+          .as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        hex(expr(s"substring(media, CAST(frame_idx * $frameBytes + 1 AS INT), $frameBytes)"))
+          .as("frame_hex"))
+  }
+
+  /** Frame-sampling gate: 64-byte frames at stride 3 over the video
+    * slice; the oracle replays the framing, the stride arithmetic, and
+    * every sampled window's hex bytes. */
+  val m05FrameSample: Q = Q(
+    "m05_frame_sample",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, encode(text) AS media
+        FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT doc_id, hex(media) AS media_hex,
+               CAST(floor((octet_length(media) + 63) / 64.0) AS BIGINT) AS n_frames
+        FROM v),
+      ex AS (
+        SELECT doc_id, media_hex, n_frames,
+               unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+        FROM f WHERE n_frames > 0)
+      -- byte window [i*64, i*64+64) ≡ hex window at doubled offsets
+      SELECT doc_id, n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+             substr(media_hex, CAST(frame_idx * 128 + 1 AS INT), 128) AS frame_hex
+      FROM ex
+    """),
+    (s, dir) => frameSample(
+      mediaTable(Tables(s, dir, "documents")).filter(col("kind") === "video"),
+      frameBytes = 64, stride = 3))
+
   val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline, m03MediaDedup,
-    m04MediaDedupIncremental)
+    m04MediaDedupIncremental, m05FrameSample)
 }

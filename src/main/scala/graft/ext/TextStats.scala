@@ -3165,6 +3165,59 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       vocabSize = 200))
 
+  /** Per-source top-p token-mass cut — the third mixture-shaping knob
+    * next to d72 (absolute doc-count cap) and d80 (global token budget):
+    * within EACH source keep the largest documents while the running
+    * token total stays within fraction `num/den` of the source's mass
+    * (strict-prefix contract — the crossing doc is excluded). Dominant
+    * sources shed their long tail, small sources keep nearly everything
+    * — mass-proportional de-domination where d72's count cap is
+    * mass-blind.
+    *
+    * The fraction is a RATIONAL: the keep test is
+    * `den·cum_tokens ≤ num·total_tokens` — pure integer arithmetic, no
+    * float boundary anywhere (the d74 round() trap has no surface).
+    * Scale shape: both windows (per-source total, per-source running
+    * sum) share one partitioning on source → ONE sort, no
+    * single-partition exchange; a skewed source is one partition, the
+    * d72 regime. */
+  def sourceTopP(docs: DataFrame, num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      "need a fraction 0 <= num/den <= 1")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+    val wOrd = w.orderBy(col("n_tokens").desc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("src_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(wOrd))
+      .filter(col("cum_tokens") * den <= col("src_tokens") * num)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"), col("src_tokens"))
+  }
+
+  /** Top-p gate: keep half of every source's token mass (p = 1/2). */
+  val d90SourceTopP: Q = Q(
+    "d90_source_top_p",
+    Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+               CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS src_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                 ORDER BY n_tokens DESC, doc_id ASC) AS BIGINT) AS cum_tokens
+        FROM f)
+      SELECT source, doc_id, n_tokens, cum_tokens, src_tokens
+      FROM c WHERE cum_tokens * 2 <= src_tokens * 1
+    """),
+    (s, dir) => sourceTopP(
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text")),
+      num = 1L, den = 2L))
+
   /** Corpus data card — the one-row release artifact every published
     * dataset ships (docs/tokens/vocabulary/source+language spread/
     * dominant source): the summary a consumer reads before training and
@@ -3355,5 +3408,5 @@ object TextStats {
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
     d80TokenBudgetSelect, d81TemperatureMixture, d83OovRate,
-    d84BudgetLifecycle, d85LmLifecycle, d88DataCard)
+    d84BudgetLifecycle, d85LmLifecycle, d88DataCard, d90SourceTopP)
 }

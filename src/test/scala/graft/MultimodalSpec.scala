@@ -305,4 +305,28 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
     assert(out === Map(5L -> ((2L, true)), 2L -> ((2L, false)), 3L -> ((3L, false))))
   }
+
+  test("frameSample: ceil framing, stride decimation, exact byte windows, empty payloads drop out") {
+    import org.apache.spark.sql.types.{BinaryType, LongType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("media", BinaryType)))
+    // 10 bytes at frameBytes=4 → 3 frames (ceil), stride 2 → frames 0, 2
+    val payload = "0123456789".getBytes("UTF-8")
+    val docs = LocalTable.of(spark, schema, Seq(
+      Row(1L, payload),
+      Row(2L, Array.empty[Byte]),      // no frames → no rows
+      Row(3L, "abcd".getBytes("UTF-8")))) // exactly one frame
+    val got = Multimodal.frameSample(docs, frameBytes = 4, stride = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("n_frames"), r.getAs[String]("frame_hex")))).toMap
+    def hx(s: String) = s.getBytes("UTF-8").map("%02X".format(_)).mkString
+    assert(got.keySet === Set((1L, 0L), (1L, 2L), (3L, 0L)))
+    assert(got((1L, 0L)) === ((3L, hx("0123"))))
+    assert(got((1L, 2L)) === ((3L, hx("89"))), "tail frame is the short remainder")
+    assert(got((3L, 0L)) === ((1L, hx("abcd"))))
+    intercept[IllegalArgumentException] {
+      Multimodal.frameSample(docs, frameBytes = 0, stride = 1)
+    }
+  }
 }

@@ -226,6 +226,36 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("sourceTopP: per-source mass cut with the strict-prefix contract; sources are independent; integer boundary exact") {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = LocalTable.of(spark, schema, Seq(
+      // srcA total 20: docs of 10, 6, 4 → half-mass 10: keep ONLY the 10
+      // (10+6=16 > 10 excludes the 6 and everything after)
+      Row(1L, "A", words(10)), Row(2L, "A", words(6)), Row(3L, "A", words(4)),
+      // srcB total 4: docs 2, 2 → half-mass 2: keep the first (doc_id
+      // tiebreak at equal length), 2+2=4 > 2 excludes the second
+      Row(10L, "B", words(2)), Row(11L, "B", words(2)),
+      // srcC: one doc of 8 → half-mass 4 < 8: keep NOTHING
+      Row(20L, "C", words(8))))
+    val kept = TextStats.sourceTopP(docs, 1L, 2L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(kept === Set(("A", 1L), ("B", 10L)))
+    // p = 1 keeps everything
+    assert(TextStats.sourceTopP(docs, 1L, 1L).count() === 6L)
+    // p = 0 keeps nothing
+    assert(TextStats.sourceTopP(docs, 0L, 1L).count() === 0L)
+    // invariant under partitioning
+    val again = TextStats.sourceTopP(docs.repartition(5), 1L, 2L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(again === kept)
+    intercept[IllegalArgumentException] {
+      TextStats.sourceTopP(docs, 3L, 2L)
+    }
+  }
+
   test("dataCard: hand-computed release fields including the dominant-source tiebreak and empty docs") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
