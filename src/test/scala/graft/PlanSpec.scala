@@ -224,6 +224,27 @@ class PlanSpec extends SparkSpec {
     assert(!executed.contains("Join"), executed.take(1200))
   }
 
+  test("d90: the per-source top-p windows share one source partitioning — no single-partition exchange") {
+    val df = run("d90_source_top_p")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange SinglePartition"), executed.take(1200))
+    // one exchange total: both windows ride the same hashpartitioning(source)
+    val exchanges = "Exchange hashpartitioning"
+      .r.findAllIn(executed).size
+    assert(exchanges === 1, s"expected one shared exchange, got $exchanges:\n${executed.take(1200)}")
+  }
+
+  test("m05: frame sampling is a pure per-row generator — no exchange, no join") {
+    val df = run("m05_frame_sample")
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!executed.contains("Exchange"), executed.take(1200))
+    assert(!executed.contains("Join"), executed.take(1200))
+  }
+
   test("q81: the bucketed co-located join runs with NO exchange and NO sort on either side") {
     val conf = spark.conf
     val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
