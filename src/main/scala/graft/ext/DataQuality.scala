@@ -625,7 +625,16 @@ object DataQuality {
       seed: String): DataFrame = {
     require(groupCols.nonEmpty, "need at least one group column")
     require(eps > 0, "eps must be positive")
-    val keyStr = concat_ws("|", groupCols.map(c => col(c).cast("string")): _*)
+    // INJECTIVE key encoding: each segment is length-prefixed ("v<len>:
+    // <value>") so an embedded separator cannot make two distinct groups
+    // share a noise draw (two groups sharing a draw lets a reader
+    // difference their releases and cancel the noise — the exact attack
+    // the per-release seed rotation guards against), and NULL gets its
+    // own marker segment instead of silently collapsing.
+    def seg(c: String) = when(col(c).isNull, lit("n")).otherwise(
+      concat(lit("v"), length(col(c).cast("string")).cast("string"),
+        lit(":"), col(c).cast("string")))
+    val keyStr = concat_ws("|", groupCols.map(seg): _*)
     def u(salt: String) =
       (conv(substring(md5(concat(lit(seed + salt), keyStr)), 1, 15), 16, 10)
         .cast("long").cast("double") + 1.0) / 1.152921504606846976e18
@@ -647,13 +656,21 @@ object DataQuality {
       WITH g AS (
         SELECT source, lang, count(*) AS n
         FROM documents GROUP BY 1, 2),
+      k AS (
+        SELECT source, lang, n,
+               (CASE WHEN source IS NULL THEN 'n'
+                     ELSE 'v' || CAST(length(source) AS VARCHAR) || ':' || source END)
+               || '|' ||
+               (CASE WHEN lang IS NULL THEN 'n'
+                     ELSE 'v' || CAST(length(lang) AS VARCHAR) || ':' || lang END) AS key
+        FROM g),
       u AS (
         SELECT source, lang, n,
-               (CAST(CAST(concat('0x', substr(md5('dp:a:' || source || '|' || lang), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+               (CAST(CAST(concat('0x', substr(md5('dp:a:' || key), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
                  / 1.152921504606846976e18 AS u1,
-               (CAST(CAST(concat('0x', substr(md5('dp:b:' || source || '|' || lang), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
+               (CAST(CAST(concat('0x', substr(md5('dp:b:' || key), 1, 15)) AS BIGINT) AS DOUBLE) + 1.0)
                  / 1.152921504606846976e18 AS u2
-        FROM g)
+        FROM k)
       SELECT source, lang,
              floor((n + (ln(u1) - ln(u2)) / 0.5) * 1e6 + 0.5) / 1e6 AS noisy_count,
              CAST(0.5 AS DOUBLE) AS eps

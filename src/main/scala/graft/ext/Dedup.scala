@@ -142,18 +142,9 @@ object Dedup {
         FROM s a JOIN s b ON a.blk = b.blk AND a.doc_id < b.doc_id)
       SELECT doc_a, doc_b, jaccard FROM pairs WHERE jaccard >= 0.35
     """),
-    (s, dir) => {
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          TextStats.prefixFingerprint(col("text"), 40).as("blk"),
-          shingles(col("text"), 3).as("sh"))
-      val a = docs.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
-      val b = docs.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"), col("sh").as("sh_b"))
-      a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"),
-          round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.35)
-    })
+    (s, dir) => blockedJaccardPairs(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+      .filter(col("jaccard") >= 0.35))
 
   /** MinHash+LSH near-dup pairs — the probabilistic scale path: b bands ×
     * r rows (candidate P = 1-(1-J^r)^b), bucket equi-join for candidates,
@@ -2559,25 +2550,33 @@ object Dedup {
     * d74 sweep pattern applied to dedup tuning; the pair relation is
     * block-bounded, so the sweep costs one block-join regardless of how
     * many thresholds it reports. */
-  def dedupThresholdSweep(docs: DataFrame,
-      thresholds: Seq[Double]): DataFrame = {
+  /** The d06 pair miner WITHOUT the threshold cut — shared by the d06
+    * gate and the threshold sweep so the blocking key, shingle width and
+    * rounding can never drift apart. */
+  def blockedJaccardPairs(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"),
       TextStats.prefixFingerprint(col("text"), 40).as("blk"),
       shingles(col("text"), 3).as("sh"))
     val a = sh.select(col("doc_id").as("doc_a"), col("blk"), col("sh").as("sh_a"))
     val b = sh.select(col("doc_id").as("doc_b"), col("blk").as("blk_b"),
       col("sh").as("sh_b"))
-    val pairs = a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         round(jaccardDistinct(col("sh_a"), col("sh_b")), 4).as("jaccard"))
-    thresholdSweepOverPairs(pairs, thresholds)
   }
+
+  def dedupThresholdSweep(docs: DataFrame,
+      thresholds: Seq[Double]): DataFrame =
+    thresholdSweepOverPairs(blockedJaccardPairs(docs), thresholds)
 
   /** The sweep over ANY scored pair relation `(doc_a, doc_b, jaccard)` —
     * the composition point: at 100 TB the pair generator is d07's
     * MinHash+LSH candidate-verify path (or d08's SimHash banding), not
     * the blocked exact miner; the sweep arithmetic is identical either
-    * way and costs one conditional aggregate over the pair relation. */
+    * way and costs one conditional aggregate over the pair relation.
+    * Every requested threshold appears in the report — a τ no pair
+    * reaches emits (τ, 0, 0), so "zero pairs at τ" and "τ never swept"
+    * stay distinguishable. */
   def thresholdSweepOverPairs(pairs: DataFrame,
       thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
@@ -2586,12 +2585,16 @@ object Dedup {
         org.apache.spark.sql.types.StructField("tau",
           org.apache.spark.sql.types.DoubleType))),
       thresholds.map(t => org.apache.spark.sql.Row(t)))
-    pairs.crossJoin(broadcast(thrDf))
+    val counts = pairs.crossJoin(broadcast(thrDf))
       .filter(col("jaccard") >= col("tau"))
       .select(col("tau"), explode(array(col("doc_a"), col("doc_b"))).as("doc"))
       .groupBy(col("tau"))
       .agg((count(lit(1)) / 2).cast("long").as("n_pairs"),
         countDistinct(col("doc")).as("n_docs_involved"))
+    thrDf.join(counts, Seq("tau"), "left")
+      .select(col("tau"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_involved"), lit(0L)).as("n_docs_involved"))
   }
 
   /** Threshold-sweep gate over the d06 pair generator at five τ levels;
@@ -2625,10 +2628,14 @@ object Dedup {
         SELECT t.tau, p.doc_a, p.doc_b
         FROM pairs p CROSS JOIN thr t WHERE p.jaccard >= t.tau),
       ex AS (
-        SELECT tau, u.doc FROM hit, unnest([doc_a, doc_b]) AS u(doc))
-      SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
-             CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
-      FROM ex GROUP BY tau
+        SELECT tau, u.doc FROM hit, unnest([doc_a, doc_b]) AS u(doc)),
+      cnt AS (
+        SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+        FROM ex GROUP BY tau)
+      SELECT thr.tau, coalesce(cnt.n_pairs, 0) AS n_pairs,
+             coalesce(cnt.n_docs_involved, 0) AS n_docs_involved
+      FROM thr LEFT JOIN cnt USING (tau)
     """),
     (s, dir) => dedupThresholdSweep(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),

@@ -1743,7 +1743,11 @@ object TextStats {
     * over float sums on BOTH sides. */
   def calibrationReport(scored: DataFrame, bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
-    val bin = least(floor(col("score") * bins).cast("int"), lit(bins - 1))
+    // clamp BOTH range edges: score 1.0 folds into the top bin and any
+    // out-of-range score clamps into an edge bin instead of minting a
+    // phantom negative/overflow bin that silently skews ECE
+    val bin = greatest(
+      least(floor(col("score") * bins).cast("int"), lit(bins - 1)), lit(0))
     val per = scored.select(bin.as("bin"), col("label"), col("score"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
@@ -1768,7 +1772,7 @@ object TextStats {
     "d86_calibration_report",
     Some(logRegOracleCtes + ", scored AS (" + logRegOracleSelect + """),
       per AS (
-        SELECT least(CAST(floor(score * 10) AS INT), 9) AS bin,
+        SELECT greatest(least(CAST(floor(score * 10) AS INT), 9), 0) AS bin,
                CAST(count(*) AS BIGINT) AS n,
                CAST(sum(label) AS BIGINT) AS pos,
                sum(score) AS ssum
@@ -3052,9 +3056,13 @@ object TextStats {
     * nothing archive-sized is ever rescanned. */
   def budgetAdmitLifecycle(batches: Seq[DataFrame], budget: Long): DataFrame = {
     require(budget >= 0, "budget must be non-negative")
+    require(batches.nonEmpty, "need at least one batch")
     var remaining = budget
     batches.zipWithIndex.map { case (b, i) =>
-      val admitted = tokenBudgetSelect(b, remaining)
+      // materialize each admission once: the spent aggregate below AND
+      // the returned union both consume it, and tokenBudgetSelect's
+      // prefix-sum machinery must not re-run per consumer
+      val admitted = tokenBudgetSelect(b, remaining).localCheckpoint()
       val spent = admitted.agg(coalesce(sum(col("n_tokens")), lit(0L)))
         .collect()(0).getLong(0)
       remaining -= spent
@@ -3245,17 +3253,24 @@ object TextStats {
     val vocab = base
       .select(explode(tokens(col("text"))).as("token"))
       .agg(countDistinct(col("token")).as("vocab_size"))
+    // dominant source as a global struct-min aggregate (min over
+    // (-cnt, source) ≡ ORDER BY cnt DESC, source ASC LIMIT 1) — an
+    // aggregate, unlike limit(1), still yields its ONE (null-field) row
+    // on an empty corpus, so the card keeps its one-row contract
     val top = base.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("source").asc).limit(1)
-      .select(col("source").as("top_source"), col("cnt").as("__top_cnt"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("source").as("s"))).as("t"))
+      .select(col("t").getField("s").as("top_source"),
+        (-col("t").getField("nc")).as("__top_cnt"))
     scalars.crossJoin(broadcast(vocab)).crossJoin(broadcast(top))
       .select(col("n_docs"), col("n_tokens"), col("n_empty"),
         col("n_sources"), col("n_langs"), col("vocab_size"),
-        (floor(col("n_tokens").cast("double") / col("n_docs") * 1e6 + 0.5)
-          / 1e6).as("mean_doc_tokens"),
+        when(col("n_docs") > 0,
+          floor(col("n_tokens").cast("double") / col("n_docs") * 1e6 + 0.5)
+            / 1e6).otherwise(lit(0.0)).as("mean_doc_tokens"),
         col("top_source"),
-        (floor(col("__top_cnt").cast("double") / col("n_docs") * 1e6 + 0.5)
-          / 1e6).as("top_source_share"))
+        when(col("n_docs") > 0,
+          floor(col("__top_cnt").cast("double") / col("n_docs") * 1e6 + 0.5)
+            / 1e6).otherwise(lit(0.0)).as("top_source_share"))
   }
 
   /** Data-card gate: the full release card over the documents table;

@@ -485,9 +485,11 @@ object LakeQ {
     (s, dir) => {
       // drop both the catalog entry AND any stale warehouse location (a
       // crashed prior run leaves the dir without the entry, and managed-
-      // table creation refuses an existing location)
+      // table creation refuses an existing location). Tables are pinned
+      // to the DEFAULT database so the location math (<warehouse>/<name>)
+      // holds regardless of the session's current database.
       def reset(table: String): Unit = {
-        s.sql(s"DROP TABLE IF EXISTS $table")
+        s.sql(s"DROP TABLE IF EXISTS default.$table")
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
         val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -499,14 +501,14 @@ object LakeQ {
         .select(col("o_custkey"), col("o_totalprice"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("g81_orders_bucketed")
+        .saveAsTable("default.g81_orders_bucketed")
       Tables(s, dir, "customer")
         .select(col("c_custkey"), col("c_mktsegment"))
         .write.mode("overwrite").format("parquet")
         .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("g81_customer_bucketed")
-      s.table("g81_orders_bucketed")
-        .join(s.table("g81_customer_bucketed"),
+        .saveAsTable("default.g81_customer_bucketed")
+      s.table("default.g81_orders_bucketed")
+        .join(s.table("default.g81_customer_bucketed"),
           col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),

@@ -299,4 +299,19 @@ class DataQualitySpec extends SparkSpec {
       DataQuality.dpHistogram(df, Seq.empty, eps = 0.5, seed = "t")
     }
   }
+
+  test("dpHistogram: the group key is injective — separator injection and NULLs cannot share a noise draw") {
+    val schema = StructType(Seq(
+      StructField("a", StringType), StructField("b", StringType)))
+    // ("x|y", "z") and ("x", "y|z") would collide under naive 'a|b'
+    // concatenation; (null, "q") and ("q", null) under null-skipping
+    val df = LocalTable.of(spark, schema, Seq(
+      Row("x|y", "z"), Row("x", "y|z"), Row(null, "q"), Row("q", null)))
+    val out = DataQuality.dpHistogram(df, Seq("a", "b"), eps = 0.5, seed = "t")
+      .collect()
+    assert(out.length === 4, "four distinct groups")
+    val noises = out.map(_.getDouble(2) - 1.0) // every true count is 1
+    assert(noises.distinct.length === 4,
+      s"each group must carry an independent draw: ${noises.toSeq}")
+  }
 }

@@ -974,9 +974,14 @@ class DedupSpec extends SparkSpec {
     val taus = Seq(0.35, 0.5, 0.65, 0.8, 0.95)
     val sweep = Dedup.dedupThresholdSweep(docs, taus).collect()
       .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // EVERY requested threshold reports — a tau no pair reaches is
+    // (tau, 0, 0), not a missing row
+    assert(sweep.keySet === taus.toSet)
+    assert(Dedup.dedupThresholdSweep(docs, Seq(1.1)).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2))).toSeq
+      === Seq((1.1, 0L, 0L)), "unreachable tau still reports a zero row")
     // dose-response: pair and involvement counts never increase with tau
-    val present = taus.filter(sweep.contains)
-    for (Seq(lo, hi) <- present.sliding(2).toSeq if present.size > 1) {
+    for (Seq(lo, hi) <- taus.sliding(2).toSeq) {
       assert(sweep(lo)._1 >= sweep(hi)._1, s"pairs at $lo vs $hi")
       assert(sweep(lo)._2 >= sweep(hi)._2, s"docs at $lo vs $hi")
     }
@@ -987,7 +992,8 @@ class DedupSpec extends SparkSpec {
       d06Pairs.select(col("doc_b").as("doc"))).distinct().count()
     assert(sweep(0.35)._2 === d06Docs)
     // involvement can never exceed 2 pairs' worth of docs
-    for ((t, (p, d)) <- sweep) assert(d <= 2 * p && d >= 2, s"tau $t")
+    for ((t, (p, d)) <- sweep)
+      assert(d <= 2 * p && (p == 0 || d >= 2), s"tau $t")
     // deterministic under input partitioning
     val again = Dedup.dedupThresholdSweep(docs.repartition(7), taus).collect()
       .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap

@@ -216,6 +216,9 @@ class TextStatsSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got === expected, s"budget=$budget")
     }
+    intercept[IllegalArgumentException] {
+      TextStats.budgetAdmitLifecycle(Seq.empty, 23L)
+    }
     // cum_tokens restarts per batch: each batch's max cum ≤ what it was given
     val out = TextStats.budgetAdmitLifecycle(Seq(b0, b1, b2), 23L).collect()
     val byBatch = out.groupBy(_.getAs[Long]("batch_id"))
@@ -281,6 +284,13 @@ class TextStatsSpec extends SparkSpec {
     val tied = TextStats.dataCard(docs.filter(col("doc_id") > 2L))
       .collect()(0)
     assert(tied.getAs[String]("top_source") === "apis")
+    // one-row contract survives an empty corpus (release pipelines diff
+    // card-over-card; a missing card breaks the diff)
+    val empty = TextStats.dataCard(docs.filter(col("doc_id") < 0L)).collect()
+    assert(empty.length === 1)
+    assert(empty(0).getAs[Long]("n_docs") === 0L)
+    assert(empty(0).getAs[Double]("mean_doc_tokens") === 0.0)
+    assert(empty(0).getAs[String]("top_source") === null)
   }
 
   test("calibrationReport: hand-computed bins, score 1.0 clamps into the top bin, ECE weighted by bin mass") {
@@ -302,6 +312,12 @@ class TextStatsSpec extends SparkSpec {
     // ECE = 1/5·|0−.05| + 2/5·|.5−.165| + 2/5·|1−.975| = .01+.134+.01
     val eces = out.map(_.getAs[Double]("ece")).distinct
     assert(eces === Array(0.154), "one ECE scalar rides every row")
+    // out-of-range scores clamp into the edge bins, never phantom bins
+    val weird = LocalTable.of(spark, schema,
+      Seq(Row(0.0, -0.25), Row(1.0, 1.75)))
+    val bins = TextStats.calibrationReport(weird, bins = 10).collect()
+      .map(_.getAs[Int]("bin")).sorted
+    assert(bins.toSeq === Seq(0, 9))
   }
 
   test("LM counts algebra: append equals rebuild, retract inverts append, scoring from counts equals the inline model") {
