@@ -3226,6 +3226,69 @@ object TextStats {
         .select(col("doc_id"), col("source"), col("text")),
       num = 1L, den = 2L))
 
+  /** Pairwise source vocabulary overlap — the corpus-understanding
+    * matrix next to d50's source↔corpus KL: for every source PAIR, the
+    * Jaccard similarity of their distinct-token vocabularies. High
+    * overlap between two sources flags mirrored/scraped-twice content
+    * at the SOURCE level before any per-document dedup runs; near-zero
+    * overlap justifies treating them as independent mixture components.
+    *
+    * Scale shape: the corpus collapses ONCE to the distinct
+    * (source, token) relation (vocabulary-sized — corpus text never
+    * joins); per-source vocab sizes are one count; the intersection
+    * join is token-keyed equi (each token fans out only to the sources
+    * that contain it). Jaccard is a ratio of exact integers — floor@6
+    * both engines. */
+  def sourceOverlapMatrix(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val common = st.alias("a")
+      .join(st.alias("b"),
+        col("a.token") === col("b.token") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("source").as("src_a"), col("n").as("n_a")),
+        Seq("src_a"))
+      .join(sizes.select(col("source").as("src_b"), col("n").as("n_b")),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("n_common"),
+        (floor(col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")) * 1e6 + 0.5) / 1e6)
+          .as("jaccard"))
+  }
+
+  /** Source-overlap gate: the full pairwise matrix over the documents
+    * table; the oracle replays the distinct relation, the token-keyed
+    * intersection, and the floor-disciplined Jaccard. */
+  val d91SourceOverlap: Q = Q(
+    "d91_source_overlap",
+    Some("""
+      WITH st AS (
+        SELECT DISTINCT source, u.token
+        FROM (SELECT source,
+                list_filter(regexp_split_to_array(trim(text), '\s+'),
+                  t -> t <> '') AS toks
+              FROM documents) x, unnest(x.toks) AS u(token)),
+      sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY 1),
+      cm AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT cm.src_a, cm.src_b, sa.n AS n_a, sb.n AS n_b, cm.n_common,
+             floor(CAST(cm.n_common AS DOUBLE)
+                   / (sa.n + sb.n - cm.n_common) * 1e6 + 0.5) / 1e6 AS jaccard
+      FROM cm JOIN sz sa ON sa.source = cm.src_a
+              JOIN sz sb ON sb.source = cm.src_b
+    """),
+    (s, dir) => sourceOverlapMatrix(
+      Tables(s, dir, "documents").select(col("source"), col("text"))))
+
   /** Corpus data card — the one-row release artifact every published
     * dataset ships (docs/tokens/vocabulary/source+language spread/
     * dominant source): the summary a consumer reads before training and
@@ -3423,5 +3486,6 @@ object TextStats {
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
     d80TokenBudgetSelect, d81TemperatureMixture, d83OovRate,
-    d84BudgetLifecycle, d85LmLifecycle, d88DataCard, d90SourceTopP)
+    d84BudgetLifecycle, d85LmLifecycle, d88DataCard, d90SourceTopP,
+    d91SourceOverlap)
 }

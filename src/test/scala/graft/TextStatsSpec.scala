@@ -229,6 +229,25 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapMatrix: hand-computed pairwise vocabulary Jaccard; multiplicity ignored; pair orientation canonical") {
+    val schema = StructType(Seq(
+      StructField("source", StringType), StructField("text", StringType)))
+    val docs = LocalTable.of(spark, schema, Seq(
+      Row("A", "a b c"), Row("A", "a a b"),   // vocab A = {a,b,c}
+      Row("B", "b c d"),                       // vocab B = {b,c,d}
+      Row("C", "x y")))                        // vocab C = {x,y} — disjoint
+    val got = TextStats.sourceOverlapMatrix(docs).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_common"), r.getAs[Double]("jaccard")))).toMap
+    // A∩B = {b,c} → 2/(3+3−2) = 0.5; disjoint pairs emit no row
+    assert(got === Map(("A", "B") -> ((3L, 3L, 2L, 0.5))))
+    // partitioning invariance
+    val again = TextStats.sourceOverlapMatrix(docs.repartition(5)).collect()
+      .map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b"))).toSet
+    assert(again === Set(("A", "B")))
+  }
+
   test("sourceTopP: per-source mass cut with the strict-prefix contract; sources are independent; integer boundary exact") {
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("source", StringType),
