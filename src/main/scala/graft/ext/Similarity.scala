@@ -1806,11 +1806,114 @@ object Similarity {
     """),
     (s, dir) => ivfOccupancy(emb(s, dir), nCentroids = 16, kmeansIters = 0))
 
+  /** IVF re-train trigger — the decision gate closing the index-health
+    * loop: s19 measures recall, s26 measures occupancy imbalance, this
+    * combines both into the keep/re-train decision an ANN deployment
+    * evaluates per index build (recall degrades as the corpus drifts
+    * from the frozen quantizer; imbalance degrades probe latency even
+    * while recall holds). One row: the two measured health numbers,
+    * which threshold each breaches, and the OR-decision — with the
+    * evidence columns a production system logs next to the decision.
+    *
+    * Mean recall is `Σ n_hits / (k·|queries|)` — a ratio of exact
+    * integers, floor@6; imbalance is s26's floored ratio; the breach
+    * flags compare FLOORED values against the thresholds, so the
+    * decision is bit-deterministic cross-engine. Everything downstream
+    * of the two corpus scans is centroid/query-sized. */
+  def ivfRetrainTrigger(embeddings: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int, nProbe: Int, kmeansIters: Int,
+      minRecall: Double, maxImbalance: Double): DataFrame = {
+    require(minRecall >= 0 && minRecall <= 1, "minRecall must be in [0,1]")
+    require(maxImbalance >= 1, "maxImbalance must be >= 1")
+    val rec = annRecallAtK(embeddings, queries, k, nCentroids, nProbe,
+        kmeansIters)
+      .agg(sum(col("n_hits")).as("__hits"), count(lit(1)).as("__nq"))
+      .select(col("__nq").cast("long").as("n_queries"),
+        (floor(col("__hits").cast("double") / (col("__nq") * k) * 1e6 + 0.5)
+          / 1e6).as("mean_recall"))
+    val occ = ivfOccupancy(embeddings, nCentroids, kmeansIters)
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        max(col("imbalance")).as("imbalance"))
+    rec.crossJoin(broadcast(occ))
+      .select(col("n_queries"), col("mean_recall"), col("n_lists"),
+        col("imbalance"),
+        (col("mean_recall") < minRecall).as("recall_breach"),
+        (col("imbalance") > maxImbalance).as("imbalance_breach"),
+        (col("mean_recall") < minRecall || col("imbalance") > maxImbalance)
+          .as("retrain"))
+  }
+
+  /** Re-train-trigger gate at s19's regime (16 lists, 4-probe, 0 Lloyd
+    * iterations, recall@10 over the first 20 vectors) with thresholds
+    * minRecall 0.9 / maxImbalance 2.0; the oracle replays BOTH health
+    * pipelines and the floored decision arithmetic. */
+  val s27RetrainTrigger: Q = Q(
+    "s27_retrain_trigger",
+    Some("""
+      WITH q AS (SELECT vec_id AS qid, embedding AS qe
+                 FROM embeddings WHERE vec_id < 20),
+      ranked AS (SELECT embedding AS c,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+             FROM embeddings),
+      c0 AS (SELECT cid, c FROM ranked WHERE cid < 16),
+      la AS (SELECT vec_id, cid FROM (
+               SELECT e.vec_id, c.cid,
+                      row_number() OVER (PARTITION BY e.vec_id
+                        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM embeddings e CROSS JOIN c0 c) t WHERE rn = 1),
+      qp AS (SELECT qid, cid FROM (
+               SELECT q.qid, c.cid,
+                      row_number() OVER (PARTITION BY q.qid
+                        ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM q CROSS JOIN c0 c) t WHERE rn <= 4),
+      exact AS (SELECT qid, nn_id FROM (
+                  SELECT q.qid, e.vec_id AS nn_id,
+                         row_number() OVER (PARTITION BY q.qid ORDER BY
+                           round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id ASC) AS rk
+                  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) t
+                WHERE rk <= 10),
+      ann AS (SELECT qid, nn_id FROM (
+                SELECT qp.qid, e.vec_id AS nn_id,
+                       row_number() OVER (PARTITION BY qp.qid ORDER BY
+                         round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                         e.vec_id ASC) AS rk
+                FROM qp JOIN la ON la.cid = qp.cid
+                     JOIN embeddings e ON e.vec_id = la.vec_id
+                     JOIN q ON q.qid = qp.qid
+                WHERE e.vec_id <> qp.qid) t
+              WHERE rk <= 10),
+      hits AS (SELECT x.qid, count(a.nn_id) AS n_hits
+               FROM exact x LEFT JOIN ann a
+                 ON a.qid = x.qid AND a.nn_id = x.nn_id
+               GROUP BY 1),
+      rec AS (SELECT CAST(count(*) AS BIGINT) AS n_queries,
+                     floor(CAST(sum(n_hits) AS DOUBLE) / (count(*) * 10) * 1e6 + 0.5) / 1e6 AS mean_recall
+              FROM hits),
+      per AS (SELECT cid, count(*) AS n FROM la GROUP BY 1),
+      occ AS (SELECT CAST(count(*) AS BIGINT) AS n_lists,
+                     floor(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS imbalance
+              FROM per)
+      SELECT rec.n_queries, rec.mean_recall, occ.n_lists, occ.imbalance,
+             rec.mean_recall < 0.9 AS recall_breach,
+             occ.imbalance > 2.0 AS imbalance_breach,
+             (rec.mean_recall < 0.9 OR occ.imbalance > 2.0) AS retrain
+      FROM rec, occ
+    """),
+    (s, dir) => {
+      val e = emb(s, dir)
+      ivfRetrainTrigger(e, e.filter(col("vec_id") < 20), k = 10,
+        nCentroids = 16, nProbe = 4, kmeansIters = 0,
+        minRecall = 0.9, maxImbalance = 2.0)
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup,
     s23SemanticDedupIncremental, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
     s19AnnRecall, s20StandardizeEmbeddings, s25ScalarQuantize,
-    s26IvfOccupancy)
+    s26IvfOccupancy, s27RetrainTrigger)
 }

@@ -651,6 +651,39 @@ class SimilaritySpec extends SparkSpec {
     assert(mined.map(_.toSeq).toSet === again.map(_.toSeq).toSet)
   }
 
+  test("ivfRetrainTrigger: decision is the OR of floored-value breaches; full probe forces recall 1.0; thresholds guard") {
+    val e = Tables(spark, sfDir, "embeddings").limit(120)
+    val q = e.filter(col("vec_id") < 10)
+    // full probe (nProbe = nCentroids) ⇒ ANN ≡ exact ⇒ mean recall exactly 1
+    val full = Similarity.ivfRetrainTrigger(e, q, k = 5, nCentroids = 8,
+      nProbe = 8, kmeansIters = 0, minRecall = 0.9, maxImbalance = 1e9)
+      .collect()(0)
+    assert(full.getAs[Double]("mean_recall") === 1.0)
+    assert(!full.getAs[Boolean]("recall_breach"))
+    assert(!full.getAs[Boolean]("imbalance_breach"))
+    assert(!full.getAs[Boolean]("retrain"))
+    // an impossible recall bar flips the decision through the recall arm
+    val strict = Similarity.ivfRetrainTrigger(e, q, k = 5, nCentroids = 8,
+      nProbe = 1, kmeansIters = 0, minRecall = 1.0, maxImbalance = 1e9)
+      .collect()(0)
+    assert(strict.getAs[Boolean]("retrain")
+      === strict.getAs[Boolean]("recall_breach"))
+    // an imbalance bar of exactly 1 trips unless lists are perfectly even
+    val tight = Similarity.ivfRetrainTrigger(e, q, k = 5, nCentroids = 8,
+      nProbe = 8, kmeansIters = 0, minRecall = 0.0, maxImbalance = 1.0)
+      .collect()(0)
+    assert(tight.getAs[Boolean]("retrain")
+      === (tight.getAs[Double]("imbalance") > 1.0))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRetrainTrigger(e, q, 5, 8, 8, 0, minRecall = 1.5,
+        maxImbalance = 2.0)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfRetrainTrigger(e, q, 5, 8, 8, 0, minRecall = 0.9,
+        maxImbalance = 0.5)
+    }
+  }
+
   test("ivfOccupancy: shares sum to 1, counts sum to the corpus, imbalance is max over mean of non-empty lists") {
     val e = Tables(spark, sfDir, "embeddings").limit(200)
     val rows = Similarity.ivfOccupancy(e, nCentroids = 8, kmeansIters = 0)
