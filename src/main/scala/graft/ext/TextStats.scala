@@ -590,6 +590,85 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       seqLen = 512, shards = 8))
 
+  /** No-split greedy sequence packing — the OTHER standard packing mode
+    * next to d16's concat-and-chop: examples never cross a sequence
+    * boundary (concat-and-chop splits documents, which some objectives
+    * tolerate and instruction tuning does not), so a document that would
+    * overflow the current window starts a new one and the unfilled tail
+    * is real padding waste. Per shard, docs pack in doc_id order under
+    * the single rule `fill + n > seqLen ⇒ new sequence with fill = n`
+    * (the first doc of a shard opens sequence 0 unconditionally — an
+    * oversized doc gets its own oversized sequence rather than being
+    * split or dropped).
+    *
+    * A running total WITH RESETS is not expressible as a window prefix
+    * sum, so this is the engine's one honest tier-(d) operator: per-shard
+    * sequential fold via `flatMapGroups` — exactly the computation a
+    * writer task performs, with state bounded by ONE shard (production
+    * derives the shard count from [[packingShards]], so a shard is one
+    * writer-task's worth of docs by construction). Everything is integer
+    * arithmetic — no float surface at all. */
+  def greedyPacking(docs: DataFrame, seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val spark = docs.sparkSession
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % shards).as("shard")
+    val base = docs.select(shard, col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    implicit val encIn = org.apache.spark.sql.Encoders.product[(Long, Long, Long)]
+    implicit val encOut =
+      org.apache.spark.sql.Encoders.product[(Long, Long, Long, Long, Long)]
+    base.as[(Long, Long, Long)]
+      .groupByKey(_._1)(org.apache.spark.sql.Encoders.scalaLong)
+      .flatMapGroups { (sh: Long, it: Iterator[(Long, Long, Long)]) =>
+        val docsSorted = it.toArray.sortBy(_._2) // shard-bounded buffer
+        var seq = 0L
+        var fill = 0L
+        var first = true
+        docsSorted.iterator.map { case (_, id, n) =>
+          if (first) { fill = n; first = false }
+          else if (fill + n > seqLen) { seq += 1; fill = n }
+          else fill += n
+          (sh, id, n, seq, fill)
+        }
+      }
+      .toDF("shard", "doc_id", "n_tokens", "seq_idx", "seq_fill")
+  }
+
+  /** Greedy-packing gate (512-token windows, 8 shards — d16's regime, so
+    * the two packing modes are directly comparable): the oracle unrolls
+    * the per-shard fold as a linear recursive CTE, so a reset taken or
+    * skipped at any boundary diverges on every subsequent row of that
+    * shard. */
+  val d92GreedyPacking: Q = Q(
+    "d92_greedy_packing",
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      r AS (
+        SELECT doc_id, shard, n_tokens,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM t),
+      rec(shard, rn, doc_id, n_tokens, seq_idx, fill) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.doc_id, r.n_tokens,
+               CASE WHEN p.fill + r.n_tokens > 512
+                    THEN p.seq_idx + 1 ELSE p.seq_idx END,
+               CASE WHEN p.fill + r.n_tokens > 512
+                    THEN r.n_tokens ELSE p.fill + r.n_tokens END
+        FROM rec p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1)
+      SELECT shard, doc_id, n_tokens, seq_idx, fill AS seq_fill
+      FROM rec
+    """),
+    (s, dir) => greedyPacking(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      seqLen = 512, shards = 8))
+
   /** Deterministic global training-order shuffle + round-robin shard
     * assignment — the step between a curated corpus and its training
     * shards: every epoch-0 data order must be reproducible (same seed ⇒
@@ -3473,7 +3552,8 @@ object TextStats {
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d72DomainCap,
-    d15Chunking, d16SequencePacking, d26ShuffleShards, d28NgramContamination,
+    d15Chunking, d16SequencePacking, d92GreedyPacking, d26ShuffleShards,
+    d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,

@@ -229,6 +229,41 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("greedyPacking: docs never split, reset on overflow, oversized doc gets its own sequence, fill never exceeds seqLen except oversized") {
+    val docs = docsDf(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),   // 5 tokens
+      (2L, (1 to 4).map(i => s"b$i").mkString(" ")),   // 4 → 5+4=9 > 8: reset
+      (3L, (1 to 3).map(i => s"c$i").mkString(" ")),   // 3 → 4+3=7 ≤ 8: same
+      (4L, (1 to 12).map(i => s"d$i").mkString(" ")),  // oversized 12 > 8
+      (5L, "e1 e2"))                                   // after oversized: reset
+    val got = TextStats.greedyPacking(docs, seqLen = 8, shards = 1)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("seq_idx"), r.getAs[Long]("seq_fill")))).toMap
+    assert(got === Map(
+      1L -> ((0L, 5L)),
+      2L -> ((1L, 4L)),
+      3L -> ((1L, 7L)),
+      4L -> ((2L, 12L)), // own oversized sequence, never split
+      5L -> ((3L, 2L))))
+    // conservation + partitioning invariance at multiple shard counts
+    val corpus = docsDf((1L to 40L).map(i =>
+      (i, (1L to (i % 7 + 1)).map(j => s"t$j").mkString(" "))): _*)
+    for (sh <- Seq(1, 4)) {
+      val out = TextStats.greedyPacking(corpus, seqLen = 6, shards = sh)
+      assert(out.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+        === corpus.select(TextStats.tokenCount(col("text")).cast("long").as("n"))
+          .agg(sum(col("n"))).collect()(0).getLong(0),
+        "token mass preserved")
+      val a = out.collect().map(_.toSeq).toSet
+      val b = TextStats.greedyPacking(corpus.repartition(7), seqLen = 6,
+        shards = sh).collect().map(_.toSeq).toSet
+      assert(a === b, s"shards=$sh")
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.greedyPacking(docs, seqLen = 0, shards = 1)
+    }
+  }
+
   test("sourceOverlapMatrix: hand-computed pairwise vocabulary Jaccard; multiplicity ignored; pair orientation canonical") {
     val schema = StructType(Seq(
       StructField("source", StringType), StructField("text", StringType)))
