@@ -669,6 +669,104 @@ object TextStats {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       seqLen = 512, shards = 8))
 
+  /** Packing-efficiency report — the decision table for the d16-vs-d92
+    * choice: for the SAME corpus, shard count and window size, each
+    * packing mode's sequence count, padding cost and token efficiency.
+    * Concat-and-chop wastes only shard tails (its selling point);
+    * no-split greedy pays real padding per window but never splits an
+    * example — this query prices that trade so the context-length /
+    * packing-mode decision is one SELECT instead of a hunch.
+    *
+    * Capacity accounting: a sequence's capacity is max(seqLen, its
+    * token total) — an oversized no-split document fills its own
+    * oversized sequence exactly, contributing zero padding.
+    * `efficiency = tokens / (tokens + padding)`, floor@6 (the one float
+    * in the report; everything else is exact integers). */
+  def packingReport(docs: DataFrame, seqLen: Int, shards: Int): DataFrame = {
+    require(seqLen > 0 && shards > 0, "seqLen and shards must be positive")
+    val shard = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % shards).as("shard")
+    val base = docs.select(shard, col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    // concat-and-chop: per shard, ceil(total/seqLen) windows; padding is
+    // the final window's unfilled tail
+    val chop = base.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
+      .select(col("tot"),
+        floor((col("tot") + (seqLen - 1)) / lit(seqLen.toDouble)).cast("long")
+          .as("n_seqs"))
+      .agg(sum(col("n_seqs")).as("n_seqs"), sum(col("tot")).as("n_tokens"),
+        (sum(col("n_seqs")) * seqLen - sum(col("tot"))).as("padding"))
+      .select(lit("concat_chop").as("mode"), col("n_seqs"), col("n_tokens"),
+        col("padding"))
+    // no-split greedy: per (shard, seq) the running fill's max is the
+    // sequence total; capacity max(seqLen, total) ⇒ oversized pads zero
+    val greedy = greedyPacking(docs, seqLen, shards)
+      .groupBy(col("shard"), col("seq_idx"))
+      .agg(max(col("seq_fill")).as("seq_tot"))
+      .agg(count(lit(1)).as("n_seqs"), sum(col("seq_tot")).as("n_tokens"),
+        sum(greatest(lit(seqLen.toLong), col("seq_tot")) - col("seq_tot"))
+          .as("padding"))
+      .select(lit("greedy_nosplit").as("mode"), col("n_seqs"),
+        col("n_tokens"), col("padding"))
+    chop.unionByName(greedy)
+      .select(col("mode"), col("n_seqs"), col("n_tokens"), col("padding"),
+        (floor(col("n_tokens").cast("double") /
+          (col("n_tokens") + col("padding")) * 1e6 + 0.5) / 1e6)
+          .as("efficiency"))
+  }
+
+  /** Packing-report gate at the shared d16/d92 regime (512 tokens,
+    * 8 shards); the oracle recomputes both modes' accounting — the chop
+    * side from the per-shard ceil arithmetic, the greedy side by
+    * re-running the recursive fold and aggregating its windows. */
+  val d93PackingReport: Q = Q(
+    "d93_packing_report",
+    Some("""
+      WITH RECURSIVE t AS (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS shard,
+               CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      sh AS (SELECT shard, sum(n_tokens) AS tot FROM t GROUP BY 1),
+      chop AS (
+        SELECT 'concat_chop' AS mode,
+               CAST(sum(CAST(floor((tot + 511) / 512.0) AS BIGINT)) AS BIGINT) AS n_seqs,
+               CAST(sum(tot) AS BIGINT) AS n_tokens,
+               CAST(sum(CAST(floor((tot + 511) / 512.0) AS BIGINT)) * 512
+                    - sum(tot) AS BIGINT) AS padding
+        FROM sh),
+      r AS (
+        SELECT doc_id, shard, n_tokens,
+               row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM t),
+      rec(shard, rn, n_tokens, seq_idx, fill) AS (
+        SELECT shard, rn, n_tokens, CAST(0 AS BIGINT), n_tokens
+        FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.shard, r.rn, r.n_tokens,
+               CASE WHEN p.fill + r.n_tokens > 512
+                    THEN p.seq_idx + 1 ELSE p.seq_idx END,
+               CASE WHEN p.fill + r.n_tokens > 512
+                    THEN r.n_tokens ELSE p.fill + r.n_tokens END
+        FROM rec p JOIN r ON r.shard = p.shard AND r.rn = p.rn + 1),
+      seqs AS (
+        SELECT shard, seq_idx, max(fill) AS seq_tot
+        FROM rec GROUP BY 1, 2),
+      greedy AS (
+        SELECT 'greedy_nosplit' AS mode,
+               CAST(count(*) AS BIGINT) AS n_seqs,
+               CAST(sum(seq_tot) AS BIGINT) AS n_tokens,
+               CAST(sum(greatest(512, seq_tot) - seq_tot) AS BIGINT) AS padding
+        FROM seqs),
+      u AS (SELECT * FROM chop UNION ALL SELECT * FROM greedy)
+      SELECT mode, n_seqs, n_tokens, padding,
+             floor(CAST(n_tokens AS DOUBLE) / (n_tokens + padding) * 1e6 + 0.5) / 1e6 AS efficiency
+      FROM u
+    """),
+    (s, dir) => packingReport(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      seqLen = 512, shards = 8))
+
   /** Deterministic global training-order shuffle + round-robin shard
     * assignment — the step between a curated corpus and its training
     * shards: every epoch-0 data order must be reproducible (same seed ⇒
@@ -3552,8 +3650,8 @@ object TextStats {
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d72DomainCap,
-    d15Chunking, d16SequencePacking, d92GreedyPacking, d26ShuffleShards,
-    d28NgramContamination,
+    d15Chunking, d16SequencePacking, d92GreedyPacking, d93PackingReport,
+    d26ShuffleShards, d28NgramContamination,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,

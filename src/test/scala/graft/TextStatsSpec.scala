@@ -264,6 +264,27 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
+  test("packingReport: hand-computed accounting for both modes; oversized doc pads zero under greedy; chop only pays the tail") {
+    // one shard: docs of 5, 4, 3, 12, 2 tokens (the greedyPacking corpus)
+    val docs = docsDf(
+      (1L, (1 to 5).map(i => s"a$i").mkString(" ")),
+      (2L, (1 to 4).map(i => s"b$i").mkString(" ")),
+      (3L, (1 to 3).map(i => s"c$i").mkString(" ")),
+      (4L, (1 to 12).map(i => s"d$i").mkString(" ")),
+      (5L, "e1 e2"))
+    val got = TextStats.packingReport(docs, seqLen = 8, shards = 1)
+      .collect().map(r => r.getAs[String]("mode") ->
+        ((r.getAs[Long]("n_seqs"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("padding"), r.getAs[Double]("efficiency")))).toMap
+    // chop: 26 tokens → ceil(26/8)=4 windows, padding 32−26=6
+    assert(got("concat_chop") === ((4L, 26L, 6L, 0.8125)))
+    // greedy (from the traced packing): seqs totals 5, 7, 12(oversized), 2
+    // → padding (8−5)+(8−7)+0+(8−2)=10; eff 26/36
+    assert(got("greedy_nosplit") === ((4L, 26L, 10L, 0.722222)))
+    // chop can never pad more than greedy on the same inputs
+    assert(got("concat_chop")._3 <= got("greedy_nosplit")._3)
+  }
+
   test("sourceOverlapMatrix: hand-computed pairwise vocabulary Jaccard; multiplicity ignored; pair orientation canonical") {
     val schema = StructType(Seq(
       StructField("source", StringType), StructField("text", StringType)))
