@@ -1812,88 +1812,127 @@ object TextStats {
     * Single-class input (no positives or no negatives) yields a NULL
     * auc — the statistic is undefined there, and NULL is more honest
     * than a sentinel.
-    * The sweep is one conditional aggregate over a broadcast 9-row
-    * threshold relation. All sums are integers-as-doubles (exact below
-    * 2^53), so cross-engine summation order cannot perturb the single
-    * final division on either metric. */
+    *
+    * INTEGER-EXACT END-TO-END: scores arrive rounded to 4 decimals, so
+    * `s4 = round(score·10⁴)` is a lossless BIGINT key; thresholds map
+    * the same way, so every comparison, rank prefix sum, the doubled
+    * Mann-Whitney sum `rsum2 = Σ pos·(2·cum_below + cnt + 1)` (doubling
+    * clears the average-rank (cnt+1)/2 halves) and the floor@6 metrics
+    *   auc       = ((2U)·2·10⁶ + 2·np·nn) div (4·np·nn) / 10⁶,
+    *   precision = (tp·2·10⁶ + (tp+fp)) div (2·(tp+fp)) / 10⁶
+    * are pure BIGINT arithmetic — floor(x·10⁶+0.5) computed as exact
+    * integer division, immune to any engine's float summation order or
+    * rounding mode. The one division by 10⁶ at the end is an IEEE
+    * correctly-rounded op on an exact integer, bit-identical in every
+    * engine. Exactness holds while np·nn < 2⁶³/4·10⁻⁶ ≈ 2.3·10¹²
+    * (corpora to ~3M labeled eval rows — an EVAL set bound, not a
+    * corpus bound; larger eval sets would shard the U-statistic).
+    * The sweep is one conditional aggregate over a broadcast threshold
+    * relation carrying both the reported DOUBLE thr and its s4-scale
+    * BIGINT twin. */
   def classifierEval(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
-    val perScore = scored.groupBy(col("score"))
-      .agg(count(lit(1)).cast("double").as("cnt"),
-        sum(col("label")).as("pos"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("score"))
+    val si = scored.select(
+      round(col("score") * 1e4).cast("long").as("s4"),
+      col("label").cast("long").as("label"))
+    val perScore = si.groupBy(col("s4"))
+      .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("s4"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val rk = perScore.withColumn("cum_below",
-      coalesce(sum(col("cnt")).over(w), lit(0.0)))
+      coalesce(sum(col("cnt")).over(w), lit(0L)))
     val aucDf = rk.agg(
         sum(col("pos")).as("np"),
         sum(col("cnt") - col("pos")).as("nn"),
-        sum(col("pos") * (col("cum_below") + (col("cnt") + 1.0) / 2.0)).as("rsum"))
-      .select((floor(((col("rsum") - col("np") * (col("np") + 1.0) / 2.0) /
-        (col("np") * col("nn"))) * 1e6 + 0.5) / 1e6).as("auc"))
+        sum(col("pos") * (lit(2L) * col("cum_below") + col("cnt") + lit(1L)))
+          .as("rsum2"))
+      .select((col("rsum2") - col("np") * (col("np") + lit(1L))).as("num"),
+        (lit(2L) * col("np") * col("nn")).as("den"))
+      .select(when(col("den") > 0,
+        expr("(num * 2000000 + den) div (den * 2)").cast("double") / 1e6)
+        .as("auc"))
     val thrDf = graft.LocalTable.of(scored.sparkSession,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("thr",
-          org.apache.spark.sql.types.DoubleType))),
-      thresholds.map(t => org.apache.spark.sql.Row(t)))
-    scored.crossJoin(broadcast(thrDf))
-      .groupBy(col("thr"))
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("thr4",
+          org.apache.spark.sql.types.LongType))),
+      thresholds.map(t =>
+        org.apache.spark.sql.Row(t, math.round(t * 1e4))))
+    si.crossJoin(broadcast(thrDf))
+      .groupBy(col("thr"), col("thr4"))
       .agg(
-        sum(when(col("score") >= col("thr") && col("label") === 1.0, 1L)
+        sum(when(col("s4") >= col("thr4") && col("label") === 1L, 1L)
           .otherwise(0L)).as("tp"),
-        sum(when(col("score") >= col("thr") && col("label") === 0.0, 1L)
+        sum(when(col("s4") >= col("thr4") && col("label") === 0L, 1L)
           .otherwise(0L)).as("fp"),
-        sum(when(col("score") < col("thr") && col("label") === 1.0, 1L)
+        sum(when(col("s4") < col("thr4") && col("label") === 1L, 1L)
           .otherwise(0L)).as("fn"),
-        sum(when(col("score") < col("thr") && col("label") === 0.0, 1L)
+        sum(when(col("s4") < col("thr4") && col("label") === 0L, 1L)
           .otherwise(0L)).as("tn"))
+      .drop("thr4")
       .withColumn("precision_m", when(col("tp") + col("fp") > 0,
-        floor(col("tp").cast("double") / (col("tp") + col("fp")) * 1e6 + 0.5)
+        expr("(tp * 2000000 + (tp + fp)) div ((tp + fp) * 2)").cast("double")
           / 1e6))
       .withColumn("recall_m", when(col("tp") + col("fn") > 0,
-        floor(col("tp").cast("double") / (col("tp") + col("fn")) * 1e6 + 0.5)
+        expr("(tp * 2000000 + (tp + fn)) div ((tp + fn) * 2)").cast("double")
           / 1e6))
       .crossJoin(broadcast(aucDf))
   }
 
   /** Classifier-eval gate: d35's trained scores through the AUC +
     * 9-threshold sweep; the oracle replays the training CTEs and the
-    * identical tie-aware rank arithmetic. */
+    * identical INTEGER rank arithmetic (s4-scaled scores, doubled
+    * Mann-Whitney sum, floor@6 as exact BIGINT division — see
+    * [[classifierEval]]'s docstring), so no DuckDB version's float
+    * summation order can perturb a floor midpoint. */
   val d74ClassifierEval: Q = Q(
     "d74_classifier_eval",
     Some(logRegOracleCtes + ", scored AS (" + logRegOracleSelect + """),
+      si AS (
+        SELECT CAST(round(score * 1e4) AS BIGINT) AS s4,
+               CAST(label AS BIGINT) AS label
+        FROM scored),
       ps AS (
-        SELECT score, CAST(count(*) AS DOUBLE) AS cnt, sum(label) AS pos
-        FROM scored GROUP BY 1),
+        SELECT s4, CAST(count(*) AS BIGINT) AS cnt,
+               CAST(sum(label) AS BIGINT) AS pos
+        FROM si GROUP BY 1),
       rk AS (
-        SELECT score, cnt, pos,
-               coalesce(sum(cnt) OVER (ORDER BY score
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_below
+        SELECT s4, cnt, pos,
+               CAST(coalesce(sum(cnt) OVER (ORDER BY s4
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS BIGINT) AS cum_below
         FROM ps),
-      aucv AS (
-        SELECT floor((sum(pos * (cum_below + (cnt + 1.0) / 2.0))
-                      - sum(pos) * (sum(pos) + 1.0) / 2.0)
-                     / (sum(pos) * sum(cnt - pos)) * 1e6 + 0.5) / 1e6 AS auc
+      aucn AS (
+        SELECT CAST(sum(pos * (2 * cum_below + cnt + 1))
+                    - sum(pos) * (sum(pos) + 1) AS BIGINT) AS num,
+               CAST(2 * sum(pos) * sum(cnt - pos) AS BIGINT) AS den
         FROM rk),
+      aucv AS (
+        SELECT CASE WHEN den > 0 THEN
+                 CAST((num * 2000000 + den) // (den * 2) AS DOUBLE) / 1e6
+               END AS auc
+        FROM aucn),
       thr AS (
-        SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
-                       CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
-                       CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
-                       CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
-                       CAST(0.9 AS DOUBLE)]) AS thr),
+        SELECT thr, CAST(round(thr * 1e4) AS BIGINT) AS thr4 FROM (
+          SELECT unnest([CAST(0.1 AS DOUBLE), CAST(0.2 AS DOUBLE),
+                         CAST(0.3 AS DOUBLE), CAST(0.4 AS DOUBLE),
+                         CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+                         CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+                         CAST(0.9 AS DOUBLE)]) AS thr)),
       sweep AS (
         SELECT t.thr,
-               sum(CASE WHEN s.score >= t.thr AND s.label = 1 THEN 1 ELSE 0 END) AS tp,
-               sum(CASE WHEN s.score >= t.thr AND s.label = 0 THEN 1 ELSE 0 END) AS fp,
-               sum(CASE WHEN s.score < t.thr AND s.label = 1 THEN 1 ELSE 0 END) AS fn,
-               sum(CASE WHEN s.score < t.thr AND s.label = 0 THEN 1 ELSE 0 END) AS tn
-        FROM scored s CROSS JOIN thr t GROUP BY 1)
+               CAST(sum(CASE WHEN s.s4 >= t.thr4 AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN s.s4 >= t.thr4 AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN s.s4 < t.thr4 AND s.label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(sum(CASE WHEN s.s4 < t.thr4 AND s.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM si s CROSS JOIN thr t GROUP BY 1)
       SELECT sweep.thr, tp, fp, fn, tn,
              CASE WHEN tp + fp > 0 THEN
-               floor(CAST(tp AS DOUBLE) / (tp + fp) * 1e6 + 0.5) / 1e6
+               CAST((tp * 2000000 + (tp + fp)) // ((tp + fp) * 2) AS DOUBLE) / 1e6
              END AS precision_m,
              CASE WHEN tp + fn > 0 THEN
-               floor(CAST(tp AS DOUBLE) / (tp + fn) * 1e6 + 0.5) / 1e6
+               CAST((tp * 2000000 + (tp + fn)) // ((tp + fn) * 2) AS DOUBLE) / 1e6
              END AS recall_m,
              aucv.auc AS auc
       FROM sweep CROSS JOIN aucv
@@ -2399,7 +2438,19 @@ object TextStats {
   }
 
   /** Rare-token gate: minCount 100 — the corpus' single sub-100 token
-    * is scrubbed everywhere it appears, everything else passes. */
+    * is scrubbed everywhere it appears, everything else passes.
+    *
+    * The oracle deliberately avoids every positional-SQL construct
+    * (lateral `unnest(generate_series(...))`, ordered `string_agg`) the
+    * d76 tokenizer canary does NOT cover: the rebuild is a
+    * `list_transform` over the ORIGINAL token array (order preserved by
+    * construction) against the small rare-vocabulary list, so the only
+    * cross-engine surfaces left are tokenization (pinned green by d76)
+    * and plain counting (pinned by the d38a canary). The engine side is
+    * unchanged — posexplode → count join → positional rebuild, the
+    * shape that scales; the d38a/b/c canaries decompose the pipeline
+    * into independently-hashed stages so a driver-side red names the
+    * diverging stage instead of the whole operator. */
   val d38RareTokenScrub: Q = Q(
     "d38_rare_token_scrub",
     Some("""
@@ -2408,25 +2459,94 @@ object TextStats {
                CASE WHEN length(trim(text)) = 0 THEN []
                     ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
         FROM documents),
-      tok AS (
-        SELECT doc_id, i AS pos, toks[i] AS tok
-        FROM base, unnest(generate_series(1, len(toks))) AS g(i)),
-      counts AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY 1),
-      rebuilt AS (
-        SELECT t.doc_id,
-               string_agg(CASE WHEN c.cnt >= 100 THEN t.tok ELSE '<unk>' END,
-                          ' ' ORDER BY t.pos) AS scrubbed,
-               sum(CASE WHEN c.cnt < 100 THEN 1 ELSE 0 END) AS n_unk
-        FROM tok t JOIN counts c ON c.tok = t.tok
-        GROUP BY 1)
+      counts AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+      rare AS (SELECT coalesce(list(tok), []) AS rv FROM counts WHERE cnt < 100)
       SELECT b.doc_id,
-             coalesce(r.scrubbed, '') AS scrubbed,
-             coalesce(r.n_unk, 0) AS n_unk
-      FROM base b LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+             array_to_string(list_transform(b.toks,
+               t -> CASE WHEN list_contains(rare.rv, t) THEN '<unk>' ELSE t END),
+               ' ') AS scrubbed,
+             CAST(len(list_filter(b.toks,
+               t -> list_contains(rare.rv, t))) AS BIGINT) AS n_unk
+      FROM base b CROSS JOIN rare
     """),
     (s, dir) => rareTokenScrub(
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       minCount = 100L))
+
+  /** Shared base CTE of the d38 canary family — identical to d38's (and
+    * d76's) tokenization so the three stages decompose exactly the
+    * gated pipeline. */
+  private val d38BaseCte = """
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents),
+      counts AS (
+        SELECT tok, count(*) AS cnt
+        FROM (SELECT unnest(toks) AS tok FROM base) GROUP BY 1),
+      rare AS (SELECT coalesce(list(tok), []) AS rv FROM counts WHERE cnt < 100)"""
+
+  /** d38a — STAGE CANARY 1 of the rare-token pipeline: the global
+    * (tok, cnt) table itself. d38 went driver-red three rounds with
+    * rows+schema green and every local replica green, while the d76
+    * tokenizer canary stayed driver-GREEN — so the divergence (if it is
+    * real at all) lives downstream of tokenization. This canary hashes
+    * the counting stage alone: if it reds, the count table diverges; if
+    * it greens while d38 reds, counting is exonerated too. */
+  val d38aTokenCounts: Q = Q(
+    "d38a_token_counts",
+    Some("""
+      WITH base AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []
+                    ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        FROM documents)
+      SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest(toks) AS tok FROM base)
+      GROUP BY 1
+    """),
+    (s, dir) => Tables(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt")))
+
+  /** d38b — STAGE CANARY 2: per-doc `n_unk` only. Pure integers end to
+    * end (no strings in the hashed output), so a red here isolates the
+    * rare-membership accounting; a green here plus a red d38 pins the
+    * divergence to the rebuilt STRING column (content or comparison). */
+  val d38bRareTokenNunk: Q = Q(
+    "d38b_rare_token_nunk",
+    Some(d38BaseCte + """
+      SELECT b.doc_id,
+             CAST(len(list_filter(b.toks,
+               t -> list_contains(rare.rv, t))) AS BIGINT) AS n_unk
+      FROM base b CROSS JOIN rare
+    """),
+    (s, dir) => rareTokenScrub(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      minCount = 100L).select(col("doc_id"), col("n_unk")))
+
+  /** d38c — STAGE CANARY 3: `md5(scrubbed)` per doc. The full rebuilt
+    * content, hashed INSIDE both engines before the driver ever
+    * compares — so d38c green + d38 red means the scrubbed strings are
+    * byte-identical in both engines and the divergence is in the
+    * driver's own comparison of the long string column; d38c red means
+    * the rebuild content genuinely differs in that environment. */
+  val d38cRareTokenScrubMd5: Q = Q(
+    "d38c_rare_token_scrub_md5",
+    Some(d38BaseCte + """
+      SELECT b.doc_id,
+             md5(array_to_string(list_transform(b.toks,
+               t -> CASE WHEN list_contains(rare.rv, t) THEN '<unk>' ELSE t END),
+               ' ')) AS scrub_md5
+      FROM base b CROSS JOIN rare
+    """),
+    (s, dir) => rareTokenScrub(
+      Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+      minCount = 100L)
+      .select(col("doc_id"), md5(col("scrubbed")).as("scrub_md5")))
 
   /** d76 — tokenizer-parity canary. The whole token family (d38 and
     * every count/vocab query) rests on one cross-engine equivalence:
@@ -3659,7 +3779,8 @@ object TextStats {
     d75QualityEnsemble,
     d36HeavyHitters,
     d37BlocklistFilter,
-    d38RareTokenScrub, d76TokenizerCanary, d39GopherRules,
+    d38RareTokenScrub, d38aTokenCounts, d38bRareTokenNunk,
+    d38cRareTokenScrubMd5, d76TokenizerCanary, d39GopherRules,
     d40RepetitionSignals,
     d50SourceDivergence, d51WeightedSample, d52ZipfFit, d57BpeMerges,
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
