@@ -93,31 +93,39 @@ object Bench {
       }
     }
 
-    // 3-decimal seconds keep the one-line artifact compact enough to
-    // survive tail-window capture (the r3 artifact lost its head and
-    // total to a mid-line cut); the total rides at BOTH ends so either
-    // truncation direction preserves it, and the full JSON is also
-    // persisted to BENCH_LOCAL.json. The driver's capture keeps the
-    // TAIL of the line (r6 lost the alphabetical head), so the
-    // per-query map is ordered cheapest→costliest with failures (-1)
-    // last: the expensive queries and any failures are what a
-    // truncated artifact must still show.
+    // 3-decimal seconds; the per-query map is ordered cheapest→costliest
+    // with failures (-1) last, so a tail-truncated capture still shows
+    // the expensive queries and any failures.
     def s3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    val qs = results
+    def qsJson(rs: Seq[(String, Double)]): String = rs
       .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
-    val line =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+    def lineOf(qs: String, extra: String): String =
+      s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+    val fullLine = lineOf(qsJson(results), "")
     spark.stop()
     // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
     // A/B must never clobber BENCH_LOCAL.json's full per-query map.
     if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), line + "\n")
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
       catch { case _: Exception => () } // best-effort: stdout is the contract
-    System.out.println(line)
+    System.out.println(fullLine)
+    // The driver captures a ~4 KB stdout TAIL and parses the bench JSON
+    // out of it; the full 200+-query line is ~6 KB, so r10's artifact
+    // arrived mid-line-truncated and unparseable (BENCH_r10 "parsed":
+    // null). Emit a COMPACT canonical line LAST — the same totals and
+    // load, the costliest queries plus every failure (what a grader
+    // needs), explicitly marked as a subset with a pointer to the full
+    // map in BENCH_LOCAL.json. Sized to fit the tail window even with
+    // sbt's trailing "[success]" line after it.
+    val failures = results.filter(_._2 < 0)
+    val costliest = results.filter(_._2 >= 0).sortBy(-_._2).take(60)
+    val compact = lineOf(qsJson(costliest ++ failures),
+      s""""queries_shown":${costliest.size + failures.size},"queries_total":${results.size},"full_map":"BENCH_LOCAL.json",""")
+    System.out.println(compact)
     System.out.flush()
   }
 }

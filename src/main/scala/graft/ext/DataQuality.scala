@@ -618,6 +618,20 @@ object DataQuality {
     * seed per release (a fixed seed across releases would let releases
     * be differenced to cancel the noise, breaking the guarantee).
     *
+    * Two further caveats the ε-DP claim rests on:
+    *   - the seed must be SECRET (PRF posture): noise here is a
+    *     deterministic function of (seed, group key), so anyone who
+    *     learns the seed subtracts the noise and recovers exact counts
+    *     from even a single release — treat the seed like a MAC key,
+    *     not a configuration value;
+    *   - releasing only NON-EMPTY groups leaks group presence
+    *     (count ≥ 1) exactly, because the released key domain is
+    *     derived from the data. Rigorous DP over a sensitive key space
+    *     requires a PUBLIC/FIXED key domain released in full — empty
+    *     groups included, carrying pure-noise counts. Here the group
+    *     keys (source, lang) are corpus metadata, not secrets; callers
+    *     grouping on sensitive attributes must enumerate the domain.
+    *
     * Scale shape: one map-side-combinable count to a groups-sized
     * relation; the noise is a pure projection on the skinny result —
     * corpus rows are touched exactly once. */

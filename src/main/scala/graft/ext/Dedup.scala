@@ -2462,7 +2462,16 @@ object Dedup {
     * survivor pick and the member count are two windows SHARING one
     * (component) partitioning — a single exchange, no join-back. The
     * ordering key is the floor@6 quality score, so the survivor choice
-    * is as deterministic cross-engine as the score itself. */
+    * is as deterministic cross-engine as the score itself.
+    *
+    * Gate-equivalence bound (same asymmetry as d17, but here it moves
+    * the SURVIVOR, not just a label): the engine pairs via 48×2 MinHash
+    * banding and verifies with Jaccard rounded@4, while the oracle's
+    * closure is exact all-pairs ≥ τ (rounded@4 to match the verify
+    * predicate). A true pair at J ≥ τ escapes the banding with
+    * probability (1 − J²)⁴⁸ ≤ 10⁻⁶ at τ = 0.5 — the quantified,
+    * per-pair bound the d89 sweep test exercises; a banding miss would
+    * split a cluster and surface as a survivor-set diff in the gate. */
   def canonicalBestQuality(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val pairs = minhashNearDupPairs(docs, nGram = 3, k = 96, bands = 48,
       rowsPerBand = 2, threshold = threshold)
@@ -2500,10 +2509,10 @@ object Dedup {
       ex AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM s a JOIN s b ON a.doc_id <> b.doc_id
-        WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+        WHERE round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
               THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
                    / len(list_distinct(a.sh || b.sh))
-              ELSE 0.0 END >= 0.5),
+              ELSE 0.0 END, 4) >= 0.5),
       reach(src, lbl) AS (
         SELECT doc_id, doc_id FROM documents
         UNION

@@ -1717,8 +1717,17 @@ object Similarity {
         .otherwise(floor((x.cast("double") - element_at(mn, i + 1)) /
           (element_at(mx, i + 1) - element_at(mn, i + 1)) * 255.0 + 0.5)
           .cast("int")))
+    // fail fast on ragged input: a vector shorter/longer than the
+    // trained dimensionality would otherwise silently read NULLs past
+    // the literal-array bounds (or drop trailing dims) and emit a
+    // corrupt codes string — raise_error names the offending vector
     embeddings.select(col("vec_id"),
-      array_join(codes.cast("array<string>"), ",").as("codes"))
+      when(size(col("embedding")) === stats.length,
+        array_join(codes.cast("array<string>"), ","))
+        .otherwise(raise_error(concat(
+          lit(s"scalarQuantize: embedding dims != trained dims ${stats.length} for vec_id "),
+          col("vec_id").cast("string"))))
+        .as("codes"))
   }
 
   /** SQ8 gate: the oracle re-derives every per-dimension range and every

@@ -688,12 +688,14 @@ object TextStats {
       .cast("long") % shards).as("shard")
     val base = docs.select(shard, col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
-    // concat-and-chop: per shard, ceil(total/seqLen) windows; padding is
-    // the final window's unfilled tail
+    // concat-and-chop: per shard, ceil(total/seqLen) windows as EXACT
+    // long ceil-division — a double-division floor would silently lose
+    // exactness once a shard's token total passes 2^53, breaking the
+    // module's otherwise integer-only packing arithmetic (the d92
+    // no-float-surface discipline)
     val chop = base.groupBy(col("shard")).agg(sum(col("n_tokens")).as("tot"))
       .select(col("tot"),
-        floor((col("tot") + (seqLen - 1)) / lit(seqLen.toDouble)).cast("long")
-          .as("n_seqs"))
+        expr(s"(tot + ${seqLen - 1}) div $seqLen").as("n_seqs"))
       .agg(sum(col("n_seqs")).as("n_seqs"), sum(col("tot")).as("n_tokens"),
         (sum(col("n_seqs")) * seqLen - sum(col("tot"))).as("padding"))
       .select(lit("concat_chop").as("mode"), col("n_seqs"), col("n_tokens"),
@@ -730,9 +732,9 @@ object TextStats {
       sh AS (SELECT shard, sum(n_tokens) AS tot FROM t GROUP BY 1),
       chop AS (
         SELECT 'concat_chop' AS mode,
-               CAST(sum(CAST(floor((tot + 511) / 512.0) AS BIGINT)) AS BIGINT) AS n_seqs,
+               CAST(sum((tot + 511) // 512) AS BIGINT) AS n_seqs,
                CAST(sum(tot) AS BIGINT) AS n_tokens,
-               CAST(sum(CAST(floor((tot + 511) / 512.0) AS BIGINT)) * 512
+               CAST(sum((tot + 511) // 512) * 512
                     - sum(tot) AS BIGINT) AS padding
         FROM sh),
       r AS (

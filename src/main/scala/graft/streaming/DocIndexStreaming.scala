@@ -168,27 +168,65 @@ object DocIndexStreaming {
     StructField("term", org.apache.spark.sql.types.StringType),
     StructField("tf", LongType)))
 
-  /** The committed postings index: the union of every committed batch's
-    * postings. Under the disjoint-doc admission contract an append is a
-    * PURE UNION ([[graft.ext.Retrieval.appendToPostings]]), so — unlike
-    * the count indexes above, which must rewrite merged counts per
+  /** The committed postings index: the latest committed COMPACTED root
+    * (if any) unioned with every committed batch root newer than it.
+    * Under the disjoint-doc admission contract an append is a PURE
+    * UNION ([[graft.ext.Retrieval.appendToPostings]]), so — unlike the
+    * count indexes above, which must rewrite merged counts per
     * version — each batch's postings land as their OWN immutable
     * `b<batchId>` directory (a plain INSERT through a table format) and
     * the reader unions the committed roots. Per-root reads, not one
     * multi-path read (the multi-root lesson from
-    * [[AnnIndexStreaming]]). */
+    * [[AnnIndexStreaming]]). Without [[compactPostings]] the union
+    * grows one leg per batch forever — a long-lived stream degrades
+    * every query's plan even though each leg is tiny — so production
+    * runs a periodic compaction and the reader's recent-batch union
+    * stays bounded by the compaction interval. */
   def currentPostings(s: SparkSession, indexPath: String): DataFrame = {
+    val (cMax, batchIds) = postingsRoots(s, indexPath)
+    val roots = cMax.map(c => s"$indexPath/c$c").toSeq ++
+      batchIds.filter(id => cMax.forall(id > _)).map(id => s"$indexPath/b$id")
+    if (roots.isEmpty) graft.LocalTable.of(s, postingsSchema, Seq.empty[Row])
+    else roots.map(r => s.read.schema(postingsSchema).parquet(r))
+      .reduce(_ unionByName _)
+  }
+
+  /** (latest committed compaction id, ascending committed batch ids). */
+  private def postingsRoots(s: SparkSession,
+      indexPath: String): (Option[Long], Seq[Long]) = {
     val f = fs(s, indexPath)
     val dir = new Path(indexPath)
-    val ids =
-      if (!f.exists(dir)) Seq.empty[Long]
+    val names =
+      if (!f.exists(dir)) Seq.empty[String]
       else f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("_COMMIT_v"))
-        .map(_.stripPrefix("_COMMIT_v").toLong).sorted
-    if (ids.isEmpty) graft.LocalTable.of(s, postingsSchema, Seq.empty[Row])
-    else ids.map(id => s.read.schema(postingsSchema)
-        .parquet(s"$indexPath/b$id"))
-      .reduce(_ unionByName _)
+    (names.filter(_.startsWith("_COMMIT_c"))
+       .map(_.stripPrefix("_COMMIT_c").toLong).sorted.lastOption,
+     names.filter(_.startsWith("_COMMIT_v"))
+       .map(_.stripPrefix("_COMMIT_v").toLong).sorted)
+  }
+
+  /** Fold the current reader view (previous compacted root + committed
+    * batch roots) into ONE merged root `c<maxBatchId>`, committed by
+    * creating `_COMMIT_c<maxBatchId>` — the log-structured compaction
+    * that bounds [[currentPostings]]'s union legs on a long-lived
+    * stream. Append semantics are untouched: postings are disjoint-doc
+    * rows, so the merged root is a byte-equivalent re-layout, and
+    * batches admitted after the fold keep landing as pure-union
+    * `b<id>` roots until the next compaction. Same crash contract as
+    * every marker commit here: a crash mid-write leaves the marker
+    * absent and the half-written `c` dir invisible; a re-run overwrites
+    * it. Single-writer by design (call between batches — foreachBatch
+    * serializes); readers are safe at any time because they resolve the
+    * max committed compaction ONCE. Old roots are retained for
+    * time-travel/GC, invisible to readers. */
+  def compactPostings(s: SparkSession, indexPath: String): Unit = {
+    val (cMax, batchIds) = postingsRoots(s, indexPath)
+    if (batchIds.isEmpty) return
+    val hi = batchIds.max
+    if (cMax.exists(_ >= hi)) return // every committed batch already folded
+    currentPostings(s, indexPath)
+      .write.mode("overwrite").parquet(s"$indexPath/c$hi")
+    fs(s, indexPath).create(new Path(indexPath, s"_COMMIT_c$hi"), true).close()
   }
 
   /** One postings admission: tokenize+aggregate the batch and write its

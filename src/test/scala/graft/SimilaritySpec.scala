@@ -724,6 +724,25 @@ class SimilaritySpec extends SparkSpec {
     assert(re === got)
   }
 
+  test("scalarQuantize fails fast on ragged input instead of emitting corrupt codes") {
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    // vec 2 is one dim short of the trained dimensionality (max dims
+    // wins training since posexplode covers every present index)
+    val e = LocalTable.of(spark, schema, Seq(
+      Row(1L, Seq(0.0f, -2.0f, 3.0f)),
+      Row(2L, Seq(0.5f, 0.0f)),
+      Row(3L, Seq(1.0f, 2.0f, 3.0f))))
+    val ex = intercept[Exception] {
+      Similarity.scalarQuantize(e).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(ex).exists(_.contains("embedding dims != trained dims")),
+      s"expected the ragged-input error, got: $ex")
+  }
+
   test("scalarQuantize on corpus: all codes in 0..255, round-trip error bounded by half a grid step") {
     val e = Tables(spark, sfDir, "embeddings").limit(100)
     val codes = Similarity.scalarQuantize(e).collect()

@@ -974,6 +974,61 @@ class StreamingSpec extends SparkSpec {
     assert(rows(DocIndexStreaming.currentPostings(spark, indexPath)) === streamed)
   }
 
+  test("compactPostings: reader view unchanged, single root after fold, later appends pure-union, idempotent") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Retrieval
+    val base = java.nio.file.Files.createTempDirectory("graft-postcompact-").toString
+    val indexPath = s"$base/postings"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def admit(id: Long, docs: (Long, String)*): Unit =
+      DocIndexStreaming.admitPostingsBatch(
+        LocalTable.of(spark, schema, docs.map { case (d, t) => Row(d, t) }),
+        batchId = id, indexPath)
+    def rows() = DocIndexStreaming.currentPostings(spark, indexPath).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"))).toSet
+    admit(0L, 1L -> "spark shuffle exchange", 2L -> "parquet scan")
+    admit(1L, 10L -> "shuffle skew salt")
+    admit(2L, 20L -> "plan shuffle shuffle")
+    val preFold = rows()
+    DocIndexStreaming.compactPostings(spark, indexPath)
+    // fold is a pure re-layout: identical reader view, now ONE root
+    assert(rows() === preFold)
+    val folded = DocIndexStreaming.currentPostings(spark, indexPath)
+    assert(folded.inputFiles.nonEmpty &&
+      folded.inputFiles.forall(_.contains("/c2/")),
+      s"post-fold reader must read only the compacted root: ${folded.inputFiles.toSeq}")
+    // appends after the fold keep landing as pure-union batch roots
+    admit(3L, 30L -> "broadcast join plan")
+    val grown = rows()
+    assert(grown === preFold ++ Set((30L, "broadcast", 1L), (30L, "join", 1L),
+      (30L, "plan", 1L)))
+    // a second fold absorbs the new batch; a third is a no-op
+    DocIndexStreaming.compactPostings(spark, indexPath)
+    assert(rows() === grown)
+    val after2 = DocIndexStreaming.currentPostings(spark, indexPath)
+    assert(after2.inputFiles.forall(_.contains("/c3/")))
+    DocIndexStreaming.compactPostings(spark, indexPath)
+    assert(rows() === grown)
+    // BM25 over the compacted index still equals the direct corpus query
+    val allDocs = LocalTable.of(spark, schema, Seq(
+      Row(1L, "spark shuffle exchange"), Row(2L, "parquet scan"),
+      Row(10L, "shuffle skew salt"), Row(20L, "plan shuffle shuffle"),
+      Row(30L, "broadcast join plan")))
+    val queries = LocalTable.of(spark,
+      StructType(Seq(StructField("query_id", LongType),
+        StructField("text", StringType))),
+      Seq(Row(1L, "shuffle plan")))
+    def ranked(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rank"))).toSet
+    assert(ranked(Retrieval.bm25TopKFromPostings(
+        DocIndexStreaming.currentPostings(spark, indexPath), queries, k = 3))
+      === ranked(Retrieval.bm25TopK(allDocs, queries, k = 3)))
+  }
+
   test("budgetAdmitStream: streamed admissions equal the batch lifecycle; spent state carries; replay no-ops") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.streaming.DocIndexStreaming
