@@ -329,13 +329,13 @@ object Dedup {
     * [[configureCheckpointDir]]), not here — `setCheckpointDir` mints a
     * fresh UUID subdirectory every call, and a per-round call would
     * scatter one round per directory. */
-  private def cutLineage(df: DataFrame, checkpointDir: Option[String],
+  private[ext] def cutLineage(df: DataFrame, checkpointDir: Option[String],
       eager: Boolean = true): DataFrame =
     if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
 
   /** One-time per-operator-call checkpoint-dir setup — see
-    * [[cutLineage]]. */
-  private def configureCheckpointDir(df: DataFrame,
+    * [[cutLineage]]. Shared with the [[Graph]] iterative family. */
+  private[ext] def configureCheckpointDir(df: DataFrame,
       checkpointDir: Option[String]): Unit =
     checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
 
@@ -2650,6 +2650,60 @@ object Dedup {
       Tables(s, dir, "documents").select(col("doc_id"), col("text")),
       thresholds = Seq(0.35, 0.5, 0.65, 0.8, 0.95)))
 
+  /** d89b — the SAME sweep arithmetic over the PRODUCTION pair
+    * generator: d07's MinHash+LSH candidates-then-verify pipeline (wide
+    * 48×2 banding, exact verify at τ₀ = 0.5). d89 prices thresholds
+    * over the blocked exact miner — an oracle-friendly regime whose
+    * 100× stress ratio deliberately rides d06's quadratic-oracle
+    * design; THIS gate prices the path a 100 TB corpus would actually
+    * run, so the sweep's production posture is itself driver-gated.
+    * Every swept τ is ≥ τ₀, so the verified pair relation is exactly
+    * the sweep's support and the banding-recall bound is d07's
+    * ((1−J²)⁴⁸ ≤ 10⁻⁶ at the τ₀ boundary). The oracle replays the
+    * exact brute-force pair set ≥ τ₀ (round@4, the verify predicate)
+    * and every cut — all-pairs lives ONLY in the oracle; the engine
+    * side is banded candidates ∝ n, then one conditional aggregate. */
+  val d89bLshThresholdSweep: Q = Q(
+    "d89b_lsh_threshold_sweep",
+    Some("""
+      WITH s AS (
+        SELECT doc_id,
+               list_distinct(CASE
+                 WHEN len(regexp_split_to_array(trim(text), '\s+')) < 3 THEN []
+                 ELSE list_transform(
+                   generate_series(1, len(regexp_split_to_array(trim(text), '\s+')) - 2),
+                   i -> array_to_string(regexp_split_to_array(trim(text), '\s+')[i:i+2], ' '))
+                 END) AS sh
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+                     THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                          / len(list_distinct(a.sh || b.sh))
+                     ELSE 0.0 END, 4) AS jaccard
+        FROM s a JOIN s b ON a.doc_id < b.doc_id),
+      thr AS (
+        SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.65 AS DOUBLE),
+                       CAST(0.8 AS DOUBLE), CAST(0.95 AS DOUBLE)]) AS tau),
+      hit AS (
+        SELECT t.tau, p.doc_a, p.doc_b
+        FROM pairs p CROSS JOIN thr t WHERE p.jaccard >= t.tau),
+      ex AS (
+        SELECT tau, u.doc FROM hit, unnest([doc_a, doc_b]) AS u(doc)),
+      cnt AS (
+        SELECT tau, CAST(count(*) / 2 AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc) AS BIGINT) AS n_docs_involved
+        FROM ex GROUP BY tau)
+      SELECT thr.tau, coalesce(cnt.n_pairs, 0) AS n_pairs,
+             coalesce(cnt.n_docs_involved, 0) AS n_docs_involved
+      FROM thr LEFT JOIN cnt USING (tau)
+    """),
+    (s, dir) => thresholdSweepOverPairs(
+      minhashNearDupPairs(
+        Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+        nGram = 3, k = 96, bands = 48, rowsPerBand = 2, threshold = 0.5),
+      thresholds = Seq(0.5, 0.65, 0.8, 0.95)))
+
   val all: Seq[Q] = Seq(d06NgramJaccardPairs, d07MinhashLsh, d08SimhashPairs,
     d17NeardupComponents, d18IncrementalProbe, d19IncrementalComponents,
     d20ArchiveProbe, d21SpanDedup, d22SpanScrub, d23SpanDedupKeepFirst,
@@ -2657,5 +2711,5 @@ object Dedup {
     d49ContainmentPairs, d59Winnowing, d65SplitLeakage, d70DedupReport,
     d71IndexAppendLifecycle, d73BoilerplateScrub, d77BoilerplateLifecycle,
     d78IndexRetract, d79IncrementalCuration, d82CanonicalBestQuality,
-    d89DedupThresholdSweep)
+    d89DedupThresholdSweep, d89bLshThresholdSweep)
 }

@@ -31,13 +31,23 @@ object Graph {
     * across engines and partitionings, which is what lets DuckDB UNROLL
     * the loop in SQL and hash-match the distributed result.
     *
+    * Lineage-cut strategy mirrors [[Dedup.connectedComponents]]:
+    * `checkpointDir = None` (default) cuts rounds with `localCheckpoint`
+    * (executor-local blocks — fastest, right for local/interactive, lost
+    * with an executor); `Some(dir)` on any registered Hadoop FS scheme
+    * cuts through reliable `checkpoint`, the posture a preemptible
+    * 1000-executor fleet needs for a multi-round job.
+    *
     * Output: (node, rank) with rank rounded to 6. */
-  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
+  def pageRank(edges: DataFrame, iters: Int, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    Dedup.configureCheckpointDir(edges, checkpointDir)
+    def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
+    val e = cut(edges.select(col("src"), col("dst")))
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     val base = (1.0 - damping) / n
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
@@ -48,13 +58,12 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .join(outDeg, Seq("src"))
         .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-      ranks = nodes
+      ranks = cut(nodes
         .join(contribs.groupBy(col("node")).agg(sum(col("c")).as("s")),
           Seq("node"), "left")
         .select(col("node"),
           (floor((lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)))
-            * 1e9 + 0.5) / 1e9).as("rank"))
-        .localCheckpoint()
+            * 1e9 + 0.5) / 1e9).as("rank")))
     }
     ranks.select(col("node"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
   }
@@ -138,12 +147,17 @@ object Graph {
     * kernel — production picks iters or composes with a convergence
     * check exactly like connectedComponents' observed metric.
     * Requires every node to appear as a destination (symmetric edge
-    * lists satisfy this by construction, as in [[pageRank]]). */
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    * lists satisfy this by construction, as in [[pageRank]]).
+    * `checkpointDir` picks the lineage-cut strategy exactly as in
+    * [[pageRank]] (None = localCheckpoint; Some(dir) = reliable). */
+  def labelPropagation(edges: DataFrame, iters: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
+    Dedup.configureCheckpointDir(edges, checkpointDir)
+    def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
+    val e = cut(edges.select(col("src"), col("dst")))
+    val nodes = cut(e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct())
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
       val votes = e
@@ -153,11 +167,10 @@ object Graph {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("node"))
         .orderBy(col("votes").desc, col("label").asc)
-      labels = votes
+      labels = cut(votes
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
-        .select(col("node"), col("label"))
-        .localCheckpoint()
+        .select(col("node"), col("label")))
     }
     labels.select(col("node"), col("label").as("community"))
   }
@@ -388,23 +401,27 @@ object Graph {
     * the just-checkpointed frontier's cached blocks — no recompute.
     * Emits (node, hops) for every node within `maxDepth` of a seed;
     * unreached nodes are absent (the caller's left join decides the
-    * sentinel). */
-  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int): DataFrame = {
+    * sentinel). `checkpointDir` picks the lineage-cut strategy exactly
+    * as in [[pageRank]] (None = localCheckpoint; Some(dir) =
+    * reliable). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be non-negative")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint()
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0)).localCheckpoint()
+    Dedup.configureCheckpointDir(edges, checkpointDir)
+    def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
+    val e = cut(edges.select(col("src"), col("dst")))
+    var visited = cut(seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0)))
     var frontier = visited
     var depth = 0
     while (depth < maxDepth && !frontier.isEmpty) {
       depth += 1
-      val next = frontier
+      val next = cut(frontier
         .join(e, frontier("node") === e("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
-        .withColumn("hops", lit(depth))
-        .localCheckpoint()
-      visited = visited.unionByName(next).localCheckpoint()
+        .withColumn("hops", lit(depth)))
+      visited = cut(visited.unionByName(next))
       frontier = next
     }
     visited

@@ -158,4 +158,37 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(multi === Map("a" -> 0, "d" -> 0, "b" -> 1, "c" -> 1))
   }
+
+  test("iterative family: reliable-checkpoint strategy agrees with localCheckpoint, incl. on graftfs://") {
+    // two bridged triangles + a pendant — asymmetric enough that a
+    // dropped/duplicated round would move ranks, labels and hops
+    val g = edges(
+      ("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c"),
+      ("c", "d"), ("d", "c"),
+      ("d", "e"), ("e", "d"), ("e", "f"), ("f", "e"), ("f", "d"), ("d", "f"),
+      ("f", "p"), ("p", "f"))
+    val prLocal = ranks(Graph.pageRank(g, iters = 4))
+    val lpLocal = Graph.labelPropagation(g, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def seedDf(ns: String*) = LocalTable.of(spark,
+      StructType(Seq(StructField("node", StringType))), ns.map(Row(_)))
+    val bfsLocal = Graph.bfsHops(g, seedDf("a"), maxDepth = 5)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graph-ckpt").toString
+    val ckpt = Some(s"graftfs://$dir")
+    assert(ranks(Graph.pageRank(g, iters = 4, checkpointDir = ckpt)) === prLocal)
+    assert(Graph.labelPropagation(g, iters = 3, checkpointDir = ckpt)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap === lpLocal)
+    assert(Graph.bfsHops(g, seedDf("a"), maxDepth = 5, checkpointDir = ckpt)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap === bfsLocal)
+    // the rounds really cut through the graftfs scheme: checkpoint files
+    // landed in the backing directory
+    def anyFile(d: java.io.File): Boolean = {
+      val kids = Option(d.listFiles()).getOrElse(Array.empty)
+      kids.exists(_.isFile) || kids.filter(_.isDirectory).exists(anyFile)
+    }
+    assert(anyFile(new java.io.File(dir)), s"no checkpoint files under $dir")
+  }
 }
