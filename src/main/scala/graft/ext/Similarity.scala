@@ -1542,8 +1542,23 @@ object Similarity {
     * exact scan, independent of how many queries the INDEX serves. */
   def annRecallAtK(embeddings: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
-    require(k > 0 && nCentroids > 0 && nProbe > 0,
-      "k, nCentroids and nProbe must be positive")
+    require(nCentroids > 0, "nCentroids must be positive")
+    val cs = KMeans.fit(embeddings, "vec_id", "embedding", nCentroids, kmeansIters)
+    annRecallOverLists(ivfAssignments(embeddings, cs), cs, queries, k, nProbe)
+  }
+
+  /** The recall core over an EXISTING assigned-lists relation
+    * (vec_id, embedding, centroid_id) and its FROZEN quantizer — shared
+    * by [[annRecallAtK]] (which fits and assigns in place) and the
+    * streaming index-health monitor
+    * ([[graft.streaming.AnnIndexStreaming.indexHealth]]), where the
+    * lists are the grown log-structured layout and the quantizer is the
+    * committed base model. Ground truth is brute force over the SAME
+    * lists corpus (recall measures the INDEX against its own holdings,
+    * not against vectors it was never given). */
+  def annRecallOverLists(lists: DataFrame, cs: Array[Array[Float]],
+      queries: DataFrame, k: Int, nProbe: Int): DataFrame = {
+    require(k > 0 && nProbe > 0, "k and nProbe must be positive")
     val q = queries.select(col("vec_id").as("qid"), col("embedding").as("__qe"))
     def topK(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy(col("qid"))
@@ -1551,21 +1566,19 @@ object Similarity {
       scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
         .select(col("qid"), col("nn_id"))
     }
-    val exact = topK(embeddings.select(col("vec_id").as("nn_id"),
+    val exact = topK(lists.select(col("vec_id").as("nn_id"),
         col("embedding").as("__ne"))
       .crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("qid"))
       .select(col("qid"), col("nn_id"),
         round(cosine(col("__qe"), col("__ne")), 6).as("cos_sim")))
-    val cs = KMeans.fit(embeddings, "vec_id", "embedding", nCentroids, kmeansIters)
-    val lists = ivfAssignments(embeddings, cs)
-      .select(col("centroid_id"), col("vec_id").as("nn_id"),
-        col("embedding").as("__ne"))
+    val ls = lists.select(col("centroid_id"), col("vec_id").as("nn_id"),
+      col("embedding").as("__ne"))
     val ann = topK(q
       .withColumn("centroid_id",
         explode(graft.plans.NearestCentroidsExpr.nearestCentroids(
           col("__qe"), cs, nProbe)))
-      .join(lists, Seq("centroid_id"))
+      .join(ls, Seq("centroid_id"))
       .filter(col("nn_id") =!= col("qid"))
       .select(col("qid"), col("nn_id"),
         round(cosine(col("__qe"), col("__ne")), 6).as("cos_sim")))
@@ -1918,11 +1931,172 @@ object Similarity {
         minRecall = 0.9, maxImbalance = 2.0)
     })
 
+  /** s28 — the retrain trigger CLOSED over the streaming ANN lifecycle
+    * (the verdict-r10 loop closure): init the log-structured index on
+    * the archive (s22's md5 buckets 0–89, seeded 16-list quantizer,
+    * 0 Lloyd iterations — the SQL-reproducible regime), admit batch 1
+    * (90–94) under the frozen base, then run
+    * [[graft.streaming.AnnIndexStreaming.maybeRetrain]] with s27's
+    * thresholds (recall@10 of the first 20 vectors, minRecall 0.9 /
+    * maxImbalance 2.0): the measured mean recall over the grown index
+    * (~0.49 at sf0.01, ~0.55 at sf0.1) breaches the floor, so the
+    * fold-and-re-train path RUNS — quantizer refit on the grown corpus,
+    * base v1, fold point 1 — and batch 2 (95–99) is admitted under the
+    * NEW base. Output: the three probe stages (base / grown / post-
+    * retrain-grown) plus the decision riding every row.
+    *
+    * The oracle replays the whole lifecycle INCLUDING THE BRANCH: it
+    * recomputes both health numbers over the stage-2 index, derives the
+    * same boolean, and selects the stage-3 quantizer CONDITIONALLY
+    * (re-seeded over archive ∪ batch 1 when retrained, the archive
+    * model otherwise) — so a trigger that fails to fire, fires
+    * spuriously, retrains on the wrong corpus, or orphans batch 2's
+    * fold point diverges on stage-3 rows or the decision column. */
+  val s28RetrainLifecycle: Q = Q(
+    "s28_retrain_lifecycle",
+    Some("""
+      WITH emb AS (
+        SELECT vec_id, label, embedding,
+               CAST(concat('0x', substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM embeddings),
+      arch AS (SELECT * FROM emb WHERE bucket < 90),
+      c1corpus AS (SELECT * FROM emb WHERE bucket < 95),
+      rankedA AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM arch),
+      cA AS (SELECT cid, embedding AS c FROM rankedA WHERE cid < 16),
+      laA AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM emb e CROSS JOIN cA c) t WHERE rn = 1),
+      q AS (SELECT embedding AS qe FROM emb WHERE vec_id = 0),
+      pA AS (SELECT cid FROM (
+               SELECT c.cid, row_number() OVER (
+                 ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM cA c, q) t WHERE rn <= 4),
+      candA AS (
+        SELECT e.vec_id, e.label, e.bucket,
+               round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+        FROM laA a JOIN emb e USING (vec_id), q
+        WHERE a.cid IN (SELECT cid FROM pA) AND e.vec_id <> 0),
+      s1 AS (SELECT 1 AS stage, vec_id, label, cos_sim FROM candA
+             WHERE bucket < 90 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10),
+      s2 AS (SELECT 2 AS stage, vec_id, label, cos_sim FROM candA
+             WHERE bucket < 95 ORDER BY cos_sim DESC, vec_id ASC LIMIT 10),
+      q20 AS (SELECT vec_id AS qid, embedding AS qe2 FROM emb WHERE vec_id < 20),
+      exact AS (SELECT qid, nn_id FROM (
+                  SELECT q2.qid, e.vec_id AS nn_id,
+                         row_number() OVER (PARTITION BY q2.qid ORDER BY
+                           round(list_cosine_similarity(CAST(q2.qe2 AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                           e.vec_id ASC) AS rk
+                  FROM q20 q2 CROSS JOIN c1corpus e WHERE e.vec_id <> q2.qid) t
+                WHERE rk <= 10),
+      qpA AS (SELECT qid, cid FROM (
+                SELECT q2.qid, c.cid,
+                       row_number() OVER (PARTITION BY q2.qid
+                         ORDER BY list_cosine_similarity(CAST(q2.qe2 AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM q20 q2 CROSS JOIN cA c) t WHERE rn <= 4),
+      ann AS (SELECT qid, nn_id FROM (
+                SELECT qp.qid, e.vec_id AS nn_id,
+                       row_number() OVER (PARTITION BY qp.qid ORDER BY
+                         round(list_cosine_similarity(CAST(q2.qe2 AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) DESC,
+                         e.vec_id ASC) AS rk
+                FROM qpA qp JOIN laA la ON la.cid = qp.cid
+                     JOIN c1corpus e ON e.vec_id = la.vec_id
+                     JOIN q20 q2 ON q2.qid = qp.qid
+                WHERE e.vec_id <> qp.qid) t
+              WHERE rk <= 10),
+      hits AS (SELECT x.qid, count(a.nn_id) AS n_hits
+               FROM exact x LEFT JOIN ann a
+                 ON a.qid = x.qid AND a.nn_id = x.nn_id
+               GROUP BY 1),
+      rec AS (SELECT floor(CAST(sum(n_hits) AS DOUBLE) / (count(*) * 10) * 1e6 + 0.5) / 1e6 AS mean_recall
+              FROM hits),
+      occ AS (SELECT floor(CAST(max(n) AS DOUBLE) / (CAST(sum(n) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS imbalance
+              FROM (SELECT la.cid, count(*) AS n
+                    FROM laA la JOIN c1corpus e ON e.vec_id = la.vec_id
+                    GROUP BY 1) pp),
+      dec AS (SELECT (rec.mean_recall < 0.9 OR occ.imbalance > 2.0) AS retrained
+              FROM rec, occ),
+      rankedB AS (
+        SELECT embedding,
+               row_number() OVER (
+                 ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                          CAST(vec_id AS VARCHAR)) - 1 AS cid
+        FROM c1corpus),
+      cB AS (SELECT cid, embedding AS c FROM rankedB WHERE cid < 16),
+      cS AS (SELECT cB.cid, cB.c FROM cB, dec WHERE dec.retrained
+             UNION ALL
+             SELECT cA.cid, cA.c FROM cA, dec WHERE NOT dec.retrained),
+      laS AS (SELECT vec_id, cid FROM (
+                SELECT e.vec_id, c.cid,
+                       row_number() OVER (PARTITION BY e.vec_id
+                         ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+                FROM emb e CROSS JOIN cS c) t WHERE rn = 1),
+      pS AS (SELECT cid FROM (
+               SELECT c.cid, row_number() OVER (
+                 ORDER BY list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(c.c AS DOUBLE[])) DESC, c.cid ASC) AS rn
+               FROM cS c, q) t WHERE rn <= 4),
+      s3 AS (SELECT 3 AS stage, e.vec_id, e.label,
+                    round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+             FROM laS a JOIN emb e USING (vec_id), q
+             WHERE a.cid IN (SELECT cid FROM pS) AND e.vec_id <> 0
+             ORDER BY cos_sim DESC, e.vec_id ASC LIMIT 10)
+      SELECT CAST(u.stage AS INTEGER) AS stage, u.vec_id, u.label, u.cos_sim,
+             dec.retrained
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+            UNION ALL SELECT * FROM s3) u
+      CROSS JOIN dec
+    """),
+    (s, dir) => {
+      import graft.streaming.AnnIndexStreaming
+      val e = emb(s, dir)
+      val bucket = conv(substring(md5(concat(lit("ivf:"),
+        col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
+      val withB = e.withColumn("bucket", bucket)
+      val archive = withB.filter(col("bucket") < 90).drop("bucket")
+      val batch1 = withB.filter(col("bucket") >= 90 && col("bucket") < 95)
+        .drop("bucket")
+      val batch2 = withB.filter(col("bucket") >= 95).drop("bucket")
+      // clean slate within an application: commit markers at the root
+      // ARE the index state, so a re-run must not see the last run's
+      // bases/batches (build() alone only overwrites base_v0's dir)
+      val root = graft.SessionArtifacts.dir(s, "graft-s28")
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      val idx = root + "/index"
+      AnnIndexStreaming.init(archive, "embedding", k = 16, iters = 0, idx)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).toArray
+      // each probe materializes BEFORE the layout mutates (the s22 rule)
+      def probe(stage: Int): DataFrame =
+        AnnIndexStreaming.probe(s, idx, qv, k = 10, nProbe = 4,
+            excludeVecId = Some(0L))
+          .withColumn("stage", lit(stage))
+          .select(col("stage"), col("vec_id"), col("label"), col("cos_sim"))
+          .localCheckpoint()
+      val p1 = probe(1)
+      AnnIndexStreaming.admitBatch(batch1, 0L, "embedding", idx)
+      val p2 = probe(2)
+      val retrained = AnnIndexStreaming.maybeRetrain(s, idx, "embedding",
+        queries = e.filter(col("vec_id") < 20), k = 10, nProbe = 4,
+        minRecall = 0.9, maxImbalance = 2.0, retrainK = 16, iters = 0)
+      AnnIndexStreaming.admitBatch(batch2, 1L, "embedding", idx)
+      val p3 = probe(3)
+      p1.unionByName(p2).unionByName(p3)
+        .withColumn("retrained", lit(retrained))
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup,
     s23SemanticDedupIncremental, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
     s19AnnRecall, s20StandardizeEmbeddings, s25ScalarQuantize,
-    s26IvfOccupancy, s27RetrainTrigger)
+    s26IvfOccupancy, s27RetrainTrigger, s28RetrainLifecycle)
 }

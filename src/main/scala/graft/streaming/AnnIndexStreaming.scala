@@ -188,6 +188,89 @@ object AnnIndexStreaming {
         admitBatch(batch, batchId, vecCol, indexPath)
       }
 
+  /** The s27 health report evaluated over the CURRENT log-structured
+    * index (committed base quantizer + grown lists) instead of a
+    * from-scratch fit: recall@k of the frozen-quantizer probe against
+    * brute force over the index's own holdings, plus occupancy
+    * imbalance of the grown lists. One row — (n_queries, mean_recall,
+    * n_lists, imbalance) — the same floored arithmetic as
+    * [[graft.ext.Similarity.ivfRetrainTrigger]]. The base is resolved
+    * ONCE for centroids and lists, so a compact landing mid-read cannot
+    * mix models. */
+  def indexHealth(s: SparkSession, indexPath: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val base = currentBase(s, indexPath)
+    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    val lists = listsOf(s, indexPath, base)
+    val rec = graft.ext.Similarity
+      .annRecallOverLists(lists, cs, queries, k, nProbe)
+      .agg(sum(col("n_hits")).as("__hits"), count(lit(1)).as("__nq"))
+      .select(col("__nq").cast("long").as("n_queries"),
+        (floor(col("__hits").cast("double") / (col("__nq") * k) * 1e6 + 0.5)
+          / 1e6).as("mean_recall"))
+    val occ = lists.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .agg(count(lit(1)).cast("long").as("n_lists"),
+        (floor(max(col("n_vecs")).cast("double") /
+          (sum(col("n_vecs")).cast("double") / count(lit(1))) * 1e6 + 0.5)
+          / 1e6).as("imbalance"))
+    rec.crossJoin(broadcast(occ))
+  }
+
+  /** The s27 keep/re-train decision CLOSED over the streaming
+    * lifecycle: evaluate [[indexHealth]] against the held-out `queries`
+    * and, on a breach (mean recall below `minRecall` OR imbalance above
+    * `maxImbalance`), fold-and-re-train via [[compact]] (quantizer
+    * refit on the grown corpus, `retrainK` lists — the √N occupancy
+    * knob). Returns whether a retrain ran.
+    *
+    * Exactly-once posture: the decision is deliberately NOT
+    * marker-gated — it is SELF-STABILIZING. A foreachBatch replay that
+    * re-evaluates after an already-committed retrain sees the healthy
+    * post-retrain index and no-ops; if health is still breached, a
+    * second fold rebuilds an equivalent base (same corpus, same seeded
+    * fit) through the same atomic single-marker cutover — never a
+    * corrupt or mixed state, at worst a redundant build. That is the
+    * correct semantics for a health trigger: it keys on observed state,
+    * not on which batch happened to trip it. */
+  def maybeRetrain(s: SparkSession, indexPath: String, vecCol: String,
+      queries: DataFrame, k: Int, nProbe: Int, minRecall: Double,
+      maxImbalance: Double, retrainK: Int, iters: Int): Boolean = {
+    require(minRecall >= 0 && minRecall <= 1, "minRecall must be in [0,1]")
+    require(maxImbalance >= 1, "maxImbalance must be >= 1")
+    val h = indexHealth(s, indexPath, queries, k, nProbe).head()
+    val breach = h.getAs[Double]("mean_recall") < minRecall ||
+      h.getAs[Double]("imbalance") > maxImbalance
+    if (breach) compact(s, indexPath, vecCol, retrainK, iters)
+    breach
+  }
+
+  /** [[annIndexStream]] with the health loop wired in: every
+    * `checkEvery` batches the just-grown index is health-checked
+    * against the held-out `queries` and re-trained on breach — the
+    * full FAISS-style ops loop (admit → monitor → re-train) as one
+    * streaming writer. Batches admitted after a mid-stream retrain ride
+    * the new base automatically ([[admitBatch]] resolves the committed
+    * base per batch). */
+  def annIndexStreamWithRetrain(embeddings: DataFrame, indexPath: String,
+      checkpointDir: String, queries: DataFrame, k: Int, nProbe: Int,
+      minRecall: Double, maxImbalance: Double, retrainK: Int, iters: Int,
+      checkEvery: Int = 1, vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(checkEvery >= 1, "checkEvery must be >= 1")
+    embeddings.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        admitBatch(batch, batchId, vecCol, indexPath)
+        if ((batchId + 1) % checkEvery == 0) {
+          maybeRetrain(batch.sparkSession, indexPath, vecCol, queries, k,
+            nProbe, minRecall, maxImbalance, retrainK, iters)
+          ()
+        }
+      }
+  }
+
   /** Dedup-on-admission (the s23 incremental SemDeDup as a stream): the
     * batch is first JUDGED against the committed index — every batch
     * vector multi-probes its `nProbe` nearest lists of the current base

@@ -826,6 +826,102 @@ class StreamingSpec extends SparkSpec {
     assert(late.head.getLong(0) === 200L && late.head.getDouble(2) === 1.0)
   }
 
+  test("annIndexStreamWithRetrain: breach retrains mid-stream, stream equals the driven lifecycle, replay no-ops, recall preserved") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Seq[Float], Int)]
+    val rnd = new scala.util.Random(42)
+    val centers = Array.fill(4)(Array.fill(64)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 100).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val archive = rows.filter(_._1 < 60)
+    val (b0, b1) = (rows.filter(r => r._1 >= 60 && r._1 < 80),
+      rows.filter(_._1 >= 80))
+    val queries = df(rows.filter(_._1 < 10))
+    // maxImbalance = 1.0 (+ minRecall = 1.0) makes a breach essentially
+    // structural on this corpus — the point is exercising the
+    // mid-stream retrain path, deterministically under the fixed seed
+    val (minRecall, maxImbalance) = (1.0, 1.0)
+
+    val streamIdx = java.nio.file.Files
+      .createTempDirectory("graft-annretrain-").toString + "/index"
+    AnnIndexStreaming.init(df(archive), "embedding", k = 8, iters = 3, streamIdx)
+    assert(AnnIndexStreaming.currentBase(spark, streamIdx).version === 0L)
+    val in = MemoryStream[(Long, Seq[Float], Int)]
+    val q = AnnIndexStreaming.annIndexStreamWithRetrain(
+        in.toDF().toDF("vec_id", "embedding", "label"), streamIdx,
+        java.nio.file.Files.createTempDirectory("graft-annretrain-ckpt-").toString,
+        queries, k = 5, nProbe = 2, minRecall, maxImbalance,
+        retrainK = 8, iters = 3)
+      .start()
+    in.addData(b0: _*); q.processAllAvailable()
+    // the breach fired mid-stream: base advanced and batch 0 is folded
+    val afterB0 = AnnIndexStreaming.currentBase(spark, streamIdx)
+    assert(afterB0.version === 1L && afterB0.fold === 1L,
+      s"retrain must fold batch 0: $afterB0")
+    in.addData(b1: _*); q.processAllAvailable()
+    q.stop()
+
+    // the streamed lifecycle ≡ the same sequence driven by hand
+    val drivenIdx = java.nio.file.Files
+      .createTempDirectory("graft-annretrain-driven-").toString + "/index"
+    AnnIndexStreaming.init(df(archive), "embedding", k = 8, iters = 3, drivenIdx)
+    AnnIndexStreaming.admitBatch(df(b0), 0L, "embedding", drivenIdx)
+    assert(AnnIndexStreaming.maybeRetrain(spark, drivenIdx, "embedding",
+      queries, k = 5, nProbe = 2, minRecall, maxImbalance,
+      retrainK = 8, iters = 3), "driven lifecycle must breach too")
+    AnnIndexStreaming.admitBatch(df(b1), 1L, "embedding", drivenIdx)
+    AnnIndexStreaming.maybeRetrain(spark, drivenIdx, "embedding",
+      queries, k = 5, nProbe = 2, minRecall, maxImbalance,
+      retrainK = 8, iters = 3)
+    def layout(p: String) = AnnIndexStreaming.currentLists(spark, p)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(AnnIndexStreaming.currentBase(spark, streamIdx) ===
+      AnnIndexStreaming.currentBase(spark, drivenIdx))
+    assert(layout(streamIdx) === layout(drivenIdx))
+
+    // every vector is still searchable post-retrain (recall preserved
+    // under the exhaustive probe), and nothing was lost or duplicated
+    assert(AnnIndexStreaming.currentLists(spark, streamIdx).count() === 100)
+    val qv = rows.find(_._1 == 95L).get._2.toArray
+    val got = AnnIndexStreaming.probe(spark, streamIdx, qv, k = 10,
+        nProbe = 8, excludeVecId = Some(95L))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val brute = df(rows).filter(col("vec_id") =!= 95L)
+      .select(col("vec_id"),
+        round(graft.ext.Similarity.cosine(col("embedding"),
+          typedlit(qv.toIndexedSeq)), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id").asc)
+      .limit(10).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got === brute)
+
+    // a replayed admission after the retrain is a no-op: its marker is
+    // committed even though its rows were folded into the base
+    val before = layout(streamIdx)
+    AnnIndexStreaming.admitBatch(df(b0), 0L, "embedding", streamIdx)
+    assert(layout(streamIdx) === before)
+    // and a replayed health check on the (possibly re-trained) index is
+    // self-stabilizing: at worst it rebuilds an equivalent base
+    val baseBefore = AnnIndexStreaming.currentBase(spark, streamIdx)
+    AnnIndexStreaming.maybeRetrain(spark, streamIdx, "embedding",
+      queries, k = 5, nProbe = 2, minRecall, maxImbalance,
+      retrainK = 8, iters = 3)
+    assert(layout(streamIdx) === before)
+    assert(AnnIndexStreaming.currentBase(spark, streamIdx).fold
+      === baseBefore.fold, "a pure re-train must not advance the fold point")
+  }
+
   test("dedupIndexStream: evicts against earlier streamed admissions, fully-evicted batches commit, replay no-ops") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
     import graft.streaming.AnnIndexStreaming
