@@ -250,15 +250,22 @@ object DocIndexStreaming {
   /** The streaming writer for the postings lifecycle: a document stream
     * (doc_id, text) indexed per batch. Queries run any time afterwards
     * via `Retrieval.bm25TopKFromPostings(currentPostings(...), ...)` —
-    * the persisted-index posture, corpus text never re-read. */
+    * the persisted-index posture, corpus text never re-read.
+    * `compactEvery` > 0 folds the committed roots every that-many
+    * batches ([[compactPostings]]), bounding the reader's union legs on
+    * a long-lived stream; 0 leaves compaction to an external cadence. */
   def postingsStream(docs: DataFrame, indexPath: String,
-      checkpointDir: String)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      checkpointDir: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(compactEvery >= 0, "compactEvery must be >= 0")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitPostingsBatch(batch, batchId, indexPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          compactPostings(batch.sparkSession, indexPath)
       }
+  }
 
   // ---- LM bigram-count model (the d85 lifecycle's streaming twin) ------
 
