@@ -44,6 +44,15 @@ object Graph {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
     Dedup.configureCheckpointDir(edges, checkpointDir)
+    // EAGER cuts, deliberately: fixed-iteration PageRank reads no
+    // per-round convergence metric, so lazy cuts (one job, no
+    // barriers) are semantically fine — but measured SLOWER (d46
+    // same-session A/B: eager 4.33 s vs lazy 5.68 s; d53 3.23 vs
+    // 4.31), because an eagerly-executed round runs under AQE with
+    // runtime stats (broadcast conversions on the node-sized rank
+    // table) while a lazily-chained round's physical plan freezes at
+    // construction. The per-round barrier is what buys the adaptive
+    // re-plan.
     def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
     val e = cut(edges.select(col("src"), col("dst")))
     val nodes = cut(e.select(col("src").as("node"))
@@ -154,6 +163,7 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     Dedup.configureCheckpointDir(edges, checkpointDir)
+    // eager cuts — same A/B-measured AQE argument as pageRank's
     def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
     val e = cut(edges.select(col("src"), col("dst")))
     val nodes = cut(e.select(col("src").as("node"))
