@@ -694,7 +694,130 @@ object DataQuality {
       graft.Tables(s, dir, "documents").select(col("source"), col("lang")),
       Seq("source", "lang"), eps = 0.5, seed = "dp"))
 
+  /** Release delta card — the report a corpus RELEASE pipeline ships
+    * next to d88's data card when a new snapshot goes out: per source,
+    * how many documents entered, left, or changed between release v1
+    * and release v2, and the exact token accounting of the move
+    * (tokens added with new docs, retired with removed docs, the net
+    * drift inside changed docs, and the net corpus delta). q60 diffs
+    * SNAPSHOT ROWS of a lake table; this is the corpus-level release
+    * verb — the number a training run's data statement quotes
+    * ("release 7 adds 1.2B tokens net, 0.3% of documents changed").
+    *
+    * Both inputs are (doc_id, source, text). Change detection is exact
+    * text inequality on the joined row (no hashing — the join already
+    * co-locates the pair); a doc whose source column moved counts
+    * under its NEW source (coalesce(v2, v1) — additions/changes are
+    * v2's story, removals fall back to v1's).
+    *
+    * Scale shape: ONE doc_id-keyed full-outer join (both sides shuffle
+    * on the key once) into a map-side-combinable per-source aggregate —
+    * sources-sized output; all metrics are exact BIGINTs (token counts
+    * are integers; sums of integers — no float surface at all). */
+  def releaseDelta(v1: DataFrame, v2: DataFrame): DataFrame = {
+    def side(df: DataFrame, suffix: String) = df.select(
+      col("doc_id").as("doc_id" + suffix),
+      col("source").as("source" + suffix),
+      col("text").as("text" + suffix),
+      graft.ext.TextStats.tokenCount(col("text")).cast("long")
+        .as("tok" + suffix))
+    val st = when(col("doc_id_1").isNull, "added")
+      .when(col("doc_id_2").isNull, "removed")
+      .when(col("text_1") =!= col("text_2"), "changed")
+      .otherwise("unchanged")
+    side(v1, "_1")
+      .join(side(v2, "_2"), col("doc_id_1") === col("doc_id_2"), "full_outer")
+      .select(coalesce(col("source_2"), col("source_1")).as("source"),
+        st.as("st"),
+        coalesce(col("tok_1"), lit(0L)).as("tok1"),
+        coalesce(col("tok_2"), lit(0L)).as("tok2"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("st") === "removed", 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("st") === "unchanged", 1L).otherwise(0L))
+          .as("n_unchanged"),
+        sum(when(col("st") === "added", col("tok2")).otherwise(0L))
+          .as("tok_added"),
+        sum(when(col("st") === "removed", col("tok1")).otherwise(0L))
+          .as("tok_removed"),
+        sum(when(col("st") === "changed", col("tok2") - col("tok1"))
+          .otherwise(0L)).as("tok_delta_changed"),
+        sum(when(col("st") === "added", col("tok2"))
+          .when(col("st") === "removed", -col("tok1"))
+          .when(col("st") === "changed", col("tok2") - col("tok1"))
+          .otherwise(0L)).as("net_token_delta"))
+  }
+
+  /** Release-delta gate over two deterministic synthetic releases of
+    * the documents corpus (md5 'rel:' buckets): v1 = buckets 0–89
+    * unmodified; v2 drops 0–4 (removals), revises 5–14 (a ' [rev2]'
+    * suffix — +1 token per changed doc, both tokenizers agree via the
+    * d76-pinned equivalence) and adds 90–99. The oracle replays the
+    * bucketing, both releases, the full-outer status assignment and
+    * every integer sum — a doc counted under the wrong status or a
+    * token delta off by one diverges on concrete BIGINTs. */
+  val d94ReleaseDelta: Q = Q(
+    "d94_release_delta",
+    Some("""
+      WITH b AS (
+        SELECT doc_id, source, text,
+               CAST(concat('0x', substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+        FROM documents),
+      v1 AS (
+        SELECT doc_id, source, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS tok
+        FROM b WHERE bucket < 90),
+      v2 AS (
+        SELECT doc_id, source,
+               CASE WHEN bucket >= 5 AND bucket < 15
+                    THEN text || ' [rev2]' ELSE text END AS text,
+               CASE WHEN length(trim(CASE WHEN bucket >= 5 AND bucket < 15
+                                          THEN text || ' [rev2]' ELSE text END)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(CASE WHEN bucket >= 5 AND bucket < 15
+                                                             THEN text || ' [rev2]' ELSE text END), '\s+')) END AS tok
+        FROM b WHERE bucket >= 5),
+      f AS (
+        SELECT coalesce(v2.source, v1.source) AS source,
+               CASE WHEN v1.doc_id IS NULL THEN 'added'
+                    WHEN v2.doc_id IS NULL THEN 'removed'
+                    WHEN v1.text <> v2.text THEN 'changed'
+                    ELSE 'unchanged' END AS st,
+               coalesce(v1.tok, 0) AS tok1, coalesce(v2.tok, 0) AS tok2
+        FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+      SELECT source,
+             CAST(sum(CASE WHEN st = 'added' THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+             CAST(sum(CASE WHEN st = 'removed' THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+             CAST(sum(CASE WHEN st = 'changed' THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+             CAST(sum(CASE WHEN st = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged,
+             CAST(sum(CASE WHEN st = 'added' THEN tok2 ELSE 0 END) AS BIGINT) AS tok_added,
+             CAST(sum(CASE WHEN st = 'removed' THEN tok1 ELSE 0 END) AS BIGINT) AS tok_removed,
+             CAST(sum(CASE WHEN st = 'changed' THEN tok2 - tok1 ELSE 0 END) AS BIGINT) AS tok_delta_changed,
+             CAST(sum(CASE WHEN st = 'added' THEN tok2
+                           WHEN st = 'removed' THEN -tok1
+                           WHEN st = 'changed' THEN tok2 - tok1
+                           ELSE 0 END) AS BIGINT) AS net_token_delta
+      FROM f GROUP BY 1
+    """),
+    (s, dir) => {
+      val b = graft.Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          (conv(substring(md5(concat(lit("rel:"),
+            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+            % 100).as("bucket"))
+      val v1 = b.filter(col("bucket") < 90)
+        .select(col("doc_id"), col("source"), col("text"))
+      val v2 = b.filter(col("bucket") >= 5)
+        .select(col("doc_id"), col("source"),
+          when(col("bucket") >= 5 && col("bucket") < 15,
+            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+            .as("text"))
+      releaseDelta(v1, v2)
+    })
+
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
     d55ConstraintAudit, d56MergeableProfile, d61PsiDrift, d64QuantileProfile,
-    d69KAnonymity, d87DpHistogram)
+    d69KAnonymity, d87DpHistogram, d94ReleaseDelta)
 }

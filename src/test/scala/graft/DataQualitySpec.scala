@@ -314,4 +314,41 @@ class DataQualitySpec extends SparkSpec {
     assert(noises.distinct.length === 4,
       s"each group must carry an independent draw: ${noises.toSeq}")
   }
+
+  test("releaseDelta: statuses, per-source attribution, exact token accounting, partitioning invariance") {
+    val relSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def rel(rows: (Long, String, String)*) = LocalTable.of(spark, relSchema,
+      rows.map { case (i, s, t) => Row(i, s, t) })
+    // v1: docs 1-4; v2 removes 2, changes 3 (+2 tokens) and 4 (-1 token,
+    // source moved web->books: must count under v2's source), adds 5
+    val v1 = rel(
+      (1L, "web", "alpha beta"),
+      (2L, "web", "gone now"),
+      (3L, "books", "one two three"),
+      (4L, "web", "x y z"),
+      (6L, "web", ""))
+    val v2 = rel(
+      (1L, "web", "alpha beta"),
+      (3L, "books", "one two three four five"),
+      (4L, "books", "x y"),
+      (5L, "books", "brand new doc"),
+      (6L, "web", ""))
+    val got = DataQuality.releaseDelta(v1, v2).collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8))).toMap
+    // web: removed doc 2 (2 tokens); unchanged 1 and 6 (empty doc =
+    //   unchanged, zero tokens); net = -2
+    assert(got("web") === ((0L, 1L, 0L, 2L, 0L, 2L, 0L, -2L)), got("web"))
+    // books: changed 3 (+2) and 4 (-1, attributed here via its NEW
+    //   source); added 5 (3 tokens); net = 3 + 2 - 1 = 4
+    assert(got("books") === ((1L, 0L, 2L, 0L, 3L, 0L, 1L, 4L)), got("books"))
+    // partitioning invariance: the full-outer join and sums are
+    // key-partitioned aggregates of exact integers
+    val re = DataQuality.releaseDelta(v1.repartition(7), v2.repartition(3))
+      .collect().map(r => r.getString(0) -> r.getLong(8)).toMap
+    assert(re === got.map { case (k, v) => k -> v._8 })
+  }
 }
