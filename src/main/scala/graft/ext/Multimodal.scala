@@ -529,6 +529,121 @@ object Multimodal {
       mediaTable(Tables(s, dir, "documents")).filter(col("kind") === "video"),
       frameBytes = 64, stride = 3))
 
+  /** Frame-embedding retrieval bridge — the full multimodal retrieval
+    * pipeline shape: sample frames ([[frameSample]]) → embed each frame
+    * → nearest-neighbor search over the frame embeddings. The EMBED
+    * step is the deterministic stub this environment mandates (no
+    * vision model in the container): 8 md5-derived uniforms per frame,
+    * one per dimension — the Spark-side plumbing around it (per-frame
+    * fan-out, vector column shape, the retrieval join) is the real,
+    * tested surface, and swapping the stub for a Pandas-UDF model call
+    * changes ONE projection.
+    *
+    * Cross-engine float discipline: dimensions are 32-bit md5 slices
+    * divided by the same double constant (exact IEEE); the cosine is
+    * written as a FIXED-ORDER 8-term sum on both engines (no
+    * list_cosine_similarity / aggregate fold whose summation order is
+    * the engine's business), so scores are bit-identical before the
+    * round@6.
+    *
+    * Scale shape: embedding is a pure exchange-free projection on the
+    * frame generator; the query vector is a one-row broadcast; scoring
+    * is a projection and the top-k a TakeOrdered — no shuffle anywhere
+    * but the final k-row collect. At corpus scale the brute-force
+    * stage swaps for the s05/s22 IVF index over the same vectors (the
+    * bridge is the point: frames land in the exact (id, embedding)
+    * shape the ANN family consumes). */
+  def frameEmbeddings(frames: DataFrame, dims: Int = 8): DataFrame = {
+    require(dims >= 1, "dims must be >= 1")
+    val vec = array((0 until dims).map(d =>
+      conv(substring(md5(concat(col("frame_hex"), lit(s":$d"))), 1, 8),
+        16, 10).cast("long").cast("double") / 4294967295.0): _*)
+    frames.select(col("doc_id"), col("frame_idx"), vec.as("frame_emb"))
+  }
+
+  /** Top-k frames by cosine against the query frame's embedding; the
+    * query is the first frame (frame_idx 0) of the smallest doc_id —
+    * selected relationally (one-row broadcast, no driver collect). */
+  def frameCosineTopK(embedded: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val dims = 8
+    def term(a: String, b: String, d: Int) =
+      element_at(col(a), d + 1) * element_at(col(b), d + 1)
+    def fixedSum(f: Int => org.apache.spark.sql.Column) =
+      (0 until dims).map(f).reduce(_ + _)
+    val q = embedded.filter(col("frame_idx") === 0L)
+      .orderBy(col("doc_id")).limit(1)
+      .select(col("doc_id").as("q_doc"), col("frame_emb").as("q_emb"))
+    embedded.crossJoin(broadcast(q))
+      .filter(!(col("doc_id") === col("q_doc") && col("frame_idx") === 0L))
+      .select(col("doc_id"), col("frame_idx"),
+        round(fixedSum(d => term("frame_emb", "q_emb", d)) /
+          (sqrt(fixedSum(d => term("frame_emb", "frame_emb", d))) *
+           sqrt(fixedSum(d => term("q_emb", "q_emb", d)))), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_id").asc, col("frame_idx").asc)
+      .limit(k)
+  }
+
+  /** m06 — frame retrieval gate: 64-byte/stride-3 frames of the video
+    * slice, 8-dim stub embeddings, top-10 by cosine against the first
+    * frame of the smallest video doc. The oracle replays the framing,
+    * every md5-uniform dimension, the fixed-order cosine and the cut. */
+  val m06FrameRetrieval: Q = Q(
+    "m06_frame_retrieval",
+    Some("""
+      WITH v AS (
+        SELECT doc_id, encode(text) AS media
+        FROM documents WHERE doc_id % 3 = 2),
+      f AS (
+        SELECT doc_id, hex(media) AS media_hex,
+               CAST(floor((octet_length(media) + 63) / 64.0) AS BIGINT) AS n_frames
+        FROM v),
+      ex AS (
+        SELECT doc_id, media_hex, n_frames,
+               unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+        FROM f WHERE n_frames > 0),
+      fr AS (
+        SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+               substr(media_hex, CAST(frame_idx * 128 + 1 AS INT), 128) AS frame_hex
+        FROM ex),
+      fe AS (
+        SELECT doc_id, frame_idx,
+               [CAST(CAST(concat('0x', substr(md5(frame_hex || ':0'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':1'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':2'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':3'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':4'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':5'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':6'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0,
+                CAST(CAST(concat('0x', substr(md5(frame_hex || ':7'), 1, 8)) AS BIGINT) AS DOUBLE) / 4294967295.0] AS emb
+        FROM fr),
+      q AS (
+        SELECT doc_id AS q_doc, emb AS q_emb
+        FROM fe WHERE frame_idx = 0 ORDER BY doc_id LIMIT 1)
+      SELECT fe.doc_id, fe.frame_idx,
+             round((fe.emb[1]*q.q_emb[1] + fe.emb[2]*q.q_emb[2] +
+                    fe.emb[3]*q.q_emb[3] + fe.emb[4]*q.q_emb[4] +
+                    fe.emb[5]*q.q_emb[5] + fe.emb[6]*q.q_emb[6] +
+                    fe.emb[7]*q.q_emb[7] + fe.emb[8]*q.q_emb[8]) /
+                   (sqrt(fe.emb[1]*fe.emb[1] + fe.emb[2]*fe.emb[2] +
+                         fe.emb[3]*fe.emb[3] + fe.emb[4]*fe.emb[4] +
+                         fe.emb[5]*fe.emb[5] + fe.emb[6]*fe.emb[6] +
+                         fe.emb[7]*fe.emb[7] + fe.emb[8]*fe.emb[8]) *
+                    sqrt(q.q_emb[1]*q.q_emb[1] + q.q_emb[2]*q.q_emb[2] +
+                         q.q_emb[3]*q.q_emb[3] + q.q_emb[4]*q.q_emb[4] +
+                         q.q_emb[5]*q.q_emb[5] + q.q_emb[6]*q.q_emb[6] +
+                         q.q_emb[7]*q.q_emb[7] + q.q_emb[8]*q.q_emb[8])), 6) AS cos_sim
+      FROM fe, q
+      WHERE NOT (fe.doc_id = q.q_doc AND fe.frame_idx = 0)
+      ORDER BY cos_sim DESC, fe.doc_id ASC, fe.frame_idx ASC
+      LIMIT 10
+    """),
+    (s, dir) => frameCosineTopK(
+      frameEmbeddings(frameSample(
+        mediaTable(Tables(s, dir, "documents")).filter(col("kind") === "video"),
+        frameBytes = 64, stride = 3)),
+      k = 10))
+
   val all: Seq[Q] = Seq(m01MediaFeatures, m02DecodePipeline, m03MediaDedup,
-    m04MediaDedupIncremental, m05FrameSample)
+    m04MediaDedupIncremental, m05FrameSample, m06FrameRetrieval)
 }

@@ -329,4 +329,35 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.frameSample(docs, frameBytes = 0, stride = 1)
     }
   }
+
+  test("frameEmbeddings/frameCosineTopK: deterministic stub vectors, self-similarity tops, query frame excluded") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_idx", LongType),
+      StructField("frame_hex", StringType)))
+    // doc 5's frame 1 is BYTE-IDENTICAL to the query frame (doc 1,
+    // frame 0) — the stub embeds content, so it must score cos = 1.0
+    // and rank first
+    val frames = LocalTable.of(spark, schema, Seq(
+      Row(1L, 0L, "AABB"), Row(1L, 1L, "CCDD"),
+      Row(5L, 0L, "EEFF"), Row(5L, 1L, "AABB")))
+    val emb = Multimodal.frameEmbeddings(frames)
+    val vecs = emb.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+    assert(vecs.values.forall(v => v.length === 8 &&
+      v.forall(x => x >= 0.0 && x <= 1.0)))
+    // content-determined: identical hex -> identical vector
+    assert(vecs((1L, 0L)) === vecs((5L, 1L)))
+    assert(vecs((1L, 0L)) !== vecs((1L, 1L)))
+    // repartitioning changes nothing (pure projection)
+    assert(Multimodal.frameEmbeddings(frames.repartition(5)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Double](2)).toMap
+      === vecs)
+    val top = Multimodal.frameCosineTopK(emb, k = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // query frame (1,0) excluded; its byte-identical twin tops at 1.0
+    assert(!top.exists(t => t._1 == 1L && t._2 == 0L))
+    assert(top.head._1 === 5L && top.head._2 === 1L && top.head._3 === 1.0)
+    assert(top.length === 3)
+  }
 }
