@@ -2,18 +2,50 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main — emits ONE JSON line with per-query and total seconds
-  * over `SPARK_GRAFT_SF_DIR`.
+/** Benchmark main — emits a compact JSON result line with per-query and
+  * total seconds over `SPARK_GRAFT_SF_DIR`, plus the full per-query map in
+  * `BENCH_LOCAL.json`.
   *
   * Methodology:
   *   - queries run in sorted name order (deterministic attribution);
   *   - one full warmup pass first (JIT + codegen + file-index caches —
   *     steady-state throughput is what the baseline comparison wants, and
-  *     what a resident 1000-executor cluster would see);
+  *     what a resident 1000-executor cluster would see). The warmup's
+  *     times are KEPT as a sample: the per-query statistic is a MIN, so an
+  *     inflated first-run time can only be ignored, never mislead — one
+  *     warmup + 2 measured passes yields the same 3-sample noise floor as
+  *     the old warmup + 3 at 3/4 the cost;
   *   - results are fully materialized through the `noop` sink, so column
   *     computation cannot be pruned away the way a bare count() allows.
+  *
+  * Driver-timeout resilience (round 11's BENCH artifact was rc=124 — the
+  * driver killed the run mid-pass and the round shipped NO perf numbers):
+  *   - passes are TIME-BUDGETED: after the mandatory warmup + first
+  *     measured pass, another pass starts only if the budget
+  *     (`SPARK_GRAFT_BUDGET_SEC`, default 700 s of engine time) has room
+  *     for it at the last pass's duration; outlier re-runs are gated the
+  *     same way;
+  *   - the canonical compact result line is emitted after EVERY completed
+  *     pass (stdout + `BENCH_LOCAL.json`), tagged with `passes_done`, so
+  *     even a timeout-killed run leaves a parseable artifact on disk and
+  *     in the tail;
+  *   - a per-query `[bench] <name> t=…` heartbeat goes to stderr, so a
+  *     killed run's captured tail localizes exactly where it died.
   */
 object Bench {
+
+  /** The two bounded-by-construction global windows (keySkewProfile's
+    * topK ranking, classifierEval's distinct-score prefix sum) draw a
+    * `WindowExec: No Partition Defined` WARN per execution; at 213
+    * queries × multiple passes the flood buried round 11's result line.
+    * They are provably small (≤ topK rows / ≤ 10,001 distinct s4 keys —
+    * see their docstrings), so the warning is noise here: drop that one
+    * logger to ERROR for the bench/verify sessions. */
+  private[graft] def quietBoundedWindowWarnings(): Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window", org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () } // logging config is best-effort
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -34,14 +66,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietBoundedWindowWarnings()
+
+    val benchStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
+    // engine-time budget: the driver's outer timeout killed round 11 at
+    // ~3 passes × 213 queries; 700 s of measured engine time + warmup
+    // lands the whole sbt invocation comfortably inside round 10's
+    // completed envelope even under the documented ~1.17× co-tenant
+    // inflation
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC").map { v =>
+      val b = try v.toDouble catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"SPARK_GRAFT_BUDGET_SEC must be a number, got '$v'")
+      }
+      require(b > 0, s"SPARK_GRAFT_BUDGET_SEC must be > 0, got $b")
+      b
+    }.getOrElse(700.0)
 
     // optional comma-separated subset for targeted timing during iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def exec(name: String): Double = {
+    def exec(name: String, tag: String): Double = {
       val t0 = System.nanoTime()
-      try {
+      val t = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
@@ -50,38 +99,95 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           -1.0
       }
+      // heartbeat: a timeout-killed run's captured tail names the query
+      // and pass it died in
+      System.err.println(f"[bench] $name%s t=${t}%.3f $tag%s elapsed=${elapsed}%.0f")
+      t
     }
 
-    names.foreach(exec) // warmup pass
-    // min of 3 measured passes per query: the box shows multi-second
-    // background-load stalls that can span a whole pass (r02 measured 2×
-    // the steady-state total), and the minimum is the standard noise-floor
-    // statistic — it estimates the query's true cost, not the machine's
-    // worst moment
-    val passCount = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
+    // 3-decimal seconds; the per-query map is ordered cheapest→costliest
+    // with failures (-1) last, so a tail-truncated capture still shows
+    // the expensive queries and any failures.
+    def s3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def qsJson(rs: Seq[(String, Double)]): String = rs
+      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
+      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
+      .mkString("{", ",", "}")
+    def bestOf(passes: Seq[Map[String, Double]]): Seq[(String, Double)] =
+      names.map { n =>
+        val ts = passes.flatMap(_.get(n)).filter(_ >= 0)
+        n -> (if (ts.isEmpty) -1.0 else ts.min)
+      }
+    def emit(results: Seq[(String, Double)], passesDone: Int,
+        partial: Boolean): String = {
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
+      def lineOf(qs: String, extra: String): String =
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+      val failures = results.filter(_._2 < 0)
+      val costliest = results.filter(_._2 >= 0).sortBy(-_._2).take(60)
+      val compact = lineOf(qsJson(costliest ++ failures),
+        s""""queries_shown":${costliest.size + failures.size},"queries_total":${results.size},"full_map":"BENCH_LOCAL.json",""")
+      // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
+      // A/B must never clobber BENCH_LOCAL.json's full per-query map.
+      // Written after EVERY pass so a killed run leaves the latest
+      // complete-pass map on disk (passes_done/partial say how far it got).
+      if (only.isEmpty)
+        try java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          lineOf(qsJson(results), "") + "\n")
+        catch { case _: Exception => () } // best-effort: stdout is the contract
+      System.out.println(compact)
+      System.out.flush()
+      compact
+    }
+
+    // warmup pass — times kept as a min-eligible sample (see header)
+    var passes = Vector(names.map(n => n -> exec(n, "pass=warmup")).toMap)
+    emit(bestOf(passes), passes.size, partial = true)
+    // measured passes: the first always runs; each further pass starts
+    // only if the budget has room for it at the last pass's duration.
+    // min-of-samples is the standard noise-floor statistic on this box —
+    // multi-second background-load stalls can span a whole pass (r02
+    // measured 2× the steady-state total).
+    val measuredPasses = sys.env.get("SPARK_GRAFT_PASSES").map { v =>
       val n = try v.toInt catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
           s"SPARK_GRAFT_PASSES must be an integer >= 1, got '$v'")
       }
       require(n >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $n")
       n
-    }.getOrElse(3)
-    val passes = Seq.fill(passCount)(names.map(n => n -> exec(n)).toMap)
+    }.getOrElse(2)
+    var p = 0
+    var lastPassSec = elapsed
+    while (p < measuredPasses &&
+        (p == 0 || elapsed + lastPassSec <= budgetSec)) {
+      val t0 = elapsed
+      passes = passes :+ names.map(n => n -> exec(n, s"pass=${p + 1}")).toMap
+      lastPassSec = elapsed - t0
+      p += 1
+      emit(bestOf(passes), passes.size, partial = p < measuredPasses)
+    }
+    if (p < measuredPasses)
+      System.err.println(f"[bench] budget ${budgetSec}%.0f s reached after " +
+        f"$p/$measuredPasses measured passes (elapsed=${elapsed}%.0f)")
+
     // a load stall can span ALL of a query's passes (r05 published 2-3×
-    // phantom regressions on unchanged queries): queries whose passes
-    // still disagree by >30% get up to 3 targeted re-runs, keeping the
-    // overall min — isolated re-measurement inside the same session,
-    // cheap because it only triggers for flagged outliers
+    // phantom regressions on unchanged queries): queries whose samples
+    // still disagree by >30% get up to 3 targeted re-runs (budget
+    // permitting), keeping the overall min — isolated re-measurement
+    // inside the same session, cheap because it only triggers for
+    // flagged outliers
     val results = names.map { n =>
-      val ts = passes.map(_(n)).filter(_ >= 0)
+      val ts = passes.flatMap(_.get(n)).filter(_ >= 0)
       if (ts.isEmpty) n -> -1.0
       else {
         var best = ts.min
         if (best > 0.3 && ts.max > best * 1.3) {
           var extra = 0
           var stable = false
-          while (extra < 3 && !stable) {
-            val t = exec(n)
+          while (extra < 3 && !stable && elapsed + best * 1.5 <= budgetSec) {
+            val t = exec(n, "pass=rerun")
             if (t >= 0) {
               if (t < best) best = t
               stable = t <= best * 1.1 // a run at the floor confirms it
@@ -93,39 +199,11 @@ object Bench {
       }
     }
 
-    // 3-decimal seconds; the per-query map is ordered cheapest→costliest
-    // with failures (-1) last, so a tail-truncated capture still shows
-    // the expensive queries and any failures.
-    def s3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    def qsJson(rs: Seq[(String, Double)]): String = rs
-      .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
-      .map { case (k, v) => "\"" + k + "\":" + s3(v) }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
-    def lineOf(qs: String, extra: String): String =
-      s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
-    val fullLine = lineOf(qsJson(results), "")
+    val finalLine = emit(results, passes.size, partial = false)
     spark.stop()
-    // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
-    // A/B must never clobber BENCH_LOCAL.json's full per-query map.
-    if (only.isEmpty)
-      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LOCAL.json"), fullLine + "\n")
-      catch { case _: Exception => () } // best-effort: stdout is the contract
-    System.out.println(fullLine)
-    // The driver captures a ~4 KB stdout TAIL and parses the bench JSON
-    // out of it; the full 200+-query line is ~6 KB, so r10's artifact
-    // arrived mid-line-truncated and unparseable (BENCH_r10 "parsed":
-    // null). Emit a COMPACT canonical line LAST — the same totals and
-    // load, the costliest queries plus every failure (what a grader
-    // needs), explicitly marked as a subset with a pointer to the full
-    // map in BENCH_LOCAL.json. Sized to fit the tail window even with
-    // sbt's trailing "[success]" line after it.
-    val failures = results.filter(_._2 < 0)
-    val costliest = results.filter(_._2 >= 0).sortBy(-_._2).take(60)
-    val compact = lineOf(qsJson(costliest ++ failures),
-      s""""queries_shown":${costliest.size + failures.size},"queries_total":${results.size},"full_map":"BENCH_LOCAL.json",""")
-    System.out.println(compact)
+    // re-print after spark.stop() so the session's shutdown chatter can
+    // never be the tail's last lines
+    System.out.println(finalLine)
     System.out.flush()
   }
 }

@@ -45,6 +45,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Bench.quietBoundedWindowWarnings()
     new java.io.File(outDir).mkdirs()
     // Dev-loop subset filter (same contract as Bench); the driver never
     // sets it, so the gate always dumps the full catalog.

@@ -334,10 +334,35 @@ object Dedup {
     if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
 
   /** One-time per-operator-call checkpoint-dir setup — see
-    * [[cutLineage]]. Shared with the [[Graph]] iterative family. */
+    * [[cutLineage]]. Shared with the [[Graph]] iterative family.
+    *
+    * The checkpoint directory is SparkContext-GLOBAL state: two
+    * concurrent checkpointed operators configured with different dirs
+    * would silently redirect each other's reliable checkpoints to
+    * whichever set last. `setCheckpointDir` also mints a fresh UUID
+    * subdirectory per call, so "already pointing here" means the current
+    * dir's PARENT is the requested root. Only set on actual change, and
+    * leave an audit line when overriding a different live setting. */
   private[ext] def configureCheckpointDir(df: DataFrame,
       checkpointDir: Option[String]): Unit =
-    checkpointDir.foreach(df.sparkSession.sparkContext.setCheckpointDir)
+    checkpointDir.foreach { dir =>
+      val sc = df.sparkSession.sparkContext
+      val requested = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+          .stripSuffix("/")
+      }
+      val currentParent = sc.getCheckpointDir.map(c =>
+        new org.apache.hadoop.fs.Path(c).getParent.toString.stripSuffix("/"))
+      if (!currentParent.contains(requested)) {
+        currentParent.foreach(prev => System.err.println(
+          s"[graft] checkpoint dir override: $prev -> $requested " +
+            "(SparkContext-global — any concurrent checkpointed operator " +
+            "on this session now writes here)"))
+        sc.setCheckpointDir(dir)
+      }
+    }
 
   /** Candidate-pair generation HALF of [[minhashNearDupPairs]] — lazy
     * (no lineage cut), public so plan audits and callers with their own

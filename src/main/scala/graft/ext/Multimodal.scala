@@ -563,18 +563,27 @@ object Multimodal {
 
   /** Top-k frames by cosine against the query frame's embedding; the
     * query is the first frame (frame_idx 0) of the smallest doc_id —
-    * selected relationally (one-row broadcast, no driver collect). */
-  def frameCosineTopK(embedded: DataFrame, k: Int): DataFrame = {
+    * selected relationally (one-row broadcast, no driver collect).
+    * `dims` must match the embedding width ([[frameEmbeddings]]'s dims):
+    * the fixed-order cosine unrolls exactly that many terms, so a
+    * mismatch would silently score a prefix (or, under ANSI, error past
+    * the array end) — guarded per row. */
+  def frameCosineTopK(embedded: DataFrame, k: Int, dims: Int = 8): DataFrame = {
     require(k >= 1, "k must be positive")
-    val dims = 8
+    require(dims >= 1, "dims must be >= 1")
     def term(a: String, b: String, d: Int) =
       element_at(col(a), d + 1) * element_at(col(b), d + 1)
     def fixedSum(f: Int => org.apache.spark.sql.Column) =
       (0 until dims).map(f).reduce(_ + _)
-    val q = embedded.filter(col("frame_idx") === 0L)
+    val guarded = embedded.withColumn("frame_emb",
+      when(size(col("frame_emb")) === dims, col("frame_emb"))
+        .otherwise(raise_error(concat(
+          lit(s"frameCosineTopK: expected $dims-dim frame_emb, got size "),
+          size(col("frame_emb")).cast("string")))))
+    val q = guarded.filter(col("frame_idx") === 0L)
       .orderBy(col("doc_id")).limit(1)
       .select(col("doc_id").as("q_doc"), col("frame_emb").as("q_emb"))
-    embedded.crossJoin(broadcast(q))
+    guarded.crossJoin(broadcast(q))
       .filter(!(col("doc_id") === col("q_doc") && col("frame_idx") === 0L))
       .select(col("doc_id"), col("frame_idx"),
         round(fixedSum(d => term("frame_emb", "q_emb", d)) /

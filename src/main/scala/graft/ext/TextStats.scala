@@ -1834,8 +1834,21 @@ object TextStats {
     * BIGINT twin. */
   def classifierEval(scored: DataFrame, thresholds: Seq[Double]): DataFrame = {
     require(thresholds.nonEmpty, "need at least one threshold")
+    // Score-domain guard: the boundedness argument above (distinct s4 ≤
+    // 10,001 rows ⇒ the single-partition prefix-sum window is safe at any
+    // corpus size) only holds for scores in [0,1]. An unclamped caller
+    // would silently make the window data-sized, so out-of-range (or
+    // NULL) scores are a per-row ERROR, not a quiet merge. The 4-decimal
+    // quantization itself is the documented API contract: scores carrying
+    // more precision rank and threshold at s4 resolution.
+    val s4Guarded = when(
+      col("score").isNotNull && col("score") >= 0 && col("score") <= 1,
+      round(col("score") * 1e4).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("classifierEval: score must be in [0,1], got "),
+        coalesce(col("score").cast("string"), lit("NULL")))))
     val si = scored.select(
-      round(col("score") * 1e4).cast("long").as("s4"),
+      s4Guarded.as("s4"),
       col("label").cast("long").as("label"))
     val perScore = si.groupBy(col("s4"))
       .agg(count(lit(1)).as("cnt"), sum(col("label")).as("pos"))

@@ -240,6 +240,12 @@ object AnnIndexStreaming {
     require(minRecall >= 0 && minRecall <= 1, "minRecall must be in [0,1]")
     require(maxImbalance >= 1, "maxImbalance must be >= 1")
     val h = indexHealth(s, indexPath, queries, k, nProbe).head()
+    // empty `queries` ⇒ n_queries=0 and a NULL mean_recall, which
+    // getAs[Double] would unbox to 0.0 — an unconditional retrain on
+    // every check instead of a decision. Fail fast with the real cause.
+    require(h.getAs[Long]("n_queries") > 0L,
+      "maybeRetrain: `queries` is empty — mean recall is undefined; " +
+        "supply a non-empty held-out query set")
     val breach = h.getAs[Double]("mean_recall") < minRecall ||
       h.getAs[Double]("imbalance") > maxImbalance
     if (breach) compact(s, indexPath, vecCol, retrainK, iters)

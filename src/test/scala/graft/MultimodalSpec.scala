@@ -360,4 +360,27 @@ class MultimodalSpec extends SparkSpec {
     assert(top.head._1 === 5L && top.head._2 === 1L && top.head._3 === 1.0)
     assert(top.length === 3)
   }
+
+  test("frameCosineTopK: dims parameter follows the embedding width; a mismatch errors instead of silently scoring a prefix") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("frame_idx", LongType),
+      StructField("frame_hex", StringType)))
+    val frames = LocalTable.of(spark, schema, Seq(
+      Row(1L, 0L, "AABB"), Row(1L, 1L, "CCDD"), Row(5L, 0L, "AABB")))
+    val emb4 = Multimodal.frameEmbeddings(frames, dims = 4)
+    val top = Multimodal.frameCosineTopK(emb4, k = 5, dims = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // 4-dim works end-to-end: the byte-identical twin tops at cos 1.0
+    assert(top.head === ((5L, 0L, 1.0)))
+    assert(top.length === 2)
+    // dims ≠ embedding width (including the default 8) is a per-row
+    // error, never a first-dims prefix score
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + chain(t.getCause)
+    val e = intercept[Throwable] {
+      Multimodal.frameCosineTopK(emb4, k = 5).collect()
+    }
+    assert(chain(e).contains("expected 8-dim frame_emb"), chain(e).take(500))
+  }
 }

@@ -1069,4 +1069,37 @@ class TextStatsSpec extends SparkSpec {
       !r.isNullAt(r.fieldIndex("thr_star")) &&
         r.getAs[Double]("thr_star") === 0.5))
   }
+
+  test("classifierEval: hand-computed tie-aware AUC + sweep; the [0,1] score-domain guard errors on out-of-range and NULL scores") {
+    val schema = StructType(Seq(
+      StructField("label", DoubleType), StructField("score", DoubleType)))
+    // tie at 0.6 across classes — exercises the average-rank arithmetic
+    val scored = LocalTable.of(spark, schema, Seq(
+      Row(1.0, 0.8), Row(1.0, 0.6), Row(0.0, 0.6), Row(0.0, 0.4)))
+    val out = TextStats.classifierEval(scored, thresholds = Seq(0.5)).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    // ranks: .4→1, .6→(2+3)/2=2.5 each, .8→4; U = (2.5+4) − 2·3/2 = 3.5;
+    // auc = U/(np·nn) = 3.5/4 = 0.875
+    assert(r.getAs[Double]("auc") === 0.875)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("tn")) === ((2L, 1L, 0L, 1L)))
+    assert(r.getAs[Double]("precision_m") === 0.666667) // floor@6 of 2/3
+    assert(r.getAs[Double]("recall_m") === 1.0)
+    // the boundedness contract (distinct s4 ≤ 10,001 ⇒ safe global
+    // window) requires scores in [0,1]: out-of-range and NULL scores
+    // are per-row errors, not silent clamps/merges
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.toString + "|" + chain(t.getCause)
+    val over = LocalTable.of(spark, schema, Seq(Row(1.0, 1.5), Row(0.0, 0.2)))
+    val e1 = intercept[Throwable] {
+      TextStats.classifierEval(over, Seq(0.5)).collect()
+    }
+    assert(chain(e1).contains("must be in [0,1]"), chain(e1).take(500))
+    val nul = LocalTable.of(spark, schema, Seq(Row(1.0, null), Row(0.0, 0.2)))
+    val e2 = intercept[Throwable] {
+      TextStats.classifierEval(nul, Seq(0.5)).collect()
+    }
+    assert(chain(e2).contains("must be in [0,1]"), chain(e2).take(500))
+  }
 }
