@@ -182,14 +182,25 @@ object DocIndexStreaming {
     * every query's plan even though each leg is tiny — so production
     * runs a periodic compaction and the reader's recent-batch union
     * stays bounded by the compaction interval. */
-  def currentPostings(s: SparkSession, indexPath: String): DataFrame = {
-    val (cMax, batchIds) = postingsRoots(s, indexPath)
-    val roots = cMax.map(c => s"$indexPath/c$c").toSeq ++
+  def currentPostings(s: SparkSession, indexPath: String): DataFrame =
+    readPostingsRoots(s, rootPaths(indexPath, postingsRoots(s, indexPath)))
+
+  /** Reader-view roots for ONE directory listing: the latest committed
+    * compacted root (if any) plus every committed batch root newer than
+    * it. Factored so [[compactPostings]] folds EXACTLY the roots of a
+    * single listing — see its docstring for why re-listing would race. */
+  private def rootPaths(indexPath: String,
+      listing: (Option[Long], Seq[Long])): Seq[String] = {
+    val (cMax, batchIds) = listing
+    cMax.map(c => s"$indexPath/c$c").toSeq ++
       batchIds.filter(id => cMax.forall(id > _)).map(id => s"$indexPath/b$id")
+  }
+
+  private def readPostingsRoots(s: SparkSession,
+      roots: Seq[String]): DataFrame =
     if (roots.isEmpty) graft.LocalTable.of(s, postingsSchema, Seq.empty[Row])
     else roots.map(r => s.read.schema(postingsSchema).parquet(r))
       .reduce(_ unionByName _)
-  }
 
   /** (latest committed compaction id, ascending committed batch ids). */
   private def postingsRoots(s: SparkSession,
@@ -220,13 +231,41 @@ object DocIndexStreaming {
     * max committed compaction ONCE. Old roots are retained for
     * time-travel/GC, invisible to readers. */
   def compactPostings(s: SparkSession, indexPath: String): Unit = {
-    val (cMax, batchIds) = postingsRoots(s, indexPath)
+    val listing = postingsRoots(s, indexPath)
+    val batchIds = listing._2
     if (batchIds.isEmpty) return
     val hi = batchIds.max
-    if (cMax.exists(_ >= hi)) return // every committed batch already folded
-    currentPostings(s, indexPath)
+    if (listing._1.exists(_ >= hi)) return // every committed batch already folded
+    // Fold EXACTLY the roots of this ONE listing. Re-listing (e.g. via
+    // currentPostings) between resolving `hi` and reading the fold input
+    // would race an external-cadence compactor's concurrent batch commit:
+    // a b<hi+1> landing between the two listings would be folded into
+    // c<hi> yet still unioned by readers (id > hi), duplicating its
+    // postings and inflating tf/df/BM25.
+    readPostingsRoots(s, rootPaths(indexPath, listing))
       .write.mode("overwrite").parquet(s"$indexPath/c$hi")
     fs(s, indexPath).create(new Path(indexPath, s"_COMMIT_c$hi"), true).close()
+  }
+
+  /** State-keyed compaction trigger — the [[AnnIndexStreaming]]
+    * `maybeRetrain` posture applied to the postings log: fold only when
+    * the READER's union has grown past `maxUnionLegs` roots (latest
+    * compacted root + trailing committed batches), and no-op otherwise.
+    * Keying on observed layout rather than batch cadence means a bursty
+    * stream compacts exactly as often as its read-plan degradation
+    * demands — an every-N-batches cadence either folds too eagerly
+    * (rewrite cost) or lets a fast stream's plan grow N legs between
+    * folds regardless of their size. Self-stabilizing under replays for
+    * the same reason maybeRetrain is: the decision re-derives from the
+    * committed layout, and a redundant fold is a byte-equivalent
+    * re-layout. Returns whether a fold ran. */
+  def maybeCompactPostings(s: SparkSession, indexPath: String,
+      maxUnionLegs: Int): Boolean = {
+    require(maxUnionLegs >= 1, "maxUnionLegs must be >= 1")
+    val legs = rootPaths(indexPath, postingsRoots(s, indexPath)).size
+    val fold = legs > maxUnionLegs
+    if (fold) compactPostings(s, indexPath)
+    fold
   }
 
   /** One postings admission: tokenize+aggregate the batch and write its
@@ -253,17 +292,27 @@ object DocIndexStreaming {
     * the persisted-index posture, corpus text never re-read.
     * `compactEvery` > 0 folds the committed roots every that-many
     * batches ([[compactPostings]]), bounding the reader's union legs on
-    * a long-lived stream; 0 leaves compaction to an external cadence. */
+    * a long-lived stream; `maxUnionLegs` > 0 instead folds whenever the
+    * reader's union exceeds that many roots ([[maybeCompactPostings]] —
+    * the state-keyed trigger); both 0 leaves compaction to an external
+    * cadence. */
   def postingsStream(docs: DataFrame, indexPath: String,
-      checkpointDir: String, compactEvery: Int = 0)
+      checkpointDir: String, compactEvery: Int = 0, maxUnionLegs: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
     require(compactEvery >= 0, "compactEvery must be >= 0")
+    require(maxUnionLegs >= 0, "maxUnionLegs must be >= 0")
+    require(compactEvery == 0 || maxUnionLegs == 0,
+      "pick ONE compaction trigger: batch cadence or union-leg count")
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitPostingsBatch(batch, batchId, indexPath)
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
           compactPostings(batch.sparkSession, indexPath)
+        else if (maxUnionLegs > 0) {
+          maybeCompactPostings(batch.sparkSession, indexPath, maxUnionLegs)
+          ()
+        }
       }
   }
 

@@ -1270,4 +1270,134 @@ class StreamingSpec extends SparkSpec {
     assert(MediaStreaming.currentHashIndex(spark, indexPath)
       .collect().map(_.getString(0)).toSet === rebuilt)
   }
+
+  test("maybeRetrain: an empty held-out query set fails fast — NULL recall must not read as a breach and force a retrain") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 20).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat), i % 2))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-annempty-").toString + "/index"
+    AnnIndexStreaming.init(df(rows), "embedding", k = 2, iters = 2, idx)
+    val before = AnnIndexStreaming.currentBase(spark, idx)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndexStreaming.maybeRetrain(spark, idx, "embedding", df(Seq.empty),
+        k = 2, nProbe = 1, minRecall = 0.5, maxImbalance = 100.0,
+        retrainK = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("empty"))
+    // and the failed check must not have retrained as a side effect
+    assert(AnnIndexStreaming.currentBase(spark, idx) === before)
+  }
+
+  test("maybeCompactPostings: state-keyed trigger bounds the reader's union legs; postings stay equal to a from-scratch build") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Retrieval
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("graft-postlegs-").toString
+    val indexPath = s"$base/postings"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val batches: Seq[Seq[(Long, String)]] = (0 until 5).map(i =>
+      Seq((i * 10L, s"shuffle plan term$i"), (i * 10L + 1, s"scan term$i")))
+    def legs(): Int = {
+      val files = DocIndexStreaming.currentPostings(spark, indexPath).inputFiles
+      files.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    }
+    val in = MemoryStream[(Long, String)]
+    val q = DocIndexStreaming.postingsStream(
+        in.toDF().toDF("doc_id", "text"), indexPath, s"$base/ckpt",
+        maxUnionLegs = 2)
+      .start()
+    batches.foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+      assert(legs() <= 2, s"reader union must stay ≤ 2 roots, got ${legs()}")
+    }
+    q.stop()
+    val allDocs = LocalTable.of(spark, schema,
+      batches.flatten.map { case (id, t) => Row(id, t) })
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"))).toSet
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+      === rows(Retrieval.postings(allDocs)))
+    // under the leg cap a fresh listing needs no fold: the trigger no-ops
+    assert(!DocIndexStreaming.maybeCompactPostings(spark, indexPath,
+      maxUnionLegs = 2))
+    // a tighter cap folds immediately and reports it
+    DocIndexStreaming.admitPostingsBatch(
+      LocalTable.of(spark, schema, Seq(Row(100L, "late append"))),
+      batchId = 5L, indexPath)
+    assert(DocIndexStreaming.maybeCompactPostings(spark, indexPath,
+      maxUnionLegs = 1))
+    assert(legs() === 1)
+  }
+
+  test("releaseDeltaStream: streamed per-source delta card equals the batch operator; replay no-ops; v1-only sources surface as removals") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.ReleaseDeltaStreaming
+    import graft.ext.DataQuality
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, Option[String], String)]
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def df(rs: Seq[(Long, Option[String], String)]) = LocalTable.of(spark,
+      schema, rs.map { case (id, src, t) => Row(id, src.orNull, t) })
+    // v1: web(1,2,3), apis(4,5), books(6), null-source(7)
+    val v1rows: Seq[(Long, Option[String], String)] = Seq(
+      (1L, Some("web"), "alpha beta gamma"), (2L, Some("web"), "delta"),
+      (3L, Some("web"), "epsilon zeta"), (4L, Some("apis"), "eta theta"),
+      (5L, Some("apis"), "iota"), (6L, Some("books"), "kappa lambda mu"),
+      (7L, None, "nu xi"))
+    // v2: 1 unchanged; 2 changed (+2 tokens); 3 removed; 4 moved
+    // apis→web AND changed; 5 unchanged; books entirely removed;
+    // null-source doc changed; additions to web and a brand-new source
+    val v2rows: Seq[(Long, Option[String], String)] = Seq(
+      (1L, Some("web"), "alpha beta gamma"),
+      (2L, Some("web"), "delta prime second"),
+      (4L, Some("web"), "eta theta revised"),
+      (5L, Some("apis"), "iota"),
+      (7L, None, "nu xi omicron"),
+      (8L, Some("web"), "pi rho"),
+      (9L, Some("forums"), "sigma tau upsilon"))
+    val v1 = df(v1rows)
+    val base = java.nio.file.Files.createTempDirectory("graft-reldelta-").toString
+    val statePath = s"$base/state"
+    val in = MemoryStream[(Long, Option[String], String)]
+    val q = ReleaseDeltaStreaming.releaseDeltaStream(
+        in.toDF().toDF("doc_id", "source", "text"), v1, statePath, s"$base/ckpt")
+      .start()
+    // three micro-batches, disjoint doc_ids
+    Seq(v2rows.take(3), v2rows.slice(3, 5), v2rows.drop(5)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def card(dfr: org.apache.spark.sql.DataFrame) = dfr.collect().map(r =>
+      (Option(r.getAs[String]("source")), r.getAs[Long]("n_added"),
+        r.getAs[Long]("n_removed"), r.getAs[Long]("n_changed"),
+        r.getAs[Long]("n_unchanged"), r.getAs[Long]("tok_added"),
+        r.getAs[Long]("tok_removed"), r.getAs[Long]("tok_delta_changed"),
+        r.getAs[Long]("net_token_delta"))).toSet
+    val streamed = card(ReleaseDeltaStreaming.releaseDeltaFromState(
+      ReleaseDeltaStreaming.currentState(spark, statePath), v1))
+    val batch = card(DataQuality.releaseDelta(v1, df(v2rows)))
+    assert(streamed === batch, s"streamed $streamed\nbatch $batch")
+    // spot-check the books source: present only in v1 ⇒ pure removal
+    val books = streamed.find(_._1.contains("books")).get
+    assert(books === ((Some("books"), 0L, 1L, 0L, 0L, 0L, 3L, 0L, -3L)))
+    // replaying an admitted batch leaves the state untouched
+    ReleaseDeltaStreaming.admitBatch(df(v2rows.take(3)), 0L, v1, statePath)
+    assert(card(ReleaseDeltaStreaming.releaseDeltaFromState(
+      ReleaseDeltaStreaming.currentState(spark, statePath), v1)) === streamed)
+  }
 }
