@@ -158,12 +158,32 @@ object Bench {
       require(n >= 1, s"SPARK_GRAFT_PASSES must be >= 1, got $n")
       n
     }.getOrElse(2)
+    // hard cap: the budget gates pass STARTS, but a co-tenant-stalled
+    // box could stretch one pass far past it — abort a measured pass
+    // mid-flight at 1.3× budget (warmup always completes: it is the
+    // guaranteed one-sample-per-query floor, so a partial measured pass
+    // only ever REMOVES noise, never coverage)
+    val hardCapSec = budgetSec * 1.3
+    // the first measured pass starts whenever any budget remains (the
+    // hard cap bounds its overshoot); later passes must FIT at the last
+    // pass's duration
+    def roomForPass(p: Int, lastPassSec: Double): Boolean =
+      if (p == 0) elapsed <= budgetSec
+      else elapsed + lastPassSec <= budgetSec
     var p = 0
     var lastPassSec = elapsed
-    while (p < measuredPasses &&
-        (p == 0 || elapsed + lastPassSec <= budgetSec)) {
+    while (p < measuredPasses && roomForPass(p, lastPassSec)) {
       val t0 = elapsed
-      passes = passes :+ names.map(n => n -> exec(n, s"pass=${p + 1}")).toMap
+      val pass = scala.collection.mutable.Map[String, Double]()
+      val it = names.iterator
+      while (it.hasNext && elapsed <= hardCapSec) {
+        val n = it.next()
+        pass(n) = exec(n, s"pass=${p + 1}")
+      }
+      if (it.hasNext)
+        System.err.println(f"[bench] hard cap ${hardCapSec}%.0f s hit " +
+          f"mid-pass ${p + 1} after ${pass.size}/${names.size} queries")
+      passes = passes :+ pass.toMap
       lastPassSec = elapsed - t0
       p += 1
       emit(bestOf(passes), passes.size, partial = p < measuredPasses)

@@ -750,17 +750,11 @@ object DataQuality {
           .otherwise(0L)).as("net_token_delta"))
   }
 
-  /** Release-delta gate over two deterministic synthetic releases of
-    * the documents corpus (md5 'rel:' buckets): v1 = buckets 0–89
-    * unmodified; v2 drops 0–4 (removals), revises 5–14 (a ' [rev2]'
-    * suffix — +1 token per changed doc, both tokenizers agree via the
-    * d76-pinned equivalence) and adds 90–99. The oracle replays the
-    * bucketing, both releases, the full-outer status assignment and
-    * every integer sum — a doc counted under the wrong status or a
-    * token delta off by one diverges on concrete BIGINTs. */
-  val d94ReleaseDelta: Q = Q(
-    "d94_release_delta",
-    Some("""
+  /** Shared DuckDB oracle for the two release-delta gates (d94 batch,
+    * d95 streamed): the per-source card between the two synthetic
+    * releases must be posture-independent, so the streamed path's
+    * subtraction arithmetic is checked against the exact same BIGINTs. */
+  private val releaseDeltaOracle: String = """
       WITH b AS (
         SELECT doc_id, source, text,
                CAST(concat('0x', substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
@@ -800,24 +794,74 @@ object DataQuality {
                            WHEN st = 'changed' THEN tok2 - tok1
                            ELSE 0 END) AS BIGINT) AS net_token_delta
       FROM f GROUP BY 1
-    """),
+    """
+
+  /** The two deterministic synthetic releases (md5 'rel:' buckets):
+    * v1 = buckets 0–89 unmodified; v2 drops 0–4 (removals), revises
+    * 5–14 (a ' [rev2]' suffix — +1 token per changed doc, both
+    * tokenizers agree via the d76-pinned equivalence) and adds 90–99.
+    * v2 keeps the bucket column so the streamed gate can split it into
+    * disjoint admission batches. */
+  private def syntheticReleases(s: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val b = graft.Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        (conv(substring(md5(concat(lit("rel:"),
+          col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
+          % 100).as("bucket"))
+    val v1 = b.filter(col("bucket") < 90)
+      .select(col("doc_id"), col("source"), col("text"))
+    val v2 = b.filter(col("bucket") >= 5)
+      .select(col("doc_id"), col("source"),
+        when(col("bucket") >= 5 && col("bucket") < 15,
+          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
+          .as("text"),
+        col("bucket"))
+    (v1, v2)
+  }
+
+  /** Release-delta gate over the synthetic releases. The oracle replays
+    * the bucketing, both releases, the full-outer status assignment and
+    * every integer sum — a doc counted under the wrong status or a
+    * token delta off by one diverges on concrete BIGINTs. */
+  val d94ReleaseDelta: Q = Q(
+    "d94_release_delta",
+    Some(releaseDeltaOracle),
     (s, dir) => {
-      val b = graft.Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"), col("text"),
-          (conv(substring(md5(concat(lit("rel:"),
-            col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long")
-            % 100).as("bucket"))
-      val v1 = b.filter(col("bucket") < 90)
-        .select(col("doc_id"), col("source"), col("text"))
-      val v2 = b.filter(col("bucket") >= 5)
-        .select(col("doc_id"), col("source"),
-          when(col("bucket") >= 5 && col("bucket") < 15,
-            concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
-            .as("text"))
-      releaseDelta(v1, v2)
+      val (v1, v2) = syntheticReleases(s, dir)
+      releaseDelta(v1, v2.drop("bucket"))
+    })
+
+  /** Streamed release-delta gate — the d95 lifecycle posture: the same
+    * v2 release arrives as TWO disjoint hand-driven admissions
+    * ([[graft.streaming.ReleaseDeltaStreaming.admitBatch]] — buckets
+    * 5–54, then 55–99) folded into the persisted sources-sized state,
+    * and the card is reported from state. Same oracle as d94: the card
+    * must be posture-independent, so a doc double-counted across
+    * batches, a match attributed to the wrong v1 source, or a removal
+    * subtraction off by one diverges here while d94 stays green. */
+  val d95ReleaseDeltaStream: Q = Q(
+    "d95_release_delta_stream",
+    Some(releaseDeltaOracle),
+    (s, dir) => {
+      import graft.streaming.ReleaseDeltaStreaming
+      val (v1, v2) = syntheticReleases(s, dir)
+      // clean slate within an application: commit markers at the root
+      // ARE the state, so a re-run must not see the last run's versions
+      val root = graft.SessionArtifacts.dir(s, "graft-d95")
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      val statePath = root + "/state"
+      ReleaseDeltaStreaming.admitBatch(
+        v2.filter(col("bucket") < 55).drop("bucket"), 0L, v1, statePath)
+      ReleaseDeltaStreaming.admitBatch(
+        v2.filter(col("bucket") >= 55).drop("bucket"), 1L, v1, statePath)
+      ReleaseDeltaStreaming.releaseDeltaFromState(
+        ReleaseDeltaStreaming.currentState(s, statePath), v1)
     })
 
   val all: Seq[Q] = Seq(d47KeySkewProfile, d48DataProfile, d54Pseudonymize,
     d55ConstraintAudit, d56MergeableProfile, d61PsiDrift, d64QuantileProfile,
-    d69KAnonymity, d87DpHistogram, d94ReleaseDelta)
+    d69KAnonymity, d87DpHistogram, d94ReleaseDelta, d95ReleaseDeltaStream)
 }
