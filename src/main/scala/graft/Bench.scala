@@ -10,11 +10,14 @@ import org.apache.spark.sql.SparkSession
   *   - queries run in sorted name order (deterministic attribution);
   *   - one full warmup pass first (JIT + codegen + file-index caches —
   *     steady-state throughput is what the baseline comparison wants, and
-  *     what a resident 1000-executor cluster would see). The warmup's
-  *     times are KEPT as a sample: the per-query statistic is a MIN, so an
-  *     inflated first-run time can only be ignored, never mislead — one
-  *     warmup + 2 measured passes yields the same 3-sample noise floor as
-  *     the old warmup + 3 at 3/4 the cost;
+  *     what a resident 1000-executor cluster would see). When the
+  *     standard sf0.01 sibling corpus exists, the warmup runs THERE
+  *     (identical plans warm the same generated code for ~1/8 the cost,
+  *     freeing budget for measured passes at the target scale; such
+  *     cross-scale warmup times are never samples). A same-dir warmup
+  *     (fallback, or SPARK_GRAFT_WARMUP_SF_DIR pointed at the target) IS
+  *     min-eligible: the statistic is a MIN, so an inflated first-run
+  *     time can only be ignored, never mislead;
   *   - results are fully materialized through the `noop` sink, so column
   *     computation cannot be pruned away the way a bare count() allows.
   *
@@ -71,10 +74,12 @@ object Bench {
     val benchStart = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - benchStart) / 1e9
     // engine-time budget: the driver's outer timeout killed round 11 at
-    // ~3 passes × 213 queries; 700 s of measured engine time + warmup
-    // lands the whole sbt invocation comfortably inside round 10's
-    // completed envelope even under the documented ~1.17× co-tenant
-    // inflation
+    // ~3 passes × 213 queries. 750 s of engine time lands the whole sbt
+    // invocation inside round 10's completed envelope even under the
+    // documented ~1.17× co-tenant inflation, and is calibrated to fit
+    // warmup (~205 s on the small corpus) + TWO full measured passes
+    // (~260 s each) — two uniform target-scale samples beat one pass
+    // plus a partial confirm tail (measured: runs 2/3 of round 12)
     val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC").map { v =>
       val b = try v.toDouble catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -82,16 +87,38 @@ object Bench {
       }
       require(b > 0, s"SPARK_GRAFT_BUDGET_SEC must be > 0, got $b")
       b
-    }.getOrElse(700.0)
+    }.getOrElse(750.0)
+
+    // Warmup exists to pay JIT + codegen + catalog caches ONCE, not to
+    // sample the target scale — and at sf0.1 it costs ~1.9× a steady
+    // pass (measured 490 vs 265 s full-catalog), eating the budget that
+    // should buy measured passes. When the standard smaller sibling
+    // corpus exists (the driver's testdata layout), warm there instead:
+    // the plans are identical, so generated code and JIT profiles warm
+    // for ~1/8 the cost, and the freed budget buys a SECOND full
+    // measured pass at the target scale. Cross-scale warmup times are
+    // NOT min-eligible samples (they would publish sf0.01 numbers);
+    // same-dir warmup (the fallback, and any explicit override to the
+    // target dir) keeps the old min-eligible behavior.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARMUP_SF_DIR", {
+      val f = new java.io.File(sfDir)
+      // smallest sibling first: even sf0.01 costs ~215 s of warmup
+      // (lifecycle queries pay fixed multi-job overheads, not scans)
+      val sib = Seq("sf0.001", "sf0.01")
+        .map(n => new java.io.File(f.getParentFile, n))
+        .find(_.isDirectory)
+      if (f.getName == "sf0.1" && sib.isDefined) sib.get.getPath else sfDir
+    })
+    val warmupIsSample = warmDir == sfDir
 
     // optional comma-separated subset for targeted timing during iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    def exec(name: String, tag: String): Double = {
+    def exec(name: String, tag: String, dir: String = sfDir): Double = {
       val t0 = System.nanoTime()
       val t = try {
-        SparkEntry.queries(name)(spark, sfDir)
+        SparkEntry.queries(name)(spark, dir)
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch {
@@ -122,8 +149,9 @@ object Bench {
         partial: Boolean): String = {
       val total = results.map(_._2).filter(_ >= 0).sum
       val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
+      val warm = if (warmupIsSample) "" else s""""warmup_sf":"$warmDir","""
       def lineOf(qs: String, extra: String): String =
-        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$warm$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
       val failures = results.filter(_._2 < 0)
       val costliest = results.filter(_._2 >= 0).sortBy(-_._2).take(60)
       val compact = lineOf(qsJson(costliest ++ failures),
@@ -142,9 +170,12 @@ object Bench {
       compact
     }
 
-    // warmup pass — times kept as a min-eligible sample (see header)
-    var passes = Vector(names.map(n => n -> exec(n, "pass=warmup")).toMap)
-    emit(bestOf(passes), passes.size, partial = true)
+    // warmup pass — min-eligible sample only when it ran at the target
+    // scale (see warmDir above)
+    val warmTimes = names.map(n => n -> exec(n, "pass=warmup", warmDir)).toMap
+    var passes: Vector[Map[String, Double]] =
+      if (warmupIsSample) Vector(warmTimes) else Vector.empty
+    if (warmupIsSample) emit(bestOf(passes), passes.size, partial = true)
     // measured passes: the first always runs; each further pass starts
     // only if the budget has room for it at the last pass's duration.
     // min-of-samples is the standard noise-floor statistic on this box —
@@ -194,30 +225,35 @@ object Bench {
 
     // a load stall can span ALL of a query's passes (r05 published 2-3×
     // phantom regressions on unchanged queries): queries whose samples
-    // still disagree by >30% get up to 3 targeted re-runs (budget
-    // permitting), keeping the overall min — isolated re-measurement
-    // inside the same session, cheap because it only triggers for
-    // flagged outliers
-    val results = names.map { n =>
+    // still disagree by >30% — or that the budget squeezed to a SINGLE
+    // unconfirmed sample — get up to 3 targeted re-runs (budget
+    // permitting), keeping the overall min. COSTLIEST FIRST: the
+    // expensive queries dominate the published total and fill the
+    // compact line's top-60, so when the rerun budget runs dry it is the
+    // cheap tail that goes unconfirmed, not the headline numbers.
+    val bests = scala.collection.mutable.Map[String, Double]()
+    val spread = scala.collection.mutable.Map[String, (Int, Double)]()
+    names.foreach { n =>
       val ts = passes.flatMap(_.get(n)).filter(_ >= 0)
-      if (ts.isEmpty) n -> -1.0
-      else {
-        var best = ts.min
-        if (best > 0.3 && ts.max > best * 1.3) {
-          var extra = 0
-          var stable = false
-          while (extra < 3 && !stable && elapsed + best * 1.5 <= budgetSec) {
-            val t = exec(n, "pass=rerun")
-            if (t >= 0) {
-              if (t < best) best = t
-              stable = t <= best * 1.1 // a run at the floor confirms it
-            }
-            extra += 1
+      bests(n) = if (ts.isEmpty) -1.0 else ts.min
+      spread(n) = (ts.size, if (ts.isEmpty) -1.0 else ts.max)
+    }
+    for (n <- names.sortBy(n => -bests(n)) if bests(n) > 0.3) {
+      val (nSamples, maxT) = spread(n)
+      if (nSamples == 1 || maxT > bests(n) * 1.3) {
+        var extra = 0
+        var stable = false
+        while (extra < 3 && !stable && elapsed + bests(n) * 1.5 <= budgetSec) {
+          val t = exec(n, "pass=rerun")
+          if (t >= 0) {
+            if (t < bests(n)) bests(n) = t
+            stable = t <= bests(n) * 1.1 // a run at the floor confirms it
           }
+          extra += 1
         }
-        n -> best
       }
     }
+    val results = names.map(n => n -> bests(n))
 
     val finalLine = emit(results, passes.size, partial = false)
     spark.stop()

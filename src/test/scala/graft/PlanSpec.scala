@@ -712,4 +712,36 @@ class PlanSpec extends SparkSpec {
       }
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("d94: release delta is ONE doc_id-keyed join into a partial per-source aggregate") {
+    val df = run("d94_release_delta")
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // per-source counters combine map-side before the sources-sized shuffle
+    assert(p.contains("partial_sum"), p.take(1200))
+    val joins = df.queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(joins.size === 1,
+      s"expected exactly one doc_id join, got ${joins.size}:\n${p.take(1200)}")
+  }
+
+  test("d95: the streamed release-delta report reads counters-only state — no text or doc_id column, no cartesian") {
+    val df = run("d95_release_delta_stream") // runs the lifecycle (eager)
+    val p = physical(df)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    val stateScans = scans(df)
+      .filter(_.metadata("Location").contains("graft-d95"))
+    assert(stateScans.nonEmpty, "report must read the persisted state")
+    stateScans.foreach { s =>
+      val rs = s.metadata("ReadSchema")
+      // the state is sources-sized counters; a text or doc_id column here
+      // would mean corpus-sized state leaked into the lifecycle
+      assert(!rs.contains("text") && !rs.contains("doc_id"), rs)
+    }
+  }
 }
