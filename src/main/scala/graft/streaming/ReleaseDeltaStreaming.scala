@@ -81,7 +81,13 @@ object ReleaseDeltaStreaming {
         .when(col("text_1") =!= col("text_2"), "changed")
         .otherwise("unchanged").as("st"),
       col("tok1"), col("tok2"))
-    val v2Side = joined.groupBy(col("source_2").as("source")).agg(
+    // attribution matches the batch operator EXACTLY: coalesce(new, old).
+    // For a doc that moved to a NULL source this falls back to the OLD
+    // source (the operator cannot distinguish a null v2 source from an
+    // absent v2 row) — the property test caught the plain source_2
+    // grouping diverging on exactly that case.
+    val v2Side = joined
+      .groupBy(coalesce(col("source_2"), col("source_1")).as("source")).agg(
       sum(when(col("st") === "added", 1L).otherwise(0L)).as("n_added"),
       sum(when(col("st") === "changed", 1L).otherwise(0L)).as("n_changed"),
       sum(when(col("st") === "unchanged", 1L).otherwise(0L)).as("n_unchanged"),

@@ -212,4 +212,99 @@ class PropertySpec extends SparkSpec {
     }
     assert(got === expect)
   }
+
+  test("property: streamed release delta over ANY batch partitioning equals the batch card") {
+    import graft.streaming.ReleaseDeltaStreaming
+    import graft.ext.DataQuality
+    val sources = IndexedSeq("web", "apis", "books", null)
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val trials = sample(Gen.listOfN(3, for {
+      n <- Gen.chooseNum(20, 50)
+      acts <- Gen.listOfN(50, Gen.chooseNum(0, 4))
+      srcIdx <- Gen.listOfN(65, Gen.chooseNum(0, 3))
+      nAdd <- Gen.chooseNum(0, 15)
+      nBatches <- Gen.chooseNum(1, 5)
+      assign <- Gen.listOfN(65, Gen.chooseNum(0, 100))
+    } yield (n, acts, srcIdx, nAdd, nBatches, assign)))
+    trials.foreach { case (n, acts, srcIdx, nAdd, nBatches, assign) =>
+      def text(i: Int) = (0 to i % 4).map(j => s"w${(i + j) % 9}").mkString(" ")
+      val v1Rows = (0 until n).map(i => Row(i.toLong, sources(srcIdx(i)), text(i)))
+      // per-doc action: 0 unchanged, 1 removed, 2 text change,
+      // 3 source move, 4 both — plus nAdd brand-new docs
+      val v2Kept = (0 until n).flatMap { i =>
+        acts(i) match {
+          case 0 => Some(Row(i.toLong, sources(srcIdx(i)), text(i)))
+          case 1 => None
+          case 2 => Some(Row(i.toLong, sources(srcIdx(i)), text(i) + " rev"))
+          case 3 => Some(Row(i.toLong, sources((srcIdx(i) + 1) % 4), text(i)))
+          case _ => Some(Row(i.toLong, sources((srcIdx(i) + 1) % 4), text(i) + " rev"))
+        }
+      }
+      val v2Rows = v2Kept ++ (0 until nAdd).map(j =>
+        Row((n + j).toLong, sources(srcIdx(n + j)), s"fresh f$j ${text(j)}"))
+      val v1 = LocalTable.of(spark, docSchema, v1Rows)
+      val v2 = LocalTable.of(spark, docSchema, v2Rows)
+      val statePath = java.nio.file.Files
+        .createTempDirectory("graft-reldelta-prop-").toString + "/state"
+      (0 until nBatches).foreach { b =>
+        val batch = v2Rows.zipWithIndex
+          .filter { case (_, i) => assign(i) % nBatches == b }.map(_._1)
+        ReleaseDeltaStreaming.admitBatch(
+          LocalTable.of(spark, docSchema, batch), b.toLong, v1, statePath)
+      }
+      def card(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (Option(r.getAs[String]("source")), r.getAs[Long]("n_added"),
+          r.getAs[Long]("n_removed"), r.getAs[Long]("n_changed"),
+          r.getAs[Long]("n_unchanged"), r.getAs[Long]("tok_added"),
+          r.getAs[Long]("tok_removed"), r.getAs[Long]("tok_delta_changed"),
+          r.getAs[Long]("net_token_delta"))).toSet
+      val streamed = card(ReleaseDeltaStreaming.releaseDeltaFromState(
+        ReleaseDeltaStreaming.currentState(spark, statePath), v1))
+      val batch = card(DataQuality.releaseDelta(v1, v2))
+      assert(streamed === batch,
+        s"n=$n nAdd=$nAdd nBatches=$nBatches:\n$streamed\nvs\n$batch")
+    }
+  }
+
+  test("property: postings under ANY admit/compact interleaving equal a from-scratch build") {
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Retrieval
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val trials = sample(Gen.listOfN(3, for {
+      nDocs <- Gen.chooseNum(6, 18)
+      words <- Gen.listOfN(18, Gen.chooseNum(0, 7))
+      nBatches <- Gen.chooseNum(2, 5)
+      assign <- Gen.listOfN(18, Gen.chooseNum(0, 100))
+      compactAfter <- Gen.listOfN(5, Gen.oneOf(true, false))
+    } yield (nDocs, words, nBatches, assign, compactAfter)))
+    trials.foreach { case (nDocs, words, nBatches, assign, compactAfter) =>
+      val docRows = (0 until nDocs).map(i =>
+        Row(i.toLong, s"w${words(i)} w${words((i + 3) % 18)} common"))
+      val indexPath = java.nio.file.Files
+        .createTempDirectory("graft-postings-prop-").toString + "/postings"
+      (0 until nBatches).foreach { b =>
+        val batch = docRows.zipWithIndex
+          .filter { case (_, i) => assign(i) % nBatches == b }.map(_._1)
+        DocIndexStreaming.admitPostingsBatch(
+          LocalTable.of(spark, docSchema, batch), b.toLong, indexPath)
+        if (compactAfter(b)) DocIndexStreaming.compactPostings(spark, indexPath)
+      }
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+          r.getAs[Long]("tf"))).toSet
+      val expected = rows(Retrieval.postings(
+        LocalTable.of(spark, docSchema, docRows)))
+      assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+        === expected, s"nDocs=$nDocs nBatches=$nBatches $compactAfter")
+      // the state-keyed trigger folds to one leg and changes nothing
+      DocIndexStreaming.maybeCompactPostings(spark, indexPath, maxUnionLegs = 1)
+      assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+        === expected)
+      val files = DocIndexStreaming.currentPostings(spark, indexPath).inputFiles
+      assert(files.map(_.replaceAll("/[^/]*$", "")).distinct.length <= 1)
+    }
+  }
 }
