@@ -307,4 +307,97 @@ class PropertySpec extends SparkSpec {
       assert(files.map(_.replaceAll("/[^/]*$", "")).distinct.length <= 1)
     }
   }
+
+  test("property: mergeable-index algebras — append over ANY partitioning equals rebuild, retract inverts append") {
+    import graft.ext.{Dedup, TextStats}
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val trials = sample(Gen.listOfN(2, for {
+      nDocs <- Gen.chooseNum(8, 20)
+      words <- Gen.listOfN(20, Gen.chooseNum(0, 6))
+      nBatches <- Gen.chooseNum(2, 4)
+      assign <- Gen.listOfN(20, Gen.chooseNum(0, 100))
+      retract <- Gen.listOfN(20, Gen.oneOf(true, false))
+      win <- Gen.chooseNum(2, 4)
+    } yield (nDocs, words, nBatches, assign, retract, win)))
+    trials.foreach { case (nDocs, words, nBatches, assign, retract, win) =>
+      def doc(i: Int) = Row(i.toLong,
+        (0 to 4).map(j => s"w${words((i + j) % 20)}").mkString(" "))
+      val all = (0 until nDocs).map(doc)
+      def df(rs: Seq[Row]) = LocalTable.of(spark, docSchema, rs)
+      val batches = (0 until nBatches).map(b =>
+        all.zipWithIndex.filter { case (_, i) => assign(i) % nBatches == b }
+          .map(_._1))
+      val retracted = all.zipWithIndex.filter { case (_, i) => retract(i) }
+        .map(_._1)
+      val survivors = all.zipWithIndex.filterNot { case (_, i) => retract(i) }
+        .map(_._1)
+      // LM bigram counts: fold appends over the batches, then retract
+      def lmRows(cDf: org.apache.spark.sql.DataFrame) = cDf.collect()
+        .map(r => (r.getAs[String]("bg"), r.getAs[Long]("c12"))).toSet
+      val lmGrown = batches.foldLeft(
+        LocalTable.of(spark, StructType(Seq(
+          StructField("bg", StringType), StructField("c12", LongType))),
+          Seq.empty[Row]): org.apache.spark.sql.DataFrame) {
+        (c, b) => TextStats.appendToLmCounts(c, df(b))
+      }.localCheckpoint()
+      assert(lmRows(lmGrown) === lmRows(TextStats.lmBigramCounts(df(all))))
+      assert(lmRows(TextStats.retractFromLmCounts(lmGrown, df(retracted)))
+        === lmRows(TextStats.lmBigramCounts(df(survivors))))
+      // span fingerprint index: same fold/retract algebra
+      def fpRows(cDf: org.apache.spark.sql.DataFrame) = cDf.collect()
+        .map(r => (r.getAs[Long]("fp"), r.getAs[Long]("cnt"))).toSet
+      val fpGrown = batches.foldLeft(Dedup.fingerprintIndex(df(Seq.empty), win)) {
+        (c, b) => Dedup.appendToFingerprintIndex(c, df(b), win)
+      }.localCheckpoint()
+      assert(fpRows(fpGrown) === fpRows(Dedup.fingerprintIndex(df(all), win)))
+      assert(fpRows(Dedup.retractFromFingerprintIndex(fpGrown, df(retracted), win))
+        === fpRows(Dedup.fingerprintIndex(df(survivors), win)))
+    }
+  }
+
+  test("property: ANN index compaction over ANY admission split equals a from-scratch build") {
+    import graft.streaming.AnnIndexStreaming
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val trials = sample(Gen.listOfN(2, for {
+      nVecs <- Gen.chooseNum(30, 60)
+      seeds <- Gen.listOfN(60, Gen.chooseNum(-100, 100))
+      nBatches <- Gen.chooseNum(1, 3)
+      assign <- Gen.listOfN(60, Gen.chooseNum(0, 100))
+      archCut <- Gen.chooseNum(10, 25)
+    } yield (nVecs, seeds, nBatches, assign, archCut)))
+    trials.foreach { case (nVecs, seeds, nBatches, assign, archCut) =>
+      def vec(i: Int) = (0 until 8).map(d =>
+        (seeds((i + d) % 60).toFloat / 100f) + (if (d == i % 8) 1f else 0f))
+      val rows = (0 until nVecs).map(i => Row(i.toLong, vec(i), i % 3))
+      def df(rs: Seq[Row]) = LocalTable.of(spark, schema, rs)
+      val archive = rows.take(archCut)
+      val rest = rows.drop(archCut)
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-annprop-").toString
+      // iters=0: the seeded-init quantizer is a pure function of the
+      // vector SET (md5-ranked seeds), so compact-after-any-admission-
+      // split must equal init-on-everything exactly
+      AnnIndexStreaming.init(df(archive), "embedding", k = 6, iters = 0,
+        s"$base/streamed")
+      (0 until nBatches).foreach { b =>
+        val batch = rest.zipWithIndex
+          .filter { case (_, i) => assign(i) % nBatches == b }.map(_._1)
+        AnnIndexStreaming.admitBatch(df(batch), b.toLong, "embedding",
+          s"$base/streamed")
+      }
+      AnnIndexStreaming.compact(spark, s"$base/streamed", "embedding",
+        k = 6, iters = 0)
+      AnnIndexStreaming.init(df(rows), "embedding", k = 6, iters = 0,
+        s"$base/scratch")
+      def layout(p: String) = AnnIndexStreaming.currentLists(spark, p)
+        .select(col("vec_id"), col("centroid_id")).collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(layout(s"$base/streamed") === layout(s"$base/scratch"),
+        s"nVecs=$nVecs archCut=$archCut nBatches=$nBatches")
+    }
+  }
 }
