@@ -400,4 +400,49 @@ class PropertySpec extends SparkSpec {
         s"nVecs=$nVecs archCut=$archCut nBatches=$nBatches")
     }
   }
+
+  test("property: streamed budget admissions equal the hand-driven lifecycle over ANY batch split, and never overspend") {
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.TextStats
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val trials = sample(Gen.listOfN(3, for {
+      nDocs <- Gen.chooseNum(10, 30)
+      lens <- Gen.listOfN(30, Gen.chooseNum(1, 9))
+      nBatches <- Gen.chooseNum(1, 4)
+      assign <- Gen.listOfN(30, Gen.chooseNum(0, 100))
+      budget <- Gen.chooseNum(0L, 180L)
+    } yield (nDocs, lens, nBatches, assign, budget)))
+    trials.foreach { case (nDocs, lens, nBatches, assign, budget) =>
+      def doc(i: Int) = Row(i.toLong,
+        (0 until lens(i)).map(j => s"t${(i + j) % 11}").mkString(" "))
+      val all = (0 until nDocs).map(doc)
+      def df(rs: Seq[Row]) = LocalTable.of(spark, docSchema, rs)
+      val batches = (0 until nBatches).map(b =>
+        all.zipWithIndex.filter { case (_, i) => assign(i) % nBatches == b }
+          .map(_._1))
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-budget-prop-").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        DocIndexStreaming.admitBudgetBatch(df(b), i.toLong,
+          s"$base/state", s"$base/admitted", budget)
+      }
+      def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+        .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Double]("quality"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("cum_tokens"))).toSet
+      val streamed =
+        if (new java.io.File(s"$base/admitted").exists)
+          rows(spark.read.parquet(s"$base/admitted")
+            .select(col("batch_id"), col("doc_id"), col("quality"),
+              col("n_tokens"), col("cum_tokens")))
+        else Set.empty[(Long, Long, Double, Long, Long)]
+      val driven = rows(TextStats.budgetAdmitLifecycle(
+        batches.map(b => df(b): org.apache.spark.sql.DataFrame), budget))
+      assert(streamed === driven,
+        s"nDocs=$nDocs nBatches=$nBatches budget=$budget")
+      // hard contract regardless of split: never overspend
+      assert(streamed.toSeq.map(_._4).sum <= budget)
+    }
+  }
 }
