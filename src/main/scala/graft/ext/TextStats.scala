@@ -829,10 +829,25 @@ object TextStats {
     * the only exchange — corpus text bytes never shuffle). Docs with
     * fewer than n tokens survive via explode_outer and score 0.0. */
   def ngramContamination(train: DataFrame, test: DataFrame, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    ngramContaminationAgainst(train,
+      test.select(explode(Dedup.shingles(col("text"), n)).as("ng")),
+      n, threshold)
+
+  /** The scoring half of [[ngramContamination]] against an
+    * ALREADY-BUILT benchmark n-gram relation (one `ng` string column,
+    * duplicates tolerated — de-duplicated here) — the persisted-artifact
+    * posture ([[graft.streaming.ContaminationStreaming]]): evaluation
+    * sets are admitted ONCE into a versioned distinct-n-gram index, and
+    * training batches score against the committed index forever after,
+    * benchmark text never re-read. `n` must match the width the
+    * relation was built with. Same broadcast join + map-side per-doc
+    * collapse as the end-to-end form. */
+  def ngramContaminationAgainst(train: DataFrame, benchmarkNgrams: DataFrame,
+      n: Int, threshold: Double): DataFrame = {
     require(n > 0, "n must be positive")
-    val testNg = test.select(explode(Dedup.shingles(col("text"), n)).as("ng"))
-      .distinct().withColumn("hit", lit(1))
+    val testNg = benchmarkNgrams.select(col("ng")).distinct()
+      .withColumn("hit", lit(1))
     train.select(col("doc_id"),
         explode_outer(Dedup.shingles(col("text"), n)).as("ng"))
       .join(broadcast(testNg), Seq("ng"), "left")
@@ -845,11 +860,12 @@ object TextStats {
       .withColumn("contaminated", col("overlap_frac") >= threshold)
   }
 
-  /** N-gram contamination gate: the d12 bucket split (train < 80,
-    * test ≥ 90), 3-gram overlap, τ = 0.2. */
-  val d28NgramContamination: Q = Q(
-    "d28_ngram_contamination",
-    Some("""
+  /** Shared DuckDB oracle for the two n-gram contamination gates (d28
+    * end-to-end, d96 persisted-index lifecycle): the d12 bucket split
+    * (train < 80, test ≥ 90), 3-gram overlap, τ = 0.2. The score must
+    * be posture-independent, so a benchmark n-gram lost or duplicated
+    * across index admissions diverges on d96 while d28 stays green. */
+  private val ngramContaminationOracle: String = """
       WITH assigned AS (
         SELECT doc_id, text,
                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
@@ -879,16 +895,61 @@ object TextStats {
                    THEN round(CAST(hit_ngrams AS DOUBLE) / total_ngrams, 4)
                    ELSE 0.0 END) >= 0.2 AS contaminated
       FROM scored
-    """),
+    """
+
+  private def bucketedDocs(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+      .cast("long") % 100).as("bucket")
+    Tables(s, dir, "documents").select(col("doc_id"), col("text"), bucket)
+  }
+
+  /** N-gram contamination gate — the end-to-end form. */
+  val d28NgramContamination: Q = Q(
+    "d28_ngram_contamination",
+    Some(ngramContaminationOracle),
     (s, dir) => {
-      val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
-        .cast("long") % 100).as("bucket")
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text"), bucket)
+      val docs = bucketedDocs(s, dir)
       ngramContamination(
         docs.filter(col("bucket") < 80).select(col("doc_id"), col("text")),
         docs.filter(col("bucket") >= 90).select(col("text")),
         n = 3, threshold = 0.2)
+    })
+
+  /** Decontaminate-on-ingest gate — d28 through the persisted-benchmark
+    * lifecycle ([[graft.streaming.ContaminationStreaming]]): the
+    * evaluation split is admitted as TWO index batches (buckets 90–94,
+    * then 95–99), and the training split scores as TWO ingest batches
+    * against the committed index. Same oracle as d28: the verdicts must
+    * be posture-independent, so an n-gram lost/duplicated across index
+    * versions, a batch scored against the wrong committed version, or a
+    * doc double-scored across ingest batches diverges here. */
+  val d96ContaminationStream: Q = Q(
+    "d96_contamination_stream",
+    Some(ngramContaminationOracle),
+    (s, dir) => {
+      import graft.streaming.ContaminationStreaming
+      val docs = bucketedDocs(s, dir)
+      // clean slate within an application (the d95 pattern): markers at
+      // the root ARE the index state
+      val root = graft.SessionArtifacts.dir(s, "graft-d96")
+      val hPath = new org.apache.hadoop.fs.Path(root)
+      hPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(hPath, true)
+      val idx = root + "/benchmark"
+      ContaminationStreaming.admitBenchmarkBatch(
+        docs.filter(col("bucket") >= 90 && col("bucket") < 95)
+          .select(col("text")), 0L, idx, n = 3)
+      ContaminationStreaming.admitBenchmarkBatch(
+        docs.filter(col("bucket") >= 95).select(col("text")), 1L, idx, n = 3)
+      val ingest1 = ContaminationStreaming.scoreBatch(
+        docs.filter(col("bucket") < 40).select(col("doc_id"), col("text")),
+        idx, n = 3, threshold = 0.2)
+      val ingest2 = ContaminationStreaming.scoreBatch(
+        docs.filter(col("bucket") >= 40 && col("bucket") < 80)
+          .select(col("doc_id"), col("text")),
+        idx, n = 3, threshold = 0.2)
+      ingest1.unionByName(ingest2)
     })
 
   /** Deterministic source mixing — the corpus-weighting step of every
@@ -3786,7 +3847,7 @@ object TextStats {
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
     d72DomainCap,
     d15Chunking, d16SequencePacking, d92GreedyPacking, d93PackingReport,
-    d26ShuffleShards, d28NgramContamination,
+    d26ShuffleShards, d28NgramContamination, d96ContaminationStream,
     d29SourceMixing, d30CurationPipeline, d31NgramLmScore, d33BpeTokenStats,
     d41PerplexityBuckets, d42EntropySignals, d44SpanCorruption,
     d45LengthProfile,

@@ -1400,4 +1400,73 @@ class StreamingSpec extends SparkSpec {
     assert(card(ReleaseDeltaStreaming.releaseDeltaFromState(
       ReleaseDeltaStreaming.currentState(spark, statePath), v1)) === streamed)
   }
+
+  test("contaminationStream: streamed verdicts equal the batch operator; benchmark admissions merge by set union; replays and growth are forward-only") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.{ContaminationStreaming, DocIndexStreaming}
+    import graft.ext.TextStats
+    implicit val sql = spark.sqlContext
+    implicit val enc = Encoders.product[(Long, String)]
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val textSchema = StructType(Seq(StructField("text", StringType)))
+    def texts(ts: String*) = LocalTable.of(spark, textSchema, ts.map(Row(_)))
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-contam-").toString
+    val idx = s"$base/benchmark"
+    // two benchmark admissions with OVERLAPPING content (set semantics)
+    val eval0 = Seq("the quick brown fox jumps", "alpha beta gamma delta")
+    val eval1 = Seq("alpha beta gamma delta", "zeta eta theta iota kappa")
+    ContaminationStreaming.admitBenchmarkBatch(texts(eval0: _*), 0L, idx, n = 3)
+    ContaminationStreaming.admitBenchmarkBatch(texts(eval1: _*), 1L, idx, n = 3)
+    def ngrams() = ContaminationStreaming
+      .currentBenchmarkNgrams(spark, idx).collect().map(_.getString(0)).toSet
+    val fromScratch = texts((eval0 ++ eval1).distinct: _*)
+      .select(explode(graft.ext.Dedup.shingles(col("text"), 3)).as("ng"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(ngrams() === fromScratch)
+    // replaying an admitted benchmark batch is a no-op
+    val v = DocIndexStreaming.latestVersion(spark, idx)
+    ContaminationStreaming.admitBenchmarkBatch(texts(eval0: _*), 0L, idx, n = 3)
+    assert(DocIndexStreaming.latestVersion(spark, idx) === v)
+    // score a training stream in two micro-batches
+    val train: Seq[(Long, String)] = Seq(
+      (1L, "page quoting the quick brown fox jumps verbatim"),
+      (2L, "clean document about spark shuffles and exchanges"),
+      (3L, "alpha beta gamma delta copied wholesale here"),
+      (4L, "short"))
+    val in = MemoryStream[(Long, String)]
+    val q = ContaminationStreaming.contaminationStream(
+        in.toDF().toDF("doc_id", "text"), idx, s"$base/scored",
+        s"$base/ckpt", n = 3, threshold = 0.2)
+      .start()
+    Seq(train.take(2), train.drop(2)).foreach { b =>
+      in.addData(b: _*); q.processAllAvailable()
+    }
+    q.stop()
+    def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("total_ngrams"),
+        r.getAs[Long]("hit_ngrams"), r.getAs[Double]("overlap_frac"),
+        r.getAs[Boolean]("contaminated"))).toSet
+    val streamed = verdicts(spark.read.parquet(s"$base/scored")
+      .select(col("doc_id"), col("total_ngrams"), col("hit_ngrams"),
+        col("overlap_frac"), col("contaminated")))
+    val batch = verdicts(TextStats.ngramContamination(
+      LocalTable.of(spark, docSchema,
+        train.map { case (id, t) => Row(id, t) }),
+      texts((eval0 ++ eval1): _*), n = 3, threshold = 0.2))
+    assert(streamed === batch, s"$streamed\nvs\n$batch")
+    // forward-only: a later benchmark admission changes FUTURE scoring
+    // only — already-scored batches stay as written
+    ContaminationStreaming.admitBenchmarkBatch(
+      texts("spark shuffles and exchanges everywhere"), 2L, idx, n = 3)
+    val late = verdicts(ContaminationStreaming.scoreBatch(
+      LocalTable.of(spark, docSchema, Seq(Row(2L,
+        "clean document about spark shuffles and exchanges"))),
+      idx, n = 3, threshold = 0.2))
+    assert(late.head._3 > 0L, "the grown index must hit the new n-grams")
+    assert(verdicts(spark.read.parquet(s"$base/scored")
+      .select(col("doc_id"), col("total_ngrams"), col("hit_ngrams"),
+        col("overlap_frac"), col("contaminated"))) === streamed)
+  }
 }
