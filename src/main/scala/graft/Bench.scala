@@ -25,7 +25,7 @@ import org.apache.spark.sql.SparkSession
   * driver killed the run mid-pass and the round shipped NO perf numbers):
   *   - passes are TIME-BUDGETED: after the mandatory warmup + first
   *     measured pass, another pass starts only if the budget
-  *     (`SPARK_GRAFT_BUDGET_SEC`, default 700 s of engine time) has room
+  *     (`SPARK_GRAFT_BUDGET_SEC`, default 750 s of engine time) has room
   *     for it at the last pass's duration; outlier re-runs are gated the
   *     same way;
   *   - the canonical compact result line is emitted after EVERY completed
@@ -109,7 +109,12 @@ object Bench {
         .find(_.isDirectory)
       if (f.getName == "sf0.1" && sib.isDefined) sib.get.getPath else sfDir
     })
-    val warmupIsSample = warmDir == sfDir
+    // canonical-path comparison: a trailing slash / relative spelling of
+    // the target dir must keep the warmup min-eligible
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath
+      catch { case _: Exception => p }
+    val warmupIsSample = canon(warmDir) == canon(sfDir)
 
     // optional comma-separated subset for targeted timing during iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
@@ -152,10 +157,14 @@ object Bench {
       val warm = if (warmupIsSample) "" else s""""warmup_sf":"$warmDir","""
       def lineOf(qs: String, extra: String): String =
         s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$warm$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+      // cap the failure list: a budget-cut run can leave 100+ queries
+      // unmeasured, and an unbounded -1 list would blow the ~4 KB tail
+      // the compact line is sized for — failures_total carries the count
       val failures = results.filter(_._2 < 0)
+      val failShown = failures.take(10)
       val costliest = results.filter(_._2 >= 0).sortBy(-_._2).take(60)
-      val compact = lineOf(qsJson(costliest ++ failures),
-        s""""queries_shown":${costliest.size + failures.size},"queries_total":${results.size},"full_map":"BENCH_LOCAL.json",""")
+      val compact = lineOf(qsJson(costliest ++ failShown),
+        s""""queries_shown":${costliest.size + failShown.size},"failures_total":${failures.size},"queries_total":${results.size},"full_map":"BENCH_LOCAL.json",""")
       // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
       // A/B must never clobber BENCH_LOCAL.json's full per-query map.
       // Written after EVERY pass so a killed run leaves the latest
@@ -238,6 +247,18 @@ object Bench {
       bests(n) = if (ts.isEmpty) -1.0 else ts.min
       spread(n) = (ts.size, if (ts.isEmpty) -1.0 else ts.max)
     }
+    // zero-sample rescue FIRST: with a cross-scale warmup (the default
+    // sf0.1 path) a budget/hard-cap cut can leave queries with NO
+    // target-scale sample at all. A cut only happens once elapsed is
+    // already past the budget (and usually past the 1.3× hard cap), so
+    // the rescue gets its OWN ceiling at 1.5× budget: spending a little
+    // more to publish one sample per query beats shipping phantom -1
+    // "failures" for queries that were simply never reached.
+    val rescueCapSec = budgetSec * 1.5
+    for (n <- names if bests(n) < 0 && elapsed <= rescueCapSec) {
+      val t = exec(n, "pass=rescue")
+      if (t >= 0) { bests(n) = t; spread(n) = (1, t) }
+    }
     for (n <- names.sortBy(n => -bests(n)) if bests(n) > 0.3) {
       val (nSamples, maxT) = spread(n)
       if (nSamples == 1 || maxT > bests(n) * 1.3) {
@@ -255,7 +276,10 @@ object Bench {
     }
     val results = names.map(n => n -> bests(n))
 
-    val finalLine = emit(results, passes.size, partial = false)
+    // any -1 left (true failure, or unmeasured because even the rescue
+    // budget ran dry) makes the artifact incomplete — say so
+    val finalLine = emit(results, passes.size,
+      partial = results.exists(_._2 < 0))
     spark.stop()
     // re-print after spark.stop() so the session's shutdown chatter can
     // never be the tail's last lines

@@ -801,8 +801,10 @@ object DataQuality {
     * 5–14 (a ' [rev2]' suffix — +1 token per changed doc, both
     * tokenizers agree via the d76-pinned equivalence) and adds 90–99.
     * v2 keeps the bucket column so the streamed gate can split it into
-    * disjoint admission batches. */
-  private def syntheticReleases(s: org.apache.spark.sql.SparkSession,
+    * disjoint admission batches. `private[graft]` so the scale bench
+    * (tools/ReleaseDeltaScaleBench) measures EXACTLY the gated shape
+    * instead of a hand-copied recipe that could drift. */
+  private[graft] def syntheticReleases(s: org.apache.spark.sql.SparkSession,
       dir: String): (DataFrame, DataFrame) = {
     val b = graft.Tables(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),

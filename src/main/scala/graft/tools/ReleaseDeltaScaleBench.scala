@@ -23,20 +23,10 @@ object ReleaseDeltaScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val bucket = conv(substring(md5(concat(lit("rel:"),
-      col("doc_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100
-    val b = spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"), col("text"))
-      .withColumn("bucket", bucket).localCheckpoint()
-    val v1 = b.filter(col("bucket") < 90)
-      .select(col("doc_id"), col("source"), col("text"))
-    val v2 = b.filter(col("bucket") >= 5)
-      .select(col("doc_id"), col("source"),
-        when(col("bucket") >= 5 && col("bucket") < 15,
-          concat(col("text"), lit(" [rev2]"))).otherwise(col("text"))
-          .as("text"),
-        col("bucket"))
-    println(s"corpus=${b.count()} v1=${v1.count()} v2=${v2.count()}")
+    // EXACTLY the gated releases (d94/d95): measuring a hand-copied
+    // recipe would silently drift from the shipped operators
+    val (v1, v2) = DataQuality.syntheticReleases(spark, dir)
+    println(s"v1=${v1.count()} v2=${v2.count()}")
     def time(label: String)(f: => Long): Unit = {
       val best = (1 to 3).map { _ =>
         val t0 = System.nanoTime(); val n = f
