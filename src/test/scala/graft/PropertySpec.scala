@@ -445,4 +445,56 @@ class PropertySpec extends SparkSpec {
       assert(streamed.toSeq.map(_._4).sum <= budget)
     }
   }
+
+  test("property: benchmark n-gram index over ANY (overlapping) admission split scores identically to the end-to-end operator") {
+    import graft.streaming.ContaminationStreaming
+    import graft.ext.TextStats
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val textSchema = StructType(Seq(StructField("text", StringType)))
+    val trials = sample(Gen.listOfN(3, for {
+      nEval <- Gen.chooseNum(3, 8)
+      nTrain <- Gen.chooseNum(5, 15)
+      words <- Gen.listOfN(30, Gen.chooseNum(0, 6))
+      nBatches <- Gen.chooseNum(1, 3)
+      assign <- Gen.listOfN(8, Gen.chooseNum(0, 100))
+      dup <- Gen.listOfN(8, Gen.oneOf(true, false))
+    } yield (nEval, nTrain, words, nBatches, assign, dup)))
+    trials.foreach { case (nEval, nTrain, words, nBatches, assign, dup) =>
+      def phrase(i: Int) =
+        (0 to 3).map(j => s"e${words((i + j) % 30)}").mkString(" ")
+      val evalTexts = (0 until nEval).map(phrase)
+      // train docs: some quote an eval phrase, some are clean
+      val trainRows = (0 until nTrain).map { i =>
+        val t = if (i % 3 == 0) s"prefix ${evalTexts(i % nEval)} suffix"
+                else s"clean c${words(i % 30)} c${words((i + 7) % 30)} c${words((i + 13) % 30)} body"
+        Row(i.toLong, t)
+      }
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-contam-prop-").toString + "/benchmark"
+      // overlapping admissions: batches may re-admit CONTENT (dup flag
+      // duplicates an eval text into a second batch) — set semantics
+      // must absorb it
+      (0 until nBatches).foreach { b =>
+        val ts = evalTexts.zipWithIndex.collect {
+          case (t, i) if assign(i) % nBatches == b ||
+            (dup(i) && (assign(i) + 1) % nBatches == b) => Row(t)
+        }
+        ContaminationStreaming.admitBenchmarkBatch(
+          LocalTable.of(spark, textSchema, ts), b.toLong, idx, n = 3)
+      }
+      def verdicts(df: org.apache.spark.sql.DataFrame) = df.collect().map(r =>
+        (r.getAs[Long]("doc_id"), r.getAs[Long]("total_ngrams"),
+          r.getAs[Long]("hit_ngrams"), r.getAs[Boolean]("contaminated"))).toSet
+      val viaIndex = verdicts(ContaminationStreaming.scoreBatch(
+        LocalTable.of(spark, docSchema, trainRows), idx, n = 3,
+        threshold = 0.2))
+      val endToEnd = verdicts(TextStats.ngramContamination(
+        LocalTable.of(spark, docSchema, trainRows),
+        LocalTable.of(spark, textSchema, evalTexts.map(Row(_))),
+        n = 3, threshold = 0.2))
+      assert(viaIndex === endToEnd,
+        s"nEval=$nEval nTrain=$nTrain nBatches=$nBatches")
+    }
+  }
 }
