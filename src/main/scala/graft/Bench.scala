@@ -89,6 +89,29 @@ object Bench {
       b
     }.getOrElse(750.0)
 
+    // Per-query noise floor: the committed BENCH_FLOOR.json holds the
+    // min over all known COMPLETE runs (round-10 driver + the calm
+    // round-12 runs). One loaded run can publish a 2-4× inflated heavy
+    // tail on byte-identical code (r12: d67 0.99 s calm vs 7.76 s
+    // driver), so cross-round diffing reads the vs_floor ratios in the
+    // compact line instead of comparing two possibly-noisy samples:
+    // >1.5× vs floor WITH load < 2 is the real-regression signal.
+    val floor: Map[String, Double] = try {
+      val f = java.nio.file.Paths.get("BENCH_FLOOR.json")
+      if (!java.nio.file.Files.exists(f)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(f))
+        val it = root.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          b += e.getKey -> e.getValue.asDouble(-1.0)
+        }
+        b.result().filter(_._2 > 0)
+      }
+    } catch { case _: Exception => Map.empty }
+
     // Warmup exists to pay JIT + codegen + catalog caches ONCE, not to
     // sample the target scale — and at sf0.1 it costs ~1.9× a steady
     // pass (measured 490 vs 265 s full-catalog), eating the budget that
@@ -151,12 +174,27 @@ object Bench {
         n -> (if (ts.isEmpty) -1.0 else ts.min)
       }
     def emit(results: Seq[(String, Double)], passesDone: Int,
-        partial: Boolean): String = {
+        partial: Boolean, writeLocal: Boolean = true): String = {
       val total = results.map(_._2).filter(_ >= 0).sum
       val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
       val warm = if (warmupIsSample) "" else s""""warmup_sf":"$warmDir","""
+      // vs_floor: per-query ratio against the committed noise floor —
+      // median + the >1.5× offenders (capped), so the compact line
+      // carries the regression signal without the full 215-entry map
+      val ratios = results.collect {
+        case (n, t) if t >= 0 && floor.contains(n) => n -> t / floor(n)
+      }
+      val vsFloor = if (ratios.isEmpty) "" else {
+        val rs = ratios.map(_._2).sorted
+        val med = rs(rs.size / 2)
+        val gt = ratios.filter(_._2 > 1.5).sortBy(-_._2)
+        val worst = gt.take(8)
+          .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+          .mkString("{", ",", "}")
+        f""""vs_floor":{"median":$med%.2f,"n":${ratios.size}%d,"n_gt_1p5":${gt.size}%d,"worst":$worst%s},"""
+      }
       def lineOf(qs: String, extra: String): String =
-        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$warm$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$warm$vsFloor$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
       // cap the failure list: a budget-cut run can leave 100+ queries
       // unmeasured, and an unbounded -1 list would blow the ~4 KB tail
       // the compact line is sized for — failures_total carries the count
@@ -169,7 +207,7 @@ object Bench {
       // A/B must never clobber BENCH_LOCAL.json's full per-query map.
       // Written after EVERY pass so a killed run leaves the latest
       // complete-pass map on disk (passes_done/partial say how far it got).
-      if (only.isEmpty)
+      if (only.isEmpty && writeLocal)
         try java.nio.file.Files.writeString(
           java.nio.file.Paths.get("BENCH_LOCAL.json"),
           lineOf(qsJson(results), "") + "\n")
@@ -184,7 +222,16 @@ object Bench {
     val warmTimes = names.map(n => n -> exec(n, "pass=warmup", warmDir)).toMap
     var passes: Vector[Map[String, Double]] =
       if (warmupIsSample) Vector(warmTimes) else Vector.empty
+    // an artifact after EVERY phase: with a cross-scale warmup the run
+    // previously emitted nothing until the first measured pass finished
+    // (~warmup + pass1 of kill window with no parseable line — the
+    // round-11 rc=124 mode, narrowed but not closed in exactly the
+    // default sf0.1 path). The stub carries passes_done=0 and all-(-1)
+    // queries (warmup times are sf0.01 numbers — never published as
+    // target-scale samples) and skips BENCH_LOCAL.json so a stub can
+    // never clobber the last complete per-query map on disk.
     if (warmupIsSample) emit(bestOf(passes), passes.size, partial = true)
+    else emit(bestOf(Vector.empty), 0, partial = true, writeLocal = false)
     // measured passes: the first always runs; each further pass starts
     // only if the budget has room for it at the last pass's duration.
     // min-of-samples is the standard noise-floor statistic on this box —
@@ -253,9 +300,21 @@ object Bench {
     // already past the budget (and usually past the 1.3× hard cap), so
     // the rescue gets its OWN ceiling at 1.5× budget: spending a little
     // more to publish one sample per query beats shipping phantom -1
-    // "failures" for queries that were simply never reached.
+    // "failures" for queries that were simply never reached. Rescue is
+    // for NEVER-REACHED queries only: a -1 recorded by a measured pass
+    // is an attempt that genuinely failed (every pass already re-proved
+    // it — re-running known failures would burn the rescue window), and
+    // a query whose warmup attempt failed is a known failure too. Order
+    // is costliest-expected first (warmup time is the estimate —
+    // identical plans), the same principle as the rerun loop below: when
+    // the rescue budget runs dry it is the cheap tail that goes
+    // unmeasured, not the headline numbers.
+    val attemptedAtTarget = names.filter(n => passes.exists(_.contains(n))).toSet
+    val neverReached = names
+      .filter(n => !attemptedAtTarget(n) && warmTimes.getOrElse(n, -1.0) >= 0)
+      .sortBy(n => -warmTimes(n))
     val rescueCapSec = budgetSec * 1.5
-    for (n <- names if bests(n) < 0 && elapsed <= rescueCapSec) {
+    for (n <- neverReached if elapsed <= rescueCapSec) {
       val t = exec(n, "pass=rescue")
       if (t >= 0) { bests(n) = t; spread(n) = (1, t) }
     }

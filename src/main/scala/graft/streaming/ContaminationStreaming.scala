@@ -38,6 +38,40 @@ object ContaminationStreaming {
   private def fs(s: SparkSession, p: String) =
     new Path(p).getFileSystem(s.sparkContext.hadoopConfiguration)
 
+  /** The n-gram width the committed index was built with, if any
+    * admission has persisted one (a tiny `_NGRAM_N` metadata file
+    * written at first admission). The width is PART of the index — a
+    * score or admission run at a different `n` shares no n-grams with
+    * the committed set and silently reports ~zero contamination, the
+    * worst possible failure for a decontamination safety check — so
+    * both entry points validate against this instead of trusting a
+    * docstring contract. */
+  def persistedN(s: SparkSession, indexPath: String): Option[Int] = {
+    val f = fs(s, indexPath)
+    val p = new Path(indexPath, "_NGRAM_N")
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt)
+      finally in.close()
+    }
+  }
+
+  private def writePersistedN(s: SparkSession, indexPath: String,
+      n: Int): Unit = {
+    val out = fs(s, indexPath).create(new Path(indexPath, "_NGRAM_N"), true)
+    try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def requireMatchingN(s: SparkSession, indexPath: String, n: Int,
+      op: String): Unit =
+    persistedN(s, indexPath).foreach { built =>
+      require(built == n,
+        s"$op called with n=$n against a benchmark index built with " +
+          s"n=$built at $indexPath — mismatched widths share no n-grams, " +
+          "so scoring would silently report zero contamination")
+    }
+
   /** The committed benchmark n-gram index (empty before any commit):
     * one distinct `ng` string per row. */
   def currentBenchmarkNgrams(s: SparkSession, indexPath: String): DataFrame =
@@ -58,8 +92,14 @@ object ContaminationStreaming {
     require(n > 0, "n must be positive")
     if (batch.isEmpty) return
     val s = batch.sparkSession
+    requireMatchingN(s, indexPath, n, "admitBenchmarkBatch")
     val committed = DocIndexStreaming.latestVersion(s, indexPath)
     if (committed.exists(_ >= batchId)) return // replay of an admitted batch
+    // persist the width BEFORE the first version commit so any reader of
+    // a committed index always finds the metadata (a crash between the
+    // two leaves an index-less metadata file, which is harmless — the
+    // next admission validates against it and rewrites the index)
+    if (persistedN(s, indexPath).isEmpty) writePersistedN(s, indexPath, n)
     currentBenchmarkNgrams(s, indexPath)
       .unionByName(batch
         .select(explode(Dedup.shingles(col("text"), n)).as("ng")))
@@ -85,9 +125,11 @@ object ContaminationStreaming {
     * committed benchmark index — stateless, so callers can run it any
     * time (ad-hoc re-screens included). */
   def scoreBatch(batch: DataFrame, indexPath: String, n: Int,
-      threshold: Double): DataFrame =
+      threshold: Double): DataFrame = {
+    requireMatchingN(batch.sparkSession, indexPath, n, "scoreBatch")
     TextStats.ngramContaminationAgainst(batch,
       currentBenchmarkNgrams(batch.sparkSession, indexPath), n, threshold)
+  }
 
   /** The decontaminate-on-ingest writer: each training micro-batch is
     * scored against the committed benchmark index and its per-doc

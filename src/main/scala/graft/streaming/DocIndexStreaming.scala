@@ -230,12 +230,19 @@ object DocIndexStreaming {
     * serializes); readers are safe at any time because they resolve the
     * max committed compaction ONCE. Old roots are retained for
     * time-travel/GC, invisible to readers. */
-  def compactPostings(s: SparkSession, indexPath: String): Unit = {
+  def compactPostings(s: SparkSession, indexPath: String): Boolean =
+    compactPostingsImpl(s, indexPath, () => ())
+
+  /** [[compactPostings]] with a test seam between the fold write and the
+    * marker commit, so the tripwire spec can inject a concurrent commit
+    * into exactly the window the single-writer contract protects. */
+  private[graft] def compactPostingsImpl(s: SparkSession, indexPath: String,
+      betweenFoldAndCommit: () => Unit): Boolean = {
     val listing = postingsRoots(s, indexPath)
     val batchIds = listing._2
-    if (batchIds.isEmpty) return
+    if (batchIds.isEmpty) return false
     val hi = batchIds.max
-    if (listing._1.exists(_ >= hi)) return // every committed batch already folded
+    if (listing._1.exists(_ >= hi)) return false // every committed batch already folded
     // Fold EXACTLY the roots of this ONE listing. Re-listing (e.g. via
     // currentPostings) between resolving `hi` and reading the fold input
     // would race an external-cadence compactor's concurrent batch commit:
@@ -244,7 +251,30 @@ object DocIndexStreaming {
     // postings and inflating tf/df/BM25.
     readPostingsRoots(s, rootPaths(indexPath, listing))
       .write.mode("overwrite").parquet(s"$indexPath/c$hi")
+    betweenFoldAndCommit()
+    // Single-writer tripwire: "call between batches" is a contract, and
+    // contracts need teeth. Re-list before committing — if the layout
+    // changed during the fold (a writer committed a batch past our fold
+    // point, or another compactor committed a fold at/above ours), a
+    // concurrent writer was active and our fold raced it: ABORT the
+    // marker commit instead of publishing. The abort corrupts nothing —
+    // the unmarked c<hi> dir is invisible to readers (they resolve
+    // committed markers only), the reader view stays the previous
+    // compaction plus every committed batch root, and the next
+    // compaction simply re-folds from a fresh listing, overwriting the
+    // orphan. Cost: one directory listing per fold.
+    val after = postingsRoots(s, indexPath)
+    val concurrentBatch = after._2.exists(_ > hi)
+    val concurrentFold = after._1.exists(_ >= hi)
+    if (concurrentBatch || concurrentFold) {
+      System.err.println(s"[graft] compactPostings($indexPath): concurrent " +
+        s"commit detected during fold at hi=$hi (batches=${after._2.mkString(",")}, " +
+        s"compacted=${after._1}) — single-writer contract violated; " +
+        "aborting the marker commit (readers unaffected)")
+      return false
+    }
     fs(s, indexPath).create(new Path(indexPath, s"_COMMIT_c$hi"), true).close()
+    true
   }
 
   /** State-keyed compaction trigger — the [[AnnIndexStreaming]]
@@ -263,9 +293,9 @@ object DocIndexStreaming {
       maxUnionLegs: Int): Boolean = {
     require(maxUnionLegs >= 1, "maxUnionLegs must be >= 1")
     val legs = rootPaths(indexPath, postingsRoots(s, indexPath)).size
-    val fold = legs > maxUnionLegs
-    if (fold) compactPostings(s, indexPath)
-    fold
+    // true only when a fold COMMITTED — a tripwire-aborted fold reports
+    // false so callers keyed on the result retry next trigger
+    legs > maxUnionLegs && compactPostings(s, indexPath)
   }
 
   /** One postings admission: tokenize+aggregate the batch and write its
@@ -307,9 +337,10 @@ object DocIndexStreaming {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         admitPostingsBatch(batch, batchId, indexPath)
-        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           compactPostings(batch.sparkSession, indexPath)
-        else if (maxUnionLegs > 0) {
+          ()
+        } else if (maxUnionLegs > 0) {
           maybeCompactPostings(batch.sparkSession, indexPath, maxUnionLegs)
           ()
         }

@@ -146,11 +146,23 @@ object ReleaseDeltaStreaming {
     val v1tot = v1.groupBy(col("source").as("v1_source")).agg(
       count(lit(1)).as("n_v1"), sum(toks(col("text"))).as("tok_v1"))
     def z(c: String): Column = coalesce(col(c), lit(0L))
+    // Tripwire for the at-most-one-batch-per-doc_id admission contract:
+    // a doc_id re-delivered across v2 batches double-counts n_matched,
+    // driving n_removed negative — which the plain subtraction would
+    // silently absorb into a corrupted card. A negative removal count is
+    // ALWAYS a contract breach (you cannot match more v1 docs than v1
+    // has), so it fails the report instead of shipping garbage.
+    val nRemoved = z("n_v1") - z("n_matched")
+    val guardedNRemoved = when(nRemoved < 0, raise_error(concat(
+        lit("release-delta contract breach: n_matched > n_v1 for source '"),
+        coalesce(col("source"), col("v1_source"), lit("<null>")),
+        lit("' (a doc_id was delivered in more than one v2 batch)"))))
+      .otherwise(nRemoved)
     state.join(v1tot, col("source") <=> col("v1_source"), "full_outer")
       .select(
         coalesce(col("source"), col("v1_source")).as("source"),
         z("n_added").as("n_added"),
-        (z("n_v1") - z("n_matched")).as("n_removed"),
+        guardedNRemoved.as("n_removed"),
         z("n_changed").as("n_changed"),
         z("n_unchanged").as("n_unchanged"),
         z("tok_added").as("tok_added"),

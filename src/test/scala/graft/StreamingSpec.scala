@@ -1342,6 +1342,52 @@ class StreamingSpec extends SparkSpec {
     assert(legs() === 1)
   }
 
+  test("compactPostings tripwire: a concurrent commit between fold and marker aborts the compaction — readers stay exact, the next fold recovers") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Retrieval
+    val base = java.nio.file.Files.createTempDirectory("graft-posttrip-").toString
+    val indexPath = s"$base/postings"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def df(rs: (Long, String)*) = LocalTable.of(spark, schema,
+      rs.map { case (id, t) => Row(id, t) })
+    DocIndexStreaming.admitPostingsBatch(df((0L, "alpha plan")), 0L, indexPath)
+    DocIndexStreaming.admitPostingsBatch(df((1L, "beta scan")), 1L, indexPath)
+    def cMarkers(): Seq[String] = new java.io.File(indexPath).listFiles()
+      .map(_.getName).filter(_.startsWith("_COMMIT_c")).toSeq
+    // a batch commits inside the fold→marker window (the single-writer
+    // contract violation an external-cadence compactor can produce):
+    // the fold must detect it and ABORT its marker commit
+    val committed = DocIndexStreaming.compactPostingsImpl(spark, indexPath,
+      () => DocIndexStreaming.admitPostingsBatch(
+        df((2L, "gamma concurrent")), 2L, indexPath))
+    assert(!committed, "a raced fold must not publish its marker")
+    assert(cMarkers().isEmpty, "the aborted fold must leave no _COMMIT_c")
+    // readers are untouched by the orphaned fold dir: every committed
+    // batch — including the concurrent one — is still visible, exact
+    def rows(dfr: org.apache.spark.sql.DataFrame) = dfr.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"))).toSet
+    val all = df((0L, "alpha plan"), (1L, "beta scan"), (2L, "gamma concurrent"))
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+      === rows(Retrieval.postings(all)))
+    // an uncontended re-fold commits, folds ALL batches, readers unchanged
+    assert(DocIndexStreaming.compactPostings(spark, indexPath))
+    assert(cMarkers() === Seq("_COMMIT_c2"))
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+      === rows(Retrieval.postings(all)))
+    // a concurrent COMPACTOR committing at/above our fold point in the
+    // same window also trips the abort (no double-publish of c-markers)
+    DocIndexStreaming.admitPostingsBatch(df((3L, "delta late")), 3L, indexPath)
+    val raced = DocIndexStreaming.compactPostingsImpl(spark, indexPath,
+      () => { // the other compactor wins the race and commits c3 first
+        val f = new java.io.File(indexPath, "_COMMIT_c3")
+        assert(f.createNewFile())
+      })
+    assert(!raced)
+  }
+
   test("releaseDeltaStream: streamed per-source delta card equals the batch operator; replay no-ops; v1-only sources surface as removals") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.streaming.ReleaseDeltaStreaming
@@ -1468,5 +1514,73 @@ class StreamingSpec extends SparkSpec {
     assert(verdicts(spark.read.parquet(s"$base/scored")
       .select(col("doc_id"), col("total_ngrams"), col("hit_ngrams"),
         col("overlap_frac"), col("contaminated"))) === streamed)
+  }
+
+  test("contamination index persists its n-gram width: admissions and scoring at a different n fail fast instead of silently missing") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.ContaminationStreaming
+    val textSchema = StructType(Seq(StructField("text", StringType)))
+    def texts(ts: String*) = LocalTable.of(spark, textSchema, ts.map(Row(_)))
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-contam-n-").toString + "/benchmark"
+    ContaminationStreaming.admitBenchmarkBatch(
+      texts("the quick brown fox jumps"), 0L, idx, n = 3)
+    assert(ContaminationStreaming.persistedN(spark, idx) === Some(3))
+    // admitting at a different width is a fail-fast, not a silent merge
+    val eAdmit = intercept[IllegalArgumentException] {
+      ContaminationStreaming.admitBenchmarkBatch(
+        texts("alpha beta gamma delta"), 1L, idx, n = 4)
+    }
+    assert(eAdmit.getMessage.contains("n=4") &&
+      eAdmit.getMessage.contains("n=3"))
+    // scoring at a different width — the silent-false-negative case the
+    // guard exists for — also fails fast
+    val eScore = intercept[IllegalArgumentException] {
+      ContaminationStreaming.scoreBatch(
+        LocalTable.of(spark, docSchema,
+          Seq(Row(1L, "the quick brown fox jumps verbatim"))),
+        idx, n = 4, threshold = 0.2)
+    }
+    assert(eScore.getMessage.contains("scoreBatch"))
+    // the matching width still admits and scores normally
+    ContaminationStreaming.admitBenchmarkBatch(
+      texts("alpha beta gamma delta"), 1L, idx, n = 3)
+    val hit = ContaminationStreaming.scoreBatch(
+      LocalTable.of(spark, docSchema,
+        Seq(Row(1L, "page quoting the quick brown fox jumps verbatim"))),
+      idx, n = 3, threshold = 0.2).collect().head
+    assert(hit.getAs[Long]("hit_ngrams") > 0L)
+  }
+
+  test("release-delta tripwire: a doc_id delivered in two v2 batches fails the report loudly instead of shipping a negative removal count") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.ReleaseDeltaStreaming
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def df(rs: Seq[(Long, String, String)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, src, t) => Row(id, src, t) })
+    val v1 = df(Seq((1L, "web", "alpha beta"), (2L, "web", "gamma")))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft-reldelta-trip-").toString + "/state"
+    // contract breach: doc 1 delivered in batch 0 AND batch 1
+    ReleaseDeltaStreaming.admitBatch(
+      df(Seq((1L, "web", "alpha beta"))), 0L, v1, statePath)
+    ReleaseDeltaStreaming.admitBatch(
+      df(Seq((1L, "web", "alpha beta"), (2L, "web", "gamma"))), 1L, v1,
+      statePath)
+    // n_matched(web) = 3 > n_v1(web) = 2 ⇒ the report must raise, not
+    // silently absorb the error into n_removed = -1
+    val e = intercept[Exception] {
+      ReleaseDeltaStreaming.releaseDeltaFromState(
+        ReleaseDeltaStreaming.currentState(spark, statePath), v1).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("contract breach")),
+      s"expected the contract-breach tripwire, got: ${messages(e)}")
   }
 }
