@@ -497,4 +497,110 @@ class PropertySpec extends SparkSpec {
         s"nEval=$nEval nTrain=$nTrain nBatches=$nBatches")
     }
   }
+
+  test("property: replay storms — a batch re-admitted k times, interleaved with new batches and earlier-batch echoes, leaves release-delta state and the ANN index identical to once-each") {
+    import graft.streaming.{AnnIndexStreaming, ReleaseDeltaStreaming}
+    import graft.ext.DataQuality
+    val docSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    val vecSchema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    val sources = IndexedSeq("web", "apis", null)
+    val trials = sample(Gen.listOfN(2, for {
+      nDocs <- Gen.chooseNum(15, 30)
+      srcIdx <- Gen.listOfN(40, Gen.chooseNum(0, 2))
+      nBatches <- Gen.chooseNum(2, 4)
+      assign <- Gen.listOfN(40, Gen.chooseNum(0, 100))
+      // admissions per batch (1 = clean once); echo re-admits the PRIOR
+      // batch again after this one commits — the out-of-order replay an
+      // engine restart can produce
+      replays <- Gen.listOfN(4, Gen.chooseNum(1, 3))
+      echoEarlier <- Gen.listOfN(4, Gen.oneOf(true, false))
+      seeds <- Gen.listOfN(40, Gen.chooseNum(-100, 100))
+    } yield (nDocs, srcIdx, nBatches, assign, replays, echoEarlier, seeds)))
+    trials.foreach {
+      case (nDocs, srcIdx, nBatches, assign, replays, echoEarlier, seeds) =>
+        def text(i: Int) = (0 to i % 4).map(j => s"w${(i + j) % 9}").mkString(" ")
+        val v1Rows = (0 until nDocs).map(i =>
+          Row(i.toLong, sources(srcIdx(i)), text(i)))
+        val v2Rows = (0 until nDocs).flatMap { i =>
+          i % 5 match {
+            case 1 => None // removed
+            case 2 => Some(Row(i.toLong, sources(srcIdx(i)), text(i) + " rev"))
+            case 3 => Some(Row(i.toLong, sources((srcIdx(i) + 1) % 3), text(i)))
+            case _ => Some(Row(i.toLong, sources(srcIdx(i)), text(i)))
+          }
+        } ++ (0 until 5).map(j =>
+          Row((nDocs + j).toLong, sources(srcIdx(nDocs + j)), s"fresh f$j"))
+        def df(rs: Seq[Row]) = LocalTable.of(spark, docSchema, rs)
+        val v1 = df(v1Rows)
+        val batches = (0 until nBatches).map(b => v2Rows.zipWithIndex
+          .filter { case (_, i) => assign(i) % nBatches == b }.map(_._1))
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft-replaystorm-").toString + "/state"
+        // the storm: each batch admitted replays(b) times back-to-back,
+        // then (maybe) the previous batch echoed again out of order
+        (0 until nBatches).foreach { b =>
+          (0 until replays(b)).foreach { _ =>
+            ReleaseDeltaStreaming.admitBatch(df(batches(b)), b.toLong, v1,
+              statePath)
+          }
+          if (echoEarlier(b) && b > 0)
+            ReleaseDeltaStreaming.admitBatch(df(batches(b - 1)),
+              (b - 1).toLong, v1, statePath)
+        }
+        def card(d: org.apache.spark.sql.DataFrame) = d.collect().map(r =>
+          (Option(r.getAs[String]("source")), r.getAs[Long]("n_added"),
+            r.getAs[Long]("n_removed"), r.getAs[Long]("n_changed"),
+            r.getAs[Long]("n_unchanged"), r.getAs[Long]("tok_added"),
+            r.getAs[Long]("tok_removed"), r.getAs[Long]("tok_delta_changed"),
+            r.getAs[Long]("net_token_delta"))).toSet
+        // the stormed state reports exactly the once-each (batch) card —
+        // and the negative-removal tripwire stays silent, proving the
+        // replay guard absorbed every duplicate admission
+        assert(card(ReleaseDeltaStreaming.releaseDeltaFromState(
+          ReleaseDeltaStreaming.currentState(spark, statePath), v1))
+          === card(DataQuality.releaseDelta(v1, df(v2Rows))),
+          s"nDocs=$nDocs nBatches=$nBatches replays=$replays echo=$echoEarlier")
+
+        // same storm against the ANN index: stormed admissions must leave
+        // the committed layout identical to a once-each run
+        def vec(i: Int) = (0 until 8).map(d =>
+          (seeds((i + d) % 40).toFloat / 100f) + (if (d == i % 8) 1f else 0f))
+        val vecRows = (0 until nDocs).map(i => Row(i.toLong, vec(i), i % 3))
+        def vdf(rs: Seq[Row]) = LocalTable.of(spark, vecSchema, rs)
+        val archive = vecRows.take(8)
+        val rest = vecRows.drop(8)
+        val vBatches = (0 until nBatches).map(b => rest.zipWithIndex
+          .filter { case (_, i) => assign(i) % nBatches == b }.map(_._1))
+        val annBase = java.nio.file.Files
+          .createTempDirectory("graft-replaystorm-ann-").toString
+        Seq("storm", "clean").foreach(d => AnnIndexStreaming.init(
+          vdf(archive), "embedding", k = 4, iters = 0, s"$annBase/$d"))
+        (0 until nBatches).foreach { b =>
+          (0 until replays(b)).foreach { _ =>
+            AnnIndexStreaming.admitBatch(vdf(vBatches(b)), b.toLong,
+              "embedding", s"$annBase/storm")
+          }
+          if (echoEarlier(b) && b > 0)
+            AnnIndexStreaming.admitBatch(vdf(vBatches(b - 1)), (b - 1).toLong,
+              "embedding", s"$annBase/storm")
+          AnnIndexStreaming.admitBatch(vdf(vBatches(b)), b.toLong,
+            "embedding", s"$annBase/clean")
+        }
+        def layout(p: String) = AnnIndexStreaming.currentLists(spark, p)
+          .select(col("vec_id"), col("centroid_id")).collect()
+          .map(r => (r.getLong(0), r.getInt(1))).toSet
+        assert(layout(s"$annBase/storm") === layout(s"$annBase/clean"),
+          s"nDocs=$nDocs nBatches=$nBatches replays=$replays echo=$echoEarlier")
+        // vec_ids must be UNIQUE in the stormed index — a replay that
+        // slipped through would double-list its batch's vectors
+        val ids = AnnIndexStreaming.currentLists(spark, s"$annBase/storm")
+          .select(col("vec_id")).collect().map(_.getLong(0))
+        assert(ids.length === ids.distinct.length)
+    }
+  }
 }
