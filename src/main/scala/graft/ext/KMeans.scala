@@ -80,6 +80,22 @@ object KMeans {
   */
 object IvfIndex {
 
+  /** Width tripwire for every path where vectors enter a PERSISTED
+    * layout: the cosine kernels score over min(|x|, |y|) — a
+    * mismatched-width vector yields a plausible-but-wrong similarity
+    * instead of an error — so a bad vector admitted into an index would
+    * poison probes silently and forever. The guard is a per-row
+    * codegen'd `when` riding the existing scan/write (no extra job, no
+    * extra shuffle): any row whose `vecCol` is NULL or not `dims` wide
+    * fails the build/admission loudly, naming the offending id. */
+  def requireDims(vectors: DataFrame, vecCol: String, dims: Int,
+      idCol: String = "vec_id"): DataFrame =
+    vectors.withColumn(vecCol,
+      when(col(vecCol).isNotNull && size(col(vecCol)) === dims, col(vecCol))
+        .otherwise(raise_error(concat(
+          lit(s"vector width != trained dims $dims for $idCol="),
+          coalesce(col(idCol).cast("string"), lit("<null>"))))))
+
   /** THE inverted-list write contract, shared by every producer (build,
     * in-place append, the streaming per-batch dirs): co-locate each list
     * before the partitioned write — one writer task per centroid → one
@@ -98,7 +114,11 @@ object IvfIndex {
   def build(vectors: DataFrame, vecCol: String, k: Int, iters: Int,
       path: String, idCol: String = "vec_id"): Array[Array[Float]] = {
     val cs = KMeans.fit(vectors, idCol, vecCol, k, iters)
-    writeLists(vectors.withColumn("centroid_id",
+    // width-guard the assignment pass: a corpus mixing widths would
+    // otherwise train-and-assign silently wrong (see requireDims)
+    val guarded = if (cs.isEmpty) vectors
+      else requireDims(vectors, vecCol, cs.head.length, idCol)
+    writeLists(guarded.withColumn("centroid_id",
       NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), path)
     val spark = vectors.sparkSession
     LocalTable.of(spark,
@@ -121,8 +141,9 @@ object IvfIndex {
     * probes stay partition-pruned over the grown index. */
   def append(vectors: DataFrame, vecCol: String, path: String): Unit = {
     val cs = loadCentroids(vectors.sparkSession, path)
-    writeLists(vectors.withColumn("centroid_id",
-      NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), path, "append")
+    writeLists(requireDims(vectors, vecCol, cs.head.length)
+      .withColumn("centroid_id",
+        NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), path, "append")
   }
 
   def centroidsPath(path: String): String = path + ".centroids"
@@ -195,7 +216,7 @@ object IvfPq {
     val codes = array((0 until subspaces).map(m =>
       NearestCentroidExpr.nearestCentroid(
         slice(col(vecCol), m * sub + 1, sub), codebooks(m))): _*)
-    vectors
+    IvfIndex.requireDims(vectors, vecCol, dim, idCol)
       .withColumn("centroid_id", NearestCentroidExpr.nearestCentroid(col(vecCol), cs))
       .withColumn("codes", codes)
       .drop(vecCol) // the lists store CODES, never the vectors — the PQ win

@@ -1163,7 +1163,9 @@ object Similarity {
     val scale = (1.0 / math.sqrt(dOut.toDouble)).toFloat
     val m = graft.plans.HyperplaneSignatureExpr.md5Signs(dOut, dim, seed)
       .map(_.map(_ * scale))
-    embeddings
+    // width tripwire: the projection kernel loops over min(|v|, dim), so
+    // a narrower vector would project silently wrong — fail per-row
+    IvfIndex.requireDims(embeddings, "embedding", dim)
       .select(col("vec_id"),
         posexplode(graft.plans.MatrixProjectExpr.matrixProject(
           col("embedding"), m)).as(Seq("dim_out", "value")))

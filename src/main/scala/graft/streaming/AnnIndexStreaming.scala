@@ -113,9 +113,14 @@ object AnnIndexStreaming {
     if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
     val base = currentBase(s, indexPath)
     val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    // width tripwire vs the committed quantizer: a mismatched vector
+    // would assign-and-score silently wrong forever (the cosine kernel
+    // truncates) — fail the admission; the marker is never created, so
+    // state stays intact and a fixed batch re-admits cleanly
     IvfIndex.writeLists(
-      batch.withColumn("centroid_id",
-        NearestCentroidExpr.nearestCentroid(col(vecCol), cs)),
+      IvfIndex.requireDims(batch, vecCol, cs.head.length)
+        .withColumn("centroid_id",
+          NearestCentroidExpr.nearestCentroid(col(vecCol), cs)),
       s"$indexPath/b$batchId")
     f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
   }
@@ -302,8 +307,11 @@ object AnnIndexStreaming {
     val assigned = listsOf(s, indexPath, base)
       .select(col("vec_id").as("a_id"), col(vecCol).as("a_emb"),
         col("centroid_id").as("cid"))
+    // same width tripwire as admitBatch — a mismatched vector would be
+    // dedup-judged on a truncated cosine AND poison the lists
     val decisions = graft.ext.Similarity.semanticDedupAgainstAssigned(
-        batch.withColumnRenamed(vecCol, "embedding"), assigned, cs,
+        IvfIndex.requireDims(batch, vecCol, cs.head.length)
+          .withColumnRenamed(vecCol, "embedding"), assigned, cs,
         nProbe, threshold)
       .localCheckpoint() // judged against the PRE-append index, then reused
     decisions.write.mode("overwrite")

@@ -765,4 +765,54 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("width tripwire: mismatched-width vectors fail index builds, streaming admissions, and projections loudly instead of truncating silently") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.ext.IvfIndex
+    import graft.streaming.AnnIndexStreaming
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val rnd = new scala.util.Random(11)
+    def vec(d: Int) = Seq.fill(d)(rnd.nextGaussian().toFloat)
+    val good = (0L until 20L).map(i => (i, vec(8), (i % 2).toInt))
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    def breach(body: => Unit): Unit = {
+      val e = intercept[Exception](body)
+      assert(messages(e).exists(_.contains("width != trained dims")),
+        s"expected the width tripwire, got: ${messages(e)}")
+    }
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-dims-").toString
+    // a build over a corpus mixing widths fails loudly, naming the row
+    breach(IvfIndex.build(df(good :+ ((99L, vec(6), 0))), "embedding",
+      k = 3, iters = 0, s"$base/mixed"))
+    // a clean build, then an append of a narrower vector fails loudly
+    IvfIndex.build(df(good), "embedding", k = 3, iters = 0, s"$base/ivf")
+    breach(IvfIndex.append(df(Seq((50L, vec(6), 1))), "embedding",
+      s"$base/ivf"))
+    // streaming admission vs the committed quantizer: the bad batch
+    // fails, commits NO marker, and leaves the index intact; the fixed
+    // batch then re-admits cleanly under the same batchId
+    AnnIndexStreaming.init(df(good), "embedding", k = 3, iters = 0,
+      s"$base/ann")
+    breach(AnnIndexStreaming.admitBatch(
+      df(Seq((30L, vec(8), 0), (31L, vec(10), 1))), 0L, "embedding",
+      s"$base/ann"))
+    assert(AnnIndexStreaming.committedBatches(spark, s"$base/ann").isEmpty)
+    assert(AnnIndexStreaming.currentLists(spark, s"$base/ann").count() === 20L)
+    AnnIndexStreaming.admitBatch(
+      df(Seq((30L, vec(8), 0), (31L, vec(8), 1))), 0L, "embedding",
+      s"$base/ann")
+    assert(AnnIndexStreaming.currentLists(spark, s"$base/ann").count() === 22L)
+    // the JL projection validates against its declared input width
+    breach(graft.ext.Similarity.randomProject(
+      df(Seq((0L, vec(6), 0))), dim = 8, dOut = 4, seed = "t").collect())
+  }
 }
