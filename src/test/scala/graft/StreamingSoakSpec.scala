@@ -248,4 +248,134 @@ class StreamingSoakSpec extends SparkSpec {
     assert(lpDuring === lp(s"$base/reliable_ckpt_quiet"),
       "mid-soak reliable-checkpoint label propagation != quiet re-run")
   }
+
+  test("restart soak: all four lifecycles stopped mid-stream with data pending, committed batches hand-replayed (the crash-after-commit window), restarted from checkpoints — final artifacts still equal batch recomputation") {
+    val sfDir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
+      "sf0.01 corpus not present")
+    val base = java.nio.file.Files.createTempDirectory("graft-restart-").toFile
+    def dir(n: String): java.io.File = {
+      val f = new java.io.File(base, n); f.mkdirs(); f
+    }
+    val docsLanding = dir("landing_docs")
+    val embLanding = dir("landing_emb")
+    val postPath = s"$base/postings"
+    val annPath = s"$base/ann"
+    val deltaState = s"$base/delta_state"
+    val benchIdx = s"$base/benchmark"
+    val scoredPath = s"$base/scored"
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val v1 = docs
+      .filter(pmod(col("doc_id"), lit(7)) =!= 0)
+      .select(col("doc_id"), col("source"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v1 tail"))).otherwise(col("text"))
+          .as("text"))
+      .localCheckpoint()
+    val evalTexts = docs.filter(pmod(col("doc_id"), lit(29)) === 0)
+      .select(col("text")).localCheckpoint()
+    ContaminationStreaming.admitBenchmarkBatch(evalTexts, 0L, benchIdx, n = 3)
+    val archive = emb.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .localCheckpoint()
+    AnnIndexStreaming.init(archive, "embedding", k = 4, iters = 0, annPath)
+
+    val nDocChunks = 12
+    val nEmbChunks = 10
+    (0 until nDocChunks).foreach { i =>
+      docs.filter(pmod(col("doc_id"), lit(nDocChunks)) === i)
+        .coalesce(1).write.parquet(s"$base/doc_chunks/$i")
+    }
+    (0 until nEmbChunks).foreach { i =>
+      emb.filter(pmod(col("vec_id"), lit(10)) =!= 0)
+        .filter(pmod(col("vec_id"), lit(nEmbChunks)) === i)
+        .coalesce(1).write.parquet(s"$base/emb_chunks/$i")
+    }
+    def stageRange(docIds: Range): Unit = docIds.foreach { i =>
+      stage(new java.io.File(s"$base/doc_chunks/$i"), docsLanding,
+        f"d$i%02d.parquet")
+      if (i < nEmbChunks)
+        stage(new java.io.File(s"$base/emb_chunks/$i"), embLanding,
+          f"e$i%02d.parquet")
+    }
+
+    def docStream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(docsLanding.getPath)
+    def startAll(): Seq[org.apache.spark.sql.streaming.StreamingQuery] = Seq(
+      DocIndexStreaming.postingsStream(
+        docStream.select(col("doc_id"), col("text")), postPath,
+        s"$base/ckpt_post", maxUnionLegs = 3).start(),
+      ReleaseDeltaStreaming.releaseDeltaStream(
+        docStream, v1, deltaState, s"$base/ckpt_delta").start(),
+      ContaminationStreaming.contaminationStream(
+        docStream.select(col("doc_id"), col("text")), benchIdx, scoredPath,
+        s"$base/ckpt_contam", n = 3, threshold = 0.3).start(),
+      AnnIndexStreaming.annIndexStream(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(embLanding.getPath),
+        annPath, s"$base/ckpt_ann").start())
+
+    // phase 1: first half of the corpus arrives and is processed
+    val run1 = startAll()
+    stageRange(0 until 6)
+    run1.foreach(_.processAllAvailable())
+    // more data lands, then the session "crashes" with it still pending
+    stageRange(6 until 9)
+    run1.foreach(_.stop())
+
+    // the crash-after-commit window: the engine can redeliver a batch
+    // whose index commit already landed. Hand-replay the LAST committed
+    // batch of each marker-guarded lifecycle — every one must no-op.
+    val lastPost = DocIndexStreaming.latestVersion(spark, postPath).get
+    val postBefore = DocIndexStreaming.currentPostings(spark, postPath)
+      .count()
+    DocIndexStreaming.admitPostingsBatch(
+      docs.limit(20).select(col("doc_id"), col("text")), lastPost, postPath)
+    assert(DocIndexStreaming.currentPostings(spark, postPath).count()
+      === postBefore, "a replayed postings batch must no-op")
+    val lastDelta = DocIndexStreaming.latestVersion(spark, deltaState).get
+    val deltaBefore = ReleaseDeltaStreaming.currentState(spark, deltaState)
+      .collect().toSet
+    ReleaseDeltaStreaming.admitBatch(docs.limit(20), lastDelta, v1, deltaState)
+    assert(ReleaseDeltaStreaming.currentState(spark, deltaState)
+      .collect().toSet === deltaBefore, "a replayed delta batch must no-op")
+    val annBatches = AnnIndexStreaming.committedBatches(spark, annPath)
+    val annBefore = AnnIndexStreaming.currentLists(spark, annPath).count()
+    AnnIndexStreaming.admitBatch(emb.limit(20), annBatches.max, "embedding",
+      annPath)
+    assert(AnnIndexStreaming.currentLists(spark, annPath).count()
+      === annBefore, "a replayed ANN batch must no-op")
+
+    // phase 2: restart from the same checkpoints; the pending files are
+    // delivered, then the rest of the corpus arrives
+    val run2 = startAll()
+    run2.foreach(_.processAllAvailable())
+    stageRange(9 until nDocChunks)
+    run2.foreach(_.processAllAvailable())
+    run2.foreach(_.stop())
+
+    // final artifacts ≡ batch recomputation, exactly as in the soak
+    assert(symmetricEqual(
+      DocIndexStreaming.currentPostings(spark, postPath),
+      Retrieval.postings(docs.select(col("doc_id"), col("text")))),
+      "restarted postings != batch build")
+    val verdictCols = Seq("doc_id", "total_ngrams", "hit_ngrams",
+      "overlap_frac", "contaminated").map(col)
+    assert(symmetricEqual(
+      spark.read.parquet(scoredPath).select(verdictCols: _*),
+      TextStats.ngramContamination(docs.select(col("doc_id"), col("text")),
+        evalTexts, n = 3, threshold = 0.3).select(verdictCols: _*)),
+      "restarted contamination verdicts != batch operator")
+    assert(symmetricEqual(
+      ReleaseDeltaStreaming.releaseDeltaFromState(
+        ReleaseDeltaStreaming.currentState(spark, deltaState), v1),
+      DataQuality.releaseDelta(v1, docs)),
+      "restarted release-delta card != batch card")
+    val ids = AnnIndexStreaming.currentLists(spark, annPath)
+      .select(col("vec_id"))
+    assert(ids.count() === 500L && ids.distinct().count() === 500L,
+      "restarted ANN index must hold every vector exactly once")
+  }
 }
