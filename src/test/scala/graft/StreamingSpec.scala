@@ -1388,6 +1388,56 @@ class StreamingSpec extends SparkSpec {
     assert(!raced)
   }
 
+  test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import graft.streaming.DocIndexStreaming
+    import graft.ext.Retrieval
+    val base = java.nio.file.Files.createTempDirectory("graft-postrace-").toString
+    val indexPath = s"$base/postings"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    def df(rs: (Long, String)*) = LocalTable.of(spark, schema,
+      rs.map { case (id, t) => Row(id, t) })
+    // a REAL second writer: an external-cadence compactor looping while
+    // the main thread admits batches — the production shape the
+    // single-writer tripwire exists for. The race outcome (which folds
+    // commit, which abort) is nondeterministic by design; the INVARIANT
+    // is not: at every point readers resolve committed markers only, so
+    // the final postings must equal a from-scratch build exactly.
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val folds = new java.util.concurrent.atomic.AtomicInteger(0)
+    val compactorErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val compactor = new Thread(() => {
+      try while (!stop.get()) {
+        if (DocIndexStreaming.compactPostings(spark, indexPath))
+          folds.incrementAndGet()
+        Thread.sleep(3)
+      } catch { case t: Throwable => compactorErr.set(t) }
+    }, "graft-test-compactor")
+    compactor.start()
+    val all = (0L until 24L).map(i => (i, s"doc w${i % 7} w${(i + 3) % 7} common"))
+    try all.grouped(2).zipWithIndex.foreach { case (b, i) =>
+      DocIndexStreaming.admitPostingsBatch(df(b: _*), i.toLong, indexPath)
+    } finally {
+      stop.set(true); compactor.join(30000)
+    }
+    assert(compactorErr.get() == null,
+      s"compactor thread died: ${compactorErr.get()}")
+    def rows(dfr: org.apache.spark.sql.DataFrame) = dfr.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("term"),
+        r.getAs[Long]("tf"))).toSet
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+      === rows(Retrieval.postings(df(all: _*))),
+      s"racy compaction corrupted the postings (committed folds: ${folds.get()})")
+    // a final quiet fold converges the layout to one root, still exact
+    DocIndexStreaming.compactPostings(spark, indexPath)
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+      === rows(Retrieval.postings(df(all: _*))))
+    val legs = DocIndexStreaming.currentPostings(spark, indexPath)
+      .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(legs === 1)
+  }
+
   test("releaseDeltaStream: streamed per-source delta card equals the batch operator; replay no-ops; v1-only sources surface as removals") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.streaming.ReleaseDeltaStreaming
