@@ -95,20 +95,28 @@ object Bench {
     // tail on byte-identical code (r12: d67 0.99 s calm vs 7.76 s
     // driver), so cross-round diffing reads the vs_floor ratios in the
     // compact line instead of comparing two possibly-noisy samples:
-    // >1.5× vs floor WITH load < 2 is the real-regression signal.
+    // >1.5× vs floor WITH load < 2 is the real-regression signal. The
+    // floor is SCALE-TAGGED ({"sf":"sf0.1","queries":{...}}) and only
+    // applied when this run's target dir matches — sf0.1 mins compared
+    // against an sf1 run would publish 215 phantom regressions, and
+    // against sf0.01 a phantom all-clear.
     val floor: Map[String, Double] = try {
       val f = java.nio.file.Paths.get("BENCH_FLOOR.json")
       if (!java.nio.file.Files.exists(f)) Map.empty
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
           .readTree(java.nio.file.Files.readString(f))
-        val it = root.fields()
-        val b = Map.newBuilder[String, Double]
-        while (it.hasNext) {
-          val e = it.next()
-          b += e.getKey -> e.getValue.asDouble(-1.0)
+        val floorSf = Option(root.get("sf")).map(_.asText()).getOrElse("")
+        if (floorSf != new java.io.File(sfDir).getName) Map.empty
+        else {
+          val it = root.get("queries").fields()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) {
+            val e = it.next()
+            b += e.getKey -> e.getValue.asDouble(-1.0)
+          }
+          b.result().filter(_._2 > 0)
         }
-        b.result().filter(_._2 > 0)
       }
     } catch { case _: Exception => Map.empty }
 
@@ -219,19 +227,21 @@ object Bench {
 
     // warmup pass — min-eligible sample only when it ran at the target
     // scale (see warmDir above)
+    // an artifact from the very FIRST moment: with a cross-scale warmup
+    // the run previously emitted nothing until the first measured pass
+    // finished (~warmup + pass1 of kill window with no parseable line —
+    // the round-11 rc=124 mode). The stub's content depends on nothing,
+    // so it prints BEFORE the warmup even starts: every kill window now
+    // leaves a parseable line. It carries passes_done=0 and all-(-1)
+    // queries (warmup times are smaller-scale numbers — never published
+    // as target-scale samples) and skips BENCH_LOCAL.json so a stub can
+    // never clobber the last complete per-query map on disk.
+    if (!warmupIsSample)
+      emit(bestOf(Vector.empty), 0, partial = true, writeLocal = false)
     val warmTimes = names.map(n => n -> exec(n, "pass=warmup", warmDir)).toMap
     var passes: Vector[Map[String, Double]] =
       if (warmupIsSample) Vector(warmTimes) else Vector.empty
-    // an artifact after EVERY phase: with a cross-scale warmup the run
-    // previously emitted nothing until the first measured pass finished
-    // (~warmup + pass1 of kill window with no parseable line — the
-    // round-11 rc=124 mode, narrowed but not closed in exactly the
-    // default sf0.1 path). The stub carries passes_done=0 and all-(-1)
-    // queries (warmup times are sf0.01 numbers — never published as
-    // target-scale samples) and skips BENCH_LOCAL.json so a stub can
-    // never clobber the last complete per-query map on disk.
     if (warmupIsSample) emit(bestOf(passes), passes.size, partial = true)
-    else emit(bestOf(Vector.empty), 0, partial = true, writeLocal = false)
     // measured passes: the first always runs; each further pass starts
     // only if the budget has room for it at the last pass's duration.
     // min-of-samples is the standard noise-floor statistic on this box —

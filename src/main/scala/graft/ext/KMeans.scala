@@ -141,6 +141,9 @@ object IvfIndex {
     * probes stay partition-pruned over the grown index. */
   def append(vectors: DataFrame, vecCol: String, path: String): Unit = {
     val cs = loadCentroids(vectors.sparkSession, path)
+    require(cs.nonEmpty,
+      s"append: empty quantizer at $path — the index was built on an " +
+        "empty corpus; rebuild it before appending")
     writeLists(requireDims(vectors, vecCol, cs.head.length)
       .withColumn("centroid_id",
         NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), path, "append")

@@ -113,6 +113,8 @@ object AnnIndexStreaming {
     if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
     val base = currentBase(s, indexPath)
     val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    require(cs.nonEmpty, s"admitBatch: empty quantizer at $indexPath " +
+      s"base v${base.version} — init() ran on an empty archive; rebuild")
     // width tripwire vs the committed quantizer: a mismatched vector
     // would assign-and-score silently wrong forever (the cosine kernel
     // truncates) — fail the admission; the marker is never created, so
@@ -304,6 +306,8 @@ object AnnIndexStreaming {
     if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
     val base = currentBase(s, indexPath)
     val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    require(cs.nonEmpty, s"admitDedupBatch: empty quantizer at $indexPath " +
+      s"base v${base.version} — init() ran on an empty archive; rebuild")
     val assigned = listsOf(s, indexPath, base)
       .select(col("vec_id").as("a_id"), col(vecCol).as("a_emb"),
         col("centroid_id").as("cid"))

@@ -63,14 +63,29 @@ object ContaminationStreaming {
     try out.write(n.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  /** Validate `n` against the committed index's metadata. The check is
+    * keyed on a COMMITTED VERSION existing: metadata without a committed
+    * index is the orphan of a crashed first admission (meaningless —
+    * overwritable), while a committed index WITHOUT metadata predates
+    * the width contract and cannot be verified — refusing to guess is
+    * the only safe answer (stamping the caller's n would certify a
+    * possibly-wrong width forever, the exact silent-zero-hits corruption
+    * the metadata exists to prevent). */
   private def requireMatchingN(s: SparkSession, indexPath: String, n: Int,
       op: String): Unit =
-    persistedN(s, indexPath).foreach { built =>
-      require(built == n,
-        s"$op called with n=$n against a benchmark index built with " +
-          s"n=$built at $indexPath — mismatched widths share no n-grams, " +
-          "so scoring would silently report zero contamination")
-    }
+    if (DocIndexStreaming.latestVersion(s, indexPath).isDefined)
+      persistedN(s, indexPath) match {
+        case Some(built) =>
+          require(built == n,
+            s"$op called with n=$n against a benchmark index built with " +
+              s"n=$built at $indexPath — mismatched widths share no " +
+              "n-grams, so scoring would silently report zero contamination")
+        case None => throw new IllegalStateException(
+          s"$op: committed benchmark index at $indexPath has no _NGRAM_N " +
+            "width metadata (built before the width contract) — its n " +
+            "cannot be verified; write _NGRAM_N manually after confirming " +
+            "the build width, or rebuild the index")
+      }
 
   /** The committed benchmark n-gram index (empty before any commit):
     * one distinct `ng` string per row. */
@@ -95,11 +110,12 @@ object ContaminationStreaming {
     requireMatchingN(s, indexPath, n, "admitBenchmarkBatch")
     val committed = DocIndexStreaming.latestVersion(s, indexPath)
     if (committed.exists(_ >= batchId)) return // replay of an admitted batch
-    // persist the width BEFORE the first version commit so any reader of
-    // a committed index always finds the metadata (a crash between the
-    // two leaves an index-less metadata file, which is harmless — the
-    // next admission validates against it and rewrites the index)
-    if (persistedN(s, indexPath).isEmpty) writePersistedN(s, indexPath, n)
+    // (re)stamp the width BEFORE the first version commit so any reader
+    // of a committed index always finds the metadata. Stamping is keyed
+    // on NO committed version existing — an _NGRAM_N left by a crashed
+    // first admission describes no index and is safely overwritten at
+    // whatever width the (re)build actually uses.
+    if (committed.isEmpty) writePersistedN(s, indexPath, n)
     currentBenchmarkNgrams(s, indexPath)
       .unionByName(batch
         .select(explode(Dedup.shingles(col("text"), n)).as("ng")))

@@ -238,6 +238,7 @@ object DocIndexStreaming {
     * into exactly the window the single-writer contract protects. */
   private[graft] def compactPostingsImpl(s: SparkSession, indexPath: String,
       betweenFoldAndCommit: () => Unit): Boolean = {
+    val f = fs(s, indexPath)
     val listing = postingsRoots(s, indexPath)
     val batchIds = listing._2
     if (batchIds.isEmpty) return false
@@ -249,31 +250,55 @@ object DocIndexStreaming {
     // a b<hi+1> landing between the two listings would be folded into
     // c<hi> yet still unioned by readers (id > hi), duplicating its
     // postings and inflating tf/df/BM25.
+    //
+    // The fold WRITES to a unique staging dir, never to c<hi> directly:
+    // two compactors resolving the same hi would otherwise race
+    // mode(overwrite) on the same directory — and the loser's overwrite
+    // DELETES the winner's already-committed files while readers hold
+    // the winner's marker. Staging dirs start with '.' so parquet
+    // readers and the root listing both ignore them.
+    val tmp = new Path(indexPath,
+      s".c${hi}_stage_${java.util.UUID.randomUUID().toString.take(8)}")
     readPostingsRoots(s, rootPaths(indexPath, listing))
-      .write.mode("overwrite").parquet(s"$indexPath/c$hi")
+      .write.mode("overwrite").parquet(tmp.toString)
     betweenFoldAndCommit()
+    def abort(why: String): Boolean = {
+      System.err.println(s"[graft] compactPostings($indexPath): $why at " +
+        s"hi=$hi — single-writer contract violated; aborting the fold " +
+        "(readers unaffected)")
+      f.delete(tmp, true)
+      false
+    }
     // Single-writer tripwire: "call between batches" is a contract, and
-    // contracts need teeth. Re-list before committing — if the layout
+    // contracts need teeth. Re-list before publishing — if the layout
     // changed during the fold (a writer committed a batch past our fold
     // point, or another compactor committed a fold at/above ours), a
-    // concurrent writer was active and our fold raced it: ABORT the
-    // marker commit instead of publishing. The abort corrupts nothing —
-    // the unmarked c<hi> dir is invisible to readers (they resolve
-    // committed markers only), the reader view stays the previous
-    // compaction plus every committed batch root, and the next
-    // compaction simply re-folds from a fresh listing, overwriting the
-    // orphan. Cost: one directory listing per fold.
+    // concurrent writer was active and our fold raced it: ABORT instead
+    // of publishing. The abort corrupts nothing — the staging dir is
+    // deleted, the reader view stays the previous compaction plus every
+    // committed batch root, and the next compaction re-folds from a
+    // fresh listing. Cost: one directory listing per fold.
     val after = postingsRoots(s, indexPath)
-    val concurrentBatch = after._2.exists(_ > hi)
-    val concurrentFold = after._1.exists(_ >= hi)
-    if (concurrentBatch || concurrentFold) {
-      System.err.println(s"[graft] compactPostings($indexPath): concurrent " +
-        s"commit detected during fold at hi=$hi (batches=${after._2.mkString(",")}, " +
-        s"compacted=${after._1}) — single-writer contract violated; " +
-        "aborting the marker commit (readers unaffected)")
-      return false
+    if (after._2.exists(_ > hi) || after._1.exists(_ >= hi))
+      return abort("concurrent commit detected during fold " +
+        s"(batches=${after._2.mkString(",")}, compacted=${after._1})")
+    // Claim c<hi> by rename WITHOUT overwrite (FileContext.rename throws
+    // if the destination exists), so a same-hi compactor that slipped
+    // past the re-list can never clobber a committed dir — exactly one
+    // claimant wins, the loser aborts. A marker-less c<hi> left by a
+    // crashed fold is invisible to readers and safe to clear first.
+    val target = new Path(indexPath, s"c$hi")
+    if (f.exists(target) && !f.exists(new Path(indexPath, s"_COMMIT_c$hi")))
+      f.delete(target, true)
+    try org.apache.hadoop.fs.FileContext
+      .getFileContext(target.toUri, s.sparkContext.hadoopConfiguration)
+      .rename(f.makeQualified(tmp), f.makeQualified(target))
+    catch {
+      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
+                _: java.io.IOException) =>
+        return abort(s"lost the c$hi claim race (${e.getClass.getSimpleName})")
     }
-    fs(s, indexPath).create(new Path(indexPath, s"_COMMIT_c$hi"), true).close()
+    f.create(new Path(indexPath, s"_COMMIT_c$hi"), true).close()
     true
   }
 

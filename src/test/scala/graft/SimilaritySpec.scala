@@ -814,5 +814,19 @@ class SimilaritySpec extends SparkSpec {
     // the JL projection validates against its declared input width
     breach(graft.ext.Similarity.randomProject(
       df(Seq((0L, vec(6), 0))), dim = 8, dOut = 4, seed = "t").collect())
+    // an index init'd on an EMPTY archive has no quantizer: admissions
+    // and appends fail with the real cause, not a bare head-of-empty
+    AnnIndexStreaming.init(df(Seq.empty), "embedding", k = 3, iters = 0,
+      s"$base/empty")
+    val eEmpty = intercept[IllegalArgumentException] {
+      AnnIndexStreaming.admitBatch(df(Seq((1L, vec(8), 0))), 0L, "embedding",
+        s"$base/empty")
+    }
+    assert(eEmpty.getMessage.contains("empty quantizer"))
+    val eAppend = intercept[IllegalArgumentException] {
+      IvfIndex.append(df(Seq((1L, vec(8), 0))), "embedding",
+        s"$base/empty/base_v0")
+    }
+    assert(eAppend.getMessage.contains("empty quantizer"))
   }
 }

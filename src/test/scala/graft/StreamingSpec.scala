@@ -1386,6 +1386,23 @@ class StreamingSpec extends SparkSpec {
         assert(f.createNewFile())
       })
     assert(!raced)
+    // the aborted folds deleted their staging dirs and NEVER touched the
+    // committed c2 (folds stage to a unique dir and claim the target by
+    // no-overwrite rename — a same-hi loser cannot clobber a winner)
+    assert(!new java.io.File(indexPath).listFiles()
+      .exists(_.getName.contains("_stage_")), "staging dirs must be cleaned")
+    // crashed-fold recovery: drop the injected competitor's marker (its
+    // dir never existed) and leave a marker-less c<hi> orphan occupying
+    // the target (a fold that died before its marker) — the re-fold
+    // clears it, claims by rename, commits, and readers stay exact
+    assert(new java.io.File(indexPath, "_COMMIT_c3").delete())
+    new java.io.File(indexPath, "c3/half").mkdirs() // fake half-written dir
+    assert(DocIndexStreaming.compactPostings(spark, indexPath))
+    assert(cMarkers().sorted === Seq("_COMMIT_c2", "_COMMIT_c3"))
+    assert(rows(DocIndexStreaming.currentPostings(spark, indexPath))
+      === rows(Retrieval.postings(
+        df((0L, "alpha plan"), (1L, "beta scan"), (2L, "gamma concurrent"),
+          (3L, "delta late")))))
   }
 
   test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {
@@ -1602,6 +1619,31 @@ class StreamingSpec extends SparkSpec {
         Seq(Row(1L, "page quoting the quick brown fox jumps verbatim"))),
       idx, n = 3, threshold = 0.2).collect().head
     assert(hit.getAs[Long]("hit_ngrams") > 0L)
+    // a LEGACY index (committed versions, no metadata — built before the
+    // width contract) cannot be verified: both entry points refuse to
+    // guess rather than stamping the caller's n as truth
+    assert(new java.io.File(idx, "_NGRAM_N").delete())
+    val eLegacy = intercept[IllegalStateException] {
+      ContaminationStreaming.scoreBatch(
+        LocalTable.of(spark, docSchema, Seq(Row(1L, "anything"))),
+        idx, n = 3, threshold = 0.2)
+    }
+    assert(eLegacy.getMessage.contains("no _NGRAM_N"))
+    intercept[IllegalStateException] {
+      ContaminationStreaming.admitBenchmarkBatch(
+        texts("more eval text here"), 2L, idx, n = 3)
+    }
+    // an ORPHAN metadata file (crashed first admission: _NGRAM_N written,
+    // no version ever committed) describes no index — a rebuild at a
+    // DIFFERENT width overwrites it instead of failing forever
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft-contam-orphan-").toString + "/benchmark"
+    new java.io.File(idx2).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(idx2, "_NGRAM_N"), "3")
+    ContaminationStreaming.admitBenchmarkBatch(
+      texts("fresh benchmark suite text"), 0L, idx2, n = 4)
+    assert(ContaminationStreaming.persistedN(spark, idx2) === Some(4))
   }
 
   test("release-delta tripwire: a doc_id delivered in two v2 batches fails the report loudly instead of shipping a negative removal count") {
