@@ -78,17 +78,32 @@ object AnnIndexStreaming {
   def basePath(indexPath: String, version: Long): String =
     s"$indexPath/base_v$version"
 
-  private def commitBase(s: SparkSession, indexPath: String, b: Base): Unit =
-    fs(s, indexPath).create(
-      new Path(indexPath, s"_COMMIT_base_v${b.version}_f${b.fold}"), true)
-      .close()
+  /** True iff ANY fold-point marker has committed base version `v` —
+    * the committed-check [[StagedCommit]] needs for base dirs, whose
+    * marker carries the fold point too (a same-version racer may commit
+    * under a DIFFERENT `_f<M>`). */
+  private def baseCommitted(s: SparkSession, indexPath: String,
+      v: Long): Boolean =
+    markers(s, indexPath, "_COMMIT_base_").exists(_.startsWith(s"v${v}_f"))
+
+  private def commitBaseDirs(s: SparkSession, indexPath: String, b: Base,
+      write: String => Unit): Boolean =
+    StagedCommit.commit(write, fs(s, indexPath),
+      s.sparkContext.hadoopConfiguration,
+      basePath(indexPath, b.version), Seq("", ".centroids"),
+      new Path(indexPath, s"_COMMIT_base_v${b.version}_f${b.fold}"),
+      targetCommitted = Some(() => baseCommitted(s, indexPath, b.version)))
 
   /** Train the quantizer on the archive corpus and commit base v0
-    * (fold point 0: every future batch rides alongside it). */
+    * (fold point 0: every future batch rides alongside it). Staged like
+    * every versioned commit here ([[StagedCommit]]): two concurrent
+    * inits cannot clobber each other's committed base. */
   def init(archive: DataFrame, vecCol: String, k: Int, iters: Int,
       indexPath: String): Unit = {
-    IvfIndex.build(archive, vecCol, k, iters, basePath(indexPath, 0L))
-    commitBase(archive.sparkSession, indexPath, Base(0L, 0L))
+    val s = archive.sparkSession
+    commitBaseDirs(s, indexPath, Base(0L, 0L),
+      p => { IvfIndex.build(archive, vecCol, k, iters, p); () })
+    ()
   }
 
   private def committedBatchIds(s: SparkSession, indexPath: String,
@@ -119,12 +134,15 @@ object AnnIndexStreaming {
     // would assign-and-score silently wrong forever (the cosine kernel
     // truncates) — fail the admission; the marker is never created, so
     // state stays intact and a fixed batch re-admits cleanly
-    IvfIndex.writeLists(
-      IvfIndex.requireDims(batch, vecCol, cs.head.length)
-        .withColumn("centroid_id",
-          NearestCentroidExpr.nearestCentroid(col(vecCol), cs)),
-      s"$indexPath/b$batchId")
-    f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
+    StagedCommit.commit(
+      p => IvfIndex.writeLists(
+        IvfIndex.requireDims(batch, vecCol, cs.head.length)
+          .withColumn("centroid_id",
+            NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
+      f, s.sparkContext.hadoopConfiguration,
+      s"$indexPath/b$batchId", Seq(""),
+      new Path(indexPath, s"_COMMIT_batch_$batchId"))
+    ()
   }
 
   private def listsOf(s: SparkSession, indexPath: String,
@@ -167,8 +185,13 @@ object AnnIndexStreaming {
     val kept =
       if (exclude.isEmpty) corpus
       else corpus.filter(!col("vec_id").isin(exclude.toSeq: _*))
-    IvfIndex.build(kept, vecCol, k, iters, basePath(indexPath, next.version))
-    commitBase(s, indexPath, next)
+    // staged commit ([[StagedCommit]]): two compactors racing the same
+    // next.version stage independently and exactly one claims base_v<N>
+    // (+ its .centroids sibling) — the loser aborts without touching the
+    // winner's committed dirs
+    commitBaseDirs(s, indexPath, next,
+      p => { IvfIndex.build(kept, vecCol, k, iters, p); () })
+    ()
   }
 
   /** Top-k cosine probe over the grown index — [[IvfIndex.probe]]'s
@@ -324,13 +347,20 @@ object AnnIndexStreaming {
       decisions.filter(col("kept") === 1L).select(col("vec_id")),
       Seq("vec_id"), "left_semi")
     // a fully-evicted batch commits its marker with no lists dir
-    // (listsOf skips missing batch roots)
-    if (!admitted.isEmpty)
-      IvfIndex.writeLists(
-        admitted.withColumn("centroid_id",
-          NearestCentroidExpr.nearestCentroid(col(vecCol), cs)),
-        s"$indexPath/b$batchId")
-    f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
+    // (listsOf skips missing batch roots); a non-empty one commits
+    // through [[StagedCommit]] like every versioned writer here
+    if (admitted.isEmpty)
+      f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
+    else {
+      StagedCommit.commit(
+        p => IvfIndex.writeLists(
+          admitted.withColumn("centroid_id",
+            NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
+        f, s.sparkContext.hadoopConfiguration,
+        s"$indexPath/b$batchId", Seq(""),
+        new Path(indexPath, s"_COMMIT_batch_$batchId"))
+      ()
+    }
   }
 
   /** The streaming writer for dedup-on-admission. */

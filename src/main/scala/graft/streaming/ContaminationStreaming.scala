@@ -116,13 +116,16 @@ object ContaminationStreaming {
     // first admission describes no index and is safely overwritten at
     // whatever width the (re)build actually uses.
     if (committed.isEmpty) writePersistedN(s, indexPath, n)
-    currentBenchmarkNgrams(s, indexPath)
-      .unionByName(batch
-        .select(explode(Dedup.shingles(col("text"), n)).as("ng")))
-      .distinct()
-      .write.mode("overwrite").parquet(s"$indexPath/v$batchId")
-    fs(s, indexPath).create(new Path(indexPath, s"_COMMIT_v$batchId"), true)
-      .close()
+    StagedCommit.commit(
+      p => currentBenchmarkNgrams(s, indexPath)
+        .unionByName(batch
+          .select(explode(Dedup.shingles(col("text"), n)).as("ng")))
+        .distinct()
+        .write.mode("overwrite").parquet(p),
+      fs(s, indexPath), s.sparkContext.hadoopConfiguration,
+      s"$indexPath/v$batchId", Seq(""),
+      new Path(indexPath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer for benchmark admissions: an evaluation-set

@@ -87,14 +87,16 @@ object DocIndexStreaming {
     val index = currentIndex(s, indexPath)
     Dedup.incrementalSpans(batch, index, windowTokens)
       .write.mode("overwrite").parquet(s"$spansPath/batch=$batchId")
-    Dedup.appendToFingerprintIndex(index, batch, windowTokens)
-      .write.mode("overwrite").parquet(versionDir.toString)
-    // commit = creating the marker file; atomic because a single file
-    // create either happens or doesn't — a crash anywhere before this
-    // line leaves the previous commit authoritative (the half-written
-    // version dir is invisible without its marker and the replay
-    // rewrites it)
-    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
+    // commit = [[StagedCommit]] (stage → claim-by-rename → marker): a
+    // crash anywhere before the marker leaves the previous commit
+    // authoritative, and a racing same-id writer from a second session
+    // can never clobber a committed version dir
+    StagedCommit.commit(
+      p => Dedup.appendToFingerprintIndex(index, batch, windowTokens)
+        .write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      versionDir.toString, Seq(""), new Path(indexPath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer: wire a document stream (doc_id, text) into
@@ -144,9 +146,12 @@ object DocIndexStreaming {
     val index = currentBpIndex(s, indexPath)
     Dedup.incrementalBoilerplateScrub(batch, index, windowTokens, minDocs)
       .write.mode("overwrite").parquet(s"$scrubbedPath/batch=$batchId")
-    Dedup.appendToBoilerplateIndex(index, batch, windowTokens)
-      .write.mode("overwrite").parquet(versionDir.toString)
-    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
+    StagedCommit.commit(
+      p => Dedup.appendToBoilerplateIndex(index, batch, windowTokens)
+        .write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      versionDir.toString, Seq(""), new Path(indexPath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer for the boilerplate lifecycle: a document
@@ -251,55 +256,33 @@ object DocIndexStreaming {
     // c<hi> yet still unioned by readers (id > hi), duplicating its
     // postings and inflating tf/df/BM25.
     //
-    // The fold WRITES to a unique staging dir, never to c<hi> directly:
-    // two compactors resolving the same hi would otherwise race
-    // mode(overwrite) on the same directory — and the loser's overwrite
-    // DELETES the winner's already-committed files while readers hold
-    // the winner's marker. Staging dirs start with '.' so parquet
-    // readers and the root listing both ignore them.
-    val tmp = new Path(indexPath,
-      s".c${hi}_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    readPostingsRoots(s, rootPaths(indexPath, listing))
-      .write.mode("overwrite").parquet(tmp.toString)
-    betweenFoldAndCommit()
-    def abort(why: String): Boolean = {
-      System.err.println(s"[graft] compactPostings($indexPath): $why at " +
-        s"hi=$hi — single-writer contract violated; aborting the fold " +
-        "(readers unaffected)")
-      f.delete(tmp, true)
-      false
-    }
-    // Single-writer tripwire: "call between batches" is a contract, and
-    // contracts need teeth. Re-list before publishing — if the layout
-    // changed during the fold (a writer committed a batch past our fold
-    // point, or another compactor committed a fold at/above ours), a
-    // concurrent writer was active and our fold raced it: ABORT instead
-    // of publishing. The abort corrupts nothing — the staging dir is
-    // deleted, the reader view stays the previous compaction plus every
-    // committed batch root, and the next compaction re-folds from a
-    // fresh listing. Cost: one directory listing per fold.
-    val after = postingsRoots(s, indexPath)
-    if (after._2.exists(_ > hi) || after._1.exists(_ >= hi))
-      return abort("concurrent commit detected during fold " +
-        s"(batches=${after._2.mkString(",")}, compacted=${after._1})")
-    // Claim c<hi> by rename WITHOUT overwrite (FileContext.rename throws
-    // if the destination exists), so a same-hi compactor that slipped
-    // past the re-list can never clobber a committed dir — exactly one
-    // claimant wins, the loser aborts. A marker-less c<hi> left by a
-    // crashed fold is invisible to readers and safe to clear first.
-    val target = new Path(indexPath, s"c$hi")
-    if (f.exists(target) && !f.exists(new Path(indexPath, s"_COMMIT_c$hi")))
-      f.delete(target, true)
-    try org.apache.hadoop.fs.FileContext
-      .getFileContext(target.toUri, s.sparkContext.hadoopConfiguration)
-      .rename(f.makeQualified(tmp), f.makeQualified(target))
-    catch {
-      case e @ (_: org.apache.hadoop.fs.FileAlreadyExistsException |
-                _: java.io.IOException) =>
-        return abort(s"lost the c$hi claim race (${e.getClass.getSimpleName})")
-    }
-    f.create(new Path(indexPath, s"_COMMIT_c$hi"), true).close()
-    true
+    // The fold commits through [[StagedCommit]] (stage → claim-by-rename
+    // → marker), so a same-hi compactor can never clobber a committed
+    // c<hi> dir, PLUS the single-writer tripwire as its abortIf: re-list
+    // before publishing — if the layout changed during the fold (a
+    // writer committed a batch past our fold point, or another compactor
+    // committed a fold at/above ours), a concurrent writer was active
+    // and our fold raced it: ABORT instead of publishing. The abort
+    // corrupts nothing — the staging dir is deleted, the reader view
+    // stays the previous compaction plus every committed batch root, and
+    // the next compaction re-folds from a fresh listing. Cost: one
+    // directory listing per fold.
+    StagedCommit.commit(
+      p => readPostingsRoots(s, rootPaths(indexPath, listing))
+        .write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      s"$indexPath/c$hi", Seq(""), new Path(indexPath, s"_COMMIT_c$hi"),
+      beforeClaim = betweenFoldAndCommit,
+      abortIf = () => {
+        val after = postingsRoots(s, indexPath)
+        val hit = after._2.exists(_ > hi) || after._1.exists(_ >= hi)
+        if (hit) System.err.println(s"[graft] compactPostings($indexPath): " +
+          s"concurrent commit detected during fold at hi=$hi " +
+          s"(batches=${after._2.mkString(",")}, compacted=${after._1}) — " +
+          "single-writer contract violated; aborting the fold " +
+          "(readers unaffected)")
+        hit
+      })
   }
 
   /** State-keyed compaction trigger — the [[AnnIndexStreaming]]
@@ -336,9 +319,13 @@ object DocIndexStreaming {
     val f = fs(s, indexPath)
     val committed = latestVersion(s, indexPath)
     if (committed.exists(_ >= batchId)) return // replay of an admitted batch
-    graft.ext.Retrieval.postings(batch)
-      .write.mode("overwrite").parquet(s"$indexPath/b$batchId")
-    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
+    StagedCommit.commit(
+      p => graft.ext.Retrieval.postings(batch)
+        .write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      s"$indexPath/b$batchId", Seq(""),
+      new Path(indexPath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer for the postings lifecycle: a document stream
@@ -400,9 +387,14 @@ object DocIndexStreaming {
     val f = fs(s, countsPath)
     val committed = latestVersion(s, countsPath)
     if (committed.exists(_ >= batchId)) return // replay of an admitted batch
-    graft.ext.TextStats.appendToLmCounts(currentLmCounts(s, countsPath), batch)
-      .write.mode("overwrite").parquet(s"$countsPath/v$batchId")
-    f.create(new Path(countsPath, s"_COMMIT_v$batchId"), true).close()
+    StagedCommit.commit(
+      p => graft.ext.TextStats
+        .appendToLmCounts(currentLmCounts(s, countsPath), batch)
+        .write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      s"$countsPath/v$batchId", Seq(""),
+      new Path(countsPath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer for the LM-model lifecycle: a reference
@@ -457,9 +449,13 @@ object DocIndexStreaming {
       .write.mode("overwrite").parquet(outDir)
     val add = s.read.parquet(outDir)
       .agg(coalesce(sum(col("n_tokens")), lit(0L))).collect()(0).getLong(0)
-    graft.LocalTable.of(s, spentSchema, Seq(Row(spent + add)))
-      .coalesce(1).write.mode("overwrite").parquet(s"$statePath/v$batchId")
-    f.create(new Path(statePath, s"_COMMIT_v$batchId"), true).close()
+    StagedCommit.commit(
+      p => graft.LocalTable.of(s, spentSchema, Seq(Row(spent + add)))
+        .coalesce(1).write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      s"$statePath/v$batchId", Seq(""),
+      new Path(statePath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer for the budget lifecycle: a document stream

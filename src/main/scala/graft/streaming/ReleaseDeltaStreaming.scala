@@ -128,10 +128,13 @@ object ReleaseDeltaStreaming {
     val s = batch.sparkSession
     val committed = DocIndexStreaming.latestVersion(s, statePath)
     if (committed.exists(_ >= batchId)) return // replay of an admitted batch
-    mergeState(currentState(s, statePath), batchContribution(batch, v1))
-      .write.mode("overwrite").parquet(s"$statePath/v$batchId")
-    fs(s, statePath).create(new Path(statePath, s"_COMMIT_v$batchId"), true)
-      .close()
+    StagedCommit.commit(
+      p => mergeState(currentState(s, statePath), batchContribution(batch, v1))
+        .write.mode("overwrite").parquet(p),
+      fs(s, statePath), s.sparkContext.hadoopConfiguration,
+      s"$statePath/v$batchId", Seq(""),
+      new Path(statePath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The release-delta card from the current state — same columns and

@@ -1405,6 +1405,46 @@ class StreamingSpec extends SparkSpec {
           (3L, "delta late")))))
   }
 
+  test("StagedCommit: a committed target is never deleted by a racer; orphans are cleared; multi-dir stages clean up on abort") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StagedCommit
+    val base = java.nio.file.Files.createTempDirectory("graft-staged-").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(base).getFileSystem(conf)
+    def writeDirs(prefix: String, tag: String): Unit =
+      Seq("", ".centroids").foreach { sx =>
+        val d = new java.io.File(prefix + sx); d.mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(d.getPath, "data"), tag)
+      }
+    def names() = new java.io.File(base).listFiles().map(_.getName).toSet
+    // 1) plain two-dir commit: both dirs land, marker created, no stages
+    assert(StagedCommit.commit(p => writeDirs(p, "v1"), fs, conf,
+      s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fA")))
+    assert(names().contains("base_v1") && names().contains("base_v1.centroids"))
+    assert(!names().exists(_.contains("_stage_")))
+    // 2) a racer committing the SAME version family inside the window:
+    // our commit aborts, the racer's committed dirs are untouched
+    val fam = Some(() => new java.io.File(base).listFiles()
+      .exists(_.getName.startsWith("_COMMIT_v1_")))
+    val lost = StagedCommit.commit(p => writeDirs(p, "loser"), fs, conf,
+      s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fB"),
+      targetCommitted = fam)
+    assert(!lost)
+    assert(!names().contains("_COMMIT_v1_fB"))
+    assert(!names().exists(_.contains("_stage_")), "loser must clean stages")
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "base_v1", "data")) === "v1",
+      "the winner's committed bytes must be untouched")
+    // 3) marker-less orphans at BOTH targets (crashed writer): cleared,
+    // claimed, committed
+    writeDirs(s"$base/base_v2", "orphan")
+    assert(StagedCommit.commit(p => writeDirs(p, "v2"), fs, conf,
+      s"$base/base_v2", Seq("", ".centroids"), new Path(base, "_COMMIT_v2_fA")))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, "base_v2", "data")) === "v2")
+  }
+
   test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.streaming.DocIndexStreaming
