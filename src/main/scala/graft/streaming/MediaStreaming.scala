@@ -58,9 +58,13 @@ object MediaStreaming {
       .write.mode("overwrite").parquet(outDir)
     val admittedHashes = s.read.parquet(outDir)
       .filter(col("admitted")).select(col("content_hash"))
-    index.unionByName(admittedHashes).distinct()
-      .write.mode("overwrite").parquet(s"$indexPath/v$batchId")
-    f.create(new Path(indexPath, s"_COMMIT_v$batchId"), true).close()
+    StagedCommit.commit(
+      p => index.unionByName(admittedHashes).distinct()
+        .write.mode("overwrite").parquet(p),
+      f, s.sparkContext.hadoopConfiguration,
+      s"$indexPath/v$batchId", Seq(""),
+      new Path(indexPath, s"_COMMIT_v$batchId"))
+    ()
   }
 
   /** The streaming writer: wire a media stream (doc_id, media) into
