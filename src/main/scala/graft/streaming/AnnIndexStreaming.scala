@@ -65,42 +65,59 @@ object AnnIndexStreaming {
 
   private val BaseMarker = """v(\d+)_f(\d+)""".r
 
-  /** The committed base with the highest version. */
+  /** The committed base with the highest (version, fold). The fold is
+    * the tiebreak because same-version racers commit under DIFFERENT
+    * fold-point markers (each names its own dir — see [[basePath]]);
+    * both are self-consistent (the fold rides in both the marker and
+    * the dir name), and the higher fold has folded more batches. */
   def currentBase(s: SparkSession, indexPath: String): Base = {
     val bases = markers(s, indexPath, "_COMMIT_base_").collect {
       case BaseMarker(v, f) => Base(v.toLong, f.toLong)
     }
     if (bases.isEmpty) throw new IllegalStateException(
       s"no committed base under $indexPath — call init() first")
-    bases.maxBy(_.version)
+    bases.maxBy(b => (b.version, b.fold))
   }
 
-  def basePath(indexPath: String, version: Long): String =
-    s"$indexPath/base_v$version"
-
-  /** True iff ANY fold-point marker has committed base version `v` —
-    * the committed-check [[StagedCommit]] needs for base dirs, whose
-    * marker carries the fold point too (a same-version racer may commit
-    * under a DIFFERENT `_f<M>`). */
-  private def baseCommitted(s: SparkSession, indexPath: String,
-      v: Long): Boolean =
-    markers(s, indexPath, "_COMMIT_base_").exists(_.startsWith(s"v${v}_f"))
+  /** A base's directory carries BOTH marker coordinates
+    * (`base_v<version>_f<fold>`), keeping marker ↔ dir strictly 1:1 —
+    * two compactors racing the same next-version but different fold
+    * points claim DIFFERENT dirs instead of fighting over one — and the
+    * build lives under ONE parent (`<dir>/ivf` + `<dir>/ivf.centroids`)
+    * so the claim is a single atomic rename: no interleaving can ever
+    * publish one build's lists with another's centroids. */
+  def basePath(indexPath: String, b: Base): String =
+    s"$indexPath/base_v${b.version}_f${b.fold}/ivf"
 
   private def commitBaseDirs(s: SparkSession, indexPath: String, b: Base,
       write: String => Unit): Boolean =
-    StagedCommit.commit(write, fs(s, indexPath),
-      s.sparkContext.hadoopConfiguration,
-      basePath(indexPath, b.version), Seq("", ".centroids"),
-      new Path(indexPath, s"_COMMIT_base_v${b.version}_f${b.fold}"),
-      targetCommitted = Some(() => baseCommitted(s, indexPath, b.version)))
+    StagedCommit.commit(
+      // stage the whole parent: write() populates `<stage>/ivf` (+ its
+      // `.centroids` sibling INSIDE the stage), one rename claims both
+      p => write(s"$p/ivf"),
+      fs(s, indexPath), s.sparkContext.hadoopConfiguration,
+      s"$indexPath/base_v${b.version}_f${b.fold}", Seq(""),
+      new Path(indexPath, s"_COMMIT_base_v${b.version}_f${b.fold}"))
 
   /** Train the quantizer on the archive corpus and commit base v0
     * (fold point 0: every future batch rides alongside it). Staged like
     * every versioned commit here ([[StagedCommit]]): two concurrent
-    * inits cannot clobber each other's committed base. */
+    * inits cannot clobber each other's committed base. Fails fast on an
+    * EMPTY archive (an index with an empty quantizer can admit nothing
+    * and — because a committed base refuses re-init — could never be
+    * repaired) and on an ALREADY-INITIALIZED path (a silent no-op would
+    * discard the caller's build; re-training an existing index is
+    * [[compact]]'s job). */
   def init(archive: DataFrame, vecCol: String, k: Int, iters: Int,
       indexPath: String): Unit = {
+    require(!archive.isEmpty,
+      s"init: empty archive for $indexPath — an index cannot be " +
+        "initialized without training vectors")
     val s = archive.sparkSession
+    if (markers(s, indexPath, "_COMMIT_base_").nonEmpty)
+      throw new IllegalStateException(
+        s"init: $indexPath already has a committed base — use compact() " +
+          "to re-train it, or point at a fresh indexPath")
     commitBaseDirs(s, indexPath, Base(0L, 0L),
       p => { IvfIndex.build(archive, vecCol, k, iters, p); () })
     ()
@@ -127,9 +144,9 @@ object AnnIndexStreaming {
     val f = fs(s, indexPath)
     if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
     val base = currentBase(s, indexPath)
-    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base))
     require(cs.nonEmpty, s"admitBatch: empty quantizer at $indexPath " +
-      s"base v${base.version} — init() ran on an empty archive; rebuild")
+      s"base v${base.version} — the base was built on an empty corpus; rebuild")
     // width tripwire vs the committed quantizer: a mismatched vector
     // would assign-and-score silently wrong forever (the cosine kernel
     // truncates) — fail the admission; the marker is never created, so
@@ -147,7 +164,7 @@ object AnnIndexStreaming {
 
   private def listsOf(s: SparkSession, indexPath: String,
       base: Base): DataFrame =
-    (basePath(indexPath, base.version) +:
+    (basePath(indexPath, base) +:
         committedBatchIds(s, indexPath, base).map(id => s"$indexPath/b$id"))
       // a fully-evicted dedup admission commits its marker without a
       // lists dir — the base always exists, batch dirs may not
@@ -202,7 +219,7 @@ object AnnIndexStreaming {
       k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame = {
     val base = currentBase(s, indexPath)
     IvfIndex.probeLists(listsOf(s, indexPath, base),
-      IvfIndex.loadCentroids(s, basePath(indexPath, base.version)),
+      IvfIndex.loadCentroids(s, basePath(indexPath, base)),
       queryVec, k, nProbe, excludeVecId)
   }
 
@@ -231,7 +248,7 @@ object AnnIndexStreaming {
       k: Int, nProbe: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val base = currentBase(s, indexPath)
-    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base))
     val lists = listsOf(s, indexPath, base)
     val rec = graft.ext.Similarity
       .annRecallOverLists(lists, cs, queries, k, nProbe)
@@ -328,9 +345,9 @@ object AnnIndexStreaming {
     val f = fs(s, indexPath)
     if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
     val base = currentBase(s, indexPath)
-    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base.version))
+    val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base))
     require(cs.nonEmpty, s"admitDedupBatch: empty quantizer at $indexPath " +
-      s"base v${base.version} — init() ran on an empty archive; rebuild")
+      s"base v${base.version} — the base was built on an empty corpus; rebuild")
     val assigned = listsOf(s, indexPath, base)
       .select(col("vec_id").as("a_id"), col(vecCol).as("a_emb"),
         col("centroid_id").as("cid"))

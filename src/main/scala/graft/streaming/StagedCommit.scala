@@ -41,40 +41,57 @@ private[graft] object StagedCommit {
     * `Seq("")` for a single directory). `write(stagePrefix)` must
     * produce `stagePrefix + sx` for every suffix. `beforeClaim` is a
     * test seam into the stage→claim window; `abortIf` runs after it
-    * (the caller's tripwire — e.g. a layout re-list). `targetCommitted`
-    * overrides "is the target already committed?" when the marker name
-    * is not 1:1 with the target dir (an ANN base `base_v<N>` can commit
-    * under ANY `_COMMIT_base_v<N>_f<M>` marker — checking only OUR
-    * marker would let a same-version different-fold racer delete the
-    * winner's committed dir as an "orphan"). Returns true iff THIS call
-    * committed the marker. */
+    * (the caller's tripwire — e.g. a layout re-list). Returns true iff
+    * THIS call committed the marker.
+    *
+    * Marker ↔ target must be 1:1: the marker name is the committed-check
+    * for the target, so a commit whose content varies under one target
+    * name must encode the variation IN the name (the ANN base encodes
+    * its fold point: `base_v<N>_f<M>`). Multi-dir variation belongs
+    * under ONE parent dir (single atomic rename), not in multiple
+    * suffixes — a same-name racer re-claiming between two suffix renames
+    * could otherwise publish a mix of two builds.
+    *
+    * Only "destination already exists" counts as a lost race. Any other
+    * I/O failure CLEANS UP AND PROPAGATES: swallowing it would return
+    * false like a benign no-op, the foreachBatch caller would complete,
+    * the engine checkpoint would advance, and the batch's data would be
+    * silently absent forever — a real failure must fail the batch so
+    * the engine retries it. */
   def commit(write: String => Unit, fs: FileSystem, conf: Configuration,
       targetPrefix: String, suffixes: Seq[String], marker: Path,
       beforeClaim: () => Unit = () => (),
-      abortIf: () => Boolean = () => false,
-      targetCommitted: Option[() => Boolean] = None): Boolean = {
+      abortIf: () => Boolean = () => false): Boolean = {
     require(suffixes.nonEmpty, "at least one directory suffix")
-    val committedCheck = targetCommitted.getOrElse(() => fs.exists(marker))
     val t = new Path(targetPrefix)
     val stagePrefix = new Path(t.getParent,
       s".${t.getName}_stage_${java.util.UUID.randomUUID().toString.take(8)}")
       .toString
-    write(stagePrefix)
-    beforeClaim()
-    def abort(): Boolean = {
+    def dropStages(): Unit =
       suffixes.foreach(sx => fs.delete(new Path(stagePrefix + sx), true))
+    def abort(why: String): Boolean = {
+      System.err.println(
+        s"[graft] StagedCommit($targetPrefix): $why — aborting the commit " +
+          "(readers unaffected)")
+      dropStages()
       false
     }
-    if (abortIf() || committedCheck()) return abort()
+    // a failed stage write (or seam) must not leak UUID-named stage dirs
+    try { write(stagePrefix); beforeClaim() }
+    catch { case e: Throwable => dropStages(); throw e }
+    if (abortIf()) return abort("caller tripwire fired")
+    if (fs.exists(marker)) return abort("a racer already committed")
     val fc = FileContext.getFileContext(t.toUri, conf)
     val claimed = scala.collection.mutable.ListBuffer[Path]()
+    def rollback(): Unit = claimed.foreach(fs.delete(_, true))
     suffixes.foreach { sx =>
       val target = new Path(targetPrefix + sx)
       if (fs.exists(target)) {
         // re-check right before the destructive clear: only a
         // marker-less orphan of a crashed writer (invisible to readers)
-        // may be deleted — a racer may have committed since our check
-        if (committedCheck()) return abort()
+        // may be deleted — a racer may have committed since our check,
+        // and already-claimed dirs must not stay published half-ours
+        if (fs.exists(marker)) { rollback(); return abort("a racer committed mid-claim") }
         fs.delete(target, true)
       }
       try {
@@ -82,11 +99,13 @@ private[graft] object StagedCommit {
           fs.makeQualified(target))
         claimed += target
       } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException |
-             _: java.io.IOException =>
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
           // lost the claim race — roll back our still-unmarked claims
-          claimed.foreach(fs.delete(_, true))
-          return abort()
+          rollback()
+          return abort(s"lost the claim race on $target")
+        case e: java.io.IOException =>
+          rollback(); dropStages()
+          throw e // a real I/O failure, not a race — see the class doc
       }
     }
     fs.create(marker, true).close()

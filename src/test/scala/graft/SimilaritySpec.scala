@@ -814,18 +814,33 @@ class SimilaritySpec extends SparkSpec {
     // the JL projection validates against its declared input width
     breach(graft.ext.Similarity.randomProject(
       df(Seq((0L, vec(6), 0))), dim = 8, dOut = 4, seed = "t").collect())
-    // an index init'd on an EMPTY archive has no quantizer: admissions
-    // and appends fail with the real cause, not a bare head-of-empty
-    AnnIndexStreaming.init(df(Seq.empty), "embedding", k = 3, iters = 0,
-      s"$base/empty")
+    // init REFUSES an empty archive (an empty-quantizer index could
+    // never be repaired, since a committed base refuses re-init) and an
+    // already-initialized path (a silent no-op would discard the build)
+    val eInit = intercept[IllegalArgumentException] {
+      AnnIndexStreaming.init(df(Seq.empty), "embedding", k = 3, iters = 0,
+        s"$base/empty")
+    }
+    assert(eInit.getMessage.contains("empty archive"))
+    val eReinit = intercept[IllegalStateException] {
+      AnnIndexStreaming.init(df(good), "embedding", k = 3, iters = 0,
+        s"$base/ann")
+    }
+    assert(eReinit.getMessage.contains("already has a committed base"))
+    // a manually-corrupted base (empty quantizer, e.g. restored from a
+    // bad backup): admissions and appends still fail with the real
+    // cause, not a bare head-of-empty
+    val eBase = s"$base/corrupt/base_v0_f0/ivf"
+    IvfIndex.build(df(Seq.empty), "embedding", k = 3, iters = 0, eBase)
+    assert(new java.io.File(s"$base/corrupt", "_COMMIT_base_v0_f0")
+      .createNewFile())
     val eEmpty = intercept[IllegalArgumentException] {
       AnnIndexStreaming.admitBatch(df(Seq((1L, vec(8), 0))), 0L, "embedding",
-        s"$base/empty")
+        s"$base/corrupt")
     }
     assert(eEmpty.getMessage.contains("empty quantizer"))
     val eAppend = intercept[IllegalArgumentException] {
-      IvfIndex.append(df(Seq((1L, vec(8), 0))), "embedding",
-        s"$base/empty/base_v0")
+      IvfIndex.append(df(Seq((1L, vec(8), 0))), "embedding", eBase)
     }
     assert(eAppend.getMessage.contains("empty quantizer"))
   }

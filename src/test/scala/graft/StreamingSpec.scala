@@ -737,7 +737,7 @@ class StreamingSpec extends SparkSpec {
     AnnIndexStreaming.init(df(archive), "embedding", k = 8, iters = 3, indexPath)
     val cs = graft.ext.IvfIndex.loadCentroids(spark,
       AnnIndexStreaming.basePath(indexPath,
-        AnnIndexStreaming.currentBase(spark, indexPath).version))
+        AnnIndexStreaming.currentBase(spark, indexPath)))
 
     val in = MemoryStream[(Long, Seq[Float], Int)]
     val q = AnnIndexStreaming.annIndexStream(
@@ -1423,19 +1423,27 @@ class StreamingSpec extends SparkSpec {
       s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fA")))
     assert(names().contains("base_v1") && names().contains("base_v1.centroids"))
     assert(!names().exists(_.contains("_stage_")))
-    // 2) a racer committing the SAME version family inside the window:
-    // our commit aborts, the racer's committed dirs are untouched
-    val fam = Some(() => new java.io.File(base).listFiles()
-      .exists(_.getName.startsWith("_COMMIT_v1_")))
+    // 2) a racer commits the marker inside the stage→claim window: our
+    // commit aborts, the winner's committed dirs are untouched (the
+    // marker here was created by scenario 1 — re-running the same
+    // commit IS the racer case)
     val lost = StagedCommit.commit(p => writeDirs(p, "loser"), fs, conf,
-      s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fB"),
-      targetCommitted = fam)
+      s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fA"))
     assert(!lost)
-    assert(!names().contains("_COMMIT_v1_fB"))
     assert(!names().exists(_.contains("_stage_")), "loser must clean stages")
     assert(java.nio.file.Files.readString(
       java.nio.file.Paths.get(base, "base_v1", "data")) === "v1",
       "the winner's committed bytes must be untouched")
+    // 2b) a failed stage write leaks no staging dirs and PROPAGATES
+    // (silently dropping a batch would let the checkpoint advance)
+    intercept[RuntimeException] {
+      StagedCommit.commit(p => { writeDirs(p, "x"); sys.error("job died") },
+        fs, conf, s"$base/base_v9", Seq("", ".centroids"),
+        new Path(base, "_COMMIT_v9_fA"))
+    }
+    assert(!names().exists(_.contains("_stage_")),
+      "a failed write must clean its stages")
+    assert(!names().contains("base_v9"))
     // 3) marker-less orphans at BOTH targets (crashed writer): cleared,
     // claimed, committed
     writeDirs(s"$base/base_v2", "orphan")
