@@ -96,7 +96,7 @@ object AnnIndexStreaming {
       // `.centroids` sibling INSIDE the stage), one rename claims both
       p => write(s"$p/ivf"),
       fs(s, indexPath), s.sparkContext.hadoopConfiguration,
-      s"$indexPath/base_v${b.version}_f${b.fold}", Seq(""),
+      s"$indexPath/base_v${b.version}_f${b.fold}",
       new Path(indexPath, s"_COMMIT_base_v${b.version}_f${b.fold}"))
 
   /** Train the quantizer on the archive corpus and commit base v0
@@ -110,17 +110,24 @@ object AnnIndexStreaming {
     * [[compact]]'s job). */
   def init(archive: DataFrame, vecCol: String, k: Int, iters: Int,
       indexPath: String): Unit = {
-    require(!archive.isEmpty,
-      s"init: empty archive for $indexPath — an index cannot be " +
-        "initialized without training vectors")
     val s = archive.sparkSession
+    // cheap marker listing FIRST — an already-initialized path must not
+    // cost a Spark job (or misreport as "empty archive")
     if (markers(s, indexPath, "_COMMIT_base_").nonEmpty)
       throw new IllegalStateException(
         s"init: $indexPath already has a committed base — use compact() " +
           "to re-train it, or point at a fresh indexPath")
-    commitBaseDirs(s, indexPath, Base(0L, 0L),
-      p => { IvfIndex.build(archive, vecCol, k, iters, p); () })
-    ()
+    require(!archive.isEmpty,
+      s"init: empty archive for $indexPath — an index cannot be " +
+        "initialized without training vectors")
+    // the pre-check is TOCTOU against a concurrent init: StagedCommit
+    // detects the racer's marker and returns false — surface it, a
+    // silent no-op would discard this caller's build
+    if (!commitBaseDirs(s, indexPath, Base(0L, 0L),
+        p => { IvfIndex.build(archive, vecCol, k, iters, p); () }))
+      throw new IllegalStateException(
+        s"init: lost an initialization race on $indexPath — another " +
+          "writer committed a base first")
   }
 
   private def committedBatchIds(s: SparkSession, indexPath: String,
@@ -157,7 +164,7 @@ object AnnIndexStreaming {
           .withColumn("centroid_id",
             NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$indexPath/b$batchId", Seq(""),
+      s"$indexPath/b$batchId",
       new Path(indexPath, s"_COMMIT_batch_$batchId"))
     ()
   }
@@ -165,10 +172,13 @@ object AnnIndexStreaming {
   private def listsOf(s: SparkSession, indexPath: String,
       base: Base): DataFrame =
     (basePath(indexPath, base) +:
-        committedBatchIds(s, indexPath, base).map(id => s"$indexPath/b$id"))
-      // a fully-evicted dedup admission commits its marker without a
-      // lists dir — the base always exists, batch dirs may not
-      .filter(r => fs(s, r).exists(new Path(r)))
+        committedBatchIds(s, indexPath, base).map(id => s"$indexPath/b$id")
+          // a fully-evicted dedup admission commits its marker without a
+          // lists dir — BATCH dirs may be missing; the base root is read
+          // unconditionally so a committed base whose dir is gone (or an
+          // index persisted under a pre-(v,f)-layout) fails LOUDLY at
+          // read instead of silently returning batch-only data
+          .filter(r => fs(s, r).exists(new Path(r))))
       .map(r => s.read.parquet(r))
       .reduce(_.unionByName(_))
 
@@ -202,10 +212,17 @@ object AnnIndexStreaming {
     val kept =
       if (exclude.isEmpty) corpus
       else corpus.filter(!col("vec_id").isin(exclude.toSeq: _*))
+    // a takedown that empties the corpus would commit an empty-quantizer
+    // base — the irreparable state init() refuses to create (re-init is
+    // forbidden, and a further compact has nothing to train on). Refuse
+    // it: deleting the LAST vectors means deleting the index.
+    require(!kept.isEmpty,
+      s"compact: the exclude set would empty $indexPath — an empty " +
+        "quantizer cannot be rebuilt; delete the index instead")
     // staged commit ([[StagedCommit]]): two compactors racing the same
-    // next.version stage independently and exactly one claims base_v<N>
-    // (+ its .centroids sibling) — the loser aborts without touching the
-    // winner's committed dirs
+    // next version stage independently and exactly one claims the
+    // base_v<N>_f<M> parent dir — the loser aborts without touching the
+    // winner's committed build
     commitBaseDirs(s, indexPath, next,
       p => { IvfIndex.build(kept, vecCol, k, iters, p); () })
     ()
@@ -374,7 +391,7 @@ object AnnIndexStreaming {
           admitted.withColumn("centroid_id",
             NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
         f, s.sparkContext.hadoopConfiguration,
-        s"$indexPath/b$batchId", Seq(""),
+        s"$indexPath/b$batchId",
         new Path(indexPath, s"_COMMIT_batch_$batchId"))
       ()
     }

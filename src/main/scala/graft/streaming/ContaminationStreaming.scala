@@ -123,7 +123,7 @@ object ContaminationStreaming {
         .distinct()
         .write.mode("overwrite").parquet(p),
       fs(s, indexPath), s.sparkContext.hadoopConfiguration,
-      s"$indexPath/v$batchId", Seq(""),
+      s"$indexPath/v$batchId",
       new Path(indexPath, s"_COMMIT_v$batchId"))
     ()
   }

@@ -95,7 +95,7 @@ object DocIndexStreaming {
       p => Dedup.appendToFingerprintIndex(index, batch, windowTokens)
         .write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      versionDir.toString, Seq(""), new Path(indexPath, s"_COMMIT_v$batchId"))
+      versionDir.toString, new Path(indexPath, s"_COMMIT_v$batchId"))
     ()
   }
 
@@ -150,7 +150,7 @@ object DocIndexStreaming {
       p => Dedup.appendToBoilerplateIndex(index, batch, windowTokens)
         .write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      versionDir.toString, Seq(""), new Path(indexPath, s"_COMMIT_v$batchId"))
+      versionDir.toString, new Path(indexPath, s"_COMMIT_v$batchId"))
     ()
   }
 
@@ -271,7 +271,7 @@ object DocIndexStreaming {
       p => readPostingsRoots(s, rootPaths(indexPath, listing))
         .write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$indexPath/c$hi", Seq(""), new Path(indexPath, s"_COMMIT_c$hi"),
+      s"$indexPath/c$hi", new Path(indexPath, s"_COMMIT_c$hi"),
       beforeClaim = betweenFoldAndCommit,
       abortIf = () => {
         val after = postingsRoots(s, indexPath)
@@ -323,7 +323,7 @@ object DocIndexStreaming {
       p => graft.ext.Retrieval.postings(batch)
         .write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$indexPath/b$batchId", Seq(""),
+      s"$indexPath/b$batchId",
       new Path(indexPath, s"_COMMIT_v$batchId"))
     ()
   }
@@ -392,7 +392,7 @@ object DocIndexStreaming {
         .appendToLmCounts(currentLmCounts(s, countsPath), batch)
         .write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$countsPath/v$batchId", Seq(""),
+      s"$countsPath/v$batchId",
       new Path(countsPath, s"_COMMIT_v$batchId"))
     ()
   }
@@ -453,7 +453,7 @@ object DocIndexStreaming {
       p => graft.LocalTable.of(s, spentSchema, Seq(Row(spent + add)))
         .coalesce(1).write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$statePath/v$batchId", Seq(""),
+      s"$statePath/v$batchId",
       new Path(statePath, s"_COMMIT_v$batchId"))
     ()
   }

@@ -62,7 +62,7 @@ object MediaStreaming {
       p => index.unionByName(admittedHashes).distinct()
         .write.mode("overwrite").parquet(p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$indexPath/v$batchId", Seq(""),
+      s"$indexPath/v$batchId",
       new Path(indexPath, s"_COMMIT_v$batchId"))
     ()
   }

@@ -132,7 +132,7 @@ object ReleaseDeltaStreaming {
       p => mergeState(currentState(s, statePath), batchContribution(batch, v1))
         .write.mode("overwrite").parquet(p),
       fs(s, statePath), s.sparkContext.hadoopConfiguration,
-      s"$statePath/v$batchId", Seq(""),
+      s"$statePath/v$batchId",
       new Path(statePath, s"_COMMIT_v$batchId"))
     ()
   }

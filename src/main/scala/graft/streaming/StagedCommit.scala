@@ -9,8 +9,8 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * The naive shape — `df.write.mode("overwrite").parquet(target)` then
   * create the marker — has a clobber window: mode(overwrite) DELETES
   * the target first, so a second writer racing the same version (two
-  * compactors resolving the same fold point, two hand-driven sessions
-  * admitting the same batch id) can delete a directory whose marker a
+  * compactors resolving one fold point, two hand-driven sessions
+  * admitting one batch id) can delete a directory whose marker a
   * reader already resolved, exposing partially-deleted data with no
   * error (explicit schemas make missing files read as silently fewer
   * rows). Staging + no-overwrite rename closes it:
@@ -27,9 +27,17 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   *   - the claim is `FileContext.rename` WITHOUT the overwrite flag —
   *     it throws if the destination exists — so when two same-version
   *     writers slip past every check, exactly ONE wins the rename and
-  *     the loser aborts cleanly. Multi-dir commits (an IVF base is a
-  *     lists dir + a centroids dir) claim in order and roll back
-  *     already-claimed, still-marker-less dirs if a later claim loses.
+  *     the loser aborts cleanly.
+  *
+  * The unit of commitment is ONE directory, deliberately: multi-dir
+  * claims cannot be made atomic with renames (interleaved same-name
+  * racers could publish a mix of two builds), so an artifact with
+  * multiple parts must put them INSIDE one parent dir and commit the
+  * parent (the ANN base does exactly this: `base_v<N>_f<M>/ivf` plus
+  * `…/ivf.centroids` under one renameable parent). Likewise, marker ↔
+  * target must be 1:1: a commit whose content varies under one target
+  * name must encode the variation IN the name (the ANN base encodes its
+  * fold point).
   *
   * Crash contract is unchanged from the marker protocol: the marker is
   * the single atomic commit point; a crash anywhere before it leaves
@@ -37,20 +45,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * claimed-but-unmarked targets) that readers never see. */
 private[graft] object StagedCommit {
 
-  /** Stage-and-commit `targetPrefix` (+ each suffix in `suffixes` — use
-    * `Seq("")` for a single directory). `write(stagePrefix)` must
-    * produce `stagePrefix + sx` for every suffix. `beforeClaim` is a
-    * test seam into the stage→claim window; `abortIf` runs after it
-    * (the caller's tripwire — e.g. a layout re-list). Returns true iff
-    * THIS call committed the marker.
-    *
-    * Marker ↔ target must be 1:1: the marker name is the committed-check
-    * for the target, so a commit whose content varies under one target
-    * name must encode the variation IN the name (the ANN base encodes
-    * its fold point: `base_v<N>_f<M>`). Multi-dir variation belongs
-    * under ONE parent dir (single atomic rename), not in multiple
-    * suffixes — a same-name racer re-claiming between two suffix renames
-    * could otherwise publish a mix of two builds.
+  /** Stage-and-commit the single directory `target`: `write(stagePath)`
+    * populates the staging dir (including any nested layout), the claim
+    * renames it onto `target`, and `marker` is created last.
+    * `beforeClaim` is a test seam into the stage→claim window; `abortIf`
+    * runs after it (the caller's tripwire — e.g. a layout re-list).
+    * Returns true iff THIS call committed the marker.
     *
     * Only "destination already exists" counts as a lost race. Any other
     * I/O failure CLEANS UP AND PROPAGATES: swallowing it would return
@@ -59,54 +59,39 @@ private[graft] object StagedCommit {
     * silently absent forever — a real failure must fail the batch so
     * the engine retries it. */
   def commit(write: String => Unit, fs: FileSystem, conf: Configuration,
-      targetPrefix: String, suffixes: Seq[String], marker: Path,
+      target: String, marker: Path,
       beforeClaim: () => Unit = () => (),
       abortIf: () => Boolean = () => false): Boolean = {
-    require(suffixes.nonEmpty, "at least one directory suffix")
-    val t = new Path(targetPrefix)
-    val stagePrefix = new Path(t.getParent,
+    val t = new Path(target)
+    val stage = new Path(t.getParent,
       s".${t.getName}_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-      .toString
-    def dropStages(): Unit =
-      suffixes.foreach(sx => fs.delete(new Path(stagePrefix + sx), true))
     def abort(why: String): Boolean = {
       System.err.println(
-        s"[graft] StagedCommit($targetPrefix): $why — aborting the commit " +
+        s"[graft] StagedCommit($target): $why — aborting the commit " +
           "(readers unaffected)")
-      dropStages()
+      fs.delete(stage, true)
       false
     }
     // a failed stage write (or seam) must not leak UUID-named stage dirs
-    try { write(stagePrefix); beforeClaim() }
-    catch { case e: Throwable => dropStages(); throw e }
+    try { write(stage.toString); beforeClaim() }
+    catch { case e: Throwable => fs.delete(stage, true); throw e }
     if (abortIf()) return abort("caller tripwire fired")
     if (fs.exists(marker)) return abort("a racer already committed")
-    val fc = FileContext.getFileContext(t.toUri, conf)
-    val claimed = scala.collection.mutable.ListBuffer[Path]()
-    def rollback(): Unit = claimed.foreach(fs.delete(_, true))
-    suffixes.foreach { sx =>
-      val target = new Path(targetPrefix + sx)
-      if (fs.exists(target)) {
-        // re-check right before the destructive clear: only a
-        // marker-less orphan of a crashed writer (invisible to readers)
-        // may be deleted — a racer may have committed since our check,
-        // and already-claimed dirs must not stay published half-ours
-        if (fs.exists(marker)) { rollback(); return abort("a racer committed mid-claim") }
-        fs.delete(target, true)
-      }
-      try {
-        fc.rename(fs.makeQualified(new Path(stagePrefix + sx)),
-          fs.makeQualified(target))
-        claimed += target
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-          // lost the claim race — roll back our still-unmarked claims
-          rollback()
-          return abort(s"lost the claim race on $target")
-        case e: java.io.IOException =>
-          rollback(); dropStages()
-          throw e // a real I/O failure, not a race — see the class doc
-      }
+    if (fs.exists(t)) {
+      // re-check right before the destructive clear: only a marker-less
+      // orphan of a crashed writer (invisible to readers) may be
+      // deleted — a racer may have committed since the check above
+      if (fs.exists(marker)) return abort("a racer committed mid-claim")
+      fs.delete(t, true)
+    }
+    try FileContext.getFileContext(t.toUri, conf)
+      .rename(fs.makeQualified(stage), fs.makeQualified(t))
+    catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        return abort("lost the claim race")
+      case e: java.io.IOException =>
+        fs.delete(stage, true)
+        throw e // a real I/O failure, not a race — see the method doc
     }
     fs.create(marker, true).close()
     true

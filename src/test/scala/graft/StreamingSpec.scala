@@ -1405,52 +1405,51 @@ class StreamingSpec extends SparkSpec {
           (3L, "delta late")))))
   }
 
-  test("StagedCommit: a committed target is never deleted by a racer; orphans are cleared; multi-dir stages clean up on abort") {
+  test("StagedCommit: a committed target is never deleted by a racer; orphans are cleared; failed writes clean their stages and propagate") {
     import org.apache.hadoop.fs.Path
     import graft.streaming.StagedCommit
     val base = java.nio.file.Files.createTempDirectory("graft-staged-").toString
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(base).getFileSystem(conf)
-    def writeDirs(prefix: String, tag: String): Unit =
-      Seq("", ".centroids").foreach { sx =>
-        val d = new java.io.File(prefix + sx); d.mkdirs()
+    // the commit unit is ONE dir; multi-part artifacts nest inside it
+    def writeDir(path: String, tag: String): Unit =
+      Seq("ivf", "ivf.centroids").foreach { inner =>
+        val d = new java.io.File(path, inner); d.mkdirs()
         java.nio.file.Files.writeString(
           java.nio.file.Paths.get(d.getPath, "data"), tag)
       }
     def names() = new java.io.File(base).listFiles().map(_.getName).toSet
-    // 1) plain two-dir commit: both dirs land, marker created, no stages
-    assert(StagedCommit.commit(p => writeDirs(p, "v1"), fs, conf,
-      s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fA")))
-    assert(names().contains("base_v1") && names().contains("base_v1.centroids"))
+    // 1) plain commit: the nested build lands, marker created, no stages
+    assert(StagedCommit.commit(p => writeDir(p, "v1"), fs, conf,
+      s"$base/base_v1_f0", new Path(base, "_COMMIT_v1_f0")))
+    assert(names().contains("base_v1_f0"))
     assert(!names().exists(_.contains("_stage_")))
-    // 2) a racer commits the marker inside the stage→claim window: our
-    // commit aborts, the winner's committed dirs are untouched (the
-    // marker here was created by scenario 1 — re-running the same
-    // commit IS the racer case)
-    val lost = StagedCommit.commit(p => writeDirs(p, "loser"), fs, conf,
-      s"$base/base_v1", Seq("", ".centroids"), new Path(base, "_COMMIT_v1_fA"))
-    assert(!lost)
+    def committedData(dir: String): String = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(base, dir, "ivf", "data"))
+    assert(committedData("base_v1_f0") === "v1")
+    // 2) a racer already committed the marker: our commit aborts, the
+    // winner's committed dir is untouched (re-running the same commit
+    // IS the racer case)
+    assert(!StagedCommit.commit(p => writeDir(p, "loser"), fs, conf,
+      s"$base/base_v1_f0", new Path(base, "_COMMIT_v1_f0")))
     assert(!names().exists(_.contains("_stage_")), "loser must clean stages")
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(base, "base_v1", "data")) === "v1",
+    assert(committedData("base_v1_f0") === "v1",
       "the winner's committed bytes must be untouched")
     // 2b) a failed stage write leaks no staging dirs and PROPAGATES
     // (silently dropping a batch would let the checkpoint advance)
     intercept[RuntimeException] {
-      StagedCommit.commit(p => { writeDirs(p, "x"); sys.error("job died") },
-        fs, conf, s"$base/base_v9", Seq("", ".centroids"),
-        new Path(base, "_COMMIT_v9_fA"))
+      StagedCommit.commit(p => { writeDir(p, "x"); sys.error("job died") },
+        fs, conf, s"$base/base_v9_f0", new Path(base, "_COMMIT_v9_f0"))
     }
     assert(!names().exists(_.contains("_stage_")),
       "a failed write must clean its stages")
-    assert(!names().contains("base_v9"))
-    // 3) marker-less orphans at BOTH targets (crashed writer): cleared,
+    assert(!names().contains("base_v9_f0"))
+    // 3) a marker-less orphan at the target (crashed writer): cleared,
     // claimed, committed
-    writeDirs(s"$base/base_v2", "orphan")
-    assert(StagedCommit.commit(p => writeDirs(p, "v2"), fs, conf,
-      s"$base/base_v2", Seq("", ".centroids"), new Path(base, "_COMMIT_v2_fA")))
-    assert(java.nio.file.Files.readString(
-      java.nio.file.Paths.get(base, "base_v2", "data")) === "v2")
+    writeDir(s"$base/base_v2_f0", "orphan")
+    assert(StagedCommit.commit(p => writeDir(p, "v2"), fs, conf,
+      s"$base/base_v2_f0", new Path(base, "_COMMIT_v2_f0")))
+    assert(committedData("base_v2_f0") === "v2")
   }
 
   test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {
