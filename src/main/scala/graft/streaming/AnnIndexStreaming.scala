@@ -215,8 +215,10 @@ object AnnIndexStreaming {
     // a takedown that empties the corpus would commit an empty-quantizer
     // base — the irreparable state init() refuses to create (re-init is
     // forbidden, and a further compact has nothing to train on). Refuse
-    // it: deleting the LAST vectors means deleting the index.
-    require(!kept.isEmpty,
+    // it: deleting the LAST vectors means deleting the index. Checked
+    // only on the exclude path — a plain fold cannot empty a corpus that
+    // init() required non-empty, so the common retrain stays job-free.
+    if (exclude.nonEmpty) require(!kept.isEmpty,
       s"compact: the exclude set would empty $indexPath — an empty " +
         "quantizer cannot be rebuilt; delete the index instead")
     // staged commit ([[StagedCommit]]): two compactors racing the same

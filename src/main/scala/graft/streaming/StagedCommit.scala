@@ -42,7 +42,16 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * Crash contract is unchanged from the marker protocol: the marker is
   * the single atomic commit point; a crash anywhere before it leaves
   * the previous commit authoritative and orphans (staging dirs,
-  * claimed-but-unmarked targets) that readers never see. */
+  * claimed-but-unmarked targets) that readers never see.
+  *
+  * Residual (documented, bounded): delete-then-rename of a marker-less
+  * orphan is not atomic, so TWO LIVE same-name writers (already a
+  * violated single-writer contract) can interleave a clear of each
+  * other's claimed-but-unmarked dir. The post-commit verification
+  * closes the permanent case — a marker whose dir vanished is
+  * un-committed and the commit THROWS so the engine retries — leaving
+  * only a microsecond transient in which a racing reader fails loudly
+  * on a missing dir (never silently partial). */
 private[graft] object StagedCommit {
 
   /** Stage-and-commit the single directory `target`: `write(stagePath)`
@@ -72,10 +81,12 @@ private[graft] object StagedCommit {
       fs.delete(stage, true)
       false
     }
-    // a failed stage write (or seam) must not leak UUID-named stage dirs
-    try { write(stage.toString); beforeClaim() }
-    catch { case e: Throwable => fs.delete(stage, true); throw e }
-    if (abortIf()) return abort("caller tripwire fired")
+    // a failed stage write, seam, or tripwire must not leak UUID-named
+    // stage dirs
+    val tripped =
+      try { write(stage.toString); beforeClaim(); abortIf() }
+      catch { case e: Throwable => fs.delete(stage, true); throw e }
+    if (tripped) return abort("caller tripwire fired")
     if (fs.exists(marker)) return abort("a racer already committed")
     if (fs.exists(t)) {
       // re-check right before the destructive clear: only a marker-less
@@ -94,6 +105,27 @@ private[graft] object StagedCommit {
         throw e // a real I/O failure, not a race — see the method doc
     }
     fs.create(marker, true).close()
+    // Post-commit verification: delete-then-rename is not atomic, so a
+    // SAME-NAME racer's orphan-clear (its own line above) can delete OUR
+    // just-claimed dir before our marker landed — reachable only when
+    // the single-writer-per-target contract is already violated by a
+    // LIVE concurrent writer (a crashed writer's orphan has no racer).
+    // If the racer then crashed between its delete and its re-claim, the
+    // marker would point at nothing FOREVER and the replay guard would
+    // no-op the batch's data out of existence. Verify the target
+    // survived; if not, UN-COMMIT (the marker was live for
+    // microseconds — a reader that raced it fails loudly on the missing
+    // dir, never silently) and propagate so the engine retries the
+    // batch. If the racer's own re-claim landed instead, the dir exists
+    // with semantically equivalent content (same committed inputs) and
+    // the commit stands.
+    if (!fs.exists(t)) {
+      fs.delete(marker, false)
+      throw new java.io.IOException(
+        s"StagedCommit($target): target vanished between claim and " +
+          "marker — a concurrent same-name writer violated the " +
+          "single-writer contract; un-committed, caller must retry")
+    }
     true
   }
 }
