@@ -104,27 +104,35 @@ private[graft] object StagedCommit {
         fs.delete(stage, true)
         throw e // a real I/O failure, not a race — see the method doc
     }
-    fs.create(marker, true).close()
-    // Post-commit verification: delete-then-rename is not atomic, so a
+    // Claim verification: delete-then-rename is not atomic, so a
     // SAME-NAME racer's orphan-clear (its own line above) can delete OUR
-    // just-claimed dir before our marker landed — reachable only when
-    // the single-writer-per-target contract is already violated by a
-    // LIVE concurrent writer (a crashed writer's orphan has no racer).
-    // If the racer then crashed between its delete and its re-claim, the
-    // marker would point at nothing FOREVER and the replay guard would
-    // no-op the batch's data out of existence. Verify the target
-    // survived; if not, UN-COMMIT (the marker was live for
-    // microseconds — a reader that raced it fails loudly on the missing
-    // dir, never silently) and propagate so the engine retries the
+    // just-claimed dir — reachable only when the single-writer-per-
+    // target contract is already violated by a LIVE concurrent writer
+    // (a crashed writer's orphan has no racer). If the racer then
+    // crashed between its delete and its re-claim, a marker created
+    // here would point at nothing FOREVER and the replay guard would
+    // no-op the batch's data out of existence. Check BEFORE the marker
+    // (common case: no marker ever exists) and verify again AFTER it
+    // (backstop: un-commit — the marker was live for microseconds, a
+    // reader that raced it fails loudly on the missing dir, never
+    // silently). Either way the commit THROWS so the engine retries the
     // batch. If the racer's own re-claim landed instead, the dir exists
     // with semantically equivalent content (same committed inputs) and
     // the commit stands.
-    if (!fs.exists(t)) {
-      fs.delete(marker, false)
+    def vanished(when: String, extra: String = ""): Nothing =
       throw new java.io.IOException(
-        s"StagedCommit($target): target vanished between claim and " +
-          "marker — a concurrent same-name writer violated the " +
-          "single-writer contract; un-committed, caller must retry")
+        s"StagedCommit($target): target vanished $when — a concurrent " +
+          "same-name writer violated the single-writer contract; " +
+          s"caller must retry$extra")
+    if (!fs.exists(t)) vanished("between claim and marker (not committed)")
+    fs.create(marker, true).close()
+    if (!fs.exists(t)) {
+      val undone = try fs.delete(marker, false)
+        catch { case _: java.io.IOException => false }
+      vanished("after the marker commit",
+        if (undone) "; the marker was un-committed"
+        else s" — AND the marker could not be removed: delete $marker " +
+          "manually or the replay guard will silently skip this version")
     }
     true
   }
