@@ -168,10 +168,16 @@ object Bench {
       t
     }
 
+    // ALL number formatting in the emitted JSON goes through
+    // Locale.ROOT: the f"" interpolator uses the JVM default locale, and
+    // under a comma-decimal locale (pt_BR, de_DE, …) the compact line
+    // would emit `0,72` — invalid JSON, an unparseable artifact.
+    def fmt(pattern: String, v: Double): String =
+      String.format(java.util.Locale.ROOT, pattern, Double.box(v))
     // 3-decimal seconds; the per-query map is ordered cheapest→costliest
     // with failures (-1) last, so a tail-truncated capture still shows
     // the expensive queries and any failures.
-    def s3(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    def s3(v: Double): String = if (v < 0) "-1" else fmt("%.3f", v)
     def qsJson(rs: Seq[(String, Double)]): String = rs
       .sortBy { case (_, v) => if (v < 0) Double.MaxValue else v }
       .map { case (k, v) => "\"" + k + "\":" + s3(v) }
@@ -184,7 +190,7 @@ object Bench {
     def emit(results: Seq[(String, Double)], passesDone: Int,
         partial: Boolean, writeLocal: Boolean = true): String = {
       val total = results.map(_._2).filter(_ >= 0).sum
-      val load = f"""{"start":$loadStart%.2f,"end":$loadAvg%.2f,"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
+      val load = s"""{"start":${fmt("%.2f", loadStart)},"end":${fmt("%.2f", loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
       val warm = if (warmupIsSample) "" else s""""warmup_sf":"$warmDir","""
       // vs_floor: per-query ratio against the committed noise floor —
       // median + the >1.5× offenders (capped), so the compact line
@@ -197,9 +203,9 @@ object Bench {
         val med = rs(rs.size / 2)
         val gt = ratios.filter(_._2 > 1.5).sortBy(-_._2)
         val worst = gt.take(8)
-          .map { case (n, r) => "\"" + n + "\":" + f"$r%.2f" }
+          .map { case (n, r) => "\"" + n + "\":" + fmt("%.2f", r) }
           .mkString("{", ",", "}")
-        f""""vs_floor":{"median":$med%.2f,"n":${ratios.size}%d,"n_gt_1p5":${gt.size}%d,"worst":$worst%s},"""
+        s""""vs_floor":{"median":${fmt("%.2f", med)},"n":${ratios.size},"n_gt_1p5":${gt.size},"worst":$worst},"""
       }
       def lineOf(qs: String, extra: String): String =
         s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$warm$vsFloor$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
@@ -313,16 +319,23 @@ object Bench {
     // "failures" for queries that were simply never reached. Rescue is
     // for NEVER-REACHED queries only: a -1 recorded by a measured pass
     // is an attempt that genuinely failed (every pass already re-proved
-    // it — re-running known failures would burn the rescue window), and
-    // a query whose warmup attempt failed is a known failure too. Order
-    // is costliest-expected first (warmup time is the estimate —
-    // identical plans), the same principle as the rerun loop below: when
-    // the rescue budget runs dry it is the cheap tail that goes
-    // unmeasured, not the headline numbers.
+    // it — re-running known failures would burn the rescue window).
+    // A FAILED WARMUP is a known failure only when the warmup ran at the
+    // target scale (a same-dir warmup IS a min-eligible pass); with a
+    // cross-scale warmup the failure happened at a DIFFERENT scale, so
+    // the query's target-scale status is UNKNOWN, not failed — those
+    // queries join the rescue at the END of the order (known-good work
+    // first, unknowns last) instead of being published as -1 with zero
+    // target-scale attempts. Order is costliest-expected first (warmup
+    // time is the estimate — identical plans), the same principle as the
+    // rerun loop below: when the rescue budget runs dry it is the cheap
+    // tail / the unknowns that go unmeasured, not the headline numbers.
     val attemptedAtTarget = names.filter(n => passes.exists(_.contains(n))).toSet
-    val neverReached = names
-      .filter(n => !attemptedAtTarget(n) && warmTimes.getOrElse(n, -1.0) >= 0)
-      .sortBy(n => -warmTimes(n))
+    val (warmOk, warmFailed) = names
+      .filterNot(attemptedAtTarget)
+      .partition(n => warmTimes.getOrElse(n, -1.0) >= 0)
+    val neverReached = warmOk.sortBy(n => -warmTimes(n)) ++
+      (if (warmupIsSample) Seq.empty else warmFailed)
     val rescueCapSec = budgetSec * 1.5
     for (n <- neverReached if elapsed <= rescueCapSec) {
       val t = exec(n, "pass=rescue")

@@ -193,10 +193,14 @@ object AnnIndexStreaming {
     * stays ∝ √N as the corpus grows). The new fold point is one past
     * the max folded batch id — or UNCHANGED when no batches were folded
     * (a pure re-train/takedown must not advance past the stream's next
-    * batch id, which would orphan it). Commit is the same
-    * single-file-create cutover as admission: a crash mid-build leaves
-    * the old base authoritative and a re-run overwrites the
-    * half-written dir. `exclude` drops vectors during the fold — the
+    * batch id, which would orphan it). Commit goes through
+    * [[StagedCommit]] like every other versioned-dir writer here: the
+    * build stages into a hidden dir, the `base_v<N>_f<M>` parent is
+    * claimed by no-overwrite rename, the marker lands last — a crash
+    * anywhere before the marker leaves the old base authoritative and
+    * only marker-less orphans behind (invisible to readers, cleared by
+    * the next commit); committed dirs are never overwritten.
+    * `exclude` drops vectors during the fold — the
     * takedown/GDPR path for a layout whose per-list files are
     * immutable. Old roots are retained for time-travel/GC, invisible
     * to readers. Single-writer by design (the streaming operator calls

@@ -51,14 +51,64 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * closes the permanent case — a marker whose dir vanished is
   * un-committed and the commit THROWS so the engine retries — leaving
   * only a microsecond transient in which a racing reader fails loudly
-  * on a missing dir (never silently partial). */
+  * on a missing dir (never silently partial).
+  *
+  * FILESYSTEM CONTRACT (enforced, not assumed): the claim's
+  * exactly-one-winner guarantee IS `FileContext.rename` without the
+  * overwrite flag being atomic — true on local FS and HDFS (and other
+  * hierarchical stores: ADLS Gen2 / abfs), FALSE on flat object stores,
+  * where "rename" is a client-side copy-then-delete with no atomicity
+  * and no dst-exists check worth the name (S3A documents this
+  * explicitly). On such a store two same-version writers could BOTH
+  * "win", interleaving two builds under one committed name — the exact
+  * corruption this primitive exists to prevent — so `commit` REFUSES
+  * object-store schemes (s3/s3a/s3n, oss, gs, swift, cos, wasb/wasbs)
+  * up front rather than silently weakening. Porting to an object store
+  * needs a different claim primitive: a conditional put — e.g.
+  * `fs.create(claimFile, overwrite = false)` where the store gives
+  * create-if-absent atomicity, or the store's native
+  * If-None-Match/precondition API — holding the claim in a FILE the
+  * winner creates before moving data, with the marker unchanged as the
+  * commit point. That path is deliberately not implemented here: this
+  * engine's lakes are file-system-backed, and a loud refusal beats a
+  * silent maybe. */
 private[graft] object StagedCommit {
+
+  /** Schemes whose rename is a non-atomic copy+delete emulation: the
+    * claim-by-rename guarantee does not hold there (see the class doc).
+    * Hierarchical cloud FS (hdfs, abfs/abfss, viewfs, file) are fine. */
+  private val nonAtomicRenameSchemes: Set[String] =
+    Set("s3", "s3a", "s3n", "oss", "gs", "swift", "cos", "wasb", "wasbs")
+
+  /** Fail fast when `target` (or, as a fallback, the FileSystem itself)
+    * lives on a store whose rename cannot implement the claim. Checked
+    * before ANY I/O so a misconfigured deployment dies on its first
+    * commit with the contract spelled out, not on a corrupted index
+    * months later. */
+  private[streaming] def requireAtomicRename(target: String,
+      fs: FileSystem): Unit = {
+    val scheme = Option(new Path(target).toUri.getScheme)
+      .orElse(Option(fs.getUri).flatMap(u => Option(u.getScheme)))
+      .map(_.toLowerCase(java.util.Locale.ROOT))
+    scheme.filter(nonAtomicRenameSchemes).foreach { s =>
+      throw new UnsupportedOperationException(
+        s"StagedCommit($target): scheme '$s://' has no atomic " +
+          "no-overwrite rename, so the claim cannot guarantee exactly " +
+          "one same-version winner — committing here could interleave " +
+          "two builds under one committed name. Use a hierarchical " +
+          "filesystem (file/hdfs/abfs), or port the claim to the " +
+          "store's conditional-put primitive (create-if-absent claim " +
+          "file) per the StagedCommit contract doc.")
+    }
+  }
 
   /** Stage-and-commit the single directory `target`: `write(stagePath)`
     * populates the staging dir (including any nested layout), the claim
     * renames it onto `target`, and `marker` is created last.
     * `beforeClaim` is a test seam into the stage→claim window; `abortIf`
-    * runs after it (the caller's tripwire — e.g. a layout re-list).
+    * runs after it (the caller's tripwire — e.g. a layout re-list);
+    * `afterClaim` is a test seam into the claim→marker window (the
+    * racer-clear residual the post-commit verification guards).
     * Returns true iff THIS call committed the marker.
     *
     * Only "destination already exists" counts as a lost race. Any other
@@ -70,7 +120,9 @@ private[graft] object StagedCommit {
   def commit(write: String => Unit, fs: FileSystem, conf: Configuration,
       target: String, marker: Path,
       beforeClaim: () => Unit = () => (),
-      abortIf: () => Boolean = () => false): Boolean = {
+      abortIf: () => Boolean = () => false,
+      afterClaim: () => Unit = () => ()): Boolean = {
+    requireAtomicRename(target, fs) // FS contract — see the class doc
     val t = new Path(target)
     val stage = new Path(t.getParent,
       s".${t.getName}_stage_${java.util.UUID.randomUUID().toString.take(8)}")
@@ -104,6 +156,7 @@ private[graft] object StagedCommit {
         fs.delete(stage, true)
         throw e // a real I/O failure, not a race — see the method doc
     }
+    afterClaim() // test seam: the claim→marker racer-clear window
     // Claim verification: delete-then-rename is not atomic, so a
     // SAME-NAME racer's orphan-clear (its own line above) can delete OUR
     // just-claimed dir — reachable only when the single-writer-per-

@@ -603,4 +603,143 @@ class PropertySpec extends SparkSpec {
         assert(ids.length === ids.distinct.length)
     }
   }
+
+  test("property: StagedCommit under randomized fault/racer schedules — a marker never points at a partial or mixed dir, every failure is loud (false-with-racer-marker or thrown, never a silent drop), and a clean retry always converges") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StagedCommit
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // a FileSystem wrapper that can fail marker creation on demand —
+    // the one commit step with no injection seam of its own. The claim
+    // goes through FileContext on the REAL fs, so only fs.create is
+    // intercepted.
+    class MarkerFailFs(underlying: org.apache.hadoop.fs.FileSystem)
+        extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+      @volatile var failMarkerCreate = false
+      override def create(f: Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        if (failMarkerCreate && f.getName.startsWith("_COMMIT"))
+          throw new java.io.IOException("injected marker-create failure")
+        super.create(f, overwrite)
+      }
+    }
+
+    // injection vocabulary — one step of the commit path each:
+    //   0 clean | 1 stage-write fails (sometimes mid-write) | 2 caller
+    //   tripwire fires | 3 racer full-commits in the stage→claim window
+    //   | 4 racer leaves a claimed-but-unmarked dir there | 5 racer
+    //   clears our dir in the claim→marker window (the wave-4 residual)
+    //   | 6 racer clears AND re-claims with its own complete build there
+    //   | 7 marker creation itself fails
+    val rnd = new scala.util.Random(20260816L)
+    (0 until 25).foreach { trial =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-scprop-$trial-").toString
+      val fs = new MarkerFailFs(new Path(base).getFileSystem(conf))
+      def writeDir(path: String, tag: String): Unit =
+        Seq("ivf", "ivf.centroids").foreach { inner =>
+          val d = new java.io.File(path, inner); d.mkdirs()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(d.getPath, "data"), tag)
+        }
+      def target(v: Int) = s"$base/base_v$v"
+      def marker(v: Int) = new Path(base, s"_COMMIT_v$v")
+      // the two protocol invariants, checked after EVERY attempt over
+      // EVERY version touched so far:
+      //   I1 a committed reader never sees a partial/mixed dir — marker
+      //      present ⇒ both nested parts present with ONE writer's tag
+      //   I2 no leaked stage dirs (every abort/failure path cleans up)
+      def checkInvariants(maxV: Int): Unit = {
+        (0 to maxV).foreach { v =>
+          if (fs.exists(marker(v))) {
+            val a = java.nio.file.Paths.get(target(v), "ivf", "data")
+            val b = java.nio.file.Paths.get(target(v), "ivf.centroids", "data")
+            assert(java.nio.file.Files.exists(a) &&
+              java.nio.file.Files.exists(b),
+              s"trial $trial v$v: marker points at a partial dir")
+            assert(java.nio.file.Files.readString(a) ===
+              java.nio.file.Files.readString(b),
+              s"trial $trial v$v: marker points at a MIXED dir")
+          }
+        }
+        assert(!new java.io.File(base).listFiles()
+          .exists(_.getName.contains("_stage_")),
+          s"trial $trial: leaked staging dir")
+      }
+      var v = 0
+      val attempts = 4 + rnd.nextInt(4)
+      (0 until attempts).foreach { _ =>
+        val inj = rnd.nextInt(8)
+        val ourTag = s"v${v}_ours"
+        val racerTag = s"v${v}_racer"
+        fs.failMarkerCreate = inj == 7
+        def attempt(injection: Int): Option[Boolean] =
+          try Some(StagedCommit.commit(
+            write = p => injection match {
+              case 1 =>
+                if (rnd.nextBoolean()) { // sometimes fail MID-write
+                  val d = new java.io.File(p, "ivf"); d.mkdirs()
+                  java.nio.file.Files.writeString(
+                    java.nio.file.Paths.get(d.getPath, "data"), "partial")
+                }
+                sys.error("injected stage-write failure")
+              case _ => writeDir(p, ourTag)
+            },
+            fs, conf, target(v), marker(v),
+            beforeClaim = () => injection match {
+              case 3 => writeDir(target(v), racerTag)
+                fs.create(marker(v), true).close()
+              case 4 => writeDir(target(v), racerTag)
+              case _ => ()
+            },
+            abortIf = () => injection == 2,
+            afterClaim = () => injection match {
+              case 5 => fs.delete(new Path(target(v)), true); ()
+              case 6 => fs.delete(new Path(target(v)), true)
+                writeDir(target(v), racerTag)
+              case _ => ()
+            }))
+          catch { case _: Exception => None }
+        val ret = attempt(inj)
+        fs.failMarkerCreate = false
+        checkInvariants(v)
+        // outcome accounting per injection — no silent drops:
+        inj match {
+          case 0 => assert(ret === Some(true)); assert(fs.exists(marker(v)))
+          case 1 => assert(ret === None, "a failed write must PROPAGATE")
+            assert(!fs.exists(marker(v)))
+          case 2 => assert(ret === Some(false), "tripwire ⇒ clean abort")
+            assert(!fs.exists(marker(v)))
+          case 3 => assert(ret === Some(false),
+            "racer's marker ⇒ lost race, not silence")
+            assert(fs.exists(marker(v)), "the racer's commit stands")
+          case 4 => assert(ret === Some(true),
+            "a crashed writer's unmarked orphan must be cleared and claimed")
+          case 5 => assert(ret === None,
+            "a vanished claim must THROW so the engine retries")
+            assert(!fs.exists(marker(v)),
+              "no marker may point at the vanished dir")
+          case 6 => assert(ret === Some(true),
+            "a racer's complete re-claim is semantically equivalent")
+          case 7 => assert(ret === None,
+            "a failed marker create must PROPAGATE")
+            assert(!fs.exists(marker(v)))
+        }
+        // convergence: whenever the version is not yet committed (a
+        // thrown failure, a tripwire abort), the engine's/caller's retry
+        // — a clean re-run of the same version — must commit; after a
+        // lost race the version is already committed (retry would no-op)
+        if (!fs.exists(marker(v))) {
+          val retry = attempt(0)
+          assert(retry === Some(true),
+            s"trial $trial v$v inj$inj: clean retry failed to commit")
+          checkInvariants(v)
+        }
+        assert(fs.exists(marker(v)),
+          s"trial $trial v$v inj$inj: version not committed after " +
+            "attempt+retry — a batch was silently dropped")
+        v += 1
+      }
+    }
+  }
 }

@@ -1452,6 +1452,41 @@ class StreamingSpec extends SparkSpec {
     assert(committedData("base_v2_f0") === "v2")
   }
 
+  test("StagedCommit FS contract: object-store schemes are refused up front — the claim-by-rename atomicity does not hold there") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StagedCommit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = java.nio.file.Files.createTempDirectory("graft-fsguard-").toString
+    val fs = new Path(base).getFileSystem(conf)
+    // every known copy+delete-rename scheme dies BEFORE any I/O: no
+    // stage write, no fs call against a store whose client jars may not
+    // even be on the classpath — the deployment fails on its first
+    // commit with the contract spelled out
+    Seq("s3a", "s3", "s3n", "oss", "gs", "swift", "cos", "wasb", "wasbs")
+      .foreach { scheme =>
+        var wrote = false
+        val e = intercept[UnsupportedOperationException] {
+          StagedCommit.commit(p => { wrote = true }, fs, conf,
+            s"$scheme://bucket/index/base_v1_f0",
+            new Path(s"$scheme://bucket/index/_COMMIT_v1_f0"))
+        }
+        assert(e.getMessage.contains("no atomic"),
+          s"$scheme guard message must state the contract")
+        assert(e.getMessage.contains("conditional-put"),
+          s"$scheme guard message must point at the documented alternative")
+        assert(!wrote, s"$scheme: the guard must fire before the stage write")
+      }
+    // case-insensitive (URI schemes are): S3A:// is the same store
+    intercept[UnsupportedOperationException] {
+      StagedCommit.commit(p => (), fs, conf, "S3A://bucket/index/base_v1_f0",
+        new Path("S3A://bucket/index/_COMMIT_v1_f0"))
+    }
+    // hierarchical filesystems proceed: scheme-less local paths (the
+    // whole suite), and an explicit file:// target
+    assert(StagedCommit.commit(p => { fs.mkdirs(new Path(p)); () },
+      fs, conf, s"file://$base/ok_v1", new Path(s"file://$base/_COMMIT_ok_v1")))
+  }
+
   test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.streaming.DocIndexStreaming

@@ -45,6 +45,22 @@ SPECS = {
     "embeddings": """
       SELECT vec_id + k.k * 10000000 AS vec_id, embedding, label
       FROM '{src}/embeddings.parquet', range(10) AS k(k)""",
+    # part/supplier offsets MATCH lineitem's l_partkey/l_suppkey offsets,
+    # so every fact row still joins its dimension row within its copy --
+    # without these, 9/10 of lineitem would dangle and every part/supplier
+    # join would run unrealistically fast on 10% matches.
+    "part": """
+      SELECT p_partkey + k.k * 10000000 AS p_partkey,
+             p_name, p_brand, p_type, p_size, p_retailprice
+      FROM '{src}/part.parquet', range(10) AS k(k)""",
+    "supplier": """
+      SELECT s_suppkey + k.k * 1000000 AS s_suppkey,
+             s_name, s_nationkey, s_acctbal
+      FROM '{src}/supplier.parquet', range(10) AS k(k)""",
+    # nation/region stay 1x: customer/supplier keep their nationkeys, so
+    # the shared dimension is identical across copies by construction.
+    "nation": "SELECT * FROM '{src}/nation.parquet'",
+    "region": "SELECT * FROM '{src}/region.parquet'",
 }
 
 for name, sql in SPECS.items():
