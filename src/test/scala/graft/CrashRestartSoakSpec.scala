@@ -17,14 +17,17 @@ import graft.streaming.{AnnIndexStreaming, ContaminationStreaming,
   * stopped streams gracefully and hand-replayed committed batches; this
   * closes the remaining gap between that and a real engine crash:
   * SIGKILL cannot be caught, so no shutdown hook, stream drain, or
-  * FileSystem cache flush softens the cut.
+  * FileSystem cache flush softens the cut. The recovery JVM is then
+  * killed mid-drain too — recovery is just another process, so a crash
+  * DURING recovery must be exactly as survivable as the first.
   *
   * The second test is the StagedCommit tripwire's production case: TWO
   * live JVMs driving the same logical admissions against ONE index tree
   * (an orphaned duplicate job still writing while its replacement runs)
-  * with compaction and health-retrain firing from both sides — whatever
-  * interleaving the schedulers produce, the marker protocol must keep
-  * every artifact exactly-once and readers exact.
+  * with compaction and health-retrain firing from both sides, one of
+  * them kill -9'd mid-race and restarted — whatever interleaving the
+  * schedulers produce, the marker protocol must keep every artifact
+  * exactly-once and readers exact.
   *
   * Both tests assert through the same distributed oracles as the
   * in-JVM soaks (exceptAll both ways, no collects). */
@@ -93,7 +96,7 @@ class CrashRestartSoakSpec extends SparkSpec {
     }
   }
 
-  test("engine-driven crash soak: kill -9 the worker JVM mid-wave with all four lifecycles in flight, plant crash orphans, restart a fresh JVM on the same checkpoints — every final artifact equals batch recomputation") {
+  test("engine-driven crash soak: kill -9 the worker JVM mid-wave with all four lifecycles in flight, plant crash orphans, kill -9 the recovery JVM mid-drain too — the second recovery on the same checkpoints converges every artifact to batch recomputation") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
       "sf0.01 corpus not present")
@@ -197,8 +200,27 @@ class CrashRestartSoakSpec extends SparkSpec {
     plant(s"$base/ann/b99")
 
     // ---- phase 2: the rest of the corpus lands, a FRESH JVM restarts
-    // the writers on the same checkpoints and drains everything ---------
+    // the writers on the same checkpoints — and CRASHES TOO, mid-drain
+    // (the recovery process is just another process; a crash during
+    // recovery must be exactly as survivable as the first one) ---------
     stageRange(9 until nDocChunks)
+    val markersAtRestart = markerCount(s"$base/postings", "_COMMIT_")
+    val fin1 = forkWorker(base, "finish1", Seq("finish", base, s"$base/ckpt"))
+    val deadline1 = System.currentTimeMillis() + 240000L
+    // kill the moment recovery visibly commits — unless it already
+    // finished the (small) drain, in which case a clean exit is fine
+    while (fin1.isAlive &&
+        markerCount(s"$base/postings", "_COMMIT_") == markersAtRestart &&
+        System.currentTimeMillis() < deadline1)
+      Thread.sleep(50)
+    val killedRecovery = fin1.isAlive
+    fin1.destroyForcibly()
+    fin1.waitFor()
+    info(if (killedRecovery)
+      "recovery JVM killed mid-drain (double crash)"
+    else "recovery JVM drained before the kill window — single crash run")
+
+    // ---- phase 3: the SECOND recovery completes --------------------
     val fin = forkWorker(base, "finish", Seq("finish", base, s"$base/ckpt"))
     val finished = fin.waitFor(600, java.util.concurrent.TimeUnit.SECONDS)
     if (!finished) fin.destroyForcibly()
@@ -245,7 +267,7 @@ class CrashRestartSoakSpec extends SparkSpec {
       "a crash orphan must never acquire a marker")
   }
 
-  test("two concurrent live JVMs driving one index tree (duplicate-job case): admissions exactly-once under racing markers, compaction/retrain races resolve by the staged-commit claim, readers end exact") {
+  test("two concurrent live JVMs driving one index tree (duplicate-job case), one kill -9'd mid-race and restarted: admissions exactly-once under racing markers, compaction/retrain races resolve by the staged-commit claim, readers end exact") {
     val sfDir = "/root/testdata/sf0.01"
     assume(new java.io.File(s"$sfDir/documents.parquet").exists(),
       "sf0.01 corpus not present")
@@ -280,20 +302,34 @@ class CrashRestartSoakSpec extends SparkSpec {
     }
 
     // both workers drive ALL batches in order — the duplicate-job shape:
-    // same logical stream, two live writers, one tree
+    // same logical stream, two live writers, one tree. Worker b gets
+    // kill -9'd mid-race (a crashed duplicate) and RESTARTED from
+    // scratch: the hand-driven loop is idempotent by the same replay
+    // guards, so the restart re-offers batches 0..N and no-ops the ones
+    // already won by either incarnation or by a.
     val a = forkWorker(base, "a", Seq("handrace", base, "a"))
     val b = forkWorker(base, "b", Seq("handrace", base, "b"))
+    val bKillDeadline = System.currentTimeMillis() + 120000L
+    while (b.isAlive && markerCount(s"$base/postings", "_COMMIT_v") < 4 &&
+        System.currentTimeMillis() < bKillDeadline)
+      Thread.sleep(50)
+    val killedB = b.isAlive
+    b.destroyForcibly()
+    b.waitFor()
+    info(if (killedB) "worker b killed mid-race and restarted"
+    else "worker b finished before the kill window — restart still runs")
+    val b2 = forkWorker(base, "b2", Seq("handrace", base, "b2"))
     val aDone = a.waitFor(420, java.util.concurrent.TimeUnit.SECONDS)
-    val bDone = b.waitFor(420, java.util.concurrent.TimeUnit.SECONDS)
+    val b2Done = b2.waitFor(420, java.util.concurrent.TimeUnit.SECONDS)
     if (!aDone) a.destroyForcibly()
-    if (!bDone) b.destroyForcibly()
+    if (!b2Done) b2.destroyForcibly()
     assert(aDone && a.exitValue() == 0,
       s"worker a failed\n${logTail(base, "a")}")
-    assert(bDone && b.exitValue() == 0,
-      s"worker b failed\n${logTail(base, "b")}")
+    assert(b2Done && b2.exitValue() == 0,
+      s"worker b2 failed\n${logTail(base, "b2")}")
     // did the single-writer tripwire / claim race actually fire? purely
     // diagnostic — the invariants below hold for EVERY interleaving
-    val raceLines = Seq("a", "b").flatMap { t =>
+    val raceLines = Seq("a", "b", "b2").flatMap { t =>
       val f = java.nio.file.Paths.get(base, s"worker_$t.err")
       if (!java.nio.file.Files.exists(f)) Seq.empty
       else scala.jdk.CollectionConverters.ListHasAsScala(
