@@ -145,11 +145,19 @@ object AnnIndexStreaming {
     * Idempotent per batchId (see class doc). Public so the spec can
     * drive and replay it without a streaming engine. */
   def admitBatch(batch: DataFrame, batchId: Long, vecCol: String,
-      indexPath: String): Unit = {
+      indexPath: String): Unit =
+    admitBatchImpl(batch, batchId, vecCol, indexPath)
+
+  /** `beforeClaim` is a test seam into the assign→claim window — the
+    * race the quantizer-coherence tripwire below closes. */
+  private[graft] def admitBatchImpl(batch: DataFrame, batchId: Long,
+      vecCol: String, indexPath: String,
+      beforeClaim: () => Unit = () => ()): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
     val f = fs(s, indexPath)
-    if (f.exists(new Path(indexPath, s"_COMMIT_batch_$batchId"))) return // replay
+    val marker = new Path(indexPath, s"_COMMIT_batch_$batchId")
+    if (f.exists(marker)) return // replay
     val base = currentBase(s, indexPath)
     val cs = IvfIndex.loadCentroids(s, basePath(indexPath, base))
     require(cs.nonEmpty, s"admitBatch: empty quantizer at $indexPath " +
@@ -158,14 +166,33 @@ object AnnIndexStreaming {
     // would assign-and-score silently wrong forever (the cosine kernel
     // truncates) — fail the admission; the marker is never created, so
     // state stays intact and a fixed batch re-admits cleanly
-    StagedCommit.commit(
+    val committed = StagedCommit.commit(
       p => IvfIndex.writeLists(
         IvfIndex.requireDims(batch, vecCol, cs.head.length)
           .withColumn("centroid_id",
             NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
       f, s.sparkContext.hadoopConfiguration,
-      s"$indexPath/b$batchId",
-      new Path(indexPath, s"_COMMIT_batch_$batchId"))
+      s"$indexPath/b$batchId", marker,
+      beforeClaim = beforeClaim,
+      // Quantizer-coherence tripwire: a concurrent compact (another
+      // session retraining the same tree — the single-writer contract
+      // already violated) that commits a NEW base between our
+      // assignment and the claim would publish centroid_ids computed
+      // under the OLD quantizer into the new base's read view — probes
+      // would prune against the new centroids and silently miss these
+      // vectors until the next fold reassigns them. Abort instead; the
+      // throw below makes the caller retry, re-assigning under the new
+      // base. In-session this never fires (admit and retrain alternate
+      // on one thread); the residual abortIf→marker sliver is bounded
+      // and self-healing — the next fold reassigns everything, and the
+      // health check sees the degraded recall and triggers it.
+      abortIf = () => currentBase(s, indexPath) != base)
+    if (!committed && !f.exists(marker))
+      throw new IllegalStateException(
+        s"admitBatch($batchId): the committed base changed mid-admission " +
+          "(a concurrent retrain/compact on this index tree) — the " +
+          "staged assignment used the old quantizer and was discarded; " +
+          "retry the batch to re-assign under the new base")
     ()
   }
 

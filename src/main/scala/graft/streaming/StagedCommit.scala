@@ -56,49 +56,58 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * FILESYSTEM CONTRACT (enforced, not assumed): the claim's
   * exactly-one-winner guarantee IS `FileContext.rename` without the
   * overwrite flag being atomic — true on local FS and HDFS (and other
-  * hierarchical stores: ADLS Gen2 / abfs), FALSE on flat object stores,
-  * where "rename" is a client-side copy-then-delete with no atomicity
-  * and no dst-exists check worth the name (S3A documents this
-  * explicitly). On such a store two same-version writers could BOTH
-  * "win", interleaving two builds under one committed name — the exact
-  * corruption this primitive exists to prevent — so `commit` REFUSES
-  * object-store schemes (s3/s3a/s3n, oss, gs, swift, cos, wasb/wasbs)
-  * up front rather than silently weakening. Porting to an object store
-  * needs a different claim primitive: a conditional put — e.g.
+  * hierarchical stores: ADLS Gen2 / abfs, Ozone ofs), FALSE on flat
+  * object stores, where "rename" is a client-side copy-then-delete with
+  * no atomicity and no dst-exists check worth the name (S3A documents
+  * this explicitly). On such a store two same-version writers could
+  * BOTH "win", interleaving two builds under one committed name — the
+  * exact corruption this primitive exists to prevent — so `commit`
+  * enforces an ALLOW-LIST of schemes known rename-atomic
+  * (file/hdfs/viewfs/abfs/abfss/ofs/o3fs) and REFUSES everything else
+  * by default: a deny-list of object stores can never be complete
+  * (s3/s3a, oss, gs, cosn, obs, oci, … and whatever ships next year),
+  * and an unknown scheme silently passing the guard is precisely the
+  * silent weakening the guard exists to prevent. Porting to an object
+  * store needs a different claim primitive: a conditional put — e.g.
   * `fs.create(claimFile, overwrite = false)` where the store gives
   * create-if-absent atomicity, or the store's native
   * If-None-Match/precondition API — holding the claim in a FILE the
   * winner creates before moving data, with the marker unchanged as the
   * commit point. That path is deliberately not implemented here: this
   * engine's lakes are file-system-backed, and a loud refusal beats a
-  * silent maybe. */
+  * silent maybe. A store that IS rename-atomic but not listed extends
+  * `atomicRenameSchemes` — a one-line, reviewed decision. */
 private[graft] object StagedCommit {
 
-  /** Schemes whose rename is a non-atomic copy+delete emulation: the
-    * claim-by-rename guarantee does not hold there (see the class doc).
-    * Hierarchical cloud FS (hdfs, abfs/abfss, viewfs, file) are fine. */
-  private val nonAtomicRenameSchemes: Set[String] =
-    Set("s3", "s3a", "s3n", "oss", "gs", "swift", "cos", "wasb", "wasbs")
+  /** Schemes with an atomic no-overwrite directory rename — the only
+    * stores the claim is sound on (see the class doc). Scheme-less
+    * targets resolve against the FileSystem's own URI (local FS =
+    * "file"). Everything not listed is refused by default. */
+  private val atomicRenameSchemes: Set[String] =
+    Set("file", "hdfs", "viewfs", "abfs", "abfss", "ofs", "o3fs")
 
-  /** Fail fast when `target` (or, as a fallback, the FileSystem itself)
-    * lives on a store whose rename cannot implement the claim. Checked
-    * before ANY I/O so a misconfigured deployment dies on its first
-    * commit with the contract spelled out, not on a corrupted index
-    * months later. */
+  /** Fail fast unless `target` (or, as a fallback, the FileSystem
+    * itself) lives on a store whose rename can implement the claim.
+    * Checked before ANY I/O so a misconfigured deployment dies on its
+    * first commit with the contract spelled out, not on a corrupted
+    * index months later. */
   private[streaming] def requireAtomicRename(target: String,
       fs: FileSystem): Unit = {
     val scheme = Option(new Path(target).toUri.getScheme)
       .orElse(Option(fs.getUri).flatMap(u => Option(u.getScheme)))
       .map(_.toLowerCase(java.util.Locale.ROOT))
-    scheme.filter(nonAtomicRenameSchemes).foreach { s =>
+    scheme.filterNot(atomicRenameSchemes).foreach { s =>
       throw new UnsupportedOperationException(
-        s"StagedCommit($target): scheme '$s://' has no atomic " +
-          "no-overwrite rename, so the claim cannot guarantee exactly " +
-          "one same-version winner — committing here could interleave " +
-          "two builds under one committed name. Use a hierarchical " +
-          "filesystem (file/hdfs/abfs), or port the claim to the " +
-          "store's conditional-put primitive (create-if-absent claim " +
-          "file) per the StagedCommit contract doc.")
+        s"StagedCommit($target): scheme '$s://' is not on the " +
+          "rename-atomic allow-list (file/hdfs/viewfs/abfs/abfss/ofs/" +
+          "o3fs). Object stores have no atomic no-overwrite rename, so " +
+          "the claim cannot guarantee exactly one same-version winner " +
+          "— committing there could interleave two builds under one " +
+          "committed name. Use a hierarchical filesystem, port the " +
+          "claim to the store's conditional-put primitive " +
+          "(create-if-absent claim file) per the StagedCommit contract " +
+          "doc — or, if this store genuinely has atomic rename, add " +
+          "its scheme to StagedCommit.atomicRenameSchemes.")
     }
   }
 

@@ -37,7 +37,8 @@ import graft.streaming.{AnnIndexStreaming, ContaminationStreaming,
 object SoakWorker {
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: SoakWorker <run|finish|handrace> <base> [<ckptRoot>|<workerId>]")
+    require(args.length >= 3, // every mode consumes all three arguments
+      "usage: SoakWorker <run|finish|handrace> <base> <ckptRoot|workerId>")
     val mode = args(0)
     val base = args(1)
     val spark = SparkSession.builder()
@@ -108,11 +109,16 @@ object SoakWorker {
 
   /** Hand-driven duplicate writer: admit every chunk IN ORDER (the
     * monotonic replay guards make whoever-gets-there-first win and the
-    * other a no-op — content per batch id is identical by construction),
-    * with the observed-state compaction and health-retrain triggers
-    * firing between batches so fold/retrain commits RACE the twin
-    * worker's. Jitter is seeded per worker so interleavings vary but the
-    * run is reproducible. */
+    * other a no-op), with the observed-state compaction and
+    * health-retrain triggers firing between batches so fold/retrain
+    * commits RACE the twin worker's. Postings/delta content per batch id
+    * is identical by construction (a deterministic function of the chunk
+    * and the committed chain); an ANN admission's content additionally
+    * depends on the base its assignment used — the quantizer-coherence
+    * tripwire in admitBatch aborts a stale assignment when the twin's
+    * retrain lands mid-admission, and the retry loop below models the
+    * engine's batch redelivery. Jitter is seeded per worker so
+    * interleavings vary but the run is reproducible. */
   private def handRace(spark: SparkSession, base: String,
       workerId: String): Unit = {
     val v1 = spark.read.parquet(s"$base/v1")
@@ -125,10 +131,28 @@ object SoakWorker {
       DocIndexStreaming.admitPostingsBatch(
         docs.select(col("doc_id"), col("text")), i.toLong, s"$base/postings")
       ReleaseDeltaStreaming.admitBatch(docs, i.toLong, v1, s"$base/delta_state")
-      if (i < nEmb)
-        AnnIndexStreaming.admitBatch(
-          spark.read.parquet(s"$base/emb_chunks/$i"), i.toLong, "embedding",
-          s"$base/ann")
+      if (i < nEmb) {
+        // the quantizer-coherence tripwire THROWS when the twin worker's
+        // retrain lands mid-admission — model the engine's batch retry
+        var admitted = false
+        var attempts = 0
+        while (!admitted) {
+          try {
+            AnnIndexStreaming.admitBatch(
+              spark.read.parquet(s"$base/emb_chunks/$i"), i.toLong,
+              "embedding", s"$base/ann")
+            admitted = true
+          } catch {
+            case e: IllegalStateException
+                if attempts < 5 && e.getMessage.contains("mid-admission") =>
+              attempts += 1
+              System.out.println(
+                s"[worker-$workerId] batch=$i ann admit retried " +
+                  s"(concurrent retrain): attempt ${attempts + 1}")
+              System.out.flush()
+          }
+        }
+      }
       if (i % 2 == 1) {
         val folded = DocIndexStreaming.maybeCompactPostings(
           spark, s"$base/postings", maxUnionLegs = 3)

@@ -1458,11 +1458,15 @@ class StreamingSpec extends SparkSpec {
     val conf = spark.sparkContext.hadoopConfiguration
     val base = java.nio.file.Files.createTempDirectory("graft-fsguard-").toString
     val fs = new Path(base).getFileSystem(conf)
-    // every known copy+delete-rename scheme dies BEFORE any I/O: no
-    // stage write, no fs call against a store whose client jars may not
-    // even be on the classpath — the deployment fails on its first
-    // commit with the contract spelled out
-    Seq("s3a", "s3", "s3n", "oss", "gs", "swift", "cos", "wasb", "wasbs")
+    // the guard is an ALLOW-LIST (a deny-list of object stores can
+    // never be complete): every scheme off the rename-atomic list dies
+    // BEFORE any I/O — no stage write, no fs call against a store whose
+    // client jars may not even be on the classpath — so the deployment
+    // fails on its first commit with the contract spelled out. Covers
+    // the classic stores AND the ones a deny-list missed (cosn, obs,
+    // oci) AND a made-up scheme (unknown ⇒ refused by default).
+    Seq("s3a", "s3", "s3n", "oss", "gs", "swift", "cos", "wasb", "wasbs",
+      "cosn", "obs", "oci", "somefuturefs")
       .foreach { scheme =>
         var wrote = false
         val e = intercept[UnsupportedOperationException] {
@@ -1485,6 +1489,62 @@ class StreamingSpec extends SparkSpec {
     // whole suite), and an explicit file:// target
     assert(StagedCommit.commit(p => { fs.mkdirs(new Path(p)); () },
       fs, conf, s"file://$base/ok_v1", new Path(s"file://$base/_COMMIT_ok_v1")))
+  }
+
+  test("ANN quantizer-coherence tripwire: a retrain committing mid-admission aborts the stale assignment loudly; the retry assigns under the new base") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    val rnd = new scala.util.Random(4242)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val indexPath = java.nio.file.Files
+      .createTempDirectory("graft-anntrip-").toString + "/index"
+    AnnIndexStreaming.init(df(rows.take(30)), "embedding", k = 4, iters = 0,
+      indexPath)
+    val batch = rows.drop(30)
+    // a concurrent session's retrain lands in the assign→claim window:
+    // the admission's centroid_ids were computed under base v0, but the
+    // read view is now v1 — committing them would make probes prune
+    // wrong (silently missed vectors). The tripwire must abort + THROW
+    // so the engine retries the batch.
+    val e = intercept[IllegalStateException] {
+      AnnIndexStreaming.admitBatchImpl(df(batch), 0L, "embedding", indexPath,
+        beforeClaim = () => AnnIndexStreaming.compact(
+          spark, indexPath, "embedding", k = 8, iters = 0))
+    }
+    assert(e.getMessage.contains("mid-admission"))
+    val f = new java.io.File(indexPath)
+    assert(!f.listFiles().exists(_.getName == "_COMMIT_batch_0"),
+      "an aborted stale admission must not commit its marker")
+    assert(!f.listFiles().exists(_.getName.contains("_stage_")),
+      "the aborted admission must clean its staging dir")
+    assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === 30L,
+      "readers must still see exactly the folded archive")
+    // the retry (what the engine's redelivery does) assigns under v1
+    AnnIndexStreaming.admitBatch(df(batch), 0L, "embedding", indexPath)
+    val base = AnnIndexStreaming.currentBase(spark, indexPath)
+    assert(base.version === 1L, "the retrain's base must be the read view")
+    val cs = graft.ext.IvfIndex.loadCentroids(spark,
+      AnnIndexStreaming.basePath(indexPath, base))
+    val got = AnnIndexStreaming.currentLists(spark, indexPath)
+      .filter(col("vec_id") >= 30L)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = graft.ext.Similarity.ivfAssignments(df(batch), cs)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expected,
+      "the retried admission must be assigned under the NEW quantizer")
   }
 
   test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {

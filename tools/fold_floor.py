@@ -22,6 +22,9 @@ with open(art_path) as f:
 sf = os.path.basename(art["sf"].rstrip("/"))
 if art.get("passes_done", 0) < 1:
     sys.exit(f"refusing: artifact has no completed measured pass")
+if art.get("partial", False):
+    sys.exit("refusing: artifact is tagged partial=true — the floor "
+             "protocol folds certified COMPLETE runs only")
 
 floor = {"sf": sf, "queries": {}}
 if os.path.exists(floor_path):
