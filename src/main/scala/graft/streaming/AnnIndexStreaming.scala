@@ -187,12 +187,27 @@ object AnnIndexStreaming {
       // and self-healing — the next fold reassigns everything, and the
       // health check sees the degraded recall and triggers it.
       abortIf = () => currentBase(s, indexPath) != base)
+    // commit()=false with no marker has TWO causes and both need a
+    // retry, but for different reasons — re-check the base to name the
+    // right one: (a) the tripwire fired (base changed — retry
+    // re-assigns under the new quantizer); (b) a live same-id twin won
+    // the claim race and its marker is still pending (retry no-ops once
+    // it lands, or rescues the batch if the twin crashed in its
+    // claim→marker window). Reporting (b) as (a) would send an operator
+    // hunting for a retrain that never happened.
     if (!committed && !f.exists(marker))
       throw new IllegalStateException(
-        s"admitBatch($batchId): the committed base changed mid-admission " +
-          "(a concurrent retrain/compact on this index tree) — the " +
-          "staged assignment used the old quantizer and was discarded; " +
-          "retry the batch to re-assign under the new base")
+        if (currentBase(s, indexPath) != base)
+          s"admitBatch($batchId): the committed base changed " +
+            "mid-admission (a concurrent retrain/compact on this index " +
+            "tree) — the staged assignment used the old quantizer and " +
+            "was discarded; retry the batch to re-assign under the new " +
+            "base"
+        else
+          s"admitBatch($batchId): lost the claim to a concurrent " +
+            "same-id writer whose marker is still pending — retry the " +
+            "batch (it no-ops once the twin's marker lands, or rescues " +
+            "the batch if the twin crashed)")
     ()
   }
 
@@ -389,7 +404,16 @@ object AnnIndexStreaming {
     * every probe-the-index admission here. */
   def admitDedupBatch(batch: DataFrame, batchId: Long, indexPath: String,
       decisionsPath: String, nProbe: Int, threshold: Double,
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding"): Unit =
+    admitDedupBatchImpl(batch, batchId, indexPath, decisionsPath, nProbe,
+      threshold, vecCol)
+
+  /** `beforeClaim` is a test seam into the judge→claim window — the
+    * same quantizer-coherence race [[admitBatchImpl]] guards. */
+  private[graft] def admitDedupBatchImpl(batch: DataFrame, batchId: Long,
+      indexPath: String, decisionsPath: String, nProbe: Int,
+      threshold: Double, vecCol: String = "embedding",
+      beforeClaim: () => Unit = () => ()): Unit = {
     if (batch.isEmpty) return
     val s = batch.sparkSession
     val f = fs(s, indexPath)
@@ -416,16 +440,47 @@ object AnnIndexStreaming {
     // a fully-evicted batch commits its marker with no lists dir
     // (listsOf skips missing batch roots); a non-empty one commits
     // through [[StagedCommit]] like every versioned writer here
+    val marker = new Path(indexPath, s"_COMMIT_batch_$batchId")
     if (admitted.isEmpty)
-      f.create(new Path(indexPath, s"_COMMIT_batch_$batchId"), true).close()
+      f.create(marker, true).close()
     else {
-      StagedCommit.commit(
+      // same quantizer-coherence tripwire as [[admitBatchImpl]]: the
+      // decisions AND the assignment above used the base resolved at
+      // entry — a concurrent compact committing a new base mid-admission
+      // would publish old-quantizer centroid_ids into the new read view
+      val committed = StagedCommit.commit(
         p => IvfIndex.writeLists(
           admitted.withColumn("centroid_id",
             NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
         f, s.sparkContext.hadoopConfiguration,
-        s"$indexPath/b$batchId",
-        new Path(indexPath, s"_COMMIT_batch_$batchId"))
+        s"$indexPath/b$batchId", marker,
+        beforeClaim = beforeClaim,
+        abortIf = () => currentBase(s, indexPath) != base)
+      if (!committed && !f.exists(marker)) {
+        val baseChanged = currentBase(s, indexPath) != base
+        // the decisions artifact was published BEFORE the commit (the
+        // crash contract wants marker ⇒ decisions-present, so the write
+        // order must stay decisions-first) — but a tripwire abort is a
+        // NORMAL outcome, not a crash, and its old-base judgments must
+        // not linger as phantom evidence for a batch that never
+        // committed: remove them before the retry re-judges. On the
+        // lost-claim branch the dir is left alone — the winning twin's
+        // flow owns it (equivalent content, its marker pending).
+        if (baseChanged)
+          f.delete(new Path(s"$decisionsPath/batch=$batchId"), true)
+        throw new IllegalStateException(
+          if (baseChanged)
+            s"admitDedupBatch($batchId): the committed base changed " +
+              "mid-admission (a concurrent retrain/compact on this " +
+              "index tree) — the staged assignment used the old " +
+              "quantizer and was discarded; retry the batch to " +
+              "re-judge and re-assign under the new base"
+          else
+            s"admitDedupBatch($batchId): lost the claim to a " +
+              "concurrent same-id writer whose marker is still pending " +
+              "— retry the batch (it no-ops once the twin's marker " +
+              "lands, or rescues the batch if the twin crashed)")
+      }
       ()
     }
   }

@@ -63,7 +63,8 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * BOTH "win", interleaving two builds under one committed name — the
   * exact corruption this primitive exists to prevent — so `commit`
   * enforces an ALLOW-LIST of schemes known rename-atomic
-  * (file/hdfs/viewfs/abfs/abfss/ofs/o3fs) and REFUSES everything else
+  * (file, hdfs/webhdfs/swebhdfs — all the NameNode's atomic rename —
+  * viewfs, abfs/abfss, ofs/o3fs) and REFUSES everything else
   * by default: a deny-list of object stores can never be complete
   * (s3/s3a, oss, gs, cosn, obs, oci, … and whatever ships next year),
   * and an unknown scheme silently passing the guard is precisely the
@@ -84,7 +85,8 @@ private[graft] object StagedCommit {
     * targets resolve against the FileSystem's own URI (local FS =
     * "file"). Everything not listed is refused by default. */
   private val atomicRenameSchemes: Set[String] =
-    Set("file", "hdfs", "viewfs", "abfs", "abfss", "ofs", "o3fs")
+    Set("file", "hdfs", "webhdfs", "swebhdfs", "viewfs", "abfs", "abfss",
+      "ofs", "o3fs")
 
   /** Fail fast unless `target` (or, as a fallback, the FileSystem
     * itself) lives on a store whose rename can implement the claim.
@@ -99,8 +101,9 @@ private[graft] object StagedCommit {
     scheme.filterNot(atomicRenameSchemes).foreach { s =>
       throw new UnsupportedOperationException(
         s"StagedCommit($target): scheme '$s://' is not on the " +
-          "rename-atomic allow-list (file/hdfs/viewfs/abfs/abfss/ofs/" +
-          "o3fs). Object stores have no atomic no-overwrite rename, so " +
+          "rename-atomic allow-list (file/hdfs/webhdfs/swebhdfs/viewfs/" +
+          "abfs/abfss/ofs/o3fs). " +
+          "Object stores have no atomic no-overwrite rename, so " +
           "the claim cannot guarantee exactly one same-version winner " +
           "— committing there could interleave two builds under one " +
           "committed name. Use a hierarchical filesystem, port the " +

@@ -49,7 +49,7 @@ object SoakWorker {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", s"$base/warehouse_" +
-        args.lift(2).getOrElse(mode).replaceAll("[^A-Za-z0-9]", "_"))
+        args(2).replaceAll("[^A-Za-z0-9]", "_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -126,32 +126,44 @@ object SoakWorker {
     val nDoc = new java.io.File(s"$base/doc_chunks").listFiles().length
     val nEmb = new java.io.File(s"$base/emb_chunks").listFiles().length
     val rnd = new scala.util.Random(workerId.hashCode.toLong)
+    // model the engine's batch redelivery for every loud-retry shape a
+    // duplicate writer can hit: the quantizer-coherence tripwire and the
+    // pending-marker lost-claim (IllegalStateException "retry the
+    // batch"), and StagedCommit's vanished-target residual
+    // (IOException "caller must retry"). Bounded — anything else, or a
+    // 6th failure, propagates and fails the worker loudly.
+    def withEngineRetry(what: String)(op: => Unit): Unit = {
+      var attempts = 0
+      var done = false
+      while (!done) {
+        try { op; done = true }
+        catch {
+          case e @ (_: IllegalStateException | _: java.io.IOException)
+              if attempts < 5 && Option(e.getMessage).exists(m =>
+                m.contains("retry the batch") ||
+                  m.contains("caller must retry")) =>
+            attempts += 1
+            System.out.println(s"[worker-$workerId] $what retried " +
+              s"(${e.getClass.getSimpleName}): attempt ${attempts + 1}")
+            System.out.flush()
+        }
+      }
+    }
     (0 until nDoc).foreach { i =>
       val docs = spark.read.parquet(s"$base/doc_chunks/$i")
-      DocIndexStreaming.admitPostingsBatch(
-        docs.select(col("doc_id"), col("text")), i.toLong, s"$base/postings")
-      ReleaseDeltaStreaming.admitBatch(docs, i.toLong, v1, s"$base/delta_state")
-      if (i < nEmb) {
-        // the quantizer-coherence tripwire THROWS when the twin worker's
-        // retrain lands mid-admission — model the engine's batch retry
-        var admitted = false
-        var attempts = 0
-        while (!admitted) {
-          try {
-            AnnIndexStreaming.admitBatch(
-              spark.read.parquet(s"$base/emb_chunks/$i"), i.toLong,
-              "embedding", s"$base/ann")
-            admitted = true
-          } catch {
-            case e: IllegalStateException
-                if attempts < 5 && e.getMessage.contains("mid-admission") =>
-              attempts += 1
-              System.out.println(
-                s"[worker-$workerId] batch=$i ann admit retried " +
-                  s"(concurrent retrain): attempt ${attempts + 1}")
-              System.out.flush()
-          }
-        }
+      withEngineRetry(s"batch=$i postings admit") {
+        DocIndexStreaming.admitPostingsBatch(
+          docs.select(col("doc_id"), col("text")), i.toLong,
+          s"$base/postings")
+      }
+      withEngineRetry(s"batch=$i delta admit") {
+        ReleaseDeltaStreaming.admitBatch(docs, i.toLong, v1,
+          s"$base/delta_state")
+      }
+      if (i < nEmb) withEngineRetry(s"batch=$i ann admit") {
+        AnnIndexStreaming.admitBatch(
+          spark.read.parquet(s"$base/emb_chunks/$i"), i.toLong,
+          "embedding", s"$base/ann")
       }
       if (i % 2 == 1) {
         val folded = DocIndexStreaming.maybeCompactPostings(

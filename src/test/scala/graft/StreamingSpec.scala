@@ -1547,6 +1547,73 @@ class StreamingSpec extends SparkSpec {
       "the retried admission must be assigned under the NEW quantizer")
   }
 
+  test("dedup-admission quantizer-coherence tripwire: a mid-admission retrain aborts loudly AND removes the phantom decisions; the retry re-judges under the new base") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    val rnd = new scala.util.Random(777)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-deduptrip-").toString
+    val indexPath = s"$root/index"
+    val decisionsPath = s"$root/decisions"
+    AnnIndexStreaming.init(df(rows.take(30)), "embedding", k = 4, iters = 0,
+      indexPath)
+    val batch = rows.drop(30)
+    val e = intercept[IllegalStateException] {
+      AnnIndexStreaming.admitDedupBatchImpl(df(batch), 0L, indexPath,
+        decisionsPath, nProbe = 2, threshold = 0.999,
+        beforeClaim = () => AnnIndexStreaming.compact(
+          spark, indexPath, "embedding", k = 8, iters = 0))
+    }
+    assert(e.getMessage.contains("mid-admission"))
+    val idx = new java.io.File(indexPath)
+    assert(!idx.listFiles().exists(_.getName == "_COMMIT_batch_0"),
+      "an aborted stale dedup admission must not commit its marker")
+    assert(!idx.listFiles().exists(_.getName.contains("_stage_")),
+      "the aborted admission must clean its staging dir")
+    // the tripwire's normal-abort path must not leave old-base judgments
+    // behind as phantom evidence for a batch that never committed
+    assert(!new java.io.File(s"$decisionsPath/batch=0").exists(),
+      "phantom decisions must be removed on a tripwire abort")
+    assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === 30L)
+    // the retry (the engine's redelivery) re-judges + assigns under v1
+    AnnIndexStreaming.admitDedupBatch(df(batch), 0L, indexPath,
+      decisionsPath, nProbe = 2, threshold = 0.999)
+    assert(new java.io.File(indexPath).listFiles()
+      .exists(_.getName == "_COMMIT_batch_0"))
+    assert(new java.io.File(s"$decisionsPath/batch=0").exists(),
+      "the committed retry must leave its decisions artifact")
+    val keptIds = spark.read.parquet(s"$decisionsPath/batch=0")
+      .filter(col("kept") === 1L).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.nonEmpty, "the distinct batch vectors must be admitted")
+    val base = AnnIndexStreaming.currentBase(spark, indexPath)
+    assert(base.version === 1L)
+    val cs = graft.ext.IvfIndex.loadCentroids(spark,
+      AnnIndexStreaming.basePath(indexPath, base))
+    val got = AnnIndexStreaming.currentLists(spark, indexPath)
+      .filter(col("vec_id") >= 30L)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val expected = graft.ext.Similarity
+      .ivfAssignments(df(batch.filter(b => keptIds(b._1))), cs)
+      .select(col("vec_id"), col("centroid_id"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got === expected,
+      "the retried dedup admission must be assigned under the NEW quantizer")
+  }
+
   test("external-cadence compactor thread racing live admissions: whatever folds commit or abort, readers stay exact and the layout converges") {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     import graft.streaming.DocIndexStreaming
