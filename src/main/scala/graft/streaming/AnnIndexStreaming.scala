@@ -166,7 +166,7 @@ object AnnIndexStreaming {
     // would assign-and-score silently wrong forever (the cosine kernel
     // truncates) — fail the admission; the marker is never created, so
     // state stays intact and a fixed batch re-admits cleanly
-    val committed = StagedCommit.commit(
+    val outcome = StagedCommit.commitOutcome(
       p => IvfIndex.writeLists(
         IvfIndex.requireDims(batch, vecCol, cs.head.length)
           .withColumn("centroid_id",
@@ -187,28 +187,36 @@ object AnnIndexStreaming {
       // and self-healing — the next fold reassigns everything, and the
       // health check sees the degraded recall and triggers it.
       abortIf = () => currentBase(s, indexPath) != base)
-    // commit()=false with no marker has TWO causes and both need a
-    // retry, but for different reasons — re-check the base to name the
-    // right one: (a) the tripwire fired (base changed — retry
-    // re-assigns under the new quantizer); (b) a live same-id twin won
-    // the claim race and its marker is still pending (retry no-ops once
-    // it lands, or rescues the batch if the twin crashed in its
-    // claim→marker window). Reporting (b) as (a) would send an operator
-    // hunting for a retrain that never happened.
-    if (!committed && !f.exists(marker))
-      throw new IllegalStateException(
-        if (currentBase(s, indexPath) != base)
+    // Every non-committed outcome needs a retry, but for different
+    // reasons — and each is named by its TYPED cause, never by
+    // re-probing the base after the fact (a lost claim plus an
+    // unrelated concurrent retrain would re-probe as "tripwire",
+    // sending an operator hunting a retrain that aborted nothing):
+    //   Tripped    — the tripwire above fired; the retry re-assigns
+    //                under the new quantizer.
+    //   LostClaim  — a live same-id twin won the claim and its marker
+    //                is still pending; the retry no-ops once it lands,
+    //                or rescues the batch if the twin crashed in its
+    //                claim→marker window.
+    //   RacerCommitted — the twin's marker is already down: the batch
+    //                IS committed (equivalent content); nothing to do.
+    outcome match {
+      case StagedCommit.Outcome.Committed
+         | StagedCommit.Outcome.RacerCommitted => ()
+      case StagedCommit.Outcome.Tripped =>
+        throw new IllegalStateException(
           s"admitBatch($batchId): the committed base changed " +
             "mid-admission (a concurrent retrain/compact on this index " +
             "tree) — the staged assignment used the old quantizer and " +
             "was discarded; retry the batch to re-assign under the new " +
-            "base"
-        else
+            "base")
+      case StagedCommit.Outcome.LostClaim =>
+        throw new IllegalStateException(
           s"admitBatch($batchId): lost the claim to a concurrent " +
             "same-id writer whose marker is still pending — retry the " +
             "batch (it no-ops once the twin's marker lands, or rescues " +
             "the batch if the twin crashed)")
-    ()
+    }
   }
 
   private def listsOf(s: SparkSession, indexPath: String,
@@ -397,7 +405,12 @@ object AnnIndexStreaming {
     * evidence) land in `decisionsPath/batch=<id>`, and ONLY admitted
     * vectors append as `b<batchId>`. Same exactly-once contract as
     * [[admitBatch]] (marker commit, replay no-op, overwrite-by-batch
-    * decisions). Because foreachBatch serializes batches, the index seen
+    * decisions). Decisions are written BEFORE the commit and never
+    * retracted, so `_COMMIT_batch_<id>` ⇒ decisions-present holds
+    * unconditionally; the converse does not — a crashed or aborted
+    * admission leaves judgments for a batch with no marker, which the
+    * retry overwrites — so decisions readers gate each `batch=<id>` on
+    * its marker, exactly like list readers do. Because foreachBatch serializes batches, the index seen
     * by batch N contains exactly the ADMITTED vectors of batches
     * 0..N−1 — a duplicate of an earlier admitted vector is evicted even
     * though it never shared a micro-batch with it; forward-only, like
@@ -448,7 +461,7 @@ object AnnIndexStreaming {
       // decisions AND the assignment above used the base resolved at
       // entry — a concurrent compact committing a new base mid-admission
       // would publish old-quantizer centroid_ids into the new read view
-      val committed = StagedCommit.commit(
+      val outcome = StagedCommit.commitOutcome(
         p => IvfIndex.writeLists(
           admitted.withColumn("centroid_id",
             NearestCentroidExpr.nearestCentroid(col(vecCol), cs)), p),
@@ -456,32 +469,38 @@ object AnnIndexStreaming {
         s"$indexPath/b$batchId", marker,
         beforeClaim = beforeClaim,
         abortIf = () => currentBase(s, indexPath) != base)
-      if (!committed && !f.exists(marker)) {
-        val baseChanged = currentBase(s, indexPath) != base
-        // the decisions artifact was published BEFORE the commit (the
-        // crash contract wants marker ⇒ decisions-present, so the write
-        // order must stay decisions-first) — but a tripwire abort is a
-        // NORMAL outcome, not a crash, and its old-base judgments must
-        // not linger as phantom evidence for a batch that never
-        // committed: remove them before the retry re-judges. On the
-        // lost-claim branch the dir is left alone — the winning twin's
-        // flow owns it (equivalent content, its marker pending).
-        if (baseChanged)
-          f.delete(new Path(s"$decisionsPath/batch=$batchId"), true)
-        throw new IllegalStateException(
-          if (baseChanged)
+      // The decisions artifact is published BEFORE the commit and is
+      // NEVER retracted — by any outcome. Marker ⇒ decisions-present
+      // must hold unconditionally, and an abort here cannot prove no
+      // same-id twin is mid-commit: a twin that claimed before a
+      // retrain landed commits its marker moments after OUR tripwire
+      // fires, so deleting "our" decisions on abort would strip the
+      // artifact the twin's marker is about to rely on, permanently
+      // (the marker makes the batch a replay no-op — no retry would
+      // ever restore it). Lingering judgments for a batch that never
+      // commits are exactly what a CRASH between the decisions write
+      // and the marker already leaves behind, so readers must already
+      // gate decisions/batch=N on _COMMIT_batch_N — an abort reuses
+      // that contract, and the engine's retry overwrites the dir with
+      // fresh judgments anyway. Causes are TYPED ([[StagedCommit
+      // .Outcome]]), never re-probed post hoc: see [[admitBatchImpl]].
+      outcome match {
+        case StagedCommit.Outcome.Committed
+           | StagedCommit.Outcome.RacerCommitted => ()
+        case StagedCommit.Outcome.Tripped =>
+          throw new IllegalStateException(
             s"admitDedupBatch($batchId): the committed base changed " +
               "mid-admission (a concurrent retrain/compact on this " +
               "index tree) — the staged assignment used the old " +
               "quantizer and was discarded; retry the batch to " +
-              "re-judge and re-assign under the new base"
-          else
+              "re-judge and re-assign under the new base")
+        case StagedCommit.Outcome.LostClaim =>
+          throw new IllegalStateException(
             s"admitDedupBatch($batchId): lost the claim to a " +
               "concurrent same-id writer whose marker is still pending " +
               "— retry the batch (it no-ops once the twin's marker " +
               "lands, or rescues the batch if the twin crashed)")
       }
-      ()
     }
   }
 

@@ -80,6 +80,31 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Path}
   * `atomicRenameSchemes` — a one-line, reviewed decision. */
 private[graft] object StagedCommit {
 
+  /** Why a commit attempt ended — the typed answer to "did my write
+    * land, and if not, what actually happened?". Callers that need to
+    * react to the CAUSE (retry semantics, operator-facing error text,
+    * cleanup of side artifacts written before the commit) must use
+    * [[commitOutcome]] and match on this, NOT re-probe shared state
+    * after the fact: a post-hoc probe names whatever changed LAST, not
+    * what aborted THIS commit (a lost claim plus an unrelated
+    * concurrent retrain re-probes as "tripwire", sending the operator
+    * hunting a retrain that never aborted anything). */
+  private[graft] sealed trait Outcome
+  private[graft] object Outcome {
+    /** This call created the marker — the version is committed. */
+    case object Committed extends Outcome
+    /** The caller's `abortIf` tripwire fired in the stage→claim window;
+      * the stage was discarded, nothing was claimed. */
+    case object Tripped extends Outcome
+    /** A racer's marker was observed — the version is already
+      * committed (with semantically equivalent content: same version,
+      * same committed inputs); this call's build was discarded. */
+    case object RacerCommitted extends Outcome
+    /** A racer won the claim itself and its marker is still pending:
+      * the version is NOT yet committed and not ours to finish. */
+    case object LostClaim extends Outcome
+  }
+
   /** Schemes with an atomic no-overwrite directory rename — the only
     * stores the claim is sound on (see the class doc). Scheme-less
     * targets resolve against the FileSystem's own URI (local FS =
@@ -133,37 +158,50 @@ private[graft] object StagedCommit {
       target: String, marker: Path,
       beforeClaim: () => Unit = () => (),
       abortIf: () => Boolean = () => false,
-      afterClaim: () => Unit = () => ()): Boolean = {
+      afterClaim: () => Unit = () => ()): Boolean =
+    commitOutcome(write, fs, conf, target, marker, beforeClaim, abortIf,
+      afterClaim) == Outcome.Committed
+
+  /** [[commit]] with the typed result — see [[Outcome]] for when the
+    * distinction matters. Identical protocol; `commit` is the
+    * cause-agnostic Boolean view of this. */
+  private[graft] def commitOutcome(write: String => Unit, fs: FileSystem,
+      conf: Configuration, target: String, marker: Path,
+      beforeClaim: () => Unit = () => (),
+      abortIf: () => Boolean = () => false,
+      afterClaim: () => Unit = () => ()): Outcome = {
     requireAtomicRename(target, fs) // FS contract — see the class doc
     val t = new Path(target)
     val stage = new Path(t.getParent,
       s".${t.getName}_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    def abort(why: String): Boolean = {
+    def abort(why: String, outcome: Outcome): Outcome = {
       System.err.println(
         s"[graft] StagedCommit($target): $why — aborting the commit " +
           "(readers unaffected)")
       fs.delete(stage, true)
-      false
+      outcome
     }
     // a failed stage write, seam, or tripwire must not leak UUID-named
     // stage dirs
     val tripped =
       try { write(stage.toString); beforeClaim(); abortIf() }
       catch { case e: Throwable => fs.delete(stage, true); throw e }
-    if (tripped) return abort("caller tripwire fired")
-    if (fs.exists(marker)) return abort("a racer already committed")
+    if (tripped) return abort("caller tripwire fired", Outcome.Tripped)
+    if (fs.exists(marker))
+      return abort("a racer already committed", Outcome.RacerCommitted)
     if (fs.exists(t)) {
       // re-check right before the destructive clear: only a marker-less
       // orphan of a crashed writer (invisible to readers) may be
       // deleted — a racer may have committed since the check above
-      if (fs.exists(marker)) return abort("a racer committed mid-claim")
+      if (fs.exists(marker))
+        return abort("a racer committed mid-claim", Outcome.RacerCommitted)
       fs.delete(t, true)
     }
     try FileContext.getFileContext(t.toUri, conf)
       .rename(fs.makeQualified(stage), fs.makeQualified(t))
     catch {
       case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
-        return abort("lost the claim race")
+        return abort("lost the claim race", Outcome.LostClaim)
       case e: java.io.IOException =>
         fs.delete(stage, true)
         throw e // a real I/O failure, not a race — see the method doc
@@ -199,6 +237,6 @@ private[graft] object StagedCommit {
         else s" — AND the marker could not be removed: delete $marker " +
           "manually or the replay guard will silently skip this version")
     }
-    true
+    Outcome.Committed
   }
 }

@@ -1547,7 +1547,7 @@ class StreamingSpec extends SparkSpec {
       "the retried admission must be assigned under the NEW quantizer")
   }
 
-  test("dedup-admission quantizer-coherence tripwire: a mid-admission retrain aborts loudly AND removes the phantom decisions; the retry re-judges under the new base") {
+  test("dedup-admission quantizer-coherence tripwire: a mid-admission retrain aborts loudly WITHOUT retracting the decisions artifact (marker ⇒ decisions-present must survive a pending twin); the retry re-judges under the new base and overwrites them") {
     import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
     import graft.streaming.AnnIndexStreaming
     val rnd = new scala.util.Random(777)
@@ -1582,10 +1582,17 @@ class StreamingSpec extends SparkSpec {
       "an aborted stale dedup admission must not commit its marker")
     assert(!idx.listFiles().exists(_.getName.contains("_stage_")),
       "the aborted admission must clean its staging dir")
-    // the tripwire's normal-abort path must not leave old-base judgments
-    // behind as phantom evidence for a batch that never committed
-    assert(!new java.io.File(s"$decisionsPath/batch=0").exists(),
-      "phantom decisions must be removed on a tripwire abort")
+    // the abort must NOT retract the decisions artifact: a same-id twin
+    // that claimed before the retrain landed may commit its marker
+    // moments later, and marker ⇒ decisions-present must hold
+    // unconditionally (an aborted attempt's lingering judgments are the
+    // same state a crash between decisions-write and marker already
+    // leaves — readers gate on the marker, the retry overwrites)
+    assert(new java.io.File(s"$decisionsPath/batch=0").exists(),
+      "a tripwire abort must leave the decisions artifact in place")
+    val abortedDecisions = spark.read
+      .parquet(s"$decisionsPath/batch=0")
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
     assert(AnnIndexStreaming.currentLists(spark, indexPath).count() === 30L)
     // the retry (the engine's redelivery) re-judges + assigns under v1
     AnnIndexStreaming.admitDedupBatch(df(batch), 0L, indexPath,
@@ -1594,7 +1601,12 @@ class StreamingSpec extends SparkSpec {
       .exists(_.getName == "_COMMIT_batch_0"))
     assert(new java.io.File(s"$decisionsPath/batch=0").exists(),
       "the committed retry must leave its decisions artifact")
-    val keptIds = spark.read.parquet(s"$decisionsPath/batch=0")
+    val retried = spark.read.parquet(s"$decisionsPath/batch=0")
+    assert(retried.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+        === abortedDecisions,
+      "the retry must OVERWRITE the aborted attempt's judgments for the " +
+        "same batch vectors, not append to them")
+    val keptIds = retried
       .filter(col("kept") === 1L).select(col("vec_id"))
       .collect().map(_.getLong(0)).toSet
     assert(keptIds.nonEmpty, "the distinct batch vectors must be admitted")
@@ -1883,5 +1895,102 @@ class StreamingSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(_.contains("contract breach")),
       s"expected the contract-breach tripwire, got: ${messages(e)}")
+  }
+
+  test("dedup admission losing to a twin that fully committed the same batch: silent no-op, decisions artifact intact, vectors listed exactly once") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.AnnIndexStreaming
+    val rnd = new scala.util.Random(1515)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-deduptwin-").toString
+    val (indexPath, decisionsPath) = (s"$root/index", s"$root/decisions")
+    AnnIndexStreaming.init(df(rows.take(30)), "embedding", k = 4, iters = 0,
+      indexPath)
+    val batch = rows.drop(30)
+    // the ADVICE-r14 duplicate-writer scenario: a same-id twin runs the
+    // WHOLE admission (decisions + marker) inside our judge→claim
+    // window. We must observe the twin's marker (RacerCommitted), return
+    // silently — the batch IS committed with equivalent content — and
+    // above all leave the decisions artifact the twin's marker relies on
+    AnnIndexStreaming.admitDedupBatchImpl(df(batch), 0L, indexPath,
+      decisionsPath, nProbe = 2, threshold = 0.999,
+      beforeClaim = () => AnnIndexStreaming.admitDedupBatch(df(batch), 0L,
+        indexPath, decisionsPath, nProbe = 2, threshold = 0.999))
+    assert(new java.io.File(indexPath).listFiles()
+      .exists(_.getName == "_COMMIT_batch_0"), "the twin's commit stands")
+    assert(new java.io.File(s"$decisionsPath/batch=0").exists(),
+      "the loser must NOT strip the decisions the twin's marker relies on")
+    val ids = AnnIndexStreaming.currentLists(spark, indexPath)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length,
+      "the losing twin must not double-list the batch's vectors")
+    assert(!new java.io.File(indexPath).listFiles()
+      .exists(_.getName.contains("_stage_")),
+      "the losing twin must clean its staging dir")
+  }
+
+  test("StagedCommit outcomes are typed by the actual abort cause, not a post-hoc probe: tripwire ⇒ Tripped, racer marker ⇒ RacerCommitted, claim race ⇒ LostClaim") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StagedCommit
+    import graft.streaming.StagedCommit.Outcome
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-scout-").toString
+    val realFs = new Path(base).getFileSystem(conf)
+    def writeDir(path: String): Unit = {
+      val d = new java.io.File(path, "part"); d.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d.getPath, "data"), "x")
+    }
+    // Tripped: the caller's own tripwire — regardless of any other state
+    assert(StagedCommit.commitOutcome(writeDir, realFs, conf,
+      s"$base/t0", new Path(base, "_COMMIT_t0"),
+      abortIf = () => true) === Outcome.Tripped)
+    // RacerCommitted: a racer's marker lands in the stage→claim window
+    assert(StagedCommit.commitOutcome(writeDir, realFs, conf,
+      s"$base/t1", new Path(base, "_COMMIT_t1"),
+      beforeClaim = () => {
+        writeDir(s"$base/t1")
+        realFs.create(new Path(base, "_COMMIT_t1"), true).close()
+      }) === Outcome.RacerCommitted)
+    // LostClaim: the racer's claimed-but-unmarked dir survives our
+    // orphan-clear (delete suppressed once — the delete→rename window),
+    // so the no-overwrite rename itself loses. The cause must be typed
+    // LostClaim even though a "base changed"-style post-hoc probe of any
+    // unrelated state would say something else.
+    class DeleteSwallowFs(u: org.apache.hadoop.fs.FileSystem)
+        extends org.apache.hadoop.fs.FilterFileSystem(u) {
+      @volatile var swallowOnce: String = null
+      override def delete(f: Path, recursive: Boolean): Boolean = {
+        if (swallowOnce != null && f.toUri.getPath == swallowOnce) {
+          swallowOnce = null
+          true // claims success, deletes nothing — racer re-claimed
+        } else super.delete(f, recursive)
+      }
+    }
+    val swFs = new DeleteSwallowFs(realFs)
+    swFs.swallowOnce = s"$base/t2"
+    assert(StagedCommit.commitOutcome(writeDir, swFs, conf,
+      s"$base/t2", new Path(base, "_COMMIT_t2"),
+      beforeClaim = () => writeDir(s"$base/t2")) === Outcome.LostClaim)
+    assert(!realFs.exists(new Path(base, "_COMMIT_t2")),
+      "a lost claim must not commit a marker")
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.contains("_stage_")), "all aborts clean the stage")
+    // and the clean path still reports Committed
+    assert(StagedCommit.commitOutcome(writeDir, realFs, conf,
+      s"$base/t3", new Path(base, "_COMMIT_t3")) === Outcome.Committed)
   }
 }
