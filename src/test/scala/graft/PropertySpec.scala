@@ -742,4 +742,242 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: StagedCommit conditional-put claim on a SIMULATED object store (non-atomic copy rename, atomic create-if-absent) — same no-silent-drop battery plus the claim-file schedules (stale break, steal, lost put)") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StagedCommit
+    import graft.streaming.StagedCommit.{ClaimStrategy, Outcome}
+    val conf = spark.sparkContext.hadoopConfiguration
+
+    // The s3a shape, simulated over local disk: rename is a file-by-file
+    // COPY then source delete — non-atomic, no dst-exists check, two
+    // movers interleave freely — while create(f, overwrite=false) stays
+    // atomic create-if-absent (the conditional put the protocol rides).
+    // Marker creation is failable like the rename battery's MarkerFailFs.
+    class SimObjectStoreFs(u: org.apache.hadoop.fs.FileSystem)
+        extends org.apache.hadoop.fs.FilterFileSystem(u) {
+      @volatile var failMarkerCreate = false
+      @volatile var failNextClaimPut = false
+      override def rename(src: Path, dst: Path): Boolean = {
+        val s = java.nio.file.Paths.get(src.toUri.getPath)
+        val d = java.nio.file.Paths.get(dst.toUri.getPath)
+        if (!java.nio.file.Files.exists(s)) return false
+        val walk = java.nio.file.Files.walk(s)
+        try walk.forEach { p =>
+          val tgt = d.resolve(s.relativize(p))
+          if (java.nio.file.Files.isDirectory(p))
+            java.nio.file.Files.createDirectories(tgt)
+          else {
+            java.nio.file.Files.createDirectories(tgt.getParent)
+            java.nio.file.Files.copy(p, tgt,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          }
+        } finally walk.close()
+        super.delete(src, true)
+        true
+      }
+      override def create(f: Path,
+          overwrite: Boolean): org.apache.hadoop.fs.FSDataOutputStream = {
+        if (failMarkerCreate && f.getName.startsWith("_COMMIT"))
+          throw new java.io.IOException("injected marker-create failure")
+        if (failNextClaimPut && f.getName.endsWith("_claim") && !overwrite) {
+          failNextClaimPut = false
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            "injected lost conditional put")
+        }
+        super.create(f, overwrite)
+      }
+    }
+
+    // injection vocabulary — the rename battery's 8 plus the three
+    // claim-file-specific schedules:
+    //   0 clean | 1 stage-write fails (sometimes mid-write) | 2 caller
+    //   tripwire fires | 3 racer full-commits in the stage→claim window
+    //   | 4 crashed holder: stale claim file + claimed-but-unmarked
+    //   partial dir | 5 racer clears our dir in the claim→marker window
+    //   | 6 racer clears AND re-claims with its own complete build there
+    //   | 7 marker creation itself fails | 8 stale claim file alone
+    //   (crashed before any move) | 9 racer STEALS our claim in the
+    //   claim→marker window | 10 the conditional put itself loses
+    val rnd = new scala.util.Random(20260815L)
+    (0 until 25).foreach { trial =>
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft-osprop-$trial-").toString
+      val realFs = new Path(base).getFileSystem(conf)
+      val fs = new SimObjectStoreFs(realFs)
+      def writeDir(path: String, tag: String): Unit =
+        Seq("ivf", "ivf.centroids").foreach { inner =>
+          val d = new java.io.File(path, inner); d.mkdirs()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(d.getPath, "data"), tag)
+        }
+      def target(v: Int) = s"$base/base_v$v"
+      def claim(v: Int) = new Path(base, s".base_v${v}_claim")
+      def marker(v: Int) = new Path(base, s"_COMMIT_v$v")
+      def plantClaim(v: Int, tag: String): Unit = {
+        val out = realFs.create(claim(v), true)
+        try out.write(tag.getBytes("UTF-8")) finally out.close()
+      }
+      // invariants after EVERY attempt over EVERY version so far:
+      //   I1 marker present ⇒ both nested parts present, ONE writer's tag
+      //   I2 no leaked stage dirs
+      def checkInvariants(maxV: Int): Unit = {
+        (0 to maxV).foreach { v =>
+          if (fs.exists(marker(v))) {
+            val a = java.nio.file.Paths.get(target(v), "ivf", "data")
+            val b = java.nio.file.Paths.get(target(v), "ivf.centroids", "data")
+            assert(java.nio.file.Files.exists(a) &&
+              java.nio.file.Files.exists(b),
+              s"trial $trial v$v: marker points at a partial dir")
+            assert(java.nio.file.Files.readString(a) ===
+              java.nio.file.Files.readString(b),
+              s"trial $trial v$v: marker points at a MIXED dir")
+          }
+        }
+        assert(!new java.io.File(base).listFiles()
+          .exists(_.getName.contains("_stage_")),
+          s"trial $trial: leaked staging dir")
+      }
+      var v = 0
+      val attempts = 4 + rnd.nextInt(4)
+      (0 until attempts).foreach { _ =>
+        val inj = rnd.nextInt(11)
+        val ourTag = s"v${v}_ours"
+        val racerTag = s"v${v}_racer"
+        fs.failMarkerCreate = inj == 7
+        fs.failNextClaimPut = inj == 10
+        def attempt(injection: Int): Option[Outcome] =
+          try Some(StagedCommit.commitOutcomeWith(
+            ClaimStrategy.ConditionalPut,
+            write = p => injection match {
+              case 1 =>
+                if (rnd.nextBoolean()) {
+                  val d = new java.io.File(p, "ivf"); d.mkdirs()
+                  java.nio.file.Files.writeString(
+                    java.nio.file.Paths.get(d.getPath, "data"), "partial")
+                }
+                sys.error("injected stage-write failure")
+              case _ => writeDir(p, ourTag)
+            },
+            fs, conf, target(v), marker(v),
+            beforeClaim = () => injection match {
+              case 3 => writeDir(target(v), racerTag)
+                realFs.create(marker(v), true).close()
+              case 4 => plantClaim(v, "crashed-holder")
+                val d = new java.io.File(target(v), "ivf"); d.mkdirs()
+                java.nio.file.Files.writeString(
+                  java.nio.file.Paths.get(d.getPath, "data"), "partial")
+              case 8 => plantClaim(v, "crashed-holder")
+              case _ => ()
+            },
+            abortIf = () => injection == 2,
+            afterClaim = () => injection match {
+              case 5 => realFs.delete(new Path(target(v)), true); ()
+              case 6 => realFs.delete(new Path(target(v)), true)
+                writeDir(target(v), racerTag)
+              case 9 => realFs.delete(claim(v), false)
+                plantClaim(v, "thief")
+              case _ => ()
+            }))
+          catch { case _: Exception => None }
+        val ret = attempt(inj)
+        fs.failMarkerCreate = false
+        fs.failNextClaimPut = false
+        checkInvariants(v)
+        inj match {
+          case 0 => assert(ret === Some(Outcome.Committed))
+            assert(fs.exists(marker(v)))
+            assert(!realFs.exists(claim(v)),
+              "a committed put must release its claim file")
+          case 1 => assert(ret === None, "a failed write must PROPAGATE")
+            assert(!fs.exists(marker(v)))
+            assert(!realFs.exists(claim(v)),
+              "no claim is taken before the stage write survives")
+          case 2 => assert(ret === Some(Outcome.Tripped))
+            assert(!fs.exists(marker(v)))
+          case 3 => assert(ret === Some(Outcome.RacerCommitted),
+            "racer's marker ⇒ lost race, not silence")
+            assert(fs.exists(marker(v)), "the racer's commit stands")
+          case 4 => assert(ret === Some(Outcome.Committed),
+            "a crashed holder's stale claim + partial dir must be " +
+              "broken, cleared and re-claimed")
+            assert(java.nio.file.Files.readString(java.nio.file.Paths
+              .get(target(v), "ivf", "data")) === ourTag)
+          case 5 => assert(ret === None,
+            "a vanished claim must THROW so the engine retries")
+            assert(!fs.exists(marker(v)),
+              "no marker may point at the vanished dir")
+            assert(!realFs.exists(claim(v)),
+              "the thrown attempt must release its claim")
+          case 6 => assert(ret === Some(Outcome.Committed),
+            "a racer's complete re-claim is semantically equivalent")
+          case 7 => assert(ret === None,
+            "a failed marker create must PROPAGATE")
+            assert(!fs.exists(marker(v)))
+            assert(!realFs.exists(claim(v)),
+              "the thrown attempt must release its claim")
+          case 8 => assert(ret === Some(Outcome.Committed),
+            "a stale claim with no holder must be broken at lease 0")
+          case 9 => assert(ret === None,
+            "a stolen claim must THROW (ownership lost), never a marker")
+            assert(!fs.exists(marker(v)),
+              "no marker may land over a stolen claim's move")
+          case 10 => assert(ret === Some(Outcome.LostClaim),
+            "a lost conditional put is a typed lost race, not silence")
+            assert(!fs.exists(marker(v)))
+        }
+        // convergence: whenever the version is not yet committed, a
+        // clean retry of the same version must commit (breaking any
+        // stale claim at lease 0); after a lost race the version is
+        // already committed or the racer's pending — retry both ways
+        if (!fs.exists(marker(v))) {
+          val retry = attempt(0)
+          assert(retry === Some(Outcome.Committed),
+            s"trial $trial v$v inj$inj: clean retry failed to commit")
+          checkInvariants(v)
+          assert(!realFs.exists(claim(v)),
+            s"trial $trial v$v inj$inj: converged version left a claim")
+        }
+        assert(fs.exists(marker(v)),
+          s"trial $trial v$v inj$inj: version not committed after " +
+            "attempt+retry — a batch was silently dropped")
+        v += 1
+      }
+    }
+  }
+
+  test("StagedCommit conditional-put lease: a within-lease claim is NOT broken — the commit throws retryably instead of stealing from a possibly-live holder") {
+    import org.apache.hadoop.fs.Path
+    import graft.streaming.StagedCommit
+    import graft.streaming.StagedCommit.ClaimStrategy
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-oslease-").toString
+    val fs = new Path(base).getFileSystem(conf)
+    val claim = new Path(base, ".t_claim")
+    val out = fs.create(claim, true)
+    try out.write("live-holder".getBytes("UTF-8")) finally out.close()
+    def writeDir(path: String): Unit = {
+      val d = new java.io.File(path, "part"); d.mkdirs()
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(d.getPath, "data"), "x")
+    }
+    val e = intercept[java.io.IOException] {
+      StagedCommit.commitOutcomeWith(ClaimStrategy.ConditionalPut,
+        writeDir, fs, conf, s"$base/t", new Path(base, "_COMMIT_t"),
+        claimLeaseMs = 3600L * 1000L)
+    }
+    assert(e.getMessage.contains("lease"),
+      s"the refusal must name the lease, got: ${e.getMessage}")
+    assert(fs.exists(claim), "the held claim must survive untouched")
+    assert(!fs.exists(new Path(base, "_COMMIT_t")))
+    assert(!new java.io.File(base).listFiles()
+      .exists(_.getName.contains("_stage_")),
+      "the lease refusal must clean its stage")
+    // once the lease is waived (0), the stale claim breaks and commits
+    assert(StagedCommit.commitOutcomeWith(ClaimStrategy.ConditionalPut,
+      writeDir, fs, conf, s"$base/t", new Path(base, "_COMMIT_t"))
+      === StagedCommit.Outcome.Committed)
+    assert(!fs.exists(claim), "the committed put releases the claim")
+  }
 }

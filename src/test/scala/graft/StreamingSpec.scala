@@ -1452,20 +1452,21 @@ class StreamingSpec extends SparkSpec {
     assert(committedData("base_v2_f0") === "v2")
   }
 
-  test("StagedCommit FS contract: object-store schemes are refused up front — the claim-by-rename atomicity does not hold there") {
+  test("StagedCommit FS contract: schemes route by claim capability — rename-atomic stores rename, conditional-put stores claim-file, everything else refused up front") {
     import org.apache.hadoop.fs.Path
     import graft.streaming.StagedCommit
+    import graft.streaming.StagedCommit.ClaimStrategy
     val conf = spark.sparkContext.hadoopConfiguration
     val base = java.nio.file.Files.createTempDirectory("graft-fsguard-").toString
     val fs = new Path(base).getFileSystem(conf)
-    // the guard is an ALLOW-LIST (a deny-list of object stores can
-    // never be complete): every scheme off the rename-atomic list dies
+    // the guard is an ALLOW-LIST per capability (a deny-list of object
+    // stores can never be complete): every scheme off BOTH lists dies
     // BEFORE any I/O — no stage write, no fs call against a store whose
     // client jars may not even be on the classpath — so the deployment
     // fails on its first commit with the contract spelled out. Covers
-    // the classic stores AND the ones a deny-list missed (cosn, obs,
-    // oci) AND a made-up scheme (unknown ⇒ refused by default).
-    Seq("s3a", "s3", "s3n", "oss", "gs", "swift", "cos", "wasb", "wasbs",
+    // stores a deny-list missed (cosn, obs, oci) AND a made-up scheme
+    // (unknown ⇒ refused by default).
+    Seq("oss", "swift", "cos", "wasb", "wasbs",
       "cosn", "obs", "oci", "somefuturefs")
       .foreach { scheme =>
         var wrote = false
@@ -1477,16 +1478,30 @@ class StreamingSpec extends SparkSpec {
         assert(e.getMessage.contains("no atomic"),
           s"$scheme guard message must state the contract")
         assert(e.getMessage.contains("conditional-put"),
-          s"$scheme guard message must point at the documented alternative")
+          s"$scheme guard message must point at the conditional-put route")
         assert(!wrote, s"$scheme: the guard must fire before the stage write")
       }
-    // case-insensitive (URI schemes are): S3A:// is the same store
-    intercept[UnsupportedOperationException] {
-      StagedCommit.commit(p => (), fs, conf, "S3A://bucket/index/base_v1_f0",
-        new Path("S3A://bucket/index/_COMMIT_v1_f0"))
+    // conditional-put-capable object stores ROUTE to the claim-file
+    // protocol instead of refusing (the reference's production lake is
+    // MinIO/S3A) — strategy resolution is pure, no I/O to assert here;
+    // the protocol itself is battle-tested in PropertySpec's simulated
+    // object-store battery
+    Seq("s3a", "s3", "s3n", "gs").foreach { scheme =>
+      assert(StagedCommit.claimStrategyFor(
+        s"$scheme://bucket/index/base_v1_f0", fs)
+        === ClaimStrategy.ConditionalPut, s"$scheme must route, not refuse")
     }
-    // hierarchical filesystems proceed: scheme-less local paths (the
-    // whole suite), and an explicit file:// target
+    // case-insensitive (URI schemes are): S3A:// is the same store
+    assert(StagedCommit.claimStrategyFor(
+      "S3A://bucket/index/base_v1_f0", fs) === ClaimStrategy.ConditionalPut)
+    // hierarchical filesystems rename: scheme-less local paths (the
+    // whole suite), an explicit file:// target, and hdfs/abfs/viewfs
+    // (the latter two with documented HNS / rename-atomic-mount caveats)
+    Seq(s"file://$base/x", "hdfs://nn/x", "abfss://c@a.dfs.example/x",
+      "viewfs://cluster/x").foreach { target =>
+      assert(StagedCommit.claimStrategyFor(target, fs)
+        === ClaimStrategy.AtomicRename, s"$target must take the rename claim")
+    }
     assert(StagedCommit.commit(p => { fs.mkdirs(new Path(p)); () },
       fs, conf, s"file://$base/ok_v1", new Path(s"file://$base/_COMMIT_ok_v1")))
   }
