@@ -331,7 +331,26 @@ object Dedup {
     * scatter one round per directory. */
   private[ext] def cutLineage(df: DataFrame, checkpointDir: Option[String],
       eager: Boolean = true): DataFrame =
-    if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+    if (checkpointDir.isEmpty) df.localCheckpoint(eager)
+    else if (eager) df.checkpoint(true)
+    else {
+      // a LAZY reliable cut materializes at the caller's first action,
+      // after the operator entry returned — track it so a concurrent
+      // root switch in that window dies loudly instead of silently
+      // redirecting the checkpoint ([[CheckpointRootGuard]])
+      val cut = df.checkpoint(false)
+      CheckpointRootGuard.registerDeferred(
+        qualifiedRoot(df, checkpointDir.get), cut)
+      cut
+    }
+
+  private def qualifiedRoot(df: DataFrame, dir: String): String = {
+    val sc = df.sparkSession.sparkContext
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(sc.hadoopConfiguration)
+    p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
+      .stripSuffix("/")
+  }
 
   /** One-time per-operator-call checkpoint-dir setup — see
     * [[cutLineage]]. Shared with the [[Graph]] iterative family.
@@ -339,30 +358,30 @@ object Dedup {
     * The checkpoint directory is SparkContext-GLOBAL state: two
     * concurrent checkpointed operators configured with different dirs
     * would silently redirect each other's reliable checkpoints to
-    * whichever set last. `setCheckpointDir` also mints a fresh UUID
-    * subdirectory per call, so "already pointing here" means the current
-    * dir's PARENT is the requested root. Only set on actual change, and
-    * leave an audit line when overriding a different live setting. */
+    * whichever set last — [[CheckpointRootGuard]] refuses exactly that
+    * interleaving (root change while prior-root leases or deferred cuts
+    * are live) and leaves an audit line on legitimate overrides. */
   private[ext] def configureCheckpointDir(df: DataFrame,
       checkpointDir: Option[String]): Unit =
     checkpointDir.foreach { dir =>
-      val sc = df.sparkSession.sparkContext
-      val requested = {
-        val p = new org.apache.hadoop.fs.Path(dir)
-        val fs = p.getFileSystem(sc.hadoopConfiguration)
-        p.makeQualified(fs.getUri, fs.getWorkingDirectory).toString
-          .stripSuffix("/")
-      }
-      val currentParent = sc.getCheckpointDir.map(c =>
-        new org.apache.hadoop.fs.Path(c).getParent.toString.stripSuffix("/"))
-      if (!currentParent.contains(requested)) {
-        currentParent.foreach(prev => System.err.println(
-          s"[graft] checkpoint dir override: $prev -> $requested " +
-            "(SparkContext-global — any concurrent checkpointed operator " +
-            "on this session now writes here)"))
-        sc.setCheckpointDir(dir)
-      }
+      CheckpointRootGuard.configure(df.sparkSession.sparkContext, dir,
+        qualifiedRoot(df, dir))
     }
+
+  /** [[configureCheckpointDir]] + a lease over `body` — the bracket for
+    * ITERATIVE reliable-cut operators, whose later rounds re-read the
+    * global checkpoint dir at each materialization: a concurrent
+    * different-root configure inside the bracket throws instead of
+    * silently redirecting the remaining rounds. No-op without a
+    * reliable dir. */
+  private[ext] def withCheckpointRoot[A](df: DataFrame,
+      checkpointDir: Option[String])(body: => A): A = checkpointDir match {
+    case None => body
+    case Some(dir) =>
+      val root = qualifiedRoot(df, dir)
+      CheckpointRootGuard.acquire(df.sparkSession.sparkContext, dir, root)
+      try body finally CheckpointRootGuard.release(root)
+  }
 
   /** Candidate-pair generation HALF of [[minhashNearDupPairs]] — lazy
     * (no lineage cut), public so plan audits and callers with their own
@@ -747,7 +766,7 @@ object Dedup {
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxIter >= 1, "maxIter must be positive")
-    configureCheckpointDir(pairs, checkpointDir)
+    withCheckpointRoot(pairs, checkpointDir) {
     def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
     val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -795,6 +814,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
+    }
   }
 
   /** Keep-one-per-component dedup — the materialized consumer of the

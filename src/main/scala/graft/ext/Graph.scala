@@ -43,7 +43,7 @@ object Graph {
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0,1)")
-    Dedup.configureCheckpointDir(edges, checkpointDir)
+    Dedup.withCheckpointRoot(edges, checkpointDir) {
     // EAGER cuts, deliberately: fixed-iteration PageRank reads no
     // per-round convergence metric, so lazy cuts (one job, no
     // barriers) are semantically fine — but measured SLOWER (d46
@@ -75,6 +75,7 @@ object Graph {
             * 1e9 + 0.5) / 1e9).as("rank")))
     }
     ranks.select(col("node"), (floor(col("rank") * 1e6 + 0.5) / 1e6).as("rank"))
+    }
   }
 
   /** The corpus' natural link graph: the customer–supplier bipartite
@@ -162,7 +163,7 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
-    Dedup.configureCheckpointDir(edges, checkpointDir)
+    Dedup.withCheckpointRoot(edges, checkpointDir) {
     // eager cuts — same A/B-measured AQE argument as pageRank's
     def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
     val e = cut(edges.select(col("src"), col("dst")))
@@ -183,6 +184,7 @@ object Graph {
         .select(col("node"), col("label")))
     }
     labels.select(col("node"), col("label").as("community"))
+    }
   }
 
   /** d53 — 2 rounds of label propagation over the trade graph. */
@@ -417,7 +419,7 @@ object Graph {
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxDepth: Int,
       checkpointDir: Option[String] = None): DataFrame = {
     require(maxDepth >= 0, "maxDepth must be non-negative")
-    Dedup.configureCheckpointDir(edges, checkpointDir)
+    Dedup.withCheckpointRoot(edges, checkpointDir) {
     def cut(df: DataFrame): DataFrame = Dedup.cutLineage(df, checkpointDir)
     val e = cut(edges.select(col("src"), col("dst")))
     var visited = cut(seeds.select(col("node")).distinct()
@@ -435,6 +437,7 @@ object Graph {
       frontier = next
     }
     visited
+    }
   }
 
   /** BFS over the trade graph from the smallest customer node, depth 3
