@@ -42,6 +42,41 @@ object Similarity {
   private def emb(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
 
+  /** Sentinel for the IVF `nCentroids` knobs: derive the centroid count
+    * from the TRAINED corpus via [[sqrtGridCentroids]] instead of
+    * pinning it. The scale-honest default — a fixed k holds per-list
+    * occupancy ∝ N, so probes degrade linearly as the corpus grows,
+    * while √N sizing keeps occupancy ∝ √N (the FAISS convention). The
+    * gates run this sizing, so what CORRECTNESS checks is the same
+    * curve production runs. */
+  val SqrtGridCentroids: Int = 0
+
+  /** The √N centroid grid: max(16, largest power of two ≤ √n) — within
+    * a factor 2 of √n, with k = 16 as the floor the small-corpus gates
+    * keep. The power-of-two grid exists for the DuckDB oracle: both
+    * engines compute k with PURE INTEGER arithmetic (k = 2^((bitlen(n)
+    * − 1) / 2), SQL `1 << ((length(bin(n)) - 1) // 2)`), so no
+    * float log/sqrt boundary can ever disagree between them. */
+  def sqrtGridCentroids(n: Long): Int = {
+    require(n > 0, "sqrtGridCentroids needs a non-empty corpus")
+    math.max(16, 1 << ((63 - java.lang.Long.numberOfLeadingZeros(n)) / 2))
+  }
+
+  /** Resolve an `nCentroids` knob against the corpus a quantizer will be
+    * trained on: [[SqrtGridCentroids]] (0) derives via
+    * [[sqrtGridCentroids]] (one count job — at 100 TB the corpus size
+    * is catalog metadata and the caller passes it explicitly); any
+    * positive value is taken as-is. */
+  private def resolveCentroids(nCentroids: Int, corpus: DataFrame): Int =
+    if (nCentroids == SqrtGridCentroids) sqrtGridCentroids(corpus.count())
+    else nCentroids
+
+  /** The SQL twin of [[sqrtGridCentroids]] over `src`'s row count — a
+    * one-row CTE body the IVF oracles embed so DuckDB sizes the same
+    * quantizer the engine fits. */
+  private def kselSql(src: String): String =
+    s"(SELECT GREATEST(16, 1 << ((length(bin(count(*))) - 1) // 2)) AS k FROM $src)"
+
   // ---- catalog queries -----------------------------------------------
 
   /** Brute-force cosine top-20 for one query vector (vec_id=0). The query
@@ -329,26 +364,30 @@ object Similarity {
         GROUP BY a.cid, g.d) t GROUP BY cid),
     c${i + 1} AS (SELECT p.cid, coalesce(m.c, p.c) AS c FROM c$i p LEFT JOIN m$i m USING (cid))"""
 
-  /** IVF ANN over the corpus via the PERSISTED index: k-means fit,
-    * inverted lists written partitioned by centroid id (once per corpus —
-    * see [[ivfIndexCache]]), probe reads only the nProbe matching
-    * partitions (pruning proven in SimilaritySpec).
+  /** IVF ANN over the corpus via the PERSISTED index: k-means fit
+    * (√N-grid sized — [[sqrtGridCentroids]], so per-list occupancy
+    * stays ∝ √N as the corpus grows instead of the fixed-k linear
+    * degradation), inverted lists written partitioned by centroid id
+    * (once per corpus — see [[ivfIndexCache]]), probe reads only the
+    * nProbe matching partitions (pruning proven in SimilaritySpec).
     *
-    * ORACLE-CHECKED end-to-end: the md5-seeded init is SQL-reproducible
-    * and the three Lloyd iterations are UNROLLED in the oracle
+    * ORACLE-CHECKED end-to-end: the md5-seeded init is SQL-reproducible,
+    * the centroid COUNT is the integer-exact ksel twin, and the three
+    * Lloyd iterations are UNROLLED in the oracle
     * ([[ivfOracleIteration]]) — DuckDB fits the identical quantizer,
     * selects the same nProbe lists, and returns the same top-k. */
   val s05AnnIvf: Q = Q(
     "s05_ann_ivf",
     Some(s"""
       WITH emb AS (SELECT vec_id, label, embedding FROM embeddings),
+      ksel AS ${kselSql("emb")},
       ranked AS (
         SELECT embedding,
                row_number() OVER (
                  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
                           CAST(vec_id AS VARCHAR)) - 1 AS cid
         FROM emb),
-      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < (SELECT k FROM ksel)),
       ${ivfOracleIteration(0)},
       ${ivfOracleIteration(1)},
       ${ivfOracleIteration(2)},
@@ -376,7 +415,9 @@ object Similarity {
       val path = ivfIndexCache.computeIfAbsent(corpusFingerprint(dir), { _ =>
         val p = java.nio.file.Files
           .createTempDirectory("graft-ivf-").toString + "/lists"
-        IvfIndex.build(emb(s, dir), "embedding", k = 16, iters = 3, path = p)
+        val e = emb(s, dir)
+        IvfIndex.build(e, "embedding", k = sqrtGridCentroids(e.count()),
+          iters = 3, path = p)
         p
       })
       val qv = emb(s, dir).filter(col("vec_id") === 0)
@@ -737,8 +778,9 @@ object Similarity {
     * lists are empty) — the eviction evidence an audit trail needs. */
   def semanticDedupIncremental(batch: DataFrame, archive: DataFrame,
       k: Int, nProbe: Int, threshold: Double): DataFrame = {
-    require(k > 0, "k must be positive")
-    val cs = KMeans.fit(archive, "vec_id", "embedding", k, maxIters = 0)
+    require(k >= 0, "k must be positive (or SqrtGridCentroids to derive)")
+    val cs = KMeans.fit(archive, "vec_id", "embedding",
+      resolveCentroids(k, archive), maxIters = 0)
     val assigned = archive
       .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
         graft.plans.NearestCentroidExpr.nearestCentroid(col("embedding"), cs)
@@ -775,29 +817,31 @@ object Similarity {
   }
 
   /** Incremental-SemDeDup gate: archive = md5 buckets 0-94 of the
-    * embeddings table, batch = 95-99; 16-cluster seeded quantizer
-    * (0 Lloyd iterations — the same ANSI-SQL-reproducible init d25/s06
-    * use), nProbe = 4, τ = 0.4 (the corpus' near-dup regime, as d25).
-    * The oracle rebuilds the quantizer, archive assignments, batch
+    * embeddings table, batch = 95-99; √N-grid seeded quantizer over the
+    * archive ([[sqrtGridCentroids]]; 0 Lloyd iterations — the same
+    * ANSI-SQL-reproducible init d25/s06 use), nProbe = 4, τ = 0.4 (the
+    * corpus' near-dup regime, as d25). The oracle rebuilds the sizing
+    * (integer-exact ksel), the quantizer, archive assignments, batch
     * multi-probes, candidate cosines and the argmax rule, so a drifted
     * admission (wrong lists probed, archive member missing from its
     * list, threshold applied pre-rounding) diverges. */
   val s23SemanticDedupIncremental: Q = Q(
     "s23_semantic_dedup_incremental",
-    Some("""
+    Some(s"""
       WITH emb AS (
         SELECT vec_id, embedding,
                CAST(concat('0x', substr(md5('sem:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         FROM embeddings),
       arch AS (SELECT vec_id, embedding FROM emb WHERE bucket < 95),
       b AS (SELECT vec_id, embedding FROM emb WHERE bucket >= 95),
+      ksel AS ${kselSql("arch")},
       ranked AS (
         SELECT embedding,
                row_number() OVER (
                  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
                           CAST(vec_id AS VARCHAR)) - 1 AS cid
         FROM arch),
-      init AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      init AS (SELECT cid, embedding AS c FROM ranked WHERE cid < (SELECT k FROM ksel)),
       assign AS (
         SELECT vec_id, cid FROM (
           SELECT a.vec_id, i.cid,
@@ -837,7 +881,7 @@ object Similarity {
       semanticDedupIncremental(
         batch = withB.filter(col("bucket") >= 95).drop("bucket"),
         archive = withB.filter(col("bucket") < 95).drop("bucket"),
-        k = 16, nProbe = 4, threshold = 0.4)
+        k = SqrtGridCentroids, nProbe = 4, threshold = 0.4)
     })
 
   /** kNN label propagation — classify unlabeled vectors by majority vote
@@ -897,9 +941,11 @@ object Similarity {
     * ANSI-SQL-reproducible, which is what the gate oracle rebuilds. */
   def knnClassifyIvf(labeled: DataFrame, unlabeled: DataFrame, k: Int,
       nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
-    require(k > 0 && nCentroids > 0 && nProbe > 0,
-      "k, nCentroids and nProbe must be positive")
-    val cs = KMeans.fit(labeled, "vec_id", "embedding", nCentroids, kmeansIters)
+    require(k > 0 && nCentroids >= 0 && nProbe > 0,
+      "k and nProbe must be positive; nCentroids positive or " +
+        "SqrtGridCentroids to derive from the seed corpus")
+    val cs = KMeans.fit(labeled, "vec_id", "embedding",
+      resolveCentroids(nCentroids, labeled), kmeansIters)
     val l = ivfAssignments(labeled, cs)
       .select(col("centroid_id"), col("vec_id").as("nid"),
         col("embedding").as("ne"), col("label"))
@@ -954,26 +1000,28 @@ object Similarity {
     })
 
   /** IVF-probed kNN-classify gate: same 80/20 split as s07, but the seed
-    * side is coarse-quantized (16 seeded centroids, 0 Lloyd iterations —
-    * SQL-reproducible) and each unlabeled vector scores only the members
-    * of its 4 probed lists. The oracle rebuilds quantizer, assignments,
-    * probes, candidate scoring and the vote. */
+    * side is coarse-quantized (√N-grid seeded centroids over the seed
+    * set — [[sqrtGridCentroids]]; 0 Lloyd iterations, SQL-reproducible)
+    * and each unlabeled vector scores only the members of its 4 probed
+    * lists. The oracle rebuilds sizing, quantizer, assignments, probes,
+    * candidate scoring and the vote. */
   val s08KnnClassifyIvf: Q = Q(
     "s08_knn_classify_ivf",
-    Some("""
+    Some(s"""
       WITH b AS (
         SELECT vec_id, embedding, label,
                CAST(concat('0x', substr(md5('lbl:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         FROM embeddings),
       l AS (SELECT vec_id, embedding, label FROM b WHERE bucket < 80),
       u AS (SELECT vec_id, embedding FROM b WHERE bucket >= 80),
+      ksel AS ${kselSql("l")},
       ranked AS (
         SELECT embedding,
                row_number() OVER (
                  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
                           CAST(vec_id AS VARCHAR)) - 1 AS cid
         FROM l),
-      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < (SELECT k FROM ksel)),
       la AS (
         SELECT vec_id, cid FROM (
           SELECT e.vec_id, c.cid,
@@ -1016,7 +1064,7 @@ object Similarity {
       knnClassifyIvf(
         e.filter(col("bucket") < 80).drop("bucket"),
         e.filter(col("bucket") >= 80).drop("bucket", "label"),
-        k = 5, nCentroids = 16, nProbe = 4, kmeansIters = 0)
+        k = 5, nCentroids = SqrtGridCentroids, nProbe = 4, kmeansIters = 0)
     })
 
   /** Cluster-balanced diversity sampling — the "sample uniformly across
@@ -1338,10 +1386,13 @@ object Similarity {
     * what the s17 gate oracle rebuilds. */
   def marginMineIvf(src: DataFrame, tgt: DataFrame, k: Int, tau: Double,
       nCentroids: Int, nProbe: Int, kmeansIters: Int = 3): DataFrame = {
-    require(k > 0 && nCentroids > 0 && nProbe > 0,
-      "k, nCentroids and nProbe must be positive")
-    val csT = KMeans.fit(tgt, "vec_id", "embedding", nCentroids, kmeansIters)
-    val csS = KMeans.fit(src, "vec_id", "embedding", nCentroids, kmeansIters)
+    require(k > 0 && nCentroids >= 0 && nProbe > 0,
+      "k and nProbe must be positive; nCentroids positive or " +
+        "SqrtGridCentroids to derive per side")
+    val csT = KMeans.fit(tgt, "vec_id", "embedding",
+      resolveCentroids(nCentroids, tgt), kmeansIters)
+    val csS = KMeans.fit(src, "vec_id", "embedding",
+      resolveCentroids(nCentroids, src), kmeansIters)
     def probeScores(qs: DataFrame, qName: String, members: DataFrame,
         mName: String, cs: Array[Array[Float]]): DataFrame = {
       val m = ivfAssignments(members, cs)
@@ -1410,30 +1461,33 @@ object Similarity {
         k = 4, tau = 1.02)
     })
 
-  /** s17 — the IVF-probed margin miner on the s16 split: 16 seeded
-    * centroids per side (0 Lloyd iterations — SQL-reproducible), 4
-    * probed lists, k = 4, τ = 1.02. The oracle rebuilds both quantizers,
-    * both directional probes, both kNN averages and the margin rank —
-    * the s08 replay pattern doubled. */
+  /** s17 — the IVF-probed margin miner on the s16 split: √N-grid seeded
+    * centroids PER SIDE ([[sqrtGridCentroids]] of each side's own
+    * count; 0 Lloyd iterations — SQL-reproducible), 4 probed lists,
+    * k = 4, τ = 1.02. The oracle rebuilds both sizings, both
+    * quantizers, both directional probes, both kNN averages and the
+    * margin rank — the s08 replay pattern doubled. */
   val s17BitextMarginIvf: Q = Q(
     "s17_bitext_margin_ivf",
-    Some("""
+    Some(s"""
       WITH a AS (SELECT vec_id AS src_id, embedding AS ae
                  FROM embeddings WHERE vec_id % 2 = 0),
       b AS (SELECT vec_id AS tgt_id, embedding AS be
             FROM embeddings WHERE vec_id % 2 = 1),
+      kt AS ${kselSql("b")},
+      ks AS ${kselSql("a")},
       rt AS (SELECT be AS c,
                row_number() OVER (
                  ORDER BY CAST(concat('0x', substr(md5(CAST(tgt_id AS VARCHAR)), 1, 15)) AS BIGINT),
                           CAST(tgt_id AS VARCHAR)) - 1 AS cid
              FROM b),
-      ct AS (SELECT cid, c FROM rt WHERE cid < 16),
+      ct AS (SELECT cid, c FROM rt WHERE cid < (SELECT k FROM kt)),
       rs AS (SELECT ae AS c,
                row_number() OVER (
                  ORDER BY CAST(concat('0x', substr(md5(CAST(src_id AS VARCHAR)), 1, 15)) AS BIGINT),
                           CAST(src_id AS VARCHAR)) - 1 AS cid
              FROM a),
-      cs AS (SELECT cid, c FROM rs WHERE cid < 16),
+      cs AS (SELECT cid, c FROM rs WHERE cid < (SELECT k FROM ks)),
       bta AS (SELECT tgt_id, cid FROM (
                 SELECT b.tgt_id, c.cid,
                        row_number() OVER (PARTITION BY b.tgt_id
@@ -1490,7 +1544,8 @@ object Similarity {
       marginMineIvf(
         e.filter(col("vec_id") % 2 === 0),
         e.filter(col("vec_id") % 2 === 1),
-        k = 4, tau = 1.02, nCentroids = 16, nProbe = 4, kmeansIters = 0)
+        k = 4, tau = 1.02, nCentroids = SqrtGridCentroids, nProbe = 4,
+        kmeansIters = 0)
     })
 
   /** Per-group per-dimension moment profile of an embedding column —

@@ -6,8 +6,11 @@ import org.apache.spark.sql.functions._
 import graft.ext.Similarity
 
 /** Ad-hoc scaling check of the kNN classifiers on SPARK_GRAFT_SF_DIR:
-  * brute-force vs gate-sized IVF (nCentroids=16) vs production-sized
-  * IVF (nCentroids ∝ √|seed|). Not part of the driver contract. */
+  * brute-force vs fixed-k IVF (nCentroids=16 — the pre-round-15 gate
+  * sizing, kept as the degradation baseline) vs √-sized IVF
+  * (nCentroids ∝ √|seed| — what the gate now runs via
+  * Similarity.SqrtGridCentroids, plus the wider nProbe=8 probe).
+  * Not part of the driver contract. */
 object KnnScaleBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env("SPARK_GRAFT_SF_DIR")
@@ -37,7 +40,7 @@ object KnnScaleBench {
       println(f"$label%-24s ${best._1}%8.3f s   rows=${best._2}")
     }
     time("brute")(Similarity.knnClassify(labeled, unlabeled, 5).count())
-    time("ivf16/4 (gate)")(Similarity.knnClassifyIvf(
+    time("ivf16/4 (fixed-k)")(Similarity.knnClassifyIvf(
       labeled, unlabeled, 5, nCentroids = 16, nProbe = 4, kmeansIters = 0).count())
     time(s"ivf$sqrtC/8 (scaled)")(Similarity.knnClassifyIvf(
       labeled, unlabeled, 5, nCentroids = sqrtC, nProbe = 8, kmeansIters = 0).count())

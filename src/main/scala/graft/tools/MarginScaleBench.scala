@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.ext.Similarity
 
 /** Ad-hoc scaling check of the margin miners on SPARK_GRAFT_SF_DIR:
-  * dense cross-matrix vs gate-sized IVF (nCentroids=16) vs
-  * production-sized IVF (nCentroids ∝ √side — constant list occupancy,
-  * so candidates per query stay bounded as the corpus grows). Not part
-  * of the driver contract; set SPARK_GRAFT_SKIP_DENSE=1 to skip the
-  * quadratic baseline at large sf. */
+  * dense cross-matrix vs fixed-k IVF (nCentroids=16 — the pre-round-15
+  * gate sizing, kept as the degradation baseline) vs √-sized IVF
+  * (nCentroids ∝ √side — constant list occupancy, so candidates per
+  * query stay bounded as the corpus grows; what the gate now runs via
+  * Similarity.SqrtGridCentroids). Not part of the driver contract; set
+  * SPARK_GRAFT_SKIP_DENSE=1 to skip the quadratic baseline at large
+  * sf. */
 object MarginScaleBench {
   def main(args: Array[String]): Unit = {
     val dir = sys.env("SPARK_GRAFT_SF_DIR")
@@ -38,7 +40,7 @@ object MarginScaleBench {
     }
     if (sys.env.get("SPARK_GRAFT_SKIP_DENSE").isEmpty)
       time("dense")(Similarity.marginMine(src, tgt, 4, 1.02).count())
-    time("ivf16/4 (gate)")(Similarity.marginMineIvf(src, tgt, 4, 1.02,
+    time("ivf16/4 (fixed-k)")(Similarity.marginMineIvf(src, tgt, 4, 1.02,
       nCentroids = 16, nProbe = 4, kmeansIters = 0).count())
     time(s"ivf$sqrtC/4 (sqrt-N)")(Similarity.marginMineIvf(src, tgt, 4, 1.02,
       nCentroids = sqrtC, nProbe = 4, kmeansIters = 0).count())

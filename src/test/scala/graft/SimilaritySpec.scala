@@ -113,6 +113,45 @@ class SimilaritySpec extends SparkSpec {
       s"PQ-ADC should recover the planted cluster")
   }
 
+  test("sqrtGridCentroids: integer-exact power-of-two grid in (sqrt(n)/2, sqrt(n)], floor 16, monotone — and the auto sentinel resolves through the IVF entry points") {
+    import Similarity.sqrtGridCentroids
+    // the bit-length identity the DuckDB ksel twin rides:
+    // floor(log2(sqrt(n))) == (bitlen(n) - 1) / 2, pure integers both
+    // sides — no float log/sqrt boundary can disagree cross-engine
+    (1L to 5000L).foreach { n =>
+      val k = sqrtGridCentroids(n)
+      val viaBinStr = math.max(16,
+        1 << ((java.lang.Long.toBinaryString(n).length - 1) / 2))
+      assert(k === viaBinStr, s"n=$n")
+      assert(Integer.bitCount(k) === 1, s"n=$n k=$k not a power of two")
+      if (k > 16) { // above the floor: the (sqrt/2, sqrt] bracket holds
+        assert(k <= math.sqrt(n.toDouble), s"n=$n k=$k exceeds sqrt")
+        assert(2 * k > math.sqrt(n.toDouble), s"n=$n k=$k below sqrt/2")
+      }
+    }
+    // the gate corpora land where the round-15 sizing expects
+    assert(sqrtGridCentroids(500L) === 16)   // sf0.01 → unchanged gates
+    assert(sqrtGridCentroids(2000L) === 32)  // sf0.1
+    assert(sqrtGridCentroids(20000L) === 128) // sf1
+    // monotone non-decreasing (an appended corpus never shrinks k)
+    (2L to 100000L by 997L).foreach { n =>
+      assert(sqrtGridCentroids(n) >= sqrtGridCentroids(n - 1))
+    }
+    // the sentinel resolves: auto-sized IVF classify ≡ the explicitly
+    // sized call at the corpus' own grid point
+    val planted = plantedClusters(nClusters = 4, perCluster = 25)
+    val labeled = planted.filter(col("vec_id") < 80)
+    val unlabeled = planted.filter(col("vec_id") >= 80)
+      .drop("label")
+    val auto = Similarity.knnClassifyIvf(labeled, unlabeled, k = 3,
+      nCentroids = Similarity.SqrtGridCentroids, nProbe = 2,
+      kmeansIters = 0).collect().map(_.toSeq).toSet
+    val explicit = Similarity.knnClassifyIvf(labeled, unlabeled, k = 3,
+      nCentroids = sqrtGridCentroids(labeled.count()), nProbe = 2,
+      kmeansIters = 0).collect().map(_.toSeq).toSet
+    assert(auto === explicit && auto.nonEmpty)
+  }
+
   test("k-means fit is deterministic and separates planted clusters") {
     val planted = plantedClusters(nClusters = 4, perCluster = 25)
     val cs1 = graft.ext.KMeans.fit(planted, "vec_id", "embedding", k = 8, maxIters = 3)
