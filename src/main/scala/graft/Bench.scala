@@ -101,7 +101,13 @@ object Bench {
     // against an sf1 run would publish 215 phantom regressions, and
     // against sf0.01 a phantom all-clear.
     val floor: Map[String, Double] = try {
-      val f = java.nio.file.Paths.get("BENCH_FLOOR.json")
+      // the sf1 scale-regression floor is a separate artifact (folded
+      // with fold_floor.py --sf1) so 10x-scale runs get the same
+      // >1.5x-vs-floor regression signal sf0.1 runs do
+      val floorName =
+        if (new java.io.File(sfDir).getName == "sf1") "SF1_FLOOR.json"
+        else "BENCH_FLOOR.json"
+      val f = java.nio.file.Paths.get(floorName)
       if (!java.nio.file.Files.exists(f)) Map.empty
       else {
         val root = new com.fasterxml.jackson.databind.ObjectMapper()
