@@ -7,6 +7,54 @@ import org.apache.spark.sql.functions._
 import graft.streaming.EventsStreaming
 import graft.streaming.EventsStreaming.{Event, Session}
 
+/** Test-only simulated S3A store: local storage under the real `s3a://`
+  * scheme with the ONE property that matters faithfully broken — rename
+  * is a non-atomic file-by-file copy then a source delete, with no
+  * dst-exists check (two movers interleave freely), exactly the S3A
+  * semantics StagedCommit's allow-list exists to refuse for the rename
+  * claim. create(f, overwrite=false) stays atomic create-if-absent (the
+  * conditional put the object-store claim rides). Registered via
+  * `fs.s3a.impl`, so the WHOLE stack above it — parquet committers,
+  * marker listings, StagedCommit's scheme routing — resolves it through
+  * `Path.getFileSystem` like a real deployment would. */
+class GraftS3aSimFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "s3a"
+  override def getUri: java.net.URI = java.net.URI.create("s3a://graft-sim/")
+  // RawLocal's DeprecatedRawLocalFileStatus lazy-loads permissions via
+  // `new File(path.toUri)`, which rejects non-file schemes — return
+  // plain FileStatus objects with permissions pre-filled instead (an
+  // object store has no POSIX permissions anyway)
+  private def fix(st: org.apache.hadoop.fs.FileStatus) =
+    new org.apache.hadoop.fs.FileStatus(st.getLen, st.isDirectory, 1,
+      st.getBlockSize, st.getModificationTime, st.getAccessTime,
+      org.apache.hadoop.fs.permission.FsPermission.getDefault, "", "",
+      st.getPath)
+  override def getFileStatus(f: org.apache.hadoop.fs.Path)
+      : org.apache.hadoop.fs.FileStatus = fix(super.getFileStatus(f))
+  override def listStatus(f: org.apache.hadoop.fs.Path)
+      : Array[org.apache.hadoop.fs.FileStatus] =
+    super.listStatus(f).map(fix)
+  override def rename(src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Boolean = {
+    val s = pathToFile(src).toPath
+    val d = pathToFile(dst).toPath
+    if (!java.nio.file.Files.exists(s)) return false
+    val walk = java.nio.file.Files.walk(s)
+    try walk.forEach { p =>
+      val tgt = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(tgt)
+      else {
+        java.nio.file.Files.createDirectories(tgt.getParent)
+        java.nio.file.Files.copy(p, tgt,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    } finally walk.close()
+    super.delete(src, true)
+    true
+  }
+}
+
 /** Streaming semantics driven through real micro-batches (MemoryStream →
   * memory sink): watermarked window emission and stateful sessionization. */
 class StreamingSpec extends SparkSpec {
@@ -2007,5 +2055,82 @@ class StreamingSpec extends SparkSpec {
     // and the clean path still reports Committed
     assert(StagedCommit.commitOutcome(writeDir, realFs, conf,
       s"$base/t3", new Path(base, "_COMMIT_t3")) === Outcome.Committed)
+  }
+
+  test("ANN lifecycle end-to-end on a SIMULATED s3a store: the conditional-put claim carries init → admit → replay → retrain → dedup admission, layout ≡ the file:// twin, no claim/stage residue") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, IntegerType, LongType, StructField, StructType}
+    import graft.streaming.{AnnIndexStreaming, StagedCommit}
+    import graft.streaming.StagedCommit.ClaimStrategy
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.s3a.impl", classOf[GraftS3aSimFs].getName)
+    val rnd = new scala.util.Random(31337)
+    val centers = Array.fill(4)(Array.fill(16)(rnd.nextGaussian().toFloat))
+    val rows = (0 until 40).map { i =>
+      (i.toLong,
+        centers(i % 4).map(v => v + 0.05f * rnd.nextGaussian().toFloat).toSeq,
+        i % 4)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+    def df(rs: Seq[(Long, Seq[Float], Int)]) = LocalTable.of(spark, schema,
+      rs.map { case (id, e, l) => Row(id, e, l) })
+    // same lifecycle over two roots: the simulated object store (every
+    // path resolves through fs.s3a.impl — parquet committers included —
+    // and every StagedCommit routes to the conditional-put claim) and a
+    // plain local twin (the rename claim)
+    val s3Base = "s3a://graft-sim" +
+      java.nio.file.Files.createTempDirectory("graft-s3asim-").toString
+    val localBase = java.nio.file.Files
+      .createTempDirectory("graft-s3atwin-").toString
+    assert(StagedCommit.claimStrategyFor(s"$s3Base/index",
+      new org.apache.hadoop.fs.Path(s3Base).getFileSystem(conf))
+      === ClaimStrategy.ConditionalPut)
+    def drive(base: String): Unit = {
+      val (indexPath, decisionsPath) = (s"$base/index", s"$base/decisions")
+      AnnIndexStreaming.init(df(rows.take(20)), "embedding", k = 4,
+        iters = 0, indexPath)
+      AnnIndexStreaming.admitBatch(df(rows.slice(20, 30)), 0L, "embedding",
+        indexPath)
+      // replay of an admitted batch must no-op (marker seen)
+      AnnIndexStreaming.admitBatch(df(rows.slice(20, 30)), 0L, "embedding",
+        indexPath)
+      // fold + re-train: a base_v1 conditional-put (or rename) commit
+      AnnIndexStreaming.compact(spark, indexPath, "embedding", k = 8,
+        iters = 0)
+      // dedup admission against the retrained base, decisions persisted
+      AnnIndexStreaming.admitDedupBatch(df(rows.drop(30)), 1L, indexPath,
+        decisionsPath, nProbe = 2, threshold = 0.999)
+    }
+    drive(s3Base)
+    drive(localBase)
+    def layout(base: String) = AnnIndexStreaming
+      .currentLists(spark, s"$base/index")
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(layout(s3Base) === layout(localBase),
+      "the conditional-put lifecycle must land the identical layout")
+    def kept(base: String) = spark.read
+      .parquet(s"$base/decisions/batch=1")
+      .filter(col("kept") === 1L).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(s3Base) === kept(localBase))
+    val qv = rows.head._2.toArray
+    def probe(base: String) = AnnIndexStreaming
+      .probe(spark, s"$base/index", qv, k = 5, nProbe = 2)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSeq
+    assert(probe(s3Base) === probe(localBase))
+    // commit hygiene on the object store: every claim released, every
+    // stage renamed away or cleaned, base v1 committed
+    val idxDir = new java.io.File(
+      new java.net.URI(s"$s3Base/index").getPath)
+    val names = idxDir.listFiles().map(_.getName)
+    assert(!names.exists(_.contains("_claim")),
+      s"unreleased claim files: ${names.mkString(",")}")
+    assert(!names.exists(_.contains("_stage_")),
+      s"leaked stage dirs: ${names.mkString(",")}")
+    assert(names.contains("_COMMIT_base_v1_f1") &&
+      names.contains("_COMMIT_batch_1"), names.mkString(","))
   }
 }
