@@ -59,7 +59,10 @@ object Similarity {
     * float log/sqrt boundary can ever disagree between them. */
   def sqrtGridCentroids(n: Long): Int = {
     require(n > 0, "sqrtGridCentroids needs a non-empty corpus")
-    math.max(16, 1 << ((63 - java.lang.Long.numberOfLeadingZeros(n)) / 2))
+    // shift capped at 30 so the Int never overflows (n ≥ 2^62 would
+    // shift 31); the SQL twin carries the same LEAST(30, …) cap
+    math.max(16,
+      1 << math.min(30, (63 - java.lang.Long.numberOfLeadingZeros(n)) / 2))
   }
 
   /** Resolve an `nCentroids` knob against the corpus a quantizer will be
@@ -75,7 +78,7 @@ object Similarity {
     * one-row CTE body the IVF oracles embed so DuckDB sizes the same
     * quantizer the engine fits. */
   private def kselSql(src: String): String =
-    s"(SELECT GREATEST(16, 1 << ((length(bin(count(*))) - 1) // 2)) AS k FROM $src)"
+    s"(SELECT GREATEST(16, 1 << LEAST(30, (length(bin(count(*))) - 1) // 2)) AS k FROM $src)"
 
   // ---- catalog queries -----------------------------------------------
 

@@ -353,9 +353,17 @@ private[graft] object StagedCommit {
       try {
         val in = fs.open(claim)
         try {
+          // read to EOF or buffer-full: a single read() may legally
+          // return short, and a short nonce must not read as "not ours"
           val buf = new Array[Byte](64)
-          val n = in.read(buf)
-          if (n <= 0) "" else new String(buf, 0, n, "UTF-8")
+          var off = 0
+          var n = in.read(buf, off, buf.length - off)
+          while (n > 0 && off + n < buf.length) {
+            off += n
+            n = in.read(buf, off, buf.length - off)
+          }
+          val len = off + math.max(n, 0)
+          if (len <= 0) "" else new String(buf, 0, len, "UTF-8")
         } finally in.close()
       } catch { case _: java.io.IOException => "" }
     def releaseClaim(): Unit =
@@ -387,7 +395,12 @@ private[graft] object StagedCommit {
     }
     val won =
       try {
-        val out = fs.create(claim, false) // the conditional put
+        // the conditional put. On stores that apply the If-None-Match
+        // precondition at object PUT (S3: the close()), the loss
+        // surfaces from close(), not create() — the whole
+        // create+write+close is one claim attempt, which is why the
+        // catch wraps all three.
+        val out = fs.create(claim, false)
         try out.write(nonce.getBytes("UTF-8")) finally out.close()
         true
       } catch {
@@ -395,12 +408,15 @@ private[graft] object StagedCommit {
       }
     if (!won)
       return abort("lost the conditional-put claim race", Outcome.LostClaim)
+    // from claim creation on, EVERY failure must release the claim and
+    // clear the stage before propagating — an I/O throw here would
+    // otherwise leak the stage forever and hold the claim for a lease
     def failing[A](body: => A): A =
       try body
       catch {
         case e: Throwable => fs.delete(stage, true); releaseClaim(); throw e
       }
-    if (fs.exists(marker)) { // racer committed while we claimed
+    if (failing(fs.exists(marker))) { // racer committed while we claimed
       releaseClaim()
       return abort("a racer committed mid-claim", Outcome.RacerCommitted)
     }

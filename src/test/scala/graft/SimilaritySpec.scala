@@ -137,6 +137,9 @@ class SimilaritySpec extends SparkSpec {
     (2L to 100000L by 997L).foreach { n =>
       assert(sqrtGridCentroids(n) >= sqrtGridCentroids(n - 1))
     }
+    // no Int overflow at the extreme: the shift caps at 30
+    assert(sqrtGridCentroids(Long.MaxValue) === (1 << 30))
+    assert(sqrtGridCentroids(1L << 62) === (1 << 30))
     // the sentinel resolves: auto-sized IVF classify ≡ the explicitly
     // sized call at the corpus' own grid point
     val planted = plantedClusters(nClusters = 4, perCluster = 25)
