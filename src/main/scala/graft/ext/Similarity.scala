@@ -431,7 +431,9 @@ object Similarity {
   /** IVF-index lifecycle gate — the d71/d77 index-append algebra applied
     * to the ANN index (FAISS's train-once/add-many contract): the
     * archive (md5 buckets 0-89 of the embeddings table) fits the
-    * quantizer and builds the inverted lists; probe 1 runs against that
+    * quantizer (√N-grid sized over the archive, as s05 — the oracle's
+    * ksel twin computes the same k) and builds the inverted lists;
+    * probe 1 runs against that
     * index; batch 1 (90-94) is assigned with the FROZEN quantizer and
     * APPENDED ([[IvfIndex.append]] — new files land inside the existing
     * `centroid_id=` directories, probes stay partition-pruned); probe 2
@@ -451,13 +453,14 @@ object Similarity {
                CAST(concat('0x', substr(md5('ivf:' || CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
         FROM embeddings),
       arch AS (SELECT vec_id, label, embedding FROM emb WHERE bucket < 90),
+      ksel AS ${kselSql("arch")},
       ranked AS (
         SELECT embedding,
                row_number() OVER (
                  ORDER BY CAST(concat('0x', substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT),
                           CAST(vec_id AS VARCHAR)) - 1 AS cid
         FROM arch),
-      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < 16),
+      c0 AS (SELECT cid, embedding AS c FROM ranked WHERE cid < (SELECT k FROM ksel)),
       ${ivfOracleIteration(0, "arch")},
       ${ivfOracleIteration(1, "arch")},
       ${ivfOracleIteration(2, "arch")},
@@ -501,7 +504,12 @@ object Similarity {
       // the whole layout, so a re-run within one application starts from
       // a clean archive index
       val lists = graft.SessionArtifacts.dir(s, "graft-s22") + "/lists"
-      IvfIndex.build(archive, "embedding", k = 16, iters = 3, path = lists)
+      // √N-grid sizing over the TRAINING corpus (the archive), like
+      // s05/s08/s17/s23 — the appended batches ride the frozen
+      // quantizer regardless of k, so the lifecycle algebra the gate
+      // exists for is unchanged
+      IvfIndex.build(archive, "embedding",
+        k = sqrtGridCentroids(archive.count()), iters = 3, path = lists)
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       // each probe materializes BEFORE the next append mutates the layout
