@@ -679,6 +679,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.toString.contains("Expand"), p.toString.take(800))
   }
 
+  test("KMeans iteration: the nearest-centroid assignment stays BELOW the Generate — never re-evaluated per exploded element") {
+    // a generator in the same select puts sibling expressions in the
+    // post-Generate Project, re-evaluating the k·dim centroid scan once
+    // per exploded ELEMENT (dim× the work — measured 18.9 s vs 0.9 s per
+    // Lloyd iteration at k=128/dim=64 on the sf1 corpus, the round-15
+    // s22 regression). Pin the fixed shape: in the physical plan, the
+    // NearestCentroidExpr lives in GenerateExec's CHILD subtree, and no
+    // operator ABOVE the Generate carries one.
+    val v = spark.range(50).selectExpr(
+      "array(cast(id as float), cast(id+1 as float)) as v")
+    val cs = Array(Array(1f, 0f), Array(0f, 1f), Array(0.5f, 0.5f))
+    val df = graft.ext.KMeans.iterationAssigned(v, cs)
+    val p = df.queryExecution.sparkPlan
+    val gens = p.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g }
+    assert(gens.size === 1, p.toString.take(800))
+    def hasNearest(plan: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      plan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.NearestCentroidExpr]))
+    assert(gens.head.child.collect {
+      case n if hasNearest(n) => n }.nonEmpty,
+      s"assignment must be computed below the Generate:\n${p.toString.take(1200)}")
+    // nothing from the Generate upward re-evaluates the assignment
+    var above = List.empty[org.apache.spark.sql.execution.SparkPlan]
+    def walk(n: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      if (n eq gens.head) () // stop at the Generate: its child is exempt
+      else { above ::= n; n.children.foreach(walk) }
+    }
+    walk(p)
+    assert(!above.exists(hasNearest),
+      s"assignment re-evaluated above the Generate:\n${p.toString.take(1200)}")
+    // and the exploded frame itself is correct: one cid per source row,
+    // carried to every element
+    val rows = df.collect()
+    assert(rows.length === 100) // 50 vectors x 2 elements
+    assert(rows.map(_.getInt(0)).distinct.sorted.forall(c => c >= 0 && c < 3))
+  }
+
   test("q03/q04/q07: customer broadcasts via STATS, not hints — degrades to shuffle join when stats say big") {
     // customer scales with SF (15 B rows at the 100 TB posture), so it must
     // carry NO broadcast() hint: a hint overrides every size threshold and
