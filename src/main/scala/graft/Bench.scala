@@ -221,15 +221,21 @@ object Bench {
       val failures = results.filter(_._2 < 0)
       val failShown = failures.take(10)
       val costliest = results.filter(_._2 >= 0).sortBy(-_._2).take(60)
+      // sf1 full maps get their own file: a scale run must never
+      // clobber BENCH_LOCAL.json's canonical sf0.1 map (the floor
+      // protocol folds each into its own scale-tagged floor)
+      val localMap =
+        if (new java.io.File(sfDir).getName == "sf1") "BENCH_LOCAL_SF1.json"
+        else "BENCH_LOCAL.json"
       val compact = lineOf(qsJson(costliest ++ failShown),
-        s""""queries_shown":${costliest.size + failShown.size},"failures_total":${failures.size},"queries_total":${results.size},"full_map":"BENCH_LOCAL.json",""")
+        s""""queries_shown":${costliest.size + failShown.size},"failures_total":${failures.size},"queries_total":${results.size},"full_map":"$localMap",""")
       // Only a FULL suite run is canonical: a SPARK_GRAFT_ONLY-filtered
-      // A/B must never clobber BENCH_LOCAL.json's full per-query map.
+      // A/B must never clobber the full per-query map.
       // Written after EVERY pass so a killed run leaves the latest
       // complete-pass map on disk (passes_done/partial say how far it got).
       if (only.isEmpty && writeLocal)
         try java.nio.file.Files.writeString(
-          java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          java.nio.file.Paths.get(localMap),
           lineOf(qsJson(results), "") + "\n")
         catch { case _: Exception => () } // best-effort: stdout is the contract
       System.out.println(compact)
