@@ -58,17 +58,30 @@ object StagedCommitBench {
         s"$base/staged_v$i", new Path(base, s"_STAGED_$i"))
       ()
     }
+    // conditional-put shape (round 15): claim file + nonce ownership +
+    // data move + release, strategy pinned so it runs on the local FS —
+    // measures the PROTOCOL's extra probes/creates (a real object
+    // store's latencies ride on top of whatever the store charges)
+    val condPut = timeAll { i =>
+      StagedCommit.commitOutcomeWith(StagedCommit.ClaimStrategy.ConditionalPut,
+        p => payload.write.parquet(p), fs, conf,
+        s"$base/condput_v$i", new Path(base, s"_CONDPUT_$i"))
+      ()
+    }
     def stats(xs: Seq[Double]): (Double, Double, Double) = {
       val s = xs.sorted
       (s(s.size / 2), s.head, s(s.size * 9 / 10))
     }
     val (lm, lmin, lp90) = stats(legacy)
     val (sm, smin, sp90) = stats(staged)
+    val (cm, cmin, cp90) = stats(condPut)
     def r(v: Double) = math.round(v * 10) / 10.0
     println(s"""{"metric":"staged_commit_overhead","n_commits":$nCommits,"rows_per_commit":$rows,""" +
       s""""legacy_ms":{"median":${r(lm)},"min":${r(lmin)},"p90":${r(lp90)}},""" +
       s""""staged_ms":{"median":${r(sm)},"min":${r(smin)},"p90":${r(sp90)}},""" +
-      s""""overhead_ms_median":${r(sm - lm)},"overhead_ratio_median":${r(sm / lm * 100) / 100}}""")
+      s""""condput_ms":{"median":${r(cm)},"min":${r(cmin)},"p90":${r(cp90)}},""" +
+      s""""overhead_ms_median":${r(sm - lm)},"overhead_ratio_median":${r(sm / lm * 100) / 100},""" +
+      s""""condput_overhead_ms_median":${r(cm - lm)},"condput_overhead_ratio_median":${r(cm / lm * 100) / 100}}""")
     spark.stop()
   }
 }
