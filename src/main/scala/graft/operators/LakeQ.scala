@@ -515,8 +515,67 @@ object LakeQ {
           round(sum(col("o_totalprice")), 2).as("total_price"))
     })
 
+  /** The log-structured ACID table format at the gate: the full verb
+    * lifecycle through [[graft.lake.LogTable]] — create (v0), append
+    * (v1), copy-on-write MERGE with newer-version-wins + insert (v2),
+    * stats-pruned DELETE (v3) — then every committed version read back
+    * via `VERSION AS OF` time travel and aggregated. The oracle replays
+    * the four logical states directly in SQL, so the gate proves the
+    * transaction-log fold, the COW rewrite, and the historical snapshots
+    * all serve exactly the rows the declarative history implies. */
+  val q82LogTableLifecycle: Q = Q(
+    "q82_log_table_lifecycle",
+    Some("""
+      WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+      v0 AS (SELECT * FROM base WHERE o_orderkey % 2 = 0),
+      v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 10 = 0 THEN 'U' ELSE o_orderstatus END
+                 AS o_orderstatus,
+               CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 1000.0
+                    ELSE o_totalprice END AS o_totalprice
+        FROM base
+        UNION ALL SELECT CAST(-1 AS BIGINT), 'N', 123.45),
+      v3 AS (SELECT * FROM v2 WHERE o_orderstatus <> 'U')
+      SELECT CAST(0 AS BIGINT) AS version_id, count(*) AS n,
+             round(sum(o_totalprice), 2) AS total FROM v0
+      UNION ALL SELECT 1, count(*), round(sum(o_totalprice), 2) FROM base
+      UNION ALL SELECT 2, count(*), round(sum(o_totalprice), 2) FROM v2
+      UNION ALL SELECT 3, count(*), round(sum(o_totalprice), 2) FROM v3
+    """),
+    (s, dir) => {
+      import graft.lake.LogTable
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_logtable").toString + "/orders_log"
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("version", lit(1L))
+      LogTable.append(s, path, orders.filter(col("o_orderkey") % 2 === 0))
+      LogTable.append(s, path, orders.filter(col("o_orderkey") % 2 =!= 0))
+      val updates = orders.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+          (col("o_totalprice") + 1000.0).as("o_totalprice"),
+          lit(2L).as("version"))
+        .unionByName(LocalTable.of(s,
+          StructType(Seq(
+            StructField("o_orderkey", LongType),
+            StructField("o_orderstatus", StringType),
+            StructField("o_totalprice", DoubleType),
+            StructField("version", LongType))),
+          Seq(Row(-1L, "N", 123.45, 2L))))
+      LogTable.merge(s, path, updates, Seq("o_orderkey"), "version")
+      LogTable.deleteWhere(s, path, "o_orderstatus", "U")
+      (0L to 3L).map { v =>
+        LogTable.readVersion(s, path, v)
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .withColumn("version_id", lit(v))
+      }.reduce(_.unionByName(_)).select("version_id", "n", "total")
+    })
+
   val all: Seq[Q] = Seq(q19MergeUpsert, q23DedupByRank, q24SchemaEvolution,
     q25DeleteAppend, q44SkewSaltedJoin, q45TrustedLifecycle, q59Scd2Dimension,
     q60SnapshotDiff, q63OrcRoundtrip, q68ZorderLayout, q72XmlRoundtrip,
-    q81BucketedJoin)
+    q81BucketedJoin, q82LogTableLifecycle)
 }
