@@ -2160,11 +2160,186 @@ object Similarity {
         .withColumn("retrained", lit(retrained))
     })
 
+  /** NN-Descent k-NN graph construction (Dong, Charikar & Li, "Efficient
+    * k-nearest neighbor graph construction for generic similarity
+    * measures", WWW 2011) — the standard SCALABLE way to build the full
+    * k-NN graph the dedup/similarity families consume, complementing the
+    * per-query ANN indexes (IVF/LSH probe one query; NN-Descent builds
+    * ALL N neighborhoods at once without the O(N²) brute force):
+    *
+    *   - init: each vector's k ring-successors on a deterministic md5
+    *     hash ring (positions via the two-pass range-partitioned
+    *     [[graft.operators.GlobalOrder.withRanks]] — never a
+    *     single-partition window);
+    *   - iterate: general neighbors = out-edges ∪ (capped) in-edges,
+    *     candidates = general ∪ neighbors-of-general (one equi-join of
+    *     the edge list with itself), new neighborhood = top-k candidates
+    *     by cosine with an id tiebreak. The reverse cap is the paper's
+    *     reverse sampling: it bounds a hub's fan-out so one popular
+    *     vector cannot quadratically blow up the candidate set.
+    *
+    * Scale shape: every round is equi-joins + one window over
+    * edge-shaped frames (≤ N·(k + cap) rows) — candidate work is
+    * O(N·(k+cap)²) per round, LINEAR in N for fixed k, vs the N² of
+    * brute force. Eager per-round cuts keep AQE re-planning each round
+    * (the r11 lazy-cut lesson). Deterministic end to end: md5 ring,
+    * rounded similarities, id tiebreaks — which is what lets the gate's
+    * DuckDB oracle replay the identical graph. */
+  def nnDescentGraph(embeddings: DataFrame, k: Int, iters: Int,
+      reverseCap: Int): DataFrame = {
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val hashed = vecs.select(col("vec_id"),
+      md5(concat(lit("nnd:"), col("vec_id").cast("string"))).as("h"))
+    val ranked = graft.operators.GlobalOrder.withRanks(hashed,
+      Seq(col("h"), col("vec_id")), Seq(col("h"), col("vec_id")))
+    val n = ranked.totalRows
+    require(n > k, s"nnDescentGraph: corpus ($n) must exceed k ($k)")
+    require(iters >= 1, "nnDescentGraph: at least one refinement round")
+    val pos = ranked.df.select(col("vec_id"), (col("rn") - 1).as("pos"))
+    val offs = pos
+      .select(col("vec_id").as("src"), col("pos"),
+        explode(sequence(lit(1), lit(k))).as("j"))
+      .withColumn("npos", (col("pos") + col("j")) % n) // below the generate
+    var edges = offs
+      .join(pos.select(col("pos").as("npos"), col("vec_id").as("dst")), "npos")
+      .select(col("src"), col("dst"), lit(0.0).as("cos_sim"),
+        col("j").cast("int").as("rk"))
+      .localCheckpoint()
+    val embSrc = vecs.select(col("vec_id").as("src"), col("embedding").as("se"))
+    val embDst = vecs.select(col("vec_id").as("dst"), col("embedding").as("de"))
+    for (_ <- 1 to iters) {
+      val fwd = edges.select("src", "dst")
+      val wRev = Window.partitionBy(col("src")).orderBy(col("dst").asc)
+      val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("rrk", row_number().over(wRev))
+        .filter(col("rrk") <= reverseCap).drop("rrk")
+      val g = fwd.union(rev).distinct().localCheckpoint()
+      val non = g.as("g1").join(g.as("g2"), col("g1.dst") === col("g2.src"))
+        .select(col("g1.src").as("src"), col("g2.dst").as("dst"))
+        .filter(col("src") =!= col("dst"))
+      val cand = g.union(non).distinct()
+      val scored = cand.join(embSrc, "src").join(embDst, "dst")
+        .select(col("src"), col("dst"),
+          round(cosine(col("se"), col("de")), 6).as("cos_sim"))
+      val w = Window.partitionBy(col("src"))
+        .orderBy(col("cos_sim").desc, col("dst").asc)
+      edges = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= k)
+        .localCheckpoint()
+    }
+    edges
+  }
+
+  /** The NN-Descent graph at the gate: 2 rounds, k=8, reverse cap 16,
+    * then an md5-sampled twentieth of the neighborhoods emitted. The
+    * oracle replays the SAME rounds in SQL (ring init, capped reverse,
+    * neighbors-of-general expansion, rounded-cosine top-k), so the gate
+    * pins the whole iterative construction, not just a summary. */
+  val s29NnDescentGraph: Q = Q(
+    "s29_nndescent_graph",
+    Some("""
+      WITH p AS (
+        SELECT vec_id,
+               row_number() OVER (ORDER BY md5('nnd:' || CAST(vec_id AS VARCHAR)), vec_id) - 1 AS pos
+        FROM embeddings),
+      cnt AS (SELECT count(*) AS n FROM embeddings),
+      js AS (SELECT unnest(generate_series(1, 8)) AS j),
+      e0 AS (
+        SELECT a.vec_id AS src, b.vec_id AS dst
+        FROM p a CROSS JOIN js CROSS JOIN cnt
+        JOIN p b ON b.pos = (a.pos + js.j) % cnt.n),
+      r1 AS (
+        SELECT src, dst FROM (
+          SELECT e.dst AS src, e.src AS dst,
+                 row_number() OVER (PARTITION BY e.dst ORDER BY e.src) AS rrk
+          FROM e0 e) x WHERE rrk <= 16),
+      g1 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e0 UNION ALL SELECT src, dst FROM r1) t),
+      c1 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM g1
+          UNION ALL
+          SELECT a.src, b.dst FROM g1 a JOIN g1 b ON a.dst = b.src
+          WHERE a.src <> b.dst) t),
+      s1 AS (
+        SELECT c.src, c.dst,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM c1 c JOIN embeddings ea ON ea.vec_id = c.src
+                  JOIN embeddings eb ON eb.vec_id = c.dst),
+      e1 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rk
+          FROM s1) x WHERE rk <= 8),
+      r2 AS (
+        SELECT src, dst FROM (
+          SELECT e.dst AS src, e.src AS dst,
+                 row_number() OVER (PARTITION BY e.dst ORDER BY e.src) AS rrk
+          FROM e1 e) x WHERE rrk <= 16),
+      g2 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e1 UNION ALL SELECT src, dst FROM r2) t),
+      c2 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM g2
+          UNION ALL
+          SELECT a.src, b.dst FROM g2 a JOIN g2 b ON a.dst = b.src
+          WHERE a.src <> b.dst) t),
+      s2 AS (
+        SELECT c.src, c.dst,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM c2 c JOIN embeddings ea ON ea.vec_id = c.src
+                  JOIN embeddings eb ON eb.vec_id = c.dst),
+      e2 AS (
+        SELECT src, dst FROM (
+          SELECT src, dst,
+                 row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rk
+          FROM s2) x WHERE rk <= 8),
+      r3 AS (
+        SELECT src, dst FROM (
+          SELECT e.dst AS src, e.src AS dst,
+                 row_number() OVER (PARTITION BY e.dst ORDER BY e.src) AS rrk
+          FROM e2 e) x WHERE rrk <= 16),
+      g3 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM e2 UNION ALL SELECT src, dst FROM r3) t),
+      c3 AS (
+        SELECT DISTINCT src, dst FROM (
+          SELECT src, dst FROM g3
+          UNION ALL
+          SELECT a.src, b.dst FROM g3 a JOIN g3 b ON a.dst = b.src
+          WHERE a.src <> b.dst) t),
+      s3 AS (
+        SELECT c.src, c.dst,
+               round(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM c3 c JOIN embeddings ea ON ea.vec_id = c.src
+                  JOIN embeddings eb ON eb.vec_id = c.dst),
+      e3 AS (
+        SELECT src, dst, cos_sim, rk FROM (
+          SELECT src, dst, cos_sim,
+                 row_number() OVER (PARTITION BY src ORDER BY cos_sim DESC, dst) AS rk
+          FROM s3) x WHERE rk <= 8)
+      SELECT src AS qid, rk, dst AS nn_id, cos_sim
+      FROM e3
+      WHERE CAST('0x' || substr(md5('s29:' || CAST(src AS VARCHAR)), 1, 15) AS BIGINT) % 20 = 0
+    """),
+    (s, dir) => {
+      val g = nnDescentGraph(emb(s, dir), k = 8, iters = 3, reverseCap = 16)
+      g.filter(
+          conv(substring(md5(concat(lit("s29:"), col("src").cast("string"))),
+            1, 15), 16, 10).cast("long") % 20 === 0)
+        .select(col("src").as("qid"), col("rk"), col("dst").as("nn_id"),
+          col("cos_sim"))
+    })
+
   val all: Seq[Q] = Seq(s01CosineTopk, s02KnnJoin, s03CosineNearDup, s04AnnLsh,
     s05AnnIvf, s06PqAdc, s22IvfLifecycle, d25SemanticDedup,
     s23SemanticDedupIncremental, s07KnnClassify, s08KnnClassifyIvf,
     s11ClusterBalancedSample, s12NegativeSampling, s13RandomProjection,
     s14HardNegatives, s16BitextMargin, s17BitextMarginIvf, s18EmbeddingProfile,
     s19AnnRecall, s20StandardizeEmbeddings, s25ScalarQuantize,
-    s26IvfOccupancy, s27RetrainTrigger, s28RetrainLifecycle)
+    s26IvfOccupancy, s27RetrainTrigger, s28RetrainLifecycle,
+    s29NnDescentGraph)
 }

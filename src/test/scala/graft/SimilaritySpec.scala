@@ -462,6 +462,56 @@ class SimilaritySpec extends SparkSpec {
     Array.fill(nClusters)(Array.fill(64)(rnd.nextGaussian().toFloat))
   }
 
+  test("nnDescentGraph converges on planted clusters and is deterministic") {
+    val planted = plantedClusters(nClusters = 4, perCluster = 25)
+      .select(col("vec_id"), col("embedding"))
+    val g = Similarity.nnDescentGraph(planted, k = 8, iters = 2, reverseCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // shape: every vector has exactly k neighbors, none itself
+    assert(g.length === 100 * 8)
+    assert(g.forall { case (s, d) => s != d })
+    // convergence: on 4 well-separated clusters of 25, a vector's true
+    // k=8 neighbors are all same-cluster; after 2 NN-descent rounds the
+    // overwhelming share of edges must be intra-cluster (the md5 ring
+    // init is label-agnostic, so this is the descent's doing: ~75% of
+    // ring edges start OUT of cluster)
+    val intra = g.count { case (s, d) => s % 4 == d % 4 }
+    assert(intra >= (g.length * 0.95).toInt,
+      s"only $intra/${g.length} intra-cluster edges after 2 rounds")
+    // determinism: a second run builds the identical graph
+    val g2 = Similarity.nnDescentGraph(planted, k = 8, iters = 2, reverseCap = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(g.toSeq.sorted === g2.toSeq.sorted)
+  }
+
+  test("nnDescentGraph recall vs brute force is high and rounds improve it") {
+    val planted = plantedClusters(nClusters = 4, perCluster = 25)
+      .select(col("vec_id"), col("embedding"))
+    // brute-force true top-8 per vector (100×100 — test-sized only)
+    val a = planted.select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid"))
+      .orderBy(round(Similarity.cosine(col("qe"), col("embedding")), 6).desc,
+        col("vec_id").asc)
+    val truth = planted.crossJoin(a).filter(col("vec_id") =!= col("qid"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= 8)
+      .select(col("qid"), col("vec_id").as("dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(iters: Int): Double = {
+      val g = Similarity.nnDescentGraph(planted, k = 8, iters = iters,
+          reverseCap = 16)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      g.count(truth.contains).toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r2 = recall(2)
+    val r3 = recall(3)
+    info(f"recall@8 by round: $r1%.3f / $r2%.3f / $r3%.3f")
+    assert(r2 >= r1 - 1e-9, s"round 2 ($r2) must not lose recall vs 1 ($r1)")
+    assert(r3 >= r2 - 1e-9, s"round 3 ($r3) must not lose recall vs 2 ($r2)")
+    assert(r3 >= 0.85, s"3-round recall@8 on separable clusters was $r3")
+  }
+
   private def plantedClusters(nClusters: Int, perCluster: Int) = {
     val rnd = new scala.util.Random(42)
     val centers = Array.fill(nClusters)(Array.fill(64)(rnd.nextGaussian().toFloat))
