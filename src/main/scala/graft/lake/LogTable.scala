@@ -693,7 +693,9 @@ object LogTable {
             val rel = s"data/${d.getPath.getName}/${f.getPath.getName}"
             if (referenced.contains(rel)) true
             else if (now - f.getModificationTime >= orphanGraceMs) {
-              fs.delete(f.getPath, false); false
+              // recursive: crash litter includes DIRECTORIES (a killed
+              // write's _temporary tree), which a plain delete refuses
+              fs.delete(f.getPath, true); false
             } else true
           }
           if (keep == 0) fs.delete(d.getPath, true)
