@@ -3842,6 +3842,65 @@ object TextStats {
               col("avg_logprob")))
     })
 
+  /** Count-Min sketch gate: per-source depth-3 × width-64 token
+    * sketches through [[graft.plans.CountMinAgg]], probed with the 20
+    * globally most frequent tokens. Width 64 is far BELOW the gate
+    * vocabulary, so this runs the sketch in its collision regime on
+    * purpose — the md5 row hashes are SQL-replayable, so the DuckDB
+    * oracle rebuilds the identical counters and the gate pins every
+    * estimate (including the inflation), plus the one-sided
+    * `est ≥ true` guarantee that makes Count-Min usable as a
+    * never-undercount frequency oracle at 100 TB (a 192-long summary
+    * per source instead of a vocabulary-sized count table). */
+  val d97CmsCounts: Q = Q(
+    "d97_cms_counts",
+    Some("""
+      WITH tok AS (
+        SELECT source, u.t AS token
+        FROM (SELECT source,
+                     CASE WHEN length(trim(text)) = 0 THEN []
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
+              FROM documents) d, unnest(d.toks) AS u(t)),
+      rs AS (SELECT unnest(generate_series(0, 2)) AS r),
+      counters AS (
+        SELECT source, rs.r,
+               CAST('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) % 64 AS col,
+               count(*) AS cnt
+        FROM tok CROSS JOIN rs
+        GROUP BY 1, 2, 3),
+      cnts AS (SELECT source, token, count(*) AS c_true FROM tok GROUP BY 1, 2),
+      probe AS (
+        SELECT token FROM (
+          SELECT token, count(*) AS c_g FROM tok GROUP BY 1
+          ORDER BY c_g DESC, token LIMIT 20) p)
+      SELECT c.source, c.token, c.c_true, min(ct.cnt) AS est,
+             min(ct.cnt) >= c.c_true AS over_ok
+      FROM cnts c
+      JOIN probe USING (token)
+      CROSS JOIN rs
+      JOIN counters ct
+        ON ct.source = c.source AND ct.r = rs.r
+       AND ct.col = CAST('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || c.token), 1, 15) AS BIGINT) % 64
+      GROUP BY 1, 2, 3
+    """),
+    (s, dir) => {
+      import graft.plans.CountMinAgg
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.plans.NgramsExpr.ngrams(lower(col("text")), 1)).as("token"))
+      val sketches = toks.groupBy(col("source"))
+        .agg(CountMinAgg.cmSketch(col("token"), depth = 3, width = 64).as("sk"))
+      val counts = toks.groupBy(col("source"), col("token"))
+        .agg(count(lit(1)).as("c_true"))
+      val probe = toks.groupBy(col("token")).agg(count(lit(1)).as("c_g"))
+        .orderBy(col("c_g").desc, col("token").asc).limit(20).select("token")
+      counts.join(broadcast(probe), Seq("token"))
+        .join(broadcast(sketches), Seq("source"))
+        .select(col("source"), col("token"), col("c_true"),
+          CountMinAgg.cmEstimate(col("sk"), col("token"), 3, 64).as("est"))
+        .withColumn("over_ok", col("est") >= col("c_true"))
+    })
+
   val all: Seq[Q] = Seq(d01TokenStats, d02LangId, d03QualityScore,
     d04ExactDedup, d05PrefixDedupGroups, d09PiiScrub, d10Vocabulary,
     d11SplitAssign, d12Contamination, d13RepetitionRatio, d14StratifiedSample,
@@ -3862,5 +3921,5 @@ object TextStats {
     d58BpeSegment, d63KmvOverlap, d66NormalizeText, d67NgramNovelty,
     d80TokenBudgetSelect, d81TemperatureMixture, d83OovRate,
     d84BudgetLifecycle, d85LmLifecycle, d88DataCard, d90SourceTopP,
-    d91SourceOverlap)
+    d91SourceOverlap, d97CmsCounts)
 }

@@ -631,3 +631,118 @@ object KmvAgg {
       .otherwise(matches.cast("double") / size(l) * kmvDistinctEstimate(l, k))
   }
 }
+
+/** Count-Min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) as a
+  * native mergeable aggregate — the bounded-memory POINT-FREQUENCY
+  * summary next to [[MisraGriesAgg]]'s top-k view: Misra-Gries answers
+  * "which items are frequent", Count-Min answers "how often is THIS
+  * item" for any item, under a hard `depth × width` counter budget,
+  * with the one-sided guarantee est ≥ true (collisions only ever
+  * inflate). Merging is element-wise addition, so map-side partials
+  * ship depth·width longs per partition — never the key universe — and
+  * a persisted sketch folds with tomorrow's batch sketch by the same
+  * addition (the standing-artifact posture the heavy-hitters and KMV
+  * sketches already take).
+  *
+  * The row hashes are md5-derived (`bucket`): data-independent and
+  * replayable in SQL on both engines (`conv(substr(md5(r || ':' ||
+  * item), 1, 15), 16, 10) % width`), which is what lets the d97 gate
+  * pin every COUNTER of the sketch against a DuckDB replay, not just a
+  * summary statistic.
+  */
+case class CountMinAgg(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  require(depth >= 1 && width >= 2, "need depth >= 1 and width >= 2")
+
+  override def nullable: Boolean = false
+  /** Row-major depth × width counter matrix. */
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val s = v.asInstanceOf[UTF8String].toString
+      var r = 0
+      while (r < depth) {
+        buf(r * width + CountMinAgg.bucket(r, s, width)) += 1L
+        r += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < b1.length) { b1(i) += b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    var i = 0
+    while (i < buf.length) { out.writeLong(buf(i)); i += 1 }
+    out.flush(); bos.toByteArray
+  }
+
+  override def deserialize(storage: Array[Byte]): Array[Long] = {
+    val in = new DataInputStream(new ByteArrayInputStream(storage))
+    val buf = new Array[Long](depth * width)
+    var i = 0
+    while (i < buf.length) { buf(i) = in.readLong(); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CountMinAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CountMinAgg =
+    copy(child = newChild)
+  override def prettyName: String = "count_min_sketch_graft"
+}
+
+object CountMinAgg {
+  import org.apache.spark.sql.functions._
+
+  /** Row-r bucket of `item`: first 60 bits of md5("r:item") mod width —
+    * the JVM twin of the SQL both oracles run; the two must stay
+    * bit-identical (SketchSpec pins it against the Column form). */
+  def bucket(r: Int, item: String, width: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$r:$item".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(15)
+    (java.lang.Long.parseLong(hex, 16) % width).toInt
+  }
+
+  /** Aggregate Column: the row-major depth × width counter array. */
+  def cmSketch(c: Column, depth: Int, width: Int): Column =
+    GraftSqlBridge.column(
+      CountMinAgg(GraftSqlBridge.expression(c), depth, width)
+        .toAggregateExpression())
+
+  /** Point-frequency estimate of `item` from a sketch Column: the min
+    * over the depth rows of each row's hashed counter — pure built-in
+    * Columns (md5/conv/element_at/least), codegen-friendly, and the
+    * exact expression the DuckDB oracle mirrors. */
+  def cmEstimate(sketch: Column, item: Column, depth: Int, width: Int): Column = {
+    val cells = (0 until depth).map { r =>
+      val h = conv(substring(md5(concat(lit(s"$r:"), item)), 1, 15), 16, 10)
+        .cast("long") % width
+      element_at(sketch, (h + r * width + 1).cast("int"))
+    }
+    if (cells.size == 1) cells.head else least(cells: _*)
+  }
+}

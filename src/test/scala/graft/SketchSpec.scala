@@ -359,4 +359,64 @@ class SketchSpec extends SparkSpec {
     """).collect().head.getInt(0)
     assert(m === 100)
   }
+
+  // ---- Count-Min sketch ------------------------------------------------
+
+  private def cms(items: Seq[String], depth: Int, width: Int,
+      parts: Int = 4): Seq[Long] =
+    itemsDf(items, parts)
+      .agg(graft.plans.CountMinAgg.cmSketch(col("item"), depth, width).as("sk"))
+      .collect().head.getSeq[Long](0)
+
+  test("cms: JVM bucket hash is bit-identical to the Column/SQL form") {
+    import graft.plans.CountMinAgg
+    val items = Seq("alpha", "beta", "x001", "", "ação", "7")
+    val jvm = for (r <- 0 until 3; it <- items) yield CountMinAgg.bucket(r, it, 64)
+    val viaSql = (0 until 3).flatMap { r =>
+      val m = itemsDf(items, 1).select(
+        (conv(substring(md5(concat(lit(s"$r:"), col("item"))), 1, 15), 16, 10)
+          .cast("long") % 64).cast("int").as("b"), col("item"))
+        .collect().map(x => x.getString(1) -> x.getInt(0)).toMap
+      items.map(m)
+    }
+    assert(jvm.toSeq === viaSql)
+  }
+
+  test("cms: estimates never undercount, and are exact without collisions") {
+    val est = cmsEstimates(stream, depth = 3, width = 256)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, c) =>
+      assert(est(k) >= c, s"$k undercounted: ${est(k)} < $c")
+    }
+    // width 256 over 43 distinct items: each item's min cell is very
+    // likely collision-free; assert the aggregate inflation is tiny
+    val inflation = truth.keys.map(k => est(k) - truth(k)).sum
+    assert(inflation <= stream.size / 4, s"inflation $inflation too large")
+  }
+
+  test("cms: collision regime still never undercounts; merge is partition-invariant") {
+    val est = cmsEstimates(stream, depth = 3, width = 8)
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    truth.foreach { case (k, c) => assert(est(k) >= c) }
+    // partial aggregation (map-side combine + merge) must not change a
+    // single counter: 1 partition vs 7 partitions give identical sketches
+    assert(cms(stream, 3, 8, parts = 1) === cms(stream, 3, 8, parts = 7))
+  }
+
+  test("cms: persisted sketches fold by element-wise addition") {
+    val (day1, day2) = stream.splitAt(60)
+    val merged = cms(day1, 3, 32).zip(cms(day2, 3, 32)).map { case (a, b) => a + b }
+    assert(merged === cms(stream, 3, 32))
+  }
+
+  private def cmsEstimates(items: Seq[String], depth: Int,
+      width: Int): Map[String, Long] = {
+    val sk = itemsDf(items)
+      .agg(graft.plans.CountMinAgg.cmSketch(col("item"), depth, width).as("sk"))
+    itemsDf(items.distinct).crossJoin(sk)
+      .select(col("item"),
+        graft.plans.CountMinAgg.cmEstimate(col("sk"), col("item"), depth, width)
+          .as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }
