@@ -100,9 +100,13 @@ object LogTable {
   final case class AddFile(path: String, rows: Long, bytes: Long,
       stats: Map[String, Stat])
 
-  /** The table as of one committed version. */
+  /** The table as of one committed version. `txns` is the idempotence
+    * ledger: per streaming writer id, the highest batch id whose append
+    * committed — the `txn` action of the published log-format design,
+    * what makes a foreachBatch sink exactly-once under redelivery. */
   final case class Snapshot(version: Long, schema: StructType,
-      clusterCols: Seq[String], files: Seq[AddFile])
+      clusterCols: Seq[String], files: Seq[AddFile],
+      txns: Map[String, Long])
 
   private val mapper = new ObjectMapper()
 
@@ -136,7 +140,8 @@ object LogTable {
   // ------------------------------------------------------------------
 
   private def renderActions(meta: Option[(StructType, Seq[String])],
-      adds: Seq[AddFile], removes: Seq[String]): String = {
+      adds: Seq[AddFile], removes: Seq[String],
+      txns: Map[String, Long] = Map.empty): String = {
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
     meta.foreach { case (schema, cluster) =>
       val n = mapper.createObjectNode()
@@ -144,6 +149,13 @@ object LogTable {
       n.put("schema", schema.json)
       val arr = n.putArray("cluster")
       cluster.foreach(arr.add)
+      lines += mapper.writeValueAsString(n)
+    }
+    txns.toSeq.sortBy(_._1).foreach { case (app, batch) =>
+      val n = mapper.createObjectNode()
+      n.put("a", "txn")
+      n.put("app", app)
+      n.put("batch", batch)
       lines += mapper.writeValueAsString(n)
     }
     adds.foreach { f =>
@@ -174,6 +186,8 @@ object LogTable {
       var schema: Option[StructType] = None,
       var cluster: Seq[String] = Nil,
       files: scala.collection.mutable.LinkedHashMap[String, AddFile] =
+        scala.collection.mutable.LinkedHashMap.empty,
+      txns: scala.collection.mutable.LinkedHashMap[String, Long] =
         scala.collection.mutable.LinkedHashMap.empty)
 
   private def applyActions(fold: Fold, content: String, where: String): Unit =
@@ -211,6 +225,11 @@ object LogTable {
             n.get("bytes").asLong(), stats.toMap)
         case "remove" =>
           fold.files -= n.get("path").asText()
+        case "txn" =>
+          val app = n.get("app").asText()
+          val b = n.get("batch").asLong()
+          // monotone fold: a stale replayed txn can never lower the ledger
+          if (fold.txns.get(app).forall(_ < b)) fold.txns(app) = b
         case other =>
           throw new java.io.IOException(
             s"LogTable: unknown action '$other' in $where")
@@ -271,7 +290,8 @@ object LogTable {
     }
     val schema = fold.schema.getOrElse(throw new java.io.IOException(
       s"LogTable($path): no meta action in the log prefix up to $target"))
-    Snapshot(target, schema, fold.cluster, fold.files.values.toSeq)
+    Snapshot(target, schema, fold.cluster, fold.files.values.toSeq,
+      fold.txns.toMap)
   }
 
   private def entryName(v: Long) = f"v$v%08d.json"
@@ -327,7 +347,7 @@ object LogTable {
     if (post.version > 0 && post.version % checkpointInterval == 0) {
       val p = new HPath(logDir(table), ckptName(post.version))
       val content = renderActions(Some((post.schema, post.clusterCols)),
-        post.files, Nil)
+        post.files, Nil, post.txns)
       val out = fs.create(p, true)
       try out.write(content.getBytes("UTF-8")) finally out.close()
     }
@@ -449,9 +469,18 @@ object LogTable {
   /** Create-or-append (S9 semantics). Data files are written ONCE; a
     * lost version race re-commits them at the next version (appends
     * commute), re-merging the schema against whatever the winner
-    * committed. Returns the committed version. */
+    * committed. Returns the committed version.
+    *
+    * `txn = Some((appId, batchId))` makes the append IDEMPOTENT per
+    * writer id: if the snapshot's ledger already records `batchId` (or
+    * newer) for `appId`, the append no-ops — including when a racing
+    * duplicate writer with the SAME id committed it first, which is the
+    * foreachBatch-redelivery and duplicate-job case the streaming sink
+    * needs for exactly-once. The ledger check re-runs on every retry,
+    * so losing the version race to one's own twin is a clean skip. */
   def append(spark: SparkSession, path: String, df: DataFrame,
-      clusterCols: Seq[String] = Nil): Long = {
+      clusterCols: Seq[String] = Nil,
+      txn: Option[(String, Long)] = None): Long = {
     val (fs, table, conf) = fsOf(path)
     var adds: Seq[AddFile] = null
     var writeSchema: StructType = null
@@ -459,6 +488,15 @@ object LogTable {
     while (attempt < maxCommitRetries) {
       val cur = currentVersion(path)
       val prior = cur.map(v => snapshot(path, Some(v)))
+      val alreadyCommitted = txn.exists { case (app, batch) =>
+        prior.exists(_.txns.get(app).exists(_ >= batch))
+      }
+      if (alreadyCommitted) {
+        // the batch already committed (an earlier run, or a racing
+        // same-id twin): discard this attempt's files, change nothing
+        if (adds != null) bestEffortDelete(fs, table, adds)
+        return prior.get.version
+      }
       val schema = prior.map(s => mergeSchemas(s.schema, df.schema, path))
         .getOrElse(df.schema)
       val cluster = prior.map(_.clusterCols).getOrElse(clusterCols)
@@ -471,7 +509,9 @@ object LogTable {
       val content = renderActions(
         if (metaChanged) Some((mergeSchemas(schema, writeSchema, path), cluster))
         else None,
-        adds, Nil)
+        adds, Nil,
+        txn.map { case (app, batch) => Map(app -> batch) }
+          .getOrElse(Map.empty))
       val version = cur.map(_ + 1).getOrElse(0L)
       if (tryCommitEntry(fs, conf, table, version, content)) {
         val post = snapshot(path, Some(version))
@@ -486,6 +526,19 @@ object LogTable {
       s"LogTable($path): lost $maxCommitRetries append races in a row — " +
         "commit contention this hot needs a writer queue")
   }
+
+  /** Exactly-once Structured Streaming sink: a `foreachBatch` body that
+    * appends each micro-batch under the `(appId, batchId)` txn ledger,
+    * so engine redelivery after a crash (same batch re-offered) and a
+    * duplicate same-id job racing the table both no-op instead of
+    * double-appending — the table-format twin of the marker-replay
+    * guards the streaming lifecycles already use. */
+  def foreachBatchSink(path: String, appId: String,
+      clusterCols: Seq[String] = Nil): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      append(batch.sparkSession, path, batch, clusterCols,
+        txn = Some((appId, batchId))); ()
+    }
 
   /** Generic optimistic copy-on-write commit: `attempt` sees a fresh
     * snapshot, writes whatever new files its transform needs, and
@@ -656,6 +709,7 @@ object LogTable {
       s"LogTable($path): no meta action in the log prefix up to $horizon"))
     val horizonFiles = fold.files.values.toSeq
     val horizonCluster = fold.cluster
+    val horizonTxns = fold.txns.toMap
     val referenced = scala.collection.mutable.HashSet.empty[String]
     referenced ++= fold.files.keys
     ((horizon + 1) to latest).foreach { v =>
@@ -673,7 +727,7 @@ object LogTable {
       val p = new HPath(logDir(table), ckptName(horizon))
       if (!fs.exists(p)) {
         val content = renderActions(Some((horizonSchema, horizonCluster)),
-          horizonFiles, Nil)
+          horizonFiles, Nil, horizonTxns)
         val out = fs.create(p, true)
         try out.write(content.getBytes("UTF-8")) finally out.close()
       }

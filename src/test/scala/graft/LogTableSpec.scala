@@ -230,6 +230,81 @@ class LogTableSpec extends SparkSpec {
     assert(LogTable.currentVersion(path).get === vBefore + 1)
   }
 
+  test("txn appends are exactly-once: redelivery no-ops, the ledger survives checkpoints and vacuum") {
+    val path = tmp("graft-log-txn-")
+    assert(LogTable.append(spark, path, df((1L, "a", 1L)),
+      txn = Some(("app1", 0L))) === 0L)
+    // redelivery of the same batch: no new version, no new rows
+    LogTable.append(spark, path, df((1L, "a", 1L)), txn = Some(("app1", 0L)))
+    assert(LogTable.currentVersion(path).get === 0L)
+    assert(LogTable.read(spark, path).count() === 1)
+    // a different app's batch 0 is independent
+    LogTable.append(spark, path, df((2L, "b", 1L)), txn = Some(("app2", 0L)))
+    assert(LogTable.read(spark, path).count() === 2)
+    // drive past the checkpoint interval, then vacuum away the entries
+    // that carried the txn actions — the ledger must survive via the
+    // checkpoint, or a replay after retention would double-append
+    (1L to 11L).foreach(b => LogTable.append(spark, path,
+      df((100L + b, s"x$b", 1L)), txn = Some(("app1", b))))
+    LogTable.vacuum(path, retainLast = 2, orphanGraceMs = 0L)
+    val n = LogTable.read(spark, path).count()
+    LogTable.append(spark, path, df((999L, "replay", 1L)),
+      txn = Some(("app1", 5L))) // long-committed batch, entries vacuumed
+    assert(LogTable.read(spark, path).count() === n,
+      "a replayed old batch must no-op after vacuum (ledger in checkpoint)")
+  }
+
+  test("duplicate same-id writers racing one batch: exactly one lands") {
+    val path = tmp("graft-log-twin-")
+    LogTable.append(spark, path, df((0L, "seed", 1L)))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val twins = (1 to 3).map { i =>
+      new Thread(() => {
+        try LogTable.append(spark, path, df((7L, s"twin$i", 1L)),
+          txn = Some(("dup-app", 1L)))
+        catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    twins.foreach(_.start()); twins.foreach(_.join())
+    assert(errs.isEmpty, s"twin race failed: ${errs.peek()}")
+    // exactly ONE twin's batch landed — the ledger re-check on the lost
+    // version race turns the losers into clean skips
+    assert(LogTable.read(spark, path).filter(col("k") === 7L).count() === 1)
+  }
+
+  test("foreachBatch sink: a real stream lands exactly-once, restart replays no-op") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val path = tmp("graft-log-sink-")
+    val ckpt = Files.createTempDirectory("graft-log-sink-ck-").toString
+    implicit val sql = spark.sqlContext
+    implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String)]
+    val in = MemoryStream[(Long, String)]
+    def runWave(data: Seq[(Long, String)]): Unit = {
+      in.addData(data: _*)
+      val q = in.toDF().toDF("k", "v")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          LogTable.foreachBatchSink(path, "sink-app")(b, id)
+        }
+        .start()
+      q.processAllAvailable(); q.stop()
+    }
+    runWave(Seq((1L, "a"), (2L, "b")))
+    assert(LogTable.read(spark, path).count() === 2)
+    // manual redelivery of batch 0 (what the engine does after a crash
+    // before the sink's commit was recorded in ITS checkpoint)
+    LogTable.foreachBatchSink(path, "sink-app")(
+      LocalTable.of(spark,
+        StructType(Seq(StructField("k", LongType), StructField("v", StringType))),
+        Seq(Row(1L, "a"), Row(2L, "b"))), 0L)
+    assert(LogTable.read(spark, path).count() === 2, "redelivered batch must no-op")
+    // a fresh query on the same checkpoint continues with new batches
+    runWave(Seq((3L, "c")))
+    assert(LogTable.read(spark, path).orderBy("k")
+      .collect().map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+  }
+
   test("stats pruning is conservative: non-ASCII bounds and statless columns never skip") {
     import graft.lake.LogTable.{AddFile, Stat}
     val ascii = AddFile("f", 1, 1, Map("v" -> Stat(Some("aaa"), Some("bbb"), 0)))
