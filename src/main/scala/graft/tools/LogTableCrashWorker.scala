@@ -40,7 +40,8 @@ object LogTableCrashWorker {
       (a + i).toDouble + plusPayload, s"b$a", ver))
 
   def main(args: Array[String]): Unit = {
-    val path = args(0)
+    val mode = args(0) // ops | race
+    val path = args(1)
     val spark = SparkSession.builder()
       .master("local[4]")
       .appName("graft-logtable-crash-worker")
@@ -49,9 +50,19 @@ object LogTableCrashWorker {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (args.length >= 3)
-      spark.sparkContext.hadoopConfiguration.set(s"fs.${args(1)}.impl", args(2))
+    mode match {
+      case "ops" =>
+        if (args.length >= 4)
+          spark.sparkContext.hadoopConfiguration
+            .set(s"fs.${args(2)}.impl", args(3))
+        opsLoop(spark, path)
+      case "race" =>
+        race(spark, path, workerId = args(2), nBatches = args(3).toInt)
+      case other => sys.error(s"unknown mode $other")
+    }
+  }
 
+  private def opsLoop(spark: SparkSession, path: String): Unit = {
     var v = if (LogTable.exists(path)) LogTable.currentVersion(path).get + 1
             else 0L
     while (true) {
@@ -68,5 +79,30 @@ object LogTableCrashWorker {
       println(s"[worker] done v$v"); System.out.flush()
       v += 1
     }
+  }
+
+  private[graft] def raceRows(workerId: String, seq: Long): Seq[Row] = {
+    val base = (workerId.hashCode.toLong & 0xffff) * 10000000L
+    (0 until 100).map(i => Row(base + seq * 1000 + i, seq,
+      (seq + i).toDouble, s"r$workerId", 1L))
+  }
+
+  /** Two (or more) of these race ONE table concurrently, each appending
+    * its own `nBatches` under the txn ledger — a killed-and-restarted
+    * racer replays from batch 0 and the ledger no-ops everything that
+    * already landed, so the final table must hold each (worker, batch)
+    * EXACTLY once no matter how the races and kills interleave. */
+  private def race(spark: SparkSession, path: String, workerId: String,
+      nBatches: Int): Unit = {
+    (0 until nBatches).foreach { seq =>
+      println(s"[worker] race $workerId seq $seq"); System.out.flush()
+      LogTable.append(spark, path,
+        LocalTable.of(spark, schema, raceRows(workerId, seq.toLong)),
+        txn = Some((s"racer-$workerId", seq.toLong)))
+      println(s"[worker] raced $workerId seq $seq"); System.out.flush()
+    }
+    println(s"[worker] race done $workerId"); System.out.flush()
+    spark.stop()
+    sys.exit(0)
   }
 }

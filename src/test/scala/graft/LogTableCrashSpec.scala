@@ -72,7 +72,7 @@ class LogTableCrashSpec extends AnyFunSuite {
     var lastV = -1L
     (0 until waves).foreach { wave =>
       val tag = s"w$wave"
-      val proc = forkWorker(local, tag, Seq(path) ++ extraArgs)
+      val proc = forkWorker(local, tag, Seq("ops", path) ++ extraArgs)
       // enough ops that the kill lands inside append/COW/commit machinery
       val want = 6
       val deadline = System.currentTimeMillis() + 180000
@@ -123,6 +123,51 @@ class LogTableCrashSpec extends AnyFunSuite {
       LogTable.readVersion(TestSpark.spark, path, 0L)
     } // pre-horizon time travel is loud, never silently wrong
     assert(v >= minVersions, s"soak should drive a dense history, got $v")
+  }
+
+  test("two live writer JVMs race one table; one is kill -9'd and its restart replays through the txn ledger — every batch lands exactly once") {
+    val local = java.nio.file.Files
+      .createTempDirectory("graft-lograce-").toString
+    val path = s"$local/table"
+    val n = 10
+    val pa = forkWorker(local, "A", Seq("race", path, "A", n.toString))
+    val pb = forkWorker(local, "B", Seq("race", path, "B", n.toString))
+    // tear worker A out mid-race once it has landed a few batches
+    val deadline = System.currentTimeMillis() + 180000
+    while (outLines(local, "A").count(_.startsWith("[worker] raced")) < 3) {
+      if (System.currentTimeMillis() > deadline) {
+        pa.destroyForcibly(); pb.destroyForcibly()
+        fail("worker A never landed 3 batches\n" +
+          outLines(local, "A").takeRight(5).mkString("\n"))
+      }
+      Thread.sleep(50)
+    }
+    pa.destroyForcibly(); pa.waitFor()
+    assert(pa.exitValue() === 137)
+    // restart A from scratch: it re-runs batch 0..n-1; the ledger must
+    // no-op everything its first life committed
+    val pa2 = forkWorker(local, "A2", Seq("race", path, "A", n.toString))
+    assert(pa2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      && pa2.exitValue() === 0,
+      "restarted racer A failed:\n" + outLines(local, "A2").takeRight(5).mkString("\n"))
+    assert(pb.waitFor(180, java.util.concurrent.TimeUnit.SECONDS)
+      && pb.exitValue() === 0,
+      "racer B failed:\n" + outLines(local, "B").takeRight(5).mkString("\n"))
+    // exactly-once under cross-process races + kill + replay:
+    val rows = LogTable.read(TestSpark.spark, path)
+      .collect().map(r => (r.getString(3), r.getLong(1), r.getLong(0)))
+    assert(rows.length === 2 * n * 100, s"got ${rows.length} rows")
+    val perBatch = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.length)
+    assert(perBatch.size === 2 * n)
+    assert(perBatch.values.forall(_ === 100),
+      "some (worker, batch) landed a partial or duplicate append")
+    // the ledger records both writers complete; the log has exactly one
+    // version per landed append (kills and replays added none)
+    val snap = LogTable.snapshot(path)
+    assert(snap.txns === Map("racer-A" -> (n - 1).toLong,
+      "racer-B" -> (n - 1).toLong))
+    assert(snap.version === (2 * n - 1).toLong,
+      s"log has ${snap.version + 1} versions for ${2 * n} appends")
   }
 
   test("kill -9 the log-table writer across three waves: committed log replays exactly, fresh JVMs resume from the log, vacuum reclaims the litter") {
