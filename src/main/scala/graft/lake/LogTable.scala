@@ -444,6 +444,46 @@ object LogTable {
       spark.read.schema(snap.schema)
         .parquet(snap.files.map(f => s"$path/${f.path}"): _*)
 
+  /** Metadata-only row count: the sum of the log's per-file row counts —
+    * zero data I/O, the `count(*)` a log-structured format answers from
+    * its manifest (at 100 TB this is the difference between a catalog
+    * lookup and a full scan). Exact by construction: every add carries
+    * the count of the file it commits. */
+  def rowCount(path: String): Long = snapshot(path).files.map(_.rows).sum
+
+  /** Stats-pruned point read — the read-side twin of the pruned DELETE:
+    * only files whose min/max admit `value` are opened, everything else
+    * is skipped on log metadata alone (this format's replacement for
+    * directory partition pruning — appends cluster by the caller's
+    * columns precisely so these ranges stay tight). The filter still
+    * applies on top, so pruning can only skip, never change results. */
+  def readWhere(spark: SparkSession, path: String, colName: String,
+      value: String): DataFrame = {
+    val snap = snapshot(path)
+    val dt = snap.schema.fields.find(_.name == colName).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"LogTable($path): no column $colName to read by"))
+    val hits = snap.files.filter(mayContain(_, colName, dt, value))
+    val base =
+      if (hits.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+      else spark.read.schema(snap.schema)
+        .parquet(hits.map(f => s"$path/${f.path}"): _*)
+    base.filter(col(colName) === value)
+  }
+
+  /** The file subset [[readWhere]] would open — exposed so callers (and
+    * the spec) can audit the skip rate without tracing scan metrics. */
+  private[graft] def prunedFiles(path: String, colName: String,
+      value: String): Seq[AddFile] = {
+    val snap = snapshot(path)
+    val dt = snap.schema.fields.find(_.name == colName).map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"LogTable($path): no column $colName"))
+    snap.files.filter(mayContain(_, colName, dt, value))
+  }
+
   // ------------------------------------------------------------------
   // writes
   // ------------------------------------------------------------------

@@ -230,6 +230,28 @@ class LogTableSpec extends SparkSpec {
     assert(LogTable.currentVersion(path).get === vBefore + 1)
   }
 
+  test("metadata-only count and stats-pruned reads match full scans while opening fewer files") {
+    val path = tmp("graft-log-readwhere-")
+    LogTable.append(spark, path, df((1L, "aaa", 1L), (2L, "abc", 1L)))
+    LogTable.append(spark, path, df((3L, "mmm", 1L), (4L, "mno", 1L)))
+    LogTable.append(spark, path, df((5L, "zzz", 1L), (6L, "zzy", 1L)))
+    // count from the manifest alone — no scan, still exact
+    assert(LogTable.rowCount(path) === 6L)
+    // the pruned read opens only the admitting files…
+    val total = LogTable.snapshot(path).files.size
+    val opened = LogTable.prunedFiles(path, "v", "mmm").size
+    assert(opened < total, s"pruning opened $opened of $total files")
+    // …and returns exactly what the full-scan filter returns
+    val viaPrune = LogTable.readWhere(spark, path, "v", "mmm")
+      .collect().map(_.toSeq).toSet
+    val viaScan = LogTable.read(spark, path).filter(col("v") === "mmm")
+      .collect().map(_.toSeq).toSet
+    assert(viaPrune === viaScan && viaPrune.nonEmpty)
+    // a value outside every range: zero files opened, empty result
+    assert(LogTable.prunedFiles(path, "v", "qqq").isEmpty)
+    assert(LogTable.readWhere(spark, path, "v", "qqq").count() === 0)
+  }
+
   test("txn appends are exactly-once: redelivery no-ops, the ledger survives checkpoints and vacuum") {
     val path = tmp("graft-log-txn-")
     assert(LogTable.append(spark, path, df((1L, "a", 1L)),
