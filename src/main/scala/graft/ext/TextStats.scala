@@ -3890,9 +3890,13 @@ object TextStats {
           explode(graft.plans.NgramsExpr.ngrams(lower(col("text")), 1)).as("token"))
       val sketches = toks.groupBy(col("source"))
         .agg(CountMinAgg.cmSketch(col("token"), depth = 3, width = 64).as("sk"))
+      // one corpus pass feeds both the exact counts and the probe set —
+      // the global top-20 rolls up from the (source, token) counts
+      // instead of re-exploding the text
       val counts = toks.groupBy(col("source"), col("token"))
         .agg(count(lit(1)).as("c_true"))
-      val probe = toks.groupBy(col("token")).agg(count(lit(1)).as("c_g"))
+        .localCheckpoint()
+      val probe = counts.groupBy(col("token")).agg(sum(col("c_true")).as("c_g"))
         .orderBy(col("c_g").desc, col("token").asc).limit(20).select("token")
       counts.join(broadcast(probe), Seq("token"))
         .join(broadcast(sketches), Seq("source"))
