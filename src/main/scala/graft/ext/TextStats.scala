@@ -3842,15 +3842,15 @@ object TextStats {
               col("avg_logprob")))
     })
 
-  /** Count-Min sketch gate: per-source depth-3 × width-64 token
+  /** Count-Min sketch gate: per-source depth-3 × width-32 token
     * sketches through [[graft.plans.CountMinAgg]], probed with the 20
-    * globally most frequent tokens. Width 64 is far BELOW the gate
+    * globally most frequent tokens. Width 32 is far BELOW the gate
     * vocabulary, so this runs the sketch in its collision regime on
     * purpose — the md5 row hashes are SQL-replayable, so the DuckDB
     * oracle rebuilds the identical counters and the gate pins every
     * estimate (including the inflation), plus the one-sided
     * `est ≥ true` guarantee that makes Count-Min usable as a
-    * never-undercount frequency oracle at 100 TB (a 192-long summary
+    * never-undercount frequency oracle at 100 TB (a 96-long summary
     * per source instead of a vocabulary-sized count table). */
   val d97CmsCounts: Q = Q(
     "d97_cms_counts",
@@ -3862,11 +3862,14 @@ object TextStats {
                           ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks
               FROM documents) d, unnest(d.toks) AS u(t)),
       rs AS (SELECT unnest(generate_series(0, 2)) AS r),
+      th AS (
+        SELECT source, token,
+               CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5(token), 17, 15) AS BIGINT) AS h2
+        FROM tok),
       counters AS (
-        SELECT source, rs.r,
-               CAST('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || token), 1, 15) AS BIGINT) % 64 AS col,
-               count(*) AS cnt
-        FROM tok CROSS JOIN rs
+        SELECT source, rs.r, (h1 + rs.r * h2) % 32 AS col, count(*) AS cnt
+        FROM th CROSS JOIN rs
         GROUP BY 1, 2, 3),
       cnts AS (SELECT source, token, count(*) AS c_true FROM tok GROUP BY 1, 2),
       probe AS (
@@ -3880,7 +3883,8 @@ object TextStats {
       CROSS JOIN rs
       JOIN counters ct
         ON ct.source = c.source AND ct.r = rs.r
-       AND ct.col = CAST('0x' || substr(md5(CAST(rs.r AS VARCHAR) || ':' || c.token), 1, 15) AS BIGINT) % 64
+       AND ct.col = (CAST('0x' || substr(md5(c.token), 1, 15) AS BIGINT)
+                     + rs.r * CAST('0x' || substr(md5(c.token), 17, 15) AS BIGINT)) % 32
       GROUP BY 1, 2, 3
     """),
     (s, dir) => {
@@ -3889,7 +3893,7 @@ object TextStats {
         .select(col("source"),
           explode(graft.plans.NgramsExpr.ngrams(lower(col("text")), 1)).as("token"))
       val sketches = toks.groupBy(col("source"))
-        .agg(CountMinAgg.cmSketch(col("token"), depth = 3, width = 64).as("sk"))
+        .agg(CountMinAgg.cmSketch(col("token"), depth = 3, width = 32).as("sk"))
       // one corpus pass feeds both the exact counts and the probe set —
       // the global top-20 rolls up from the (source, token) counts
       // instead of re-exploding the text
@@ -3901,7 +3905,7 @@ object TextStats {
       counts.join(broadcast(probe), Seq("token"))
         .join(broadcast(sketches), Seq("source"))
         .select(col("source"), col("token"), col("c_true"),
-          CountMinAgg.cmEstimate(col("sk"), col("token"), 3, 64).as("est"))
+          CountMinAgg.cmEstimate(col("sk"), col("token"), 3, 32).as("est"))
         .withColumn("over_ok", col("est") >= col("c_true"))
     })
 

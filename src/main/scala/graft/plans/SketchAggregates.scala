@@ -644,11 +644,13 @@ object KmvAgg {
   * addition (the standing-artifact posture the heavy-hitters and KMV
   * sketches already take).
   *
-  * The row hashes are md5-derived (`bucket`): data-independent and
-  * replayable in SQL on both engines (`conv(substr(md5(r || ':' ||
-  * item), 1, 15), 16, 10) % width`), which is what lets the d97 gate
-  * pin every COUNTER of the sketch against a DuckDB replay, not just a
-  * summary statistic.
+  * The row hashes are md5-derived via double hashing (Kirsch &
+  * Mitzenmacher 2006): ONE md5 per observation yields two 60-bit
+  * halves h1/h2 and row r's bucket is `(h1 + r*h2) % width` —
+  * data-independent and replayable in SQL on both engines
+  * (`conv(substr(md5(item), 1, 15)…)` / `…substr(md5(item), 17, 15)…`), which is what lets
+  * the d97 gate pin every COUNTER of the sketch against a DuckDB
+  * replay, not just a summary statistic.
   */
 case class CountMinAgg(
     child: Expression,
@@ -671,10 +673,17 @@ case class CountMinAgg(
   override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
     val v = child.eval(input)
     if (v != null) {
-      val s = v.asInstanceOf[UTF8String].toString
+      // ONE md5 per observation (double hashing derives every row's
+      // bucket), digesting the UTF8 bytes directly — no String, no hex
+      val digest = CountMinAgg.md5Digest.get()
+      digest.reset()
+      val bytes = v.asInstanceOf[UTF8String].getBytes
+      val d = digest.digest(bytes)
+      val h1 = CountMinAgg.first60(d, 0)
+      val h2 = CountMinAgg.first60(d, 8)
       var r = 0
       while (r < depth) {
-        buf(r * width + CountMinAgg.bucket(r, s, width)) += 1L
+        buf(r * width + ((h1 + r * h2) % width).toInt) += 1L
         r += 1
       }
     }
@@ -717,14 +726,30 @@ case class CountMinAgg(
 object CountMinAgg {
   import org.apache.spark.sql.functions._
 
-  /** Row-r bucket of `item`: first 60 bits of md5("r:item") mod width —
-    * the JVM twin of the SQL both oracles run; the two must stay
-    * bit-identical (SketchSpec pins it against the Column form). */
+  private[plans] val md5Digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  /** Hex chars [off*2+1 .. off*2+15] of an md5 as a 60-bit long — i.e.
+    * the long of 8 bytes starting at `off`, dropping the low nibble;
+    * identical to SQL `conv(substr(md5(x), off*2+1, 15), 16, 10)`. */
+  private[plans] def first60(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = off
+    while (i < off + 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  /** Row-r bucket of `item` via double hashing (Kirsch–Mitzenmacher):
+    * `(h1 + r·h2) mod width`, where h1/h2 are the first and second
+    * 60-bit halves of ONE md5(item) — one digest serves every row, and
+    * the SQL twin is two `substr(md5(item), …, 15)` casts. SketchSpec
+    * pins the JVM and Column forms bit-identical. */
   def bucket(r: Int, item: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$r:$item".getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(15)
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val d = md5Digest.get()
+    d.reset()
+    val h = d.digest(item.getBytes("UTF-8"))
+    ((first60(h, 0) + r * first60(h, 8)) % width).toInt
   }
 
   /** Aggregate Column: the row-major depth × width counter array. */
@@ -738,10 +763,11 @@ object CountMinAgg {
     * Columns (md5/conv/element_at/least), codegen-friendly, and the
     * exact expression the DuckDB oracle mirrors. */
   def cmEstimate(sketch: Column, item: Column, depth: Int, width: Int): Column = {
+    val h1 = conv(substring(md5(item), 1, 15), 16, 10).cast("long")
+    val h2 = conv(substring(md5(item), 17, 15), 16, 10).cast("long")
     val cells = (0 until depth).map { r =>
-      val h = conv(substring(md5(concat(lit(s"$r:"), item)), 1, 15), 16, 10)
-        .cast("long") % width
-      element_at(sketch, (h + r * width + 1).cast("int"))
+      element_at(sketch,
+        ((h1 + h2 * lit(r.toLong)) % width + r * width + 1).cast("int"))
     }
     if (cells.size == 1) cells.head else least(cells: _*)
   }

@@ -373,9 +373,10 @@ class SketchSpec extends SparkSpec {
     val items = Seq("alpha", "beta", "x001", "", "ação", "7")
     val jvm = for (r <- 0 until 3; it <- items) yield CountMinAgg.bucket(r, it, 64)
     val viaSql = (0 until 3).flatMap { r =>
+      val h1 = conv(substring(md5(col("item")), 1, 15), 16, 10).cast("long")
+      val h2 = conv(substring(md5(col("item")), 17, 15), 16, 10).cast("long")
       val m = itemsDf(items, 1).select(
-        (conv(substring(md5(concat(lit(s"$r:"), col("item"))), 1, 15), 16, 10)
-          .cast("long") % 64).cast("int").as("b"), col("item"))
+        (((h1 + h2 * lit(r.toLong)) % 64).cast("int")).as("b"), col("item"))
         .collect().map(x => x.getString(1) -> x.getInt(0)).toMap
       items.map(m)
     }
