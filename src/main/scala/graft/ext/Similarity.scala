@@ -1347,9 +1347,17 @@ object Similarity {
   }
 
   /** kNN-average half of the ratio margin: mean of the top-`k` cosines
-    * per `key` over (key, other, cos_sim) candidate scores, floor@6 so
-    * the two engines' summation orders cannot diverge past the rounding
-    * precision. */
+    * per `key` over (key, other, cos_sim) candidate scores.
+    *
+    * Determinism: the inputs are round@6 cosines, so each is an exact
+    * integer number of micros — sum those LONGS (order-independent,
+    * exact) and divide ONCE, instead of `avg()` over doubles, whose
+    * summation order differs between engines and across partitionings.
+    * floor@6 of a double `avg()` is NOT enough: a top-4 average landing
+    * exactly on a .5 micro boundary (observed: s17 at sf0.01, micros
+    * 263474.5 vs 263474.49999999994 by order alone) splits the floor.
+    * `Σmicros / n` is one correctly-rounded IEEE division of two exact
+    * integers — bit-identical in Spark and DuckDB. */
   private def knnAvgOf(scores: DataFrame, key: String, other: String,
       k: Int, outCol: String): DataFrame = {
     val w = Window.partitionBy(col(key))
@@ -1357,7 +1365,8 @@ object Similarity {
     scores.withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .groupBy(col(key))
-      .agg((floor(avg(col("cos_sim")) * 1e6 + 0.5) / 1e6).as(outCol))
+      .agg((floor(sum(round(col("cos_sim") * 1e6).cast("long")).cast("double")
+        / count(lit(1)) + 0.5) / 1e6).as(outCol))
   }
 
   /** Margin scoring + forward-best selection tail shared by the dense
@@ -1443,12 +1452,12 @@ object Similarity {
               round(list_cosine_similarity(CAST(ae AS DOUBLE[]),
                                            CAST(be AS DOUBLE[])), 6) AS cos_sim
             FROM a CROSS JOIN b),
-      sa AS (SELECT src_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS src_knn
+      sa AS (SELECT src_id, floor(CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6 AS src_knn
              FROM (SELECT src_id, cos_sim,
                      row_number() OVER (PARTITION BY src_id
                        ORDER BY cos_sim DESC, tgt_id ASC) AS rk
                    FROM s) WHERE rk <= 4 GROUP BY 1),
-      ta AS (SELECT tgt_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS tgt_knn
+      ta AS (SELECT tgt_id, floor(CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6 AS tgt_knn
              FROM (SELECT tgt_id, cos_sim,
                      row_number() OVER (PARTITION BY tgt_id
                        ORDER BY cos_sim DESC, src_id ASC) AS rk
@@ -1529,12 +1538,12 @@ object Similarity {
              FROM tpx JOIN ata ON tpx.cid = ata.cid
                   JOIN b ON b.tgt_id = tpx.tgt_id
                   JOIN a ON a.src_id = ata.src_id),
-      sa AS (SELECT src_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS src_knn
+      sa AS (SELECT src_id, floor(CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6 AS src_knn
              FROM (SELECT src_id, cos_sim,
                      row_number() OVER (PARTITION BY src_id
                        ORDER BY cos_sim DESC, tgt_id ASC) AS rk
                    FROM fs) WHERE rk <= 4 GROUP BY 1),
-      ta AS (SELECT tgt_id, floor(avg(cos_sim) * 1e6 + 0.5) / 1e6 AS tgt_knn
+      ta AS (SELECT tgt_id, floor(CAST(sum(CAST(round(cos_sim * 1e6) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6 AS tgt_knn
              FROM (SELECT tgt_id, cos_sim,
                      row_number() OVER (PARTITION BY tgt_id
                        ORDER BY cos_sim DESC, src_id ASC) AS rk
