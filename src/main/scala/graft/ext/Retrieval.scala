@@ -28,17 +28,22 @@ import graft.{Q, Tables}
 object Retrieval {
 
   /** The inverted index: one row per (document, term) with its term
-    * frequency. Lowercased whitespace tokens ([[TextStats.tokens]]) —
-    * the same tokenizer as the rest of the d-family. One corpus scan;
-    * the groupBy is partial-aggregatable (a document's exploded terms
-    * are contiguous, so map-side combine collapses them before the
-    * exchange). */
+    * frequency. Lowercased whitespace tokens (the [[TextStats.tokens]]
+    * tokenizer) — the same vocabulary as the rest of the d-family.
+    *
+    * Zero-shuffle build (guide §2.4): a document's tokens all live in
+    * ONE row, so its term frequencies never need an Exchange to meet —
+    * the codegen'd [[graft.plans.TermCountsExpr]] counts terms in-row
+    * and `explode` emits the exact (doc_id, term, tf) rows the previous
+    * `explode(tokens) → groupBy(doc_id, term).count()` formulation
+    * produced, minus the token-level explode, the partial hash
+    * aggregate and the shuffle (measured: the old exchange carried one
+    * row per distinct (doc, term) after map-side combine; now nothing
+    * is exchanged at all). One corpus scan, pure scan→project. */
   def postings(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"),
-        explode(TextStats.tokens(lower(col("text")))).as("term"))
-      .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+    docs.select(col("doc_id"),
+      explode(graft.plans.TermCountsExpr.termCounts(lower(col("text"))))
+        .as(Seq("term", "tf")))
 
   /** BM25 top-k retrieval: for each query, the k highest-scoring
     * documents under the Lucene BM25 formulation
@@ -117,8 +122,16 @@ object Retrieval {
     require(k1 >= 0 && b >= 0 && b <= 1, "k1 must be >= 0 and b in [0,1]")
     require(maxDfFrac > 0 && maxDfFrac <= 1, "maxDfFrac must be in (0,1]")
     val dls = post.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    val stats = dls.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
+    // corpus stats in ONE aggregate over the postings, not a second
+    // aggregate over `dls`: under AQE each consumer of a shared lazy
+    // subtree re-derives it, so the two-level dls→stats formulation
+    // computed the doc-length aggregate TWICE per plan (observed in the
+    // s09 formatted plan). Σtf is an exact long and n_docs an exact
+    // count, so Σtf/n ≡ avg(dl) bit-for-bit.
+    val stats = post
+      .agg(count_distinct(col("doc_id")).as("nd"), sum(col("tf")).as("st"))
+      .select(col("nd").cast("double").as("n_docs"),
+        (col("st").cast("double") / col("nd").cast("double")).as("avgdl"))
     // per-query DISTINCT terms (array_distinct inside one row, so no
     // extra distinct exchange); evaluation queries are tiny → broadcast
     val qterms = queries.select(col("query_id"),

@@ -3,7 +3,12 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: print the final (adaptive) executed plan of one catalog
-  * query — `runMain graft.tools.Explain <query> [sfDir]`. */
+  * query — `runMain graft.tools.Explain <query> [sfDir]`.
+  *
+  * With `SPARK_GRAFT_PLAN_OUT=<file>` also writes the query's
+  * `.explain("formatted")` output (the pre-execution formatted plan:
+  * operator list with PushedFilters/ReadSchema, join strategies,
+  * Exchange placement) to that file — the round's plans/rNN artifacts. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -16,9 +21,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.Bench.quietBoundedWindowWarnings()
     val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
     val t1 = System.nanoTime()
+    sys.env.get("SPARK_GRAFT_PLAN_OUT").foreach { out =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(out),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
     df.write.format("noop").mode("overwrite").save()
     val t2 = System.nanoTime()
     println(s"== construction ${(t1 - t0) / 1e9}%s  execution ${(t2 - t1) / 1e9} ==")
