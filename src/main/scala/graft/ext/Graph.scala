@@ -59,18 +59,30 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct())
     val n = nodes.count()
     val base = (1.0 - damping) / n
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    var ranks = nodes.withColumn("rank",
+    // out-degrees folded into the node spine ONCE (guide §2.4): outDeg was
+    // a lazy aggregate over the edge list, so every round's eager cut
+    // re-ran the 2E-row scan + (src) shuffle and re-joined it to the
+    // edges — iters extra edge-table aggregates per query. The spine join
+    // is left (contract says every node appears as a source, but a
+    // contract-violating dangling node must keep its rank row, exactly as
+    // before: such a node matches no edge in the contribs join, so its
+    // NULL deg is never read). Carrying `deg` through the per-round rank
+    // table costs one long per node-row of checkpoint block.
+    val nd = cut(nodes.join(
+      e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .withColumnRenamed("src", "node"),
+      Seq("node"), "left"))
+    var ranks = nd.withColumn("rank",
       floor(lit(1.0 / n) * 1e9 + 0.5) / 1e9)
     for (_ <- 1 to iters) {
       val contribs = e
-        .join(ranks.withColumnRenamed("node", "src"), Seq("src"))
-        .join(outDeg, Seq("src"))
-        .select(col("dst").as("node"), (col("rank") / col("deg")).as("c"))
-      ranks = cut(nodes
+        .join(ranks.select(col("node").as("src"),
+          (col("rank") / col("deg")).as("c")), Seq("src"))
+        .select(col("dst").as("node"), col("c"))
+      ranks = cut(nd
         .join(contribs.groupBy(col("node")).agg(sum(col("c")).as("s")),
           Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("deg"),
           (floor((lit(base) + lit(damping) * coalesce(col("s"), lit(0.0)))
             * 1e9 + 0.5) / 1e9).as("rank")))
     }
@@ -171,17 +183,23 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct())
     var labels = nodes.withColumn("label", col("node"))
     for (_ <- 1 to iters) {
+      // ONE exchange per round (guide §2.4, was two): the vote rows are
+      // hash-partitioned by the destination node once; the (node, label)
+      // vote count then needs no exchange (hash(node) already clusters
+      // every (node, label) group), and the winner pick is a second
+      // same-partitioning hash aggregate — min over (−votes, label)
+      // structs IS "max votes, ties to the smallest label", replacing the
+      // previous row_number window (its own exchange on node plus a
+      // per-partition sort) with an O(1)-state aggregate.
       val votes = e
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .repartition(col("dst"))
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("votes"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("node"))
-        .orderBy(col("votes").desc, col("label").asc)
       labels = cut(votes
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1)
-        .select(col("node"), col("label")))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("l")))
+          .getField("l").as("label")))
     }
     labels.select(col("node"), col("label").as("community"))
     }

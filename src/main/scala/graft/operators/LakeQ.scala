@@ -454,7 +454,19 @@ object LakeQ {
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
           col("o_totalprice"))
         .write.mode("overwrite").option("rowTag", "order").xml(dest)
-      s.read.option("rowTag", "order").xml(dest)
+      // explicit read schema (guide §1.4/§6): without it the XML reader
+      // runs a whole extra inference pass over every file before the real
+      // scan — at 100 TB a second full-corpus parse. The columns were
+      // restricted to stable types precisely so the schema is static;
+      // pinning it keeps the read-back values byte-identical while
+      // halving the XML parse work.
+      s.read.option("rowTag", "order")
+        .schema(StructType(Seq(
+          StructField("o_orderkey", LongType),
+          StructField("o_custkey", LongType),
+          StructField("o_orderpriority", StringType),
+          StructField("o_totalprice", DoubleType))))
+        .xml(dest)
         .filter(col("o_custkey") % 7 =!= 0)
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("n"),
