@@ -2244,8 +2244,20 @@ object Dedup {
       nGram: Int = 3, sketchK: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(sketchK > 0 && threshold > 0.0 && threshold <= 1.0,
       "need sketchK > 0 and threshold in (0, 1]")
+    // lazy shared-RDD cut: FOUR consumers (the sketch build, the
+    // candidate join's contained side, and the two verify sides) would
+    // each re-run the corpus scan + shingle kernel otherwise — the
+    // formatted plan showed four `Scan parquet`→shinglesexpr branches
+    // (the minhashNearDupPairs lesson: ReusedExchange does not survive
+    // AQE re-pruning of shared subtrees, and there is no exchange here
+    // to reuse anyway). At gate scale the cut only breaks even-plus
+    // (min-of-6 A/B: 2.61 → 2.48 s, controls flat) — caching the
+    // shingle arrays is itself expensive — but at corpus scale the
+    // three re-shingling passes it removes are corpus-bound while the
+    // cache is one pass, the same trade d19's composition makes.
     val s = docs.select(col(idCol).as("doc_id"),
       shingles(col(textCol), nGram).as("sh"))
+      .localCheckpoint(false)
     val h = s.select(col("doc_id"), explode(col("sh")).as("u"))
       .withColumn("hh",
         conv(substring(md5(col("u")), 1, 15), 16, 10).cast("long"))

@@ -451,6 +451,12 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(visited.select(col("node")), Seq("node"), "left_anti")
         .withColumn("hops", lit(depth)))
+      // the accumulated set IS re-cut each round even though every piece
+      // of the union is itself an already-materialized round: skipping
+      // this cut (anti-join against the growing union of cached RDDs)
+      // was MEASURED SLOWER (min-of-6 A/B: 2.52 → 3.03 s, controls flat)
+      // — the per-round eager barrier buys AQE's runtime re-plan of the
+      // anti-join, the r11 eager-vs-lazy lesson again.
       visited = cut(visited.unionByName(next))
       frontier = next
     }
