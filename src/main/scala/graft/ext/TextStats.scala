@@ -2374,36 +2374,23 @@ object TextStats {
     * a final per-doc pivot. No joins except the keep-empty-docs left
     * join against the doc-id spine. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    def level(n: Int): Column = transform(
-      graft.plans.NgramsExpr.ngrams(lower(col("text")), n),
-      g => struct(lit(n).as("n"), g.as("gram")))
-    val exploded = docs.select(col("doc_id"),
-      explode(concat(level(1), level(2), level(3))).as("e"))
-      .select(col("doc_id"), col("e.n").as("n"), col("e.gram").as("gram"))
-    val counts = exploded.groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-    val perLevel = counts.groupBy(col("doc_id"), col("n")).agg(
-      (max(col("cnt")).cast("double") / sum(col("cnt"))).as("top_frac"),
-      (sum(when(col("cnt") >= 2, col("cnt") * length(col("gram"))))
-        .cast("double") / sum(col("cnt") * length(col("gram")))).as("dup_frac"))
-    // floor(x*1e4 + 0.5)/1e4 instead of round(x, 4): Spark's round goes
-    // through BigDecimal.valueOf (shortest decimal repr) while DuckDB
-    // rounds the raw double — a ratio landing exactly on a .xxxx5
-    // boundary rounds differently (observed once at sf0.1). The floor
-    // form is pure IEEE arithmetic, bit-identical in both engines.
-    def r4(c: Column): Column = floor(c * 10000d + 0.5d) / 10000d
-    val pivoted = perLevel.groupBy(col("doc_id")).agg(
-      r4(coalesce(max(when(col("n") === 1, col("top_frac"))), lit(0.0)))
-        .as("top_tok_frac"),
-      r4(coalesce(max(when(col("n") === 2, col("dup_frac"))), lit(0.0)))
-        .as("dup2_frac"),
-      r4(coalesce(max(when(col("n") === 3, col("dup_frac"))), lit(0.0)))
-        .as("dup3_frac"))
-    docs.select(col("doc_id")).join(pivoted, Seq("doc_id"), "left")
+    // ONE exchange-free projection (guide §2.4): every gram of a document
+    // lives in one row, so the native kernel
+    // ([[graft.plans.RepetitionSignalsExpr]]) computes all three
+    // fractions in-row — replacing the previous
+    // explode(1+2+3-grams) → groupBy(doc, n, gram) → groupBy(doc, n) →
+    // pivot → spine-join pipeline (two shuffles of every distinct gram
+    // occurrence plus a join, at any corpus size). Counts are exact
+    // longs and each fraction one IEEE division + floor@4, evaluated
+    // exactly as the aggregate formulation did — bit-identical output
+    // (TextStatsSpec's hand-checked fractions pin it).
+    val sig = graft.plans.RepetitionSignalsExpr
+      .repetitionSignals(lower(col("text")))
+    docs.select(col("doc_id"), sig.as("__sig"))
       .select(col("doc_id"),
-        coalesce(col("top_tok_frac"), lit(0.0)).as("top_tok_frac"),
-        coalesce(col("dup2_frac"), lit(0.0)).as("dup2_frac"),
-        coalesce(col("dup3_frac"), lit(0.0)).as("dup3_frac"))
+        col("__sig.top_tok_frac").as("top_tok_frac"),
+        col("__sig.dup2_frac").as("dup2_frac"),
+        col("__sig.dup3_frac").as("dup3_frac"))
   }
 
   /** Repetition-signals gate: all three fractions per document. */

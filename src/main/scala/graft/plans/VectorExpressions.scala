@@ -894,3 +894,110 @@ object NormalizeTextExpr {
     GraftSqlBridge.column(NormalizeTextExpr(GraftSqlBridge.expression(c)))
   }
 }
+
+/** Native kernel for the Gopher repetition signals (d40): every gram of
+  * a document lives in ONE row, so the three published fractions —
+  * top-unigram frequency, char-weighted duplicate-bigram and -trigram
+  * fractions — never need the (doc, n, gram) explode + two shuffled
+  * aggregations + pivot + spine join the composable formulation paid
+  * (guide §2.4: remove the shuffle outright; the postings/TermCounts
+  * lesson applied to the whole query). One pass over the token array per
+  * n-gram level, inside whole-stage codegen.
+  *
+  * Numeric contract (bit-parity with the aggregate formulation it
+  * replaces): counts are exact longs; each fraction is one double
+  * division of exact operands; floor(x·10⁴ + 0.5)/10⁴ applied exactly as
+  * before; gram length counts Unicode code points (Spark's `length`);
+  * missing levels / no-repeat levels emit 0.0 (the old coalesce paths).
+  */
+case class RepetitionSignalsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("top_tok_frac", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dup2_frac", DoubleType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("dup3_frac", DoubleType,
+        nullable = false)))
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionSignalsExpr.signalsOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.RepetitionSignalsExpr.signalsOf($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RepetitionSignalsExpr {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def r4(x: Double): Double = Math.floor(x * 10000d + 0.5d) / 10000d
+
+  /** max(cnt)/Σcnt over the level's gram counts (0.0 when no grams). */
+  private def topFrac(counts: java.util.HashMap[String, Long]): Double = {
+    if (counts.isEmpty) return 0.0
+    var mx = 0L
+    var sum = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next()
+      if (c > mx) mx = c
+      sum += c
+    }
+    r4(mx.toDouble / sum.toDouble)
+  }
+
+  /** Σ_{cnt≥2} cnt·chars(g) / Σ cnt·chars(g) (0.0 when nothing repeats —
+    * the old sum-over-empty-set NULL → coalesce path). */
+  private def dupFrac(counts: java.util.HashMap[String, Long]): Double = {
+    if (counts.isEmpty) return 0.0
+    var num = 0L
+    var den = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val g = e.getKey
+      val chars = g.codePointCount(0, g.length).toLong
+      val w = e.getValue * chars
+      den += w
+      if (e.getValue >= 2L) num += w
+    }
+    if (num == 0L || den == 0L) 0.0 else r4(num.toDouble / den.toDouble)
+  }
+
+  private def levelCounts(toks: Array[String], n: Int)
+      : java.util.HashMap[String, Long] = {
+    val m = new java.util.HashMap[String, Long]()
+    if (toks.length < n) return m
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      m.merge(sb.toString, 1L, (a, b) => a + b)
+      i += 1
+    }
+    m
+  }
+
+  def signalsOf(text: UTF8String): InternalRow = {
+    // same tokenizer as NgramsExpr/TermCountsExpr (the d-family contract)
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](
+        topFrac(levelCounts(toks, 1)),
+        dupFrac(levelCounts(toks, 2)),
+        dupFrac(levelCounts(toks, 3))))
+  }
+
+  def repetitionSignals(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(RepetitionSignalsExpr(GraftSqlBridge.expression(c)))
+  }
+}
