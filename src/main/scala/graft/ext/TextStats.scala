@@ -1415,45 +1415,24 @@ object TextStats {
     require(spanLen >= 1, "spanLen must be >= 1")
     require(ratePerMillion >= 0 && ratePerMillion <= 1000000,
       "ratePerMillion must be in [0, 1e6]")
-    val tok = docs
-      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
-      .withColumn("grp", floor(col("pos") / spanLen).cast("long"))
-    val maskedFlag = (conv(substring(md5(concat(
-      lit(seed + ":"), col("doc_id").cast("string"),
-      lit(":"), col("grp").cast("string"))), 1, 15), 16, 10)
-      .cast("long") % 1000000) < ratePerMillion
-    val fm = tok.withColumn("masked", maskedFlag)
-    // sentinel numbering: k = rank of the span among the doc's masked
-    // spans, in span order (deterministic, gap-free)
-    val wk = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("grp"))
-    val mg = fm.filter(col("masked")).select(col("doc_id"), col("grp")).distinct()
-      .withColumn("k", row_number().over(wk).cast("long") - 1)
-    val fmk = fm.join(mg, Seq("doc_id", "grp"), "left")
-    val sentinel = concat(lit("<extra_id_"), col("k").cast("string"), lit(">"))
-    val inp = fmk
-      .filter(!col("masked") || col("pos") % spanLen === 0)
-      .select(col("doc_id"), col("pos"),
-        when(col("masked"), sentinel).otherwise(col("tok")).as("t"))
-      .groupBy(col("doc_id"))
-      .agg(positionalRebuild(col("t"), col("pos")).as("input_text"))
-    val tgtRows = fmk.filter(col("masked"))
-      .select(col("doc_id"), col("pos"), lit(1).as("sub"), col("tok").as("t"))
-      .unionByName(mg.select(col("doc_id"),
-        (col("grp") * spanLen).cast("int").as("pos"), lit(0).as("sub"),
-        concat(lit("<extra_id_"), col("k").cast("string"), lit(">")).as("t")))
-    val tgt = tgtRows.groupBy(col("doc_id"))
-      .agg(positionalRebuild(col("t"), col("pos"), col("sub"))
-        .as("target_text"))
-    val ks = mg.groupBy(col("doc_id")).agg((max(col("k")) + 1).as("n_masked_spans"))
-    docs.select(col("doc_id"))
-      .join(inp, Seq("doc_id"), "left")
-      .join(tgt, Seq("doc_id"), "left")
-      .join(ks, Seq("doc_id"), "left")
+    // ONE exchange-free projection (guide §2.4, the d40 kernel lesson):
+    // every decision here — the md5 span mask, the gap-free sentinel
+    // numbering, both ordered rebuilds, the span count — depends only on
+    // the document's own tokens and id, so
+    // [[graft.plans.SpanCorruptionExpr]] computes the full (input,
+    // target, n_masked_spans) struct in-row, replacing the previous
+    // posexplode → sentinel window → span join → three positional
+    // rebuilds → three spine joins (five exchanges on the doc key).
+    // Strings and counts are exact, so output is bit-identical
+    // (TextStatsSpec's hand-checked masking pins it; oracle unchanged).
+    val sig = graft.plans.SpanCorruptionExpr.spanCorrupt(
+      col("text"), col("doc_id").cast("string"), spanLen, ratePerMillion,
+      seed)
+    docs.select(col("doc_id"), sig.as("__sc"))
       .select(col("doc_id"),
-        coalesce(col("input_text"), lit("")).as("input_text"),
-        coalesce(col("target_text"), lit("")).as("target_text"),
-        coalesce(col("n_masked_spans"), lit(0L)).as("n_masked_spans"))
+        col("__sc.input_text").as("input_text"),
+        col("__sc.target_text").as("target_text"),
+        col("__sc.n_masked_spans").as("n_masked_spans"))
   }
 
   /** Span-corruption gate: 4-token aligned spans, 30% mask rate. */

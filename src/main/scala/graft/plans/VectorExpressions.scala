@@ -1001,3 +1001,120 @@ object RepetitionSignalsExpr {
     GraftSqlBridge.column(RepetitionSignalsExpr(GraftSqlBridge.expression(c)))
   }
 }
+
+/** Native kernel for T5-style span corruption (d44): the masking
+  * decision, sentinel numbering, input/target rebuilds and span count
+  * all depend only on a document's OWN tokens and id, so the whole
+  * transformation is one in-row pass — replacing the previous
+  * posexplode → sentinel-rank window → span join → three positional
+  * rebuild aggregates → three spine joins (every one an exchange on the
+  * doc key, at any corpus size) with a zero-exchange projection
+  * (guide §2.4; the d40 kernel lesson applied to token surgery).
+  *
+  * Bit-parity with the aggregate formulation: the mask bucket is the
+  * same 60-bit md5 of "seed:docId:grp" mod 10⁶; the input keeps tokens
+  * in position order with one ordered sentinel at each masked span's
+  * start; the target emits sentinel-then-span-tokens in span order
+  * (exactly the old (pos, sub) sort); all joins single-spaced; strings
+  * and counts are exact — no floating point anywhere.
+  */
+case class SpanCorruptionExpr(left: Expression, right: Expression,
+    spanLen: Int, ratePerMillion: Int, seed: String)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("input_text",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("target_text",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_masked_spans",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+
+  override protected def nullSafeEval(text: Any, docId: Any): Any =
+    SpanCorruptionExpr.corruptOf(
+      text.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      docId.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      spanLen, ratePerMillion, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedRef = ctx.addReferenceObj("seed", seed, "java.lang.String")
+    defineCodeGen(ctx, ev, (t, d) =>
+      s"graft.plans.SpanCorruptionExpr.corruptOf($t, $d, $spanLen, $ratePerMillion, $seedRef)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SpanCorruptionExpr {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The engine-wide 60-bit md5 identity: first 15 hex chars as a long. */
+  private def bucket60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars = 7.5 bytes: 7 full bytes + the high nibble of
+    // byte 7 — identical to conv(substr(md5(x),1,15),16,10)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def corruptOf(text: UTF8String, docId: UTF8String, spanLen: Int,
+      ratePerMillion: Int, seed: String): InternalRow = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val n = toks.length
+    val nSpans = if (n == 0) 0 else (n + spanLen - 1) / spanLen
+    val id = docId.toString
+    val masked = new Array[Boolean](nSpans)
+    var nMasked = 0L
+    var g = 0
+    while (g < nSpans) {
+      masked(g) =
+        bucket60(seed + ":" + id + ":" + g) % 1000000L < ratePerMillion
+      if (masked(g)) nMasked += 1
+      g += 1
+    }
+    val inp = new java.lang.StringBuilder
+    val tgt = new java.lang.StringBuilder
+    var k = 0
+    g = 0
+    while (g < nSpans) {
+      val from = g * spanLen
+      val until = math.min(n, from + spanLen)
+      if (masked(g)) {
+        val sentinel = "<extra_id_" + k + ">"
+        if (inp.length > 0) inp.append(' ')
+        inp.append(sentinel)
+        if (tgt.length > 0) tgt.append(' ')
+        tgt.append(sentinel)
+        var p = from
+        while (p < until) { tgt.append(' ').append(toks(p)); p += 1 }
+        k += 1
+      } else {
+        var p = from
+        while (p < until) {
+          if (inp.length > 0) inp.append(' ')
+          inp.append(toks(p))
+          p += 1
+        }
+      }
+      g += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(inp.toString),
+        UTF8String.fromString(tgt.toString), nMasked))
+  }
+
+  def spanCorrupt(text: Column, docId: Column, spanLen: Int,
+      ratePerMillion: Int, seed: String): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(SpanCorruptionExpr(
+      GraftSqlBridge.expression(text), GraftSqlBridge.expression(docId),
+      spanLen, ratePerMillion, seed))
+  }
+}
