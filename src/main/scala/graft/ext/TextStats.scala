@@ -2243,6 +2243,11 @@ object TextStats {
       CROSS JOIN thrstar t
     """),
     (s, dir) => {
+      // NOT materialized: a lazy cut of the scored table (shared by the
+      // sweep and the clf join) was MEASURED SLOWER here too (min-of-6:
+      // 2.95 → 3.31 s control-normalized 2.25→2.47×) — the third
+      // localCheckpoint experiment in this family to lose at gate scale;
+      // re-deriving the scoring pass is cheaper than the RDD cut.
       val scored = logRegScored(s, dir)
       val sweep = classifierEval(scored, (1 to 9).map(_ / 10.0))
       val thrStar = sweep
