@@ -93,24 +93,17 @@ object Dedup {
     * aggregate per outer element (60× recompute of the full token scan,
     * interpreted) — the explode/agg shape hashes each token exactly once
     * and stays inside whole-stage codegen. Returns (idCol, "sig"). */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val perTok = docs
-      .select(col(idCol), explode(TextStats.tokens(col(textCol))).as("tok"))
-      // 60-bit token hash from md5 — cross-engine reproducible (DuckDB:
-      // CAST('0x' || substr(md5(tok),1,15) AS BIGINT))
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(shiftright(col("h"), b).bitwiseAND(1L) * 2 - 1).as(s"b$b")
-    }
-    val sig = (0 until SimhashBits).foldLeft(lit(0L)) { (acc, b) =>
-      acc + when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    val sigs = perTok.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-      .select(col(idCol), sig.as("sig"))
-    // empty-token docs produce no exploded rows: back-fill signature 0
-    docs.select(col(idCol)).join(sigs, Seq(idCol), "left")
-      .select(col(idCol), coalesce(col("sig"), lit(0L)).as("sig"))
-  }
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    // ONE exchange-free projection (guide §2.4, the d40/d44 kernel
+    // lesson): a signature depends only on the document's own tokens and
+    // the per-bit votes are order-free exact integer sums, so
+    // [[graft.plans.Simhash60Expr]] computes the signature in-row — one
+    // md5 per token exactly as before (same 60-bit identity; DuckDB:
+    // CAST('0x' || substr(md5(tok),1,15) AS BIGINT)), minus the previous
+    // token-level explode → 60-conditional-sum aggregate (an exchange)
+    // → spine join. Empty-token docs emit 0, the old backfill.
+    docs.select(col(idCol),
+      graft.plans.Simhash60Expr.simhash60(col(textCol)).as("sig"))
 
   /** Hamming distance between two signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -1118,3 +1118,70 @@ object SpanCorruptionExpr {
       spanLen, ratePerMillion, seed))
   }
 }
+
+/** Native kernel for 60-bit SimHash signatures (d08 and the multimodal
+  * twin): a document's signature depends only on its own tokens — bit b
+  * is the sign of Σ ±1 over the tokens' hash bit b, an order-free exact
+  * integer sum — so the explode → 60-conditional-sum hash aggregate →
+  * spine join pipeline (one token-level exchange + one join per use)
+  * collapses to a zero-exchange projection: one md5 per token, sixty
+  * counters, inside whole-stage codegen. Empty-token documents emit
+  * signature 0 exactly as the old spine-join backfill did.
+  */
+case class Simhash60Expr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    Simhash60Expr.simhashOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.Simhash60Expr.simhashOf($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Simhash60Expr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** The engine-wide 60-bit md5 identity (first 15 hex chars as long),
+    * shared with [[SpanCorruptionExpr]]'s span bucket. */
+  def bucket60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
+  def simhashOf(text: UTF8String): Long = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val counts = new Array[Int](60)
+    var i = 0
+    while (i < toks.length) {
+      val h = bucket60(toks(i))
+      var b = 0
+      while (b < 60) {
+        counts(b) += (((h >>> b) & 1L).toInt * 2) - 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 60) {
+      if (counts(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  def simhash60(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(Simhash60Expr(GraftSqlBridge.expression(c)))
+  }
+}
