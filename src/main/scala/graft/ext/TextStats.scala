@@ -1598,45 +1598,48 @@ object TextStats {
     * top-weight (or Gumbel-resampling on the weight) yields the
     * target-matched subcorpus.
     *
-    * Scale shape: each corpus is scanned ONCE into a `buckets`-row
-    * count table (map-side combinable — hot buckets partial-aggregate
-    * per task); the two tables full-outer-merge into the model, which
-    * is materialized (three lazy consumers would re-scan text under
-    * AQE re-pruning) and broadcast into the single scoring scan; the
-    * per-doc weight collapses map-side. Nothing but the B-row model
-    * ever moves between stages. */
+    * Scale shape: each corpus is scanned ONCE into a `buckets`-long
+    * count VECTOR — bucket counts in-row
+    * ([[graft.plans.HashedBucketCountsExpr]] at maxN = 2, the uni+bigram
+    * space), collapsed by a single zero-key aggregate whose exchange
+    * carries one `buckets`-long partial per partition (no gram explode,
+    * no (bucket) shuffle — guide §2.4). The B-cell log-weight model is
+    * then a driver-side array (a bounded MODEL artifact, the k-means
+    * centroid pattern) carried into the scoring scan as a
+    * generated-code reference object: the per-doc weight is an in-row
+    * dot product ([[graft.plans.DotProductLitExpr]]), so scoring is one
+    * exchange-free scan→project pass. ln is `StrictMath.log` — the
+    * exact function Spark's `log` codegen calls, so the model values
+    * are bit-identical to the old in-plan formulation. */
   def dsirWeights(raw: DataFrame, target: DataFrame, docs: DataFrame,
-      buckets: Int = 64, alpha: Double = 0.5,
-      materializeModel: Boolean = true): DataFrame = {
+      buckets: Int = 64, alpha: Double = 0.5): DataFrame = {
     require(buckets > 0, "buckets must be positive")
     require(alpha > 0, "alpha must be positive (unsmoothed zeros break ln)")
-    def dist(df: DataFrame): DataFrame = df
-      .select(explode(hashedNgramFeatures(lower(col("text")))).as("g"))
-      .select(featBucket(col("g"), buckets).as("bucket"))
-      .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
-    val model0 = dist(raw).withColumnRenamed("cnt", "c_raw")
-      .join(dist(target).withColumnRenamed("cnt", "c_tgt"),
-        Seq("bucket"), "full_outer")
-      .na.fill(0L, Seq("c_raw", "c_tgt"))
-    val model = if (materializeModel) model0.localCheckpoint() else model0
-    val totals = model.agg(
-      sum(col("c_raw")).cast("double").as("n_raw"),
-      sum(col("c_tgt")).cast("double").as("n_tgt"))
-    val aB = lit(alpha) * buckets
-    // null-gram sentinel rows (explode_outer on an empty-feature doc) must
-    // not take the unseen-bucket branch — they contribute nothing
-    val lw = when(col("g").isNull, lit(null).cast("double")).otherwise(
-      log((coalesce(col("c_tgt"), lit(0L)) + alpha) / (col("n_tgt") + aB)) -
-      log((coalesce(col("c_raw"), lit(0L)) + alpha) / (col("n_raw") + aB)))
+    def dist(df: DataFrame): Array[Long] = {
+      val aggs = (0 until buckets).map(b => sum(col("x").getItem(b)).as(s"c$b"))
+      val row = df
+        .select(graft.plans.HashedBucketCountsExpr.hashedBucketCounts(
+          lower(col("text")), buckets, maxN = 2).as("x"))
+        .agg(aggs.head, aggs.tail: _*).head()
+      Array.tabulate(buckets)(b => if (row.isNullAt(b)) 0L else row.getLong(b))
+    }
+    val cRaw = dist(raw)
+    val cTgt = dist(target)
+    val nRaw = cRaw.sum.toDouble
+    val nTgt = cTgt.sum.toDouble
+    val aB = alpha * buckets
+    val lw = Array.tabulate(buckets) { b =>
+      StrictMath.log((cTgt(b) + alpha) / (nTgt + aB)) -
+        StrictMath.log((cRaw(b) + alpha) / (nRaw + aB))
+    }
     docs
       .select(col("doc_id"),
-        explode_outer(hashedNgramFeatures(lower(col("text")))).as("g"))
-      .withColumn("bucket", featBucket(col("g"), buckets))
-      .join(broadcast(model), Seq("bucket"), "left")
-      .crossJoin(broadcast(totals))
-      .groupBy(col("doc_id"))
-      .agg(count(col("g")).as("n_feats"),
-        coalesce(round(sum(lw), 4), lit(0.0)).as("log_weight"))
+        graft.plans.HashedBucketCountsExpr.hashedBucketCounts(
+          lower(col("text")), buckets, maxN = 2).as("x"))
+      .select(col("doc_id"),
+        graft.plans.ArraySumLongExpr.arraySumLong(col("x")).as("n_feats"),
+        round(graft.plans.DotProductLitExpr.dotProduct(col("x"), lw), 4)
+          .as("log_weight"))
   }
 
   /** DSIR gate: target distribution = the English slice, raw = the whole
@@ -1691,12 +1694,18 @@ object TextStats {
     * trained IN the engine with full-batch gradient descent expressed
     * as DataFrame aggregates. Features: hashed unigram counts
     * (`buckets` cells, the same 60-bit md5 identity as every other
-    * operator). Each iteration is two distributed passes over the
-    * materialized feature table — score (one shuffle on doc id, the
-    * plan-literal weight vector rides into the scan like the k-means
-    * centroid matrices) and gradient (one shuffle on bucket, collapsing
-    * map-side to ≤ buckets rows). The collected gradient is a bounded
-    * model artifact (≤ buckets+1 doubles/iteration), never corpus data.
+    * operator), computed IN-ROW by [[graft.plans.HashedBucketCountsExpr]]
+    * — a document's feature vector depends only on its own tokens, so
+    * featurization is one projection, never an explode + (doc, bucket)
+    * exchange (guide §2.4). Each iteration is then ONE distributed job
+    * over the materialized feature table: margins and residuals are
+    * in-row (the plan-literal weight vector rides into the scan via
+    * [[graft.plans.DotProductLitExpr]], like the k-means centroid
+    * matrices), and the whole gradient — `buckets` per-bucket sums plus
+    * the bias sum — is a single zero-key aggregate whose exchange
+    * carries one 65-double partial per partition. The collected gradient
+    * is a bounded model artifact (≤ buckets+1 doubles/iteration), never
+    * corpus data.
     *
     * Cross-engine determinism: the per-doc margin is rounded to 9
     * decimals before the sigmoid, per-doc probabilities to 6 before the
@@ -1708,67 +1717,59 @@ object TextStats {
       labelCol: String, idCol: String = "doc_id", buckets: Int = 64,
       iters: Int = 2, lr: Double = 0.1): (Array[Double], Double) = {
     require(iters >= 1 && buckets > 0 && lr > 0)
+    // featurization is ONE in-row projection (no explode, no exchange);
+    // localCheckpoint: the skinny (id, y, x[buckets]) table is scanned
+    // once per iteration
     val feats = labeled
       .select(col(idCol), col(labelCol).cast("double").as("y"),
-        explode_outer(graft.plans.NgramsExpr.ngrams(lower(col(textCol)), 1)).as("g"))
-      .withColumn("bucket",
-        when(col("g").isNotNull, featBucket(col("g"), buckets)))
-      .groupBy(col(idCol), col("y"), col("bucket"))
-      .agg(count(col("g")).cast("double").as("x"))
-      .localCheckpoint() // scanned twice per iteration
-    val nDocs = feats.select(col(idCol)).distinct().count().toDouble
+        graft.plans.HashedBucketCountsExpr.hashedBucketCounts(
+          lower(col(textCol)), buckets).as("x"))
+      .localCheckpoint()
+    val nDocs = feats.count().toDouble
     val w = Array.fill(buckets)(0.0)
     var bias = 0.0
-    for (it <- 1 to iters) {
-      val wLit = typedLit(w.toSeq)
-      val scored0 = feats
-        .withColumn("wx", when(col("bucket").isNotNull,
-          element_at(wLit, col("bucket").cast("int") + 1) * col("x"))
-          .otherwise(lit(0.0)))
-        .groupBy(col(idCol), col("y"))
-        .agg(round(sum(col("wx")), 9).as("z"))
+    for (_ <- 1 to iters) {
+      // one job per iteration: residuals in-row, then a single zero-key
+      // aggregate carrying every per-bucket gradient sum + the bias sum
+      // (r·0 terms contribute nothing, exactly the buckets absent from
+      // the old exploded feature rows)
+      val scored = feats
+        .withColumn("z", round(
+          graft.plans.DotProductLitExpr.dotProduct(col("x"), w), 9))
         .withColumn("p", round(
           lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(bias)))), 6))
         .withColumn("r", col("p") - col("y"))
-        // the bias gradient Σr rides the score job as an observed metric
-        // (the connectedComponents pattern) — no separate aggregate job
-        .observe(s"logreg_bias_$it", sum(col("r")).as("rsum"))
-      val scored = scored0.localCheckpoint() // feeds the weight gradient
-      val grad = feats.filter(col("bucket").isNotNull)
-        .join(scored.select(col(idCol), col("r")), Seq(idCol))
-        .groupBy(col("bucket"))
-        .agg(round(sum(col("r") * col("x")) / nDocs, 9).as("g"))
-        .collect()
-      val rsum = scored0.queryExecution
-        .observedMetrics(s"logreg_bias_$it").getDouble(0)
-      // same HALF_UP@9 the in-plan round applies — the rounding contract
-      // holds whether the mean gradient is computed in-plan or here
-      val g0 = BigDecimal(rsum / nDocs)
+      val aggs = (0 until buckets).map(b =>
+        sum(col("r") * col("x").getItem(b).cast("double")).as(s"g$b")) :+
+        sum(col("r")).as("rsum")
+      val row = scored.agg(aggs.head, aggs.tail: _*).head()
+      // same HALF_UP@9 the old in-plan round applied — the rounding
+      // contract holds whether the mean gradient is computed in-plan or
+      // here
+      def mean9(gradSum: Double): Double = BigDecimal(gradSum / nDocs)
         .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
-      grad.foreach { r0 =>
-        val b = r0.getLong(0).toInt
-        w(b) = w(b) - lr * r0.getDouble(1)
+      var b = 0
+      while (b < buckets) {
+        if (!row.isNullAt(b)) w(b) = w(b) - lr * mean9(row.getDouble(b))
+        b += 1
       }
-      bias = bias - lr * g0
+      bias = bias - lr * mean9(row.getDouble(buckets))
     }
     (w, bias)
   }
 
-  /** Score documents under a trained hashed-LR model — one scan, the
-    * weight vector a plan literal, collapse map-side per doc. */
+  /** Score documents under a trained hashed-LR model — one exchange-free
+    * scan→project pass: bucket counts in-row
+    * ([[graft.plans.HashedBucketCountsExpr]]), the weight vector a
+    * generated-code reference object ([[graft.plans.DotProductLitExpr]]),
+    * margin and sigmoid in the same projection. */
   def scoreHashedLogReg(docs: DataFrame, textCol: String,
       weights: Array[Double], bias: Double,
       idCol: String = "doc_id"): DataFrame = {
-    val buckets = weights.length
-    val wLit = typedLit(weights.toSeq)
     docs
-      .select(col(idCol),
-        explode_outer(graft.plans.NgramsExpr.ngrams(lower(col(textCol)), 1)).as("g"))
-      .withColumn("wx", when(col("g").isNotNull,
-        element_at(wLit, featBucket(col("g"), buckets).cast("int") + 1))
-        .otherwise(lit(0.0)))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("wx")), 9).as("z"))
+      .select(col(idCol), round(graft.plans.DotProductLitExpr.dotProduct(
+          graft.plans.HashedBucketCountsExpr.hashedBucketCounts(
+            lower(col(textCol)), weights.length), weights), 9).as("z"))
       .select(col(idCol),
         round(lit(1.0) / (lit(1.0) + exp(-(col("z") + lit(bias)))), 4).as("score"))
   }
@@ -1826,9 +1827,13 @@ object TextStats {
         when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("label"))
     val (w, b) = trainHashedLogReg(labeled, "text", "label",
       buckets = 64, iters = 2, lr = 0.1)
-    scoreHashedLogReg(labeled, "text", w, b)
-      .join(labeled.select(col("doc_id"), col("label")), Seq("doc_id"))
-      .select(col("doc_id"), col("label"), col("score"))
+    // scoring is in-row (the scoreHashedLogReg kernels verbatim), so the
+    // label rides the same projection — no join to re-attach it
+    val z = round(graft.plans.DotProductLitExpr.dotProduct(
+      graft.plans.HashedBucketCountsExpr.hashedBucketCounts(
+        lower(col("text")), w.length), w), 9)
+    labeled.select(col("doc_id"), col("label"),
+      round(lit(1.0) / (lit(1.0) + exp(-(z + lit(b)))), 4).as("score"))
   }
 
   /** Classifier gate: learn "is this document English?" from hashed

@@ -1185,3 +1185,163 @@ object Simhash60Expr {
     GraftSqlBridge.column(Simhash60Expr(GraftSqlBridge.expression(c)))
   }
 }
+
+/** Native hashed-unigram bucket counting — the featurization scan of the
+  * d35/d74/d75/d86 hashed-logreg family collapsed to one projection: a
+  * document's feature vector x[b] = Σ_{tok: h(tok)=b} 1 depends only on
+  * its OWN tokens, so the token explode, the partial hash aggregate and
+  * the (doc, bucket) exchange the composable formulation paid per
+  * TRAINING ITERATION all disappear (guide §2.4 — remove the shuffle
+  * outright; the TermCounts/postings lesson applied to the feature
+  * space).
+  *
+  * The bucket is the engine's cross-engine 60-bit identity of the token
+  * modulo `buckets`: first 15 hex digits of md5 as a long — bit-identical
+  * to `conv(substr(md5(tok),1,15),16,10) % buckets` and to DuckDB's
+  * `CAST('0x'||substr(md5(tok),1,15) AS BIGINT) % buckets` (the oracle's
+  * fx CTE). Grams are the 1..maxN space-joined token n-grams
+  * ([[NgramsExpr]] semantics per level: trim, split on whitespace, drop
+  * empties; maxN = 1 is plain unigrams, maxN = 2 the DSIR uni+bigram
+  * space); callers lowercase beforehand exactly as they did for the
+  * exploded form. Counts are exact longs; empty text yields the
+  * all-zero vector (the old explode_outer null-gram path). */
+case class HashedBucketCountsExpr(child: Expression, buckets: Int, maxN: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedBucketCountsExpr.countsOf(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      buckets, maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.plans.HashedBucketCountsExpr.countsOf($a, $buckets, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashedBucketCountsExpr {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** First 15 hex digits of md5(s) as a long (the CdcChunksExpr/Simhash60
+    * identity: 8 digest bytes are 16 hex digits; >>>4 keeps the leading
+    * 15, always non-negative). */
+  private def md560(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+
+  def countsOf(text: UTF8String, buckets: Int, maxN: Int): ArrayData = {
+    val toks = text.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val counts = new Array[Long](buckets)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 1
+    while (n <= maxN) {
+      var i = 0
+      while (i <= toks.length - n) {
+        val sb = new java.lang.StringBuilder(toks(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+        counts((md560(md, sb.toString) % buckets).toInt) += 1L
+        i += 1
+      }
+      n += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(counts)
+  }
+
+  def hashedBucketCounts(c: Column, buckets: Int, maxN: Int = 1): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      HashedBucketCountsExpr(GraftSqlBridge.expression(c), buckets, maxN))
+  }
+}
+
+/** Elementwise sum of a long array — Σ_b x[b] as one exact long, the
+  * in-row twin of `count(exploded grams)` over a
+  * [[HashedBucketCountsExpr]] vector. */
+case class ArraySumLongExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    ArraySumLongExpr.sumOf(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.ArraySumLongExpr.sumOf($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ArraySumLongExpr {
+
+  def sumOf(counts: ArrayData): Long = {
+    var acc = 0L
+    var b = 0
+    val n = counts.numElements()
+    while (b < n) { acc += counts.getLong(b); b += 1 }
+    acc
+  }
+
+  def arraySumLong(c: Column): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(ArraySumLongExpr(GraftSqlBridge.expression(c)))
+  }
+}
+
+/** Native dot product of a long-count array against a driver-side double
+  * weight MODEL (the trained logreg weights — data-independent within a
+  * scoring pass, carried into generated code as a reference object, the
+  * [[MatrixProjectExpr]] pattern). Terms accumulate in ascending bucket
+  * order, zero counts contribute nothing (exactly the buckets absent
+  * from the old exploded feature rows), one IEEE double accumulation —
+  * the caller's round@9 absorbs summation-order ulps precisely as it did
+  * for the aggregate formulation this replaces. */
+case class DotProductLitExpr(child: Expression, weights: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any =
+    DotProductLitExpr.dot(input.asInstanceOf[ArrayData], weights)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val w = ctx.addReferenceObj("logregWeights", weights, "double[]")
+    defineCodeGen(ctx, ev, a => s"graft.plans.DotProductLitExpr.dot($a, $w)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DotProductLitExpr {
+
+  def dot(counts: ArrayData, w: Array[Double]): Double = {
+    val n = math.min(counts.numElements(), w.length)
+    var acc = 0.0
+    var b = 0
+    while (b < n) {
+      val c = counts.getLong(b)
+      if (c != 0L) acc += w(b) * c.toDouble
+      b += 1
+    }
+    acc
+  }
+
+  def dotProduct(c: Column, weights: Array[Double]): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    GraftSqlBridge.column(
+      DotProductLitExpr(GraftSqlBridge.expression(c), weights))
+  }
+}

@@ -437,25 +437,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("user_id"), p.take(400))
   }
 
-  test("d34: DSIR model broadcasts into the scoring scan — corpus text never sort-merges") {
+  test("d34: DSIR scoring is an exchange-free projection under a driver-side model") {
     val df = run("d34_dsir_weights")
     df.collect()
     val executed = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(executed.contains("BroadcastHashJoin"), executed.take(800))
-    assert(!executed.contains("SortMergeJoin"), executed.take(800))
-    assert(!executed.contains("CartesianProduct"))
+    // the B-cell model rides into generated code as a reference object
+    // (DotProductLitExpr): the scoring pass has no join, no exchange, no
+    // aggregate — bucket counts and the weight dot product are in-row
+    assert(!executed.contains("Join"), executed.take(800))
+    assert(!executed.contains("Exchange"), executed.take(800))
+    assert(!executed.contains("Aggregate"), executed.take(800))
   }
 
-  test("d35: classifier scoring is one scan with plan-literal weights — no join") {
+  test("d35: classifier scoring is an exchange-free projection with plan-literal weights") {
     val w = Array.tabulate(64)(i => i * 0.01)
     val df = graft.ext.TextStats.scoreHashedLogReg(
       Tables(spark, sfDir, "documents").select(org.apache.spark.sql.functions.col("doc_id"),
         org.apache.spark.sql.functions.col("text")),
       "text", w, 0.1)
     val p = physical(df)
+    // bucket counts + dot product are in-row kernels: no join, no
+    // exchange, no aggregate anywhere in the scoring pass
     assert(!p.contains("Join"), p.take(800))
-    assert(p.contains("partial_sum"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Aggregate"), p.take(800))
   }
 
   test("d36: the heavy-hitters sketch partial-aggregates before the shuffle") {
