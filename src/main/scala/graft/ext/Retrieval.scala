@@ -445,10 +445,22 @@ object Retrieval {
     (s, dir) => {
       val base = graft.SessionArtifacts.dir(s, "graft-s21")
       val (corpus, queries) = hybridInputs(s, dir)
-      bm25TopK(corpus, queries, k = 5)
-        .write.mode("overwrite").parquet(s"$base/bm25")
-      ngramOverlapTopK(corpus, queries, n = 3, k = 5)
-        .write.mode("overwrite").parquet(s"$base/ngram")
+      // the two leg writes are INDEPENDENT index jobs (that independence
+      // is the posture this gate exists for) — submit them as concurrent
+      // Spark jobs instead of serializing them through the driver: each
+      // leg has serial stages (postings barrier, per-query top-k) that
+      // leave executors idle, and the other leg's stages fill them
+      // (guide §5 — the driver must never serialize work the scheduler
+      // could overlap). Values are unchanged: the legs touch disjoint
+      // output dirs and fuse only after both commit.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(bm25TopK(corpus, queries, k = 5)
+          .write.mode("overwrite").parquet(s"$base/bm25")),
+        Future(ngramOverlapTopK(corpus, queries, n = 3, k = 5)
+          .write.mode("overwrite").parquet(s"$base/ngram")))),
+        scala.concurrent.duration.Duration.Inf)
       rrfFuse(Seq(
         s.read.parquet(s"$base/bm25"),
         s.read.parquet(s"$base/ngram")), kRrf = 60, topK = 5)

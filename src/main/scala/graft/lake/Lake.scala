@@ -272,7 +272,21 @@ object Lake {
   def zorderWrite(df: DataFrame, path: String, c1: String, c2: String,
       numFiles: Int, bits: Int = 16): Unit = {
     require(numFiles >= 1, "numFiles must be positive")
+    // lazy shared-RDD cut: repartitionByRange plans a range-boundary
+    // SAMPLING pass over its child, so without the cut the scan + bounds
+    // join + z computation run THREE times (sampling, exchange, and the
+    // bounds job) — the cut computes the skinny (cols, __z) table once
+    // and both the sampler and the write exchange read its blocks
+    // (guide §2.1: remove recomputation before tuning it). The cache is
+    // proportional to the table being rewritten — the same order of
+    // storage the rewrite itself is about to produce, so the trade holds
+    // at any scale (2 saved corpus passes for 1 cached projection).
+    // Range boundaries may land differently than an uncached sample run
+    // (sampling seeds derive from RDD ids) — file SPLIT POINTS are
+    // sampling-dependent either way; row contents and the clustering
+    // property are not.
     zorderBy(df, c1, c2, bits)
+      .localCheckpoint(false)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
