@@ -31,19 +31,25 @@ object Retrieval {
     * frequency. Lowercased whitespace tokens (the [[TextStats.tokens]]
     * tokenizer) — the same vocabulary as the rest of the d-family.
     *
-    * Zero-shuffle build (guide §2.4): a document's tokens all live in
-    * ONE row, so its term frequencies never need an Exchange to meet —
-    * the codegen'd [[graft.plans.TermCountsExpr]] counts terms in-row
-    * and `explode` emits the exact (doc_id, term, tf) rows the previous
-    * `explode(tokens) → groupBy(doc_id, term).count()` formulation
-    * produced, minus the token-level explode, the partial hash
-    * aggregate and the shuffle (measured: the old exchange carried one
-    * row per distinct (doc, term) after map-side combine; now nothing
-    * is exchanged at all). One corpus scan, pure scan→project. */
+    * Deliberately explode → partial agg → (doc, term) exchange, NOT the
+    * in-row TermCounts map kernel: the kernel variant (count terms into
+    * a per-doc map, explode the map) was tried in round 15 and REVERSES
+    * with scale — 0.65× at sf0.1 but 1.25× at sf1 (back-to-back
+    * control-normalized A/Bs) — because it materializes a boxed
+    * per-document map and still explodes to the same row count, while
+    * this shape's heavy lifting runs in Spark's off-heap hash aggregate
+    * and its exchange carries only post-combine (doc, term) rows. The
+    * in-row kernels that DO win at every scale (d40/d44/d08/d35) all
+    * collapse the row to a fixed-size output; a kernel that rebuilds a
+    * per-token structure and re-explodes it only saves local-mode
+    * shuffle constants (guide §2's warning about optimizing for the
+    * local core count). */
   def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-      explode(graft.plans.TermCountsExpr.termCounts(lower(col("text"))))
-        .as(Seq("term", "tf")))
+    docs
+      .select(col("doc_id"),
+        explode(TextStats.tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
 
   /** BM25 top-k retrieval: for each query, the k highest-scoring
     * documents under the Lucene BM25 formulation
