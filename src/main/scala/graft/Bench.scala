@@ -196,7 +196,17 @@ object Bench {
     def emit(results: Seq[(String, Double)], passesDone: Int,
         partial: Boolean, writeLocal: Boolean = true): String = {
       val total = results.map(_._2).filter(_ >= 0).sum
+      // contract auditability (round-15 verdict): the artifact itself
+      // records the core count it ran with — the env value the harness
+      // honors (master local[$cpus] + shuffle.partitions) AND the
+      // context's resolved defaultParallelism — so a scaling probe can
+      // check the contract from the compact line alone. Early in the
+      // line, before the per-query map, so even a tail-truncated capture
+      // keeps them.
       val load = s"""{"start":${fmt("%.2f", loadStart)},"end":${fmt("%.2f", loadAvg)},"host_cpus":${Runtime.getRuntime.availableProcessors}}"""
+      val cpusJson = // numeric env values emit as numbers; anything else quoted (valid JSON either way)
+        try cpus.trim.toInt.toString catch { case _: NumberFormatException => "\"" + cpus + "\"" }
+      val cpusInfo = s""""cpus":$cpusJson,"parallelism":${spark.sparkContext.defaultParallelism},"""
       val warm = if (warmupIsSample) "" else s""""warmup_sf":"$warmDir","""
       // vs_floor: per-query ratio against the committed noise floor —
       // median + the >1.5× offenders (capped), so the compact line
@@ -214,7 +224,7 @@ object Bench {
         s""""vs_floor":{"median":${fmt("%.2f", med)},"n":${ratios.size},"n_gt_1p5":${gt.size},"worst":$worst},"""
       }
       def lineOf(qs: String, extra: String): String =
-        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,"passes_done":$passesDone,"partial":$partial,$warm$vsFloor$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
+        s"""{"metric":"total","value":${s3(total)},"unit":"sec","load":$load,$cpusInfo"passes_done":$passesDone,"partial":$partial,$warm$vsFloor$extra"queries":$qs,"sf":"$sfDir","total_sec":${s3(total)}}"""
       // cap the failure list: a budget-cut run can leave 100+ queries
       // unmeasured, and an unbounded -1 list would blow the ~4 KB tail
       // the compact line is sized for — failures_total carries the count
