@@ -398,7 +398,7 @@ class SimilaritySpec extends SparkSpec {
       !plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
-  test("knnClassify: planted clusters recover their labels unanimously; the seed set broadcasts") {
+  test("knnClassify: planted clusters recover their labels unanimously; kernel shape has no join and no exchange") {
     val all = plantedClusters(4, 12)                    // 48 vectors, labels 0-3
     val labeled = all.filter(col("vec_id") < 32)        // 8 seeds per cluster
     val unlabeled = all.filter(col("vec_id") >= 32).drop("label")
@@ -411,10 +411,91 @@ class SimilaritySpec extends SparkSpec {
       assert(pred === (id % 4).toInt, s"vec $id")
       assert(votes === 5L, s"vec $id")
     }
-    // the seed side broadcasts; nothing sort-merges or goes cartesian
+    // kernel shape: the seed set rides as a reference object inside one
+    // codegen'd projection — no join of any kind, no exchange, the
+    // score matrix never exists as rows
     val p = out.queryExecution.executedPlan.toString
-    assert(p.contains("Broadcast"), p.take(800))
-    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
+  test("knnClassify: kernel ≡ exchange shape bit-exactly on the gate corpus split") {
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val bucket = (conv(substring(md5(concat(lit("lbl:"),
+      col("vec_id").cast("string"))), 1, 15), 16, 10).cast("long") % 100)
+    val withB = e.withColumn("bucket", bucket)
+    val labeled = withB.filter(col("bucket") < 80).drop("bucket")
+    val unlabeled = withB.filter(col("bucket") >= 80).drop("bucket", "label")
+    def key(r: Row) = (r.getLong(0), r.getInt(1), r.getLong(2))
+    val kernel = Similarity.knnClassify(labeled, unlabeled, 5)
+      .collect().map(key).toSet
+    val exchange = Similarity.knnClassifyExchange(labeled, unlabeled, 5)
+      .collect().map(key).toSet
+    assert(kernel === exchange, "kernel and exchange shapes must agree exactly")
+  }
+
+  test("marginMine: kernel ≡ exchange shape bit-exactly on the gate split; zero exchanges in the mining plan") {
+    val e = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+    val src = e.filter(col("vec_id") % 2 === 0)
+    val tgt = e.filter(col("vec_id") % 2 === 1)
+    def key(r: Row) = (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    val kernel = Similarity.marginMine(src, tgt, k = 4, tau = 1.0)
+    val got = kernel.collect().map(key).toSet
+    val exchange = Similarity.marginMineExchange(src, tgt, k = 4, tau = 1.0)
+      .collect().map(key).toSet
+    assert(got === exchange,
+      "kernel margins/cosines must be bit-identical to the window shape")
+    // the pass-B plan is one projection over the src scan: no join, no
+    // exchange, no N²-row checkpoint scan
+    val p = kernel.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), p.take(800))
+    assert(!p.contains("Exchange"), p.take(800))
+  }
+
+  test("Round6: exact twin of Spark's round(_, 6) incl. .5-micro boundaries; micros inverts it") {
+    import graft.plans.Round6
+    def oracle(x: Double): Double =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val rnd = new scala.util.Random(42)
+    (0 until 300000).foreach { _ =>
+      val x = rnd.nextDouble() * 2 - 1
+      assert(java.lang.Double.compare(Round6.round6(x), oracle(x)) === 0, s"x=$x")
+    }
+    // exact micro grid points, .5-micro boundaries (the s17 incident
+    // class) and their ulp neighbors, both signs
+    (0 until 20000).foreach { _ =>
+      val m = rnd.nextInt(2000001) - 1000000
+      Seq(m / 1e6, (m + 0.5) / 1e6, -((m + 0.5) / 1e6)).foreach { b =>
+        Seq(b, Math.nextUp(b), Math.nextDown(b)).foreach { x =>
+          assert(java.lang.Double.compare(Round6.round6(x), oracle(x)) === 0,
+            s"x=$x (m=$m)")
+        }
+      }
+    }
+    assert(Round6.round6(Double.NaN).isNaN)
+    assert(Round6.round6(Double.PositiveInfinity) === Double.PositiveInfinity)
+    // micros: on round6 outputs it recovers the exact integer micro the
+    // engine's round(r*1e6) cast would
+    (0 until 50000).foreach { _ =>
+      val r = Round6.round6(rnd.nextDouble() * 2 - 1)
+      val viaBd = java.math.BigDecimal.valueOf(r * 1e6)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
+      assert(Round6.micros(r) === viaBd, s"r=$r")
+    }
+    // and through a real Spark round() expression on a sample
+    val xs = (0 until 3000).map(i => (i.toLong, rnd.nextDouble() * 2 - 1))
+    val df = LocalTable.of(spark, StructType(Seq(
+      StructField("i", LongType), StructField("x", DoubleType))),
+      xs.map { case (i, x) => Row(i, x) })
+    val viaSpark = df.select(col("i"), round(col("x"), 6).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    xs.foreach { case (i, x) =>
+      assert(java.lang.Double.compare(Round6.round6(x), viaSpark(i)) === 0,
+        s"x=$x")
+    }
   }
 
   test("knnClassifyIvf: agrees with the brute-force classifier on planted clusters; candidates are list-scoped") {
