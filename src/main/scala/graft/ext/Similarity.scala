@@ -923,7 +923,13 @@ object Similarity {
           rows.map(_.getLong(0)),
           rows.map(_.getSeq[Float](1).toArray),
           rows.map(_.getInt(2)))
-        return unlabeled.select(col("vec_id"),
+        // spread the kernel scan (guide §2.5 input skew): the query side
+        // is tiny in BYTES (one parquet split) but each row carries
+        // O(|seed|) compute, so a byte-sized scan serializes the whole
+        // kNN on one task. One round-robin exchange of N skinny rows
+        // buys full parallelism; the width adapts to the cluster.
+        val par = unlabeled.sparkSession.sparkContext.defaultParallelism
+        return unlabeled.repartition(par).select(col("vec_id"),
             graft.plans.KnnVoteExpr.knnVote(col("embedding"), seeds, k).as("__v"))
           .select(col("vec_id"),
             col("__v").getField("pred_label").as("pred_label"),
@@ -1409,8 +1415,14 @@ object Similarity {
           org.apache.spark.sql.types.StructField("embedding",
             org.apache.spark.sql.types.ArrayType(
               org.apache.spark.sql.types.FloatType))))
+        // both kernel scans are tiny in BYTES but O(side) in per-row
+        // compute — spread them round-robin so one parquet split (or one
+        // local-relation slice) cannot serialize the N² FLOPs on a
+        // single task (guide §2.5); the width adapts to the cluster
+        val par = src.sparkSession.sparkContext.defaultParallelism
         val tgtKnn = graft.LocalTable.of(src.sparkSession, tgtSchema,
             tgtRows.toIndexedSeq)
+          .repartition(par)
           .select(col("vec_id"), graft.plans.KnnAvgMicrosExpr.knnAvgMicros(
             col("embedding"), srcEmbs, k, rowIsLeft = false).as("tgt_knn"))
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -1418,7 +1430,7 @@ object Similarity {
           tgtRows.map(_.getLong(0)), tgtEmbs,
           tgtRows.map(r => tgtKnn(r.getLong(0))))
         // pass B — the distributed scan of the src side
-        return src.select(col("vec_id").as("src_id"),
+        return src.repartition(par).select(col("vec_id").as("src_id"),
             graft.plans.MarginBestExpr.marginBest(
               col("embedding"), targets, k, tau).as("__b"))
           .filter(col("__b").isNotNull)

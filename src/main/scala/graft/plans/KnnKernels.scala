@@ -274,6 +274,15 @@ case class MarginBestExpr(child: Expression, targets: MarginTargetsRef,
 
   override def nullable: Boolean = true
 
+  // Deliberately declared non-deterministic although the kernel is a pure
+  // function (guide §4.4): the caller filters on isnotnull(this), and a
+  // deterministic expensive expression gets INLINED into that filter and
+  // PUSHED below the round-robin spread exchange — measured: the whole
+  // N² scoring ran twice, once serially on the single input split
+  // (13.4 s of a 14.2 s sf1 query) and again in the projection. The
+  // flag pins one evaluation, above the spread.
+  override lazy val deterministic: Boolean = false
+
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("targets", targets, "graft.plans.MarginTargetsRef")
     // NOT defineCodeGen: the kernel legitimately returns null (no target

@@ -412,11 +412,14 @@ class SimilaritySpec extends SparkSpec {
       assert(votes === 5L, s"vec $id")
     }
     // kernel shape: the seed set rides as a reference object inside one
-    // codegen'd projection — no join of any kind, no exchange, the
-    // score matrix never exists as rows
+    // codegen'd projection — no join of any kind, the score matrix never
+    // exists as rows; the only exchange is the round-robin input spread
+    // (N skinny rows, never the N×M matrix)
     val p = out.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p.take(800))
-    assert(!p.contains("Exchange"), p.take(800))
+    assert(p.contains("roundrobin") || p.contains("RoundRobin"), p.take(800))
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      p.take(800))
   }
 
   test("knnClassify: kernel ≡ exchange shape bit-exactly on the gate corpus split") {
@@ -447,10 +450,14 @@ class SimilaritySpec extends SparkSpec {
     assert(got === exchange,
       "kernel margins/cosines must be bit-identical to the window shape")
     // the pass-B plan is one projection over the src scan: no join, no
-    // exchange, no N²-row checkpoint scan
+    // window, no N²-row checkpoint scan; the only exchange is the
+    // round-robin input spread (N skinny src rows)
     val p = kernel.queryExecution.executedPlan.toString
     assert(!p.contains("Join"), p.take(800))
-    assert(!p.contains("Exchange"), p.take(800))
+    assert(!p.contains("Window"), p.take(800))
+    assert(p.contains("roundrobin") || p.contains("RoundRobin"), p.take(800))
+    assert(!p.contains("hashpartitioning") && !p.contains("rangepartitioning"),
+      p.take(800))
   }
 
   test("Round6: exact twin of Spark's round(_, 6) incl. .5-micro boundaries; micros inverts it") {
