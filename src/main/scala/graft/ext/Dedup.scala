@@ -1397,6 +1397,41 @@ object Dedup {
       mergeIslands(marked, windowTokens))
   }
 
+  /** Batch ADMISSION for the boilerplate lifecycle: scrub the batch
+    * against archive ∪ batch membership counts AND produce the appended
+    * index, computing the batch's window rows and membership counts
+    * ONCE — the (scrub, append) pair of public calls tokenized, hashed
+    * and distinct-aggregated the batch twice each (the d71 admission
+    * always needs both outputs). Returns (scrubbed batch, new index).
+    * Algebra is [[incrementalBoilerplateScrub]] +
+    * [[appendToBoilerplateIndex]] verbatim: the batch membership count
+    * table IS both the probe's batch-side count and the appended
+    * delta — one aggregate, two consumers, materialized once
+    * (lazy shared-RDD cut, the d07/AQE lesson). */
+  def admitBoilerplateBatch(newDocs: DataFrame, index: DataFrame,
+      windowTokens: Int, minDocs: Long): (DataFrame, DataFrame) = {
+    require(windowTokens >= 1, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs below 2 would mark every window")
+    val wins = spanWindows(newDocs, windowTokens, keep = Seq("source"))
+      .localCheckpoint(false)
+    val batchCounts = wins
+      .select(col("source"), col("fp"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("fp")).agg(count(lit(1)).as("bdd"))
+      .localCheckpoint(false)
+    val hot = batchCounts
+      .join(index, Seq("source", "fp"), "left")
+      .filter(col("bdd") + coalesce(col("dd"), lit(0L)) >= minDocs)
+      .select(col("source"), col("fp"))
+    val marked = wins.join(hot, Seq("source", "fp"))
+      .select(col("doc_id"), col("start"))
+    val scrubbed = scrubWithSpans(newDocs.select(col("doc_id"), col("text")),
+      mergeIslands(marked, windowTokens))
+    val newIndex = index
+      .unionByName(batchCounts.withColumnRenamed("bdd", "dd"))
+      .groupBy(col("source"), col("fp")).agg(sum(col("dd")).as("dd"))
+    (scrubbed, newIndex)
+  }
+
   /** Boilerplate-scrub gate: 3-token windows appearing in ≥2 distinct
     * docs of the same source are scrubbed everywhere; docs with no
     * boilerplate pass through byte-identical. The oracle rebuilds the
@@ -1802,10 +1837,12 @@ object Dedup {
         .drop("bucket")
       val batch2 = withBucket.filter(col("bucket") >= 95).drop("bucket")
       val idx0 = boilerplateIndex(archive, windowTokens = 3).localCheckpoint()
-      val scrub1 = incrementalBoilerplateScrub(batch1, idx0,
+      // admission computes batch1's window rows + membership counts ONCE
+      // for both its scrub and the index append (the old scrub+append
+      // pair re-tokenized and re-aggregated the batch per consumer)
+      val (scrub1, idx1Raw) = admitBoilerplateBatch(batch1, idx0,
         windowTokens = 3, minDocs = 2)
-      val idx1 = appendToBoilerplateIndex(idx0, batch1, windowTokens = 3)
-        .localCheckpoint()
+      val idx1 = idx1Raw.localCheckpoint()
       val scrub2 = incrementalBoilerplateScrub(batch2, idx1,
         windowTokens = 3, minDocs = 2)
       scrub1.withColumn("batch", lit(1))

@@ -607,6 +607,40 @@ class DedupSpec extends SparkSpec {
       archive.unionByName(removed), windowTokens = 3).isEmpty)
   }
 
+  test("admitBoilerplateBatch: fused scrub+append equals the public pair; batch windows computed once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("text", StringType)))
+    def docs(rs: (Long, String, String)*) = LocalTable.of(spark, schema,
+      rs.map { case (i, s, t) => Row(i, s, t) })
+    val archive = docs((1L, "srcA", "h1 h2 h3 body one"),
+      (2L, "srcA", "h1 h2 h3 body two"),
+      (3L, "srcB", "n1 n2 n3 other"))
+    // batch: one doc sharing srcA's boilerplate, one srcB doc pushing a
+    // batch-internal window over the threshold with the archive's count,
+    // one clean doc
+    val batch = docs((10L, "srcA", "h1 h2 h3 fresh"),
+      (11L, "srcB", "n1 n2 n3 more"),
+      (12L, "srcC", "clean text entirely new"))
+    val idx = Dedup.boilerplateIndex(archive, 3)
+    val (scrubbed, newIdx) = Dedup.admitBoilerplateBatch(batch, idx,
+      windowTokens = 3, minDocs = 2)
+    val scrubbedPair = Dedup.incrementalBoilerplateScrub(batch, idx,
+      windowTokens = 3, minDocs = 2)
+    val appendedPair = Dedup.appendToBoilerplateIndex(idx, batch, windowTokens = 3)
+    def texts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    def counts(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(texts(scrubbed) === texts(scrubbedPair))
+    assert(counts(newIdx) === counts(appendedPair))
+    // the shared windows really scrub: the srcA batch doc lost its header
+    val byId = texts(scrubbed).toMap
+    assert(byId(10L) === "fresh")
+    assert(byId(12L) === "clean text entirely new")
+  }
+
   test("incrementalCuration: stage attribution, sequential semantics, index-only archive access") {
     val archive = strDf(
       (1L, "h1 h2 h3 h4 filler words here"),   // span source
