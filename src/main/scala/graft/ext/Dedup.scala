@@ -764,9 +764,27 @@ object Dedup {
     val edges = cut(pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct())
-    var labels = cut(edges.select(col("src").as("doc_id"))
+    val init = cut(edges.select(col("src").as("doc_id"))
       .distinct()
       .withColumn("component", col("doc_id")))
+    propagateMinLabels(edges, init, maxIter, checkpointDir)
+    }
+  }
+
+  /** The shared min-label propagation loop: from an ALREADY-CUT
+    * symmetric edge list and an already-cut initial labeling whose node
+    * set covers every edge endpoint, iterate neighborhood-min rounds to
+    * the fixpoint. The fixpoint is min over each component of the
+    * INITIAL label values, so callers seeding anything other than
+    * self-labels must guarantee every initial label is the id of a node
+    * in the same component (self-labels trivially are;
+    * [[updateComponents]] seeds old component representatives, which
+    * the member stars keep connected). Convergence detection and
+    * lineage-cut posture are [[connectedComponents]]'s, verbatim. */
+  private def propagateMinLabels(edges: DataFrame, init: DataFrame,
+      maxIter: Int, checkpointDir: Option[String]): DataFrame = {
+    def cut(df: DataFrame): DataFrame = cutLineage(df, checkpointDir)
+    var labels = init
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
@@ -807,7 +825,6 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"connectedComponents did not converge in $maxIter rounds — raise maxIter")
     labels
-    }
   }
 
   /** Keep-one-per-component dedup — the materialized consumer of the
@@ -849,6 +866,16 @@ object Dedup {
     * exactly like [[connectedComponents]]. */
   def updateComponents(labels: DataFrame, newPairs: DataFrame,
       maxIter: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    // NOT fused with a seeded propagation (round-16, measured): seeding
+    // the sub-propagation from the old labels (members start at their
+    // old component, new docs at self — same fixpoint, one node-set
+    // distinct and ~one star-rewinning round saved) was implemented and
+    // A/B'd, and LOST at both scales: updateComponents warm 1.14 →
+    // 1.6-1.9 s at sf0.1, d19 +17% control-normalized at sf1. The
+    // seeded init needs its own barrier jobs (members materialized for
+    // the extra consumers, the init union/anti-join cut) and those cost
+    // more than the one propagation round they save — stars are depth-1
+    // by construction, so self-init re-wins them in a single round.
     val touched = newPairs.select(col("doc_a").as("doc_id"))
       .union(newPairs.select(col("doc_b").as("doc_id")))
       .distinct()
