@@ -151,8 +151,18 @@ object IvfIndex {
     * disjoint-batches contract the d71/d77 lifecycles rely on. Appended
     * files land INSIDE the existing `centroid_id=...` directories, so
     * probes stay partition-pruned over the grown index. */
-  def append(vectors: DataFrame, vecCol: String, path: String): Unit = {
-    val cs = loadCentroids(vectors.sparkSession, path)
+  def append(vectors: DataFrame, vecCol: String, path: String): Unit =
+    append(vectors, vecCol, path,
+      loadCentroids(vectors.sparkSession, path))
+
+  /** [[append]] with the stored quantizer ALREADY loaded — lifecycle
+    * callers that probe and append several times against one committed
+    * model (s22) load it from disk once and thread it through, instead
+    * of a centroids read+collect job per operation. The caller owns the
+    * coherence argument (the model must be the one committed at `path`;
+    * within one single-writer lifecycle execution it is by construction). */
+  def append(vectors: DataFrame, vecCol: String, path: String,
+      cs: Array[Array[Float]]): Unit = {
     require(cs.nonEmpty,
       s"append: empty quantizer at $path — the index was built on an " +
         "empty corpus; rebuild it before appending")
@@ -177,6 +187,14 @@ object IvfIndex {
       k: Int, nProbe: Int, excludeVecId: Option[Long] = None): DataFrame =
     probeLists(spark.read.parquet(path), loadCentroids(spark, path),
       queryVec, k, nProbe, excludeVecId)
+
+  /** [[probe]] with the stored quantizer already loaded (see the
+    * preloaded [[append]] overload for the contract) — the lists dir is
+    * still re-read fresh, so appended files are seen. */
+  def probe(spark: SparkSession, path: String, queryVec: Array[Float],
+      k: Int, nProbe: Int, excludeVecId: Option[Long],
+      cs: Array[Array[Float]]): DataFrame =
+    probeLists(spark.read.parquet(path), cs, queryVec, k, nProbe, excludeVecId)
 
   /** [[probe]] against an ALREADY-ASSEMBLED lists relation — the grown
     * multi-root layout of [[graft.streaming.AnnIndexStreaming]] probes

@@ -494,19 +494,24 @@ object Similarity {
       // exists for is unchanged
       IvfIndex.build(archive, "embedding",
         k = sqrtGridCentroids(archive.count()), iters = 3, path = lists)
+      // the frozen quantizer is read back from the COMMITTED artifact
+      // once (still proving the stored model round-trips) and threaded
+      // through every probe and append — five loadCentroids jobs were
+      // re-reading the same immutable file per lifecycle stage
+      val cs = IvfIndex.loadCentroids(s, lists)
       val qv = e.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
       // each probe materializes BEFORE the next append mutates the layout
       def probe(stage: Int): DataFrame =
         IvfIndex.probe(s, lists, qv, k = 10, nProbe = 4,
-            excludeVecId = Some(0L))
+            excludeVecId = Some(0L), cs = cs)
           .withColumn("stage", lit(stage))
           .select(col("stage"), col("vec_id"), col("label"), col("cos_sim"))
           .localCheckpoint()
       val p1 = probe(1)
-      IvfIndex.append(batch1, "embedding", lists)
+      IvfIndex.append(batch1, "embedding", lists, cs)
       val p2 = probe(2)
-      IvfIndex.append(batch2, "embedding", lists)
+      IvfIndex.append(batch2, "embedding", lists, cs)
       val p3 = probe(3)
       p1.unionByName(p2).unionByName(p3)
     })
