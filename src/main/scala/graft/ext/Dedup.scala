@@ -84,15 +84,11 @@ object Dedup {
   val DefaultBucketCap = 1000
 
   /** 60-bit SimHash signatures: bit b is the sign of the sum of (±1)
-    * contributions of every token's hash bit b.
-    *
-    * Deliberately a DataFrame-level pipeline (explode → hash once per
-    * token → 60 conditional sums in one hash aggregate → recombine bits)
-    * rather than a single nested higher-order Column: nested
-    * `transform(aggregate(...))` expressions re-inline the inner
-    * aggregate per outer element (60× recompute of the full token scan,
-    * interpreted) — the explode/agg shape hashes each token exactly once
-    * and stays inside whole-stage codegen. Returns (idCol, "sig"). */
+    * contributions of every token's hash bit b — computed in-row by the
+    * codegen'd [[graft.plans.Simhash60Expr]] kernel (one md5 per token,
+    * 60 running votes in one pass; same 60-bit identity DuckDB rebuilds
+    * as CAST('0x' || substr(md5(tok),1,15) AS BIGINT)). Empty-token
+    * docs emit 0. Returns (idCol, "sig"). */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     // ONE exchange-free projection (guide §2.4, the d40/d44 kernel
     // lesson): a signature depends only on the document's own tokens and

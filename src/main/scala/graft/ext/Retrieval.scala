@@ -461,12 +461,15 @@ object Retrieval {
       // output dirs and fuse only after both commit.
       import scala.concurrent.{Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
+      // bounded await (round-15 advice): a wedged leg write must fail
+      // the gate loudly instead of blocking it forever; generous enough
+      // that no honest run at any gate scale approaches it
       Await.result(Future.sequence(Seq(
         Future(bm25TopK(corpus, queries, k = 5)
           .write.mode("overwrite").parquet(s"$base/bm25")),
         Future(ngramOverlapTopK(corpus, queries, n = 3, k = 5)
           .write.mode("overwrite").parquet(s"$base/ngram")))),
-        scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.duration.Duration(30, "min"))
       rrfFuse(Seq(
         s.read.parquet(s"$base/bm25"),
         s.read.parquet(s"$base/ngram")), kRrf = 60, topK = 5)

@@ -405,11 +405,15 @@ object Similarity {
         .createTempDirectory("graft-ivf-").toString + "/lists"
       ivfTempDirs.add(path)
       val e = emb(s, dir)
-      IvfIndex.build(e, "embedding", k = sqrtGridCentroids(e.count()),
-        iters = 3, path = path)
+      // build returns the fitted model — probe with it directly (one
+      // fewer centroids read+collect; the stored-model parquet
+      // round-trip is proven by s22's lifecycle, which reloads it)
+      val cs = IvfIndex.build(e, "embedding",
+        k = sqrtGridCentroids(e.count()), iters = 3, path = path)
       val qv = emb(s, dir).filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).toArray
-      IvfIndex.probe(s, path, qv, k = 10, nProbe = 4, excludeVecId = Some(0L))
+      IvfIndex.probe(s, path, qv, k = 10, nProbe = 4,
+        excludeVecId = Some(0L), cs = cs)
     })
 
   /** IVF-index lifecycle gate — the d71/d77 index-append algebra applied

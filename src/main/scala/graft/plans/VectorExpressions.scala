@@ -1341,7 +1341,12 @@ object DotProductLitExpr {
 
   def dotProduct(c: Column, weights: Array[Double]): Column = {
     import org.apache.spark.sql.GraftSqlBridge
+    // defensive snapshot (round-15 advice): the expression embeds the
+    // array as a reference object, so a caller mutating its weights
+    // array after building a lazy plan would silently re-score with the
+    // NEW values (the old typedLit shape snapshotted); clone pins the
+    // values at construction
     GraftSqlBridge.column(
-      DotProductLitExpr(GraftSqlBridge.expression(c), weights))
+      DotProductLitExpr(GraftSqlBridge.expression(c), weights.clone()))
   }
 }
