@@ -1127,6 +1127,14 @@ object SpanCorruptionExpr {
   * collapses to a zero-exchange projection: one md5 per token, sixty
   * counters, inside whole-stage codegen. Empty-token documents emit
   * signature 0 exactly as the old spine-join backfill did.
+  *
+  * Tokenizer edge (round-15 advice): Java `trim` + filter(nonEmpty)
+  * drops the leading EMPTY token the old Spark-`trim` (space-only)
+  * formulation kept for docs starting with a tab/newline — the kernel
+  * matches the DuckDB oracle's `list_filter(t <> '')` shape, which is
+  * the contract that matters (regression-pinned in DedupSpec). Java
+  * trim also strips control chars ≤ 0x20 that `\s` does not — a
+  * residual cross-engine edge no gate corpus exercises.
   */
 case class Simhash60Expr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {

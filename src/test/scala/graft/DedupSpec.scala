@@ -814,6 +814,20 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.simhashHotBands(sigs).collect().isEmpty)
   }
 
+  test("simhash kernel: tab/newline-leading text tokenizes like the oracle's t <> '' filter") {
+    import graft.plans.Simhash60Expr
+    // the old space-only-trim formulation kept a leading EMPTY token for
+    // docs starting with \t/\n (voting md5("")); the kernel must match
+    // the DuckDB oracle's list_filter(t <> '') shape instead
+    val base = Simhash60Expr.simhashOf(
+      org.apache.spark.unsafe.types.UTF8String.fromString("foo bar baz"))
+    Seq("\tfoo bar baz", "\nfoo bar baz", "  foo bar baz",
+        "foo bar baz\t", "\t \n foo  bar\tbaz \n").foreach { t =>
+      assert(Simhash60Expr.simhashOf(
+        org.apache.spark.unsafe.types.UTF8String.fromString(t)) === base, t)
+    }
+  }
+
   test("simhash: identical texts collide, perturbed text stays close, unrelated far") {
     val df = strDf(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
